@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each timed run executes the full plan to completion via a count-shaped
+action over the result (no driver materialization of wide rows). A
+warmup query runs first so JVM/codegen startup isn't attributed to the
+first benchmark entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from introduction_in_big_data_spark import plans  # noqa: E402
+from introduction_in_big_data_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "")) if "sf" in Path(sf_dir).name else -1.0
+    spark = get_spark("ibd-spark-bench")
+
+    bench_specs = [s for s in plans.REGISTRY.values() if s.bench]
+
+    # warmup: JVM + codegen + parquet footer caches
+    bench_specs[0].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for spec in bench_specs:
+        start = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[spec.name] = round(time.perf_counter() - start, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""Cleaning / predicate operators (SURVEY.md §2.2, P1-P13).
+
+The reference's cleaning is eager pandas mutation (Part_A_Q1.py:19-47);
+here every operator is a lazy Column/DataFrame transform so Catalyst can
+push predicates into the scan and reorder commutable filters. All of
+these compile to WholeStageCodegen — no Python in the hot path.
+
+Intended-semantics notes (⚠ sites from SURVEY.md):
+- regex_filter implements the intended ISBN class `[\\dX]`, not the
+  reference's `[\\d|X]` which also admits a literal `|` (Part_A_Q1.py:21).
+- sigma_band implements the intended mean±3σ band; the reference version
+  is dead code with a NameError (Part_A_Q1.py:89-99).
+- dedup_by_key keeps a deterministic representative; the reference's
+  `drop_duplicates` result is discarded by mistake (Part_A_Q1.py:47).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def regex_filter(df: DataFrame, column: str, pattern: str) -> DataFrame:
+    """P4/P5 — keep rows where `column` matches `pattern` (rlike).
+
+    Reference: ISBN `^\\d{9}[\\dX]$` and all-digits year filters
+    (Part_A_Q1.py:21-22).
+    """
+    return df.filter(F.col(column).rlike(pattern))
+
+
+def cast_column(df: DataFrame, column: str, dtype: str, out: str | None = None) -> DataFrame:
+    """P6 — dirty-string → typed cast (Part_A_Q1.py:25)."""
+    return df.withColumn(out or column, F.col(column).cast(dtype))
+
+
+def range_filter(
+    df: DataFrame,
+    column: str,
+    lo,
+    hi,
+    inclusive: bool = True,
+) -> DataFrame:
+    """P7 (inclusive, year 1967-2020) / P8 (exclusive, 15 < Age < 80)."""
+    c = F.col(column)
+    cond = c.between(lo, hi) if inclusive else (c > lo) & (c < hi)
+    return df.filter(cond)
+
+
+def semi_filter(df: DataFrame, keys: DataFrame, on: str | list[str]) -> DataFrame:
+    """P9 — membership predicate as a semi-join.
+
+    Replaces the reference's collect-to-list + `isin` idiom
+    (Part_A_Q2.py:83-89), which materializes the key list on the driver
+    and cannot scale; `left_semi` shuffles (or broadcasts) the key set
+    instead and never leaves the executors.
+    """
+    return df.join(keys, on=on, how="left_semi")
+
+
+def anti_filter(df: DataFrame, keys: DataFrame, on: str | list[str]) -> DataFrame:
+    """NOT-IN as an anti-join (idiomatic form of the FK checks, J6)."""
+    return df.join(keys, on=on, how="left_anti")
+
+
+def with_zscore(df: DataFrame, column: str, out: str = "z") -> DataFrame:
+    """P10 — append a z-score column via a two-pass plan.
+
+    Pass 1 is a scalar aggregate (map-side partial + single final
+    reduce); pass 2 broadcasts the 1-row stats frame into a filter-able
+    column expression. Matches Part_A_Q1.py:55-57, using sample stddev
+    as pandas does.
+
+    Scale: the stats frame is one row — the cross join is a broadcast
+    nested loop over a single row, i.e. free; the big side streams.
+    """
+    stats = df.agg(
+        F.avg(column).alias("__mean"), F.stddev_samp(column).alias("__std")
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(out, (F.col(column) - F.col("__mean")) / F.col("__std"))
+        .drop("__mean", "__std")
+    )
+
+
+def zscore_filter(df: DataFrame, column: str, threshold: float = 3.0) -> DataFrame:
+    """P10 — keep rows with |z| < threshold (Part_A_Q1.py:58-59)."""
+    return with_zscore(df, column, "__z").filter(F.abs(F.col("__z")) < threshold).drop("__z")
+
+
+def sigma_band_filter(df: DataFrame, column: str, n_sigma: float = 3.0) -> DataFrame:
+    """P11/P12 — drop rows outside mean ± n_sigma*std (intended semantics
+    of the reference's broken `remove_rating_outliers`, Part_A_Q1.py:89-99).
+    """
+    stats = df.agg(
+        F.avg(column).alias("__mean"), F.stddev_samp(column).alias("__std")
+    )
+    c = F.col(column)
+    lo = F.col("__mean") - n_sigma * F.col("__std")
+    hi = F.col("__mean") + n_sigma * F.col("__std")
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .filter(~((c > hi) | (c < lo)))
+        .drop("__mean", "__std")
+    )
+
+
+def dedup_by_key(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
+    """P13 — deduplicate by key, keeping a deterministic representative.
+
+    `dropDuplicates` picks an arbitrary row per key (first seen per
+    partition — nondeterministic under shuffle), which can't be
+    oracle-checked; a row_number window with an explicit tiebreak order
+    is the deterministic, still single-shuffle form.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,7 @@
+"""Query plans. Importing this package registers every query module
+into `registry.REGISTRY`."""
+
+from . import core  # noqa: F401
+from .registry import REGISTRY, QuerySpec, oracle_sql, queries, register
+
+__all__ = ["REGISTRY", "QuerySpec", "oracle_sql", "queries", "register"]

@@ -1,0 +1,56 @@
+"""SparkSession factory.
+
+Single place where execution knobs live so every entry point (tests,
+bench, driver) gets the same Catalyst/AQE configuration. The reference
+has no session concept (single-process pandas); here the session IS the
+engine: Catalyst plans, Tungsten executes, AQE re-plans at runtime.
+
+Scale notes (local[N] now, 1000-executor cluster later):
+- AQE on: runtime coalescing of small shuffle partitions, skew-join
+  splitting, and broadcast-join demotion/promotion are all decided from
+  real stage stats, which is exactly what a 100 TB run needs.
+- shuffle.partitions defaults to the local core count; on a real cluster
+  this should be ~2-3x total executor cores (set via env/extra_conf).
+- Arrow enabled so the few Pandas-UDF operators (multimodal decode,
+  CF fallback) move columns in batches, never row-at-a-time pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "introduction-in-big-data-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = cpus or default_parallelism()
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

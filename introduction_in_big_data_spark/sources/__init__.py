@@ -1,0 +1,16 @@
+from .tables import TABLE_NAMES, load_table, load_tables, register_views
+from .readers import read_csv, read_ndjson, read_parquet
+from .writers import write_csv, write_parquet, write_jdbc
+
+__all__ = [
+    "TABLE_NAMES",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "read_csv",
+    "read_ndjson",
+    "read_parquet",
+    "write_csv",
+    "write_parquet",
+    "write_jdbc",
+]

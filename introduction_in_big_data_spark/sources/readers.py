@@ -1,0 +1,60 @@
+"""Typed readers.
+
+Covers the reference's ingest surface (SURVEY.md §2.1):
+- S1/S2: projected / plain CSV with custom separator + encoding
+  (Part_A_Q1.py:10-13 — `;`-separated latin-1 Book-Crossing CSVs).
+- S3: drop-malformed CSV (Part_A_Q2.py:74-76 `error_bad_lines=False`)
+  → Spark `mode=DROPMALFORMED`.
+- S4 batch shape: newline-delimited JSON with an explicit nested schema
+  (Part_B.py:36 `json.loads` per line). The streaming variant lives in
+  `streaming/stream.py`.
+
+Design decision (SURVEY.md §1.3): schemas are always explicit
+`StructType`s — no inference in production paths. Inference requires an
+extra pass over the data (a full scan at 100 TB) and produces unstable
+types across partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    sep: str = ",",
+    encoding: str = "UTF-8",
+    header: bool = True,
+    drop_malformed: bool = False,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """CSV scan with scan-time projection (S1) and drop-malformed (S3).
+
+    `columns` mirrors pandas `usecols` (Part_A_Q1.py:10-11); Catalyst
+    prunes unused columns anyway, but an explicit .select documents the
+    projected schema at the API boundary.
+    """
+    reader = (
+        spark.read.schema(schema)
+        .option("sep", sep)
+        .option("encoding", encoding)
+        .option("header", str(header).lower())
+    )
+    if drop_malformed:
+        reader = reader.option("mode", "DROPMALFORMED")
+    df = reader.csv(path)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def read_ndjson(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Newline-delimited JSON with explicit (possibly nested) schema (S4, batch)."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

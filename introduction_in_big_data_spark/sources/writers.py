@@ -1,0 +1,54 @@
+"""Writers / sinks.
+
+Covers SURVEY.md §2.1 S5-S8:
+- S5 CSV sink (Part_A_Q2.py:64-71 csv.writer) → distributed CSV write.
+- S6/S7 MySQL load (Part_A_Q2.py:46-59) → the JDBC batch writer; Spark
+  never inserts row-at-a-time (the reference's S7 path is also broken —
+  it targets a table its DDL never creates, Part_A_Q2.py:49,53).
+- S8 DDL (Part_A_Q2.py:16-40) → `spark.sql("CREATE ...")` on the session
+  catalog; the reference's PK/FK constraints become data-quality checks
+  (see operators.relational.fk_violations) since Spark doesn't enforce
+  constraints.
+
+Scale notes: every writer below is a distributed, partition-parallel
+write. `partition_by` produces hive-style directory partitioning, the
+standard layout for downstream partition pruning at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    properties: dict[str, str] | None = None,
+) -> None:
+    """JDBC table sink (S6). Replaces the reference's `df.to_sql(...,
+    if_exists='replace')` (Part_A_Q2.py:55-59). Requires the JDBC driver
+    jar on the classpath; there is no database in the test container, so
+    this is exercised only via its plan construction in tests.
+    """
+    writer = df.write.format("jdbc").mode(mode).option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
