@@ -1,0 +1,187 @@
+"""User-based collaborative filtering, long-format and join-based.
+
+Re-expresses the reference's CF pipeline (Part_A_Q2.py:79-147) without
+ever materializing the dense user×item matrix:
+
+  reference (pandas/NumPy)                  this engine (Spark)
+  ------------------------                  -------------------
+  pivot/unstack → dense matrix (:92-98)     long (user,item,rating) frame
+  np.corrcoef all-pairs (:114-116)          self-join on item → sparse
+                                            dot products → cosine
+  per-row argsort k-NN (:121-123)           row_number window per user
+  dense nested predict loop (:130-135,194)  neighbors ⋈ ratings join +
+                                            grouped weighted average
+  mae/rmse vectors (:140-147)               single-pass scalar agg
+
+Scale analysis (SURVEY.md §4 risk #1): the all-pairs step is the only
+super-linear operator. The item self-join generates one row per
+co-rating pair, i.e. Σ_i n_i² over item popularity n_i — not #users².
+Hot items dominate: cap them (popular-item top-N% filter is already in
+the pipeline), let AQE skew-split the join, or switch to the sketch
+path (MinHash-LSH in operators/dedup.py, random-projection LSH in
+operators/similarity.py) when Σ n_i² is still too large. The exact
+join form below is itself the standard sparse-similarity plan used at
+scale — it shuffles on item, then on (user_a, user_b).
+
+Determinism for oracle parity: ratings and similarities are rounded at
+fixed scales *inside* the pipeline so both engines rank and weight
+identical values; every window carries an id tiebreaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RATING_SCALE = 6  # decimals kept for mean ratings
+SIM_SCALE = 6  # decimals kept for cosine similarities
+PRED_SCALE = 6  # decimals kept for predicted ratings
+
+
+def ratings_from_sales(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Implicit-feedback ratings: user=o_custkey, item=l_partkey,
+    rating=mean l_quantity (A5's group-mean dedup, Part_A_Q2.py:93).
+    """
+    joined = orders.select("o_orderkey", "o_custkey").join(
+        lineitem.select("l_orderkey", "l_partkey", "l_quantity"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    return (
+        joined.groupBy(
+            F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id")
+        )
+        .agg(F.round(F.avg("l_quantity"), RATING_SCALE).alias("rating"))
+    )
+
+
+def filter_active_users(ratings: DataFrame, min_items: int) -> DataFrame:
+    """J3 — keep users with ≥ min_items rated items (Part_A_Q2.py:83-85),
+    as a semi-join (never a collected isin list)."""
+    active = (
+        ratings.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_items)
+        .select("user_id")
+    )
+    return ratings.join(active, "user_id", "left_semi")
+
+
+def filter_popular_items(ratings: DataFrame, top_fraction: float) -> DataFrame:
+    """J4/K4 — keep the top `top_fraction` of items by rating count
+    (Part_A_Q2.py:87-89), deterministic tiebreak on item id."""
+    counts = ratings.groupBy("item_id").agg(F.count(F.lit(1)).alias("cnt"))
+    k = counts.agg(
+        F.floor(F.count(F.lit(1)) * top_fraction).cast("long").alias("k")
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("item_id"))
+    popular = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(k))
+        .filter(F.col("rn") <= F.col("k"))
+        .select("item_id")
+    )
+    return ratings.join(popular, "item_id", "left_semi")
+
+
+def user_norms(ratings: DataFrame) -> DataFrame:
+    return ratings.groupBy("user_id").agg(
+        F.sqrt(F.sum(F.col("rating") * F.col("rating"))).alias("norm")
+    )
+
+
+def user_cosine_similarities(ratings: DataFrame) -> DataFrame:
+    """J5 — all-pairs user cosine similarity as a sparse self-join.
+
+    sim(u,v) = Σ_i r_ui·r_vi / (‖r_u‖·‖r_v‖), computed only for pairs
+    that co-rate ≥1 item (absent pairs have sim 0 and are never
+    materialized — the sparsity win over np.corrcoef's dense matrix).
+    Emits both (u,v) and (v,u) so downstream k-NN is a plain window.
+    """
+    a = ratings.select(
+        F.col("user_id").alias("user_a"),
+        F.col("item_id").alias("item_id"),
+        F.col("rating").alias("rating_a"),
+    )
+    b = ratings.select(
+        F.col("user_id").alias("user_b"),
+        F.col("item_id").alias("item_id"),
+        F.col("rating").alias("rating_b"),
+    )
+    dots = (
+        a.join(b, "item_id")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.sum(F.col("rating_a") * F.col("rating_b")).alias("dot"))
+    )
+    norms = user_norms(ratings)
+    na = norms.select(F.col("user_id").alias("user_a"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col("user_id").alias("user_b"), F.col("norm").alias("norm_b"))
+    sims = (
+        dots.join(na, "user_a")
+        .join(nb, "user_b")
+        .select(
+            "user_a",
+            "user_b",
+            F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), SIM_SCALE).alias("sim"),
+        )
+    )
+    mirrored = sims.select(
+        F.col("user_b").alias("user_a"), F.col("user_a").alias("user_b"), "sim"
+    )
+    return sims.unionByName(mirrored)
+
+
+def knn_neighbors(similarities: DataFrame, k: int) -> DataFrame:
+    """K5 — k most similar other users per user (Part_A_Q2.py:121-123's
+    intended semantics), via a row_number window with (sim desc, id)
+    ordering so ranks are deterministic."""
+    w = Window.partitionBy("user_a").orderBy(F.desc("sim"), F.asc("user_b"))
+    return (
+        similarities.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("user_a").alias("user_id"),
+            F.col("user_b").alias("neighbor_id"),
+            "sim",
+            "rn",
+        )
+    )
+
+
+def predict_ratings(neighbors: DataFrame, ratings: DataFrame) -> DataFrame:
+    """Similarity-weighted rating prediction (Part_A_Q2.py:130-135),
+    as a join + grouped weighted average instead of the reference's
+    per-cell nested loop (SURVEY.md §4 strategy #2):
+
+        pred(u,i) = Σ_{n∈kNN(u), n rated i} sim(u,n)·r_ni
+                    / Σ_{n∈kNN(u), n rated i} sim(u,n)
+
+    Pairs where no neighbor rated i produce no row (the reference emits
+    0 there; filtering to predictable cells is the intended semantics
+    for evaluation)."""
+    nr = ratings.select(
+        F.col("user_id").alias("neighbor_id"),
+        "item_id",
+        F.col("rating").alias("neighbor_rating"),
+    )
+    contrib = neighbors.join(nr, "neighbor_id")
+    return (
+        contrib.groupBy("user_id", "item_id")
+        .agg(
+            F.round(
+                F.sum(F.col("sim") * F.col("neighbor_rating")) / F.sum("sim"),
+                PRED_SCALE,
+            ).alias("pred")
+        )
+    )
+
+
+def evaluate(predictions: DataFrame, ratings: DataFrame) -> DataFrame:
+    """A17 — MAE / RMSE over observed cells (Part_A_Q2.py:140-147,197-198)."""
+    joined = predictions.join(ratings, ["user_id", "item_id"])
+    err = F.col("pred") - F.col("rating")
+    return joined.agg(
+        F.round(F.avg(F.abs(err)), 4).alias("mae"),
+        F.round(F.sqrt(F.avg(err * err)), 4).alias("rmse"),
+        F.count(F.lit(1)).alias("n_eval"),
+    )

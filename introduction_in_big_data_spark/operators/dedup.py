@@ -1,0 +1,253 @@
+"""Deduplication operators for a training-data pipeline (north-star
+extension, SURVEY.md §7 Step 6): exact, n-gram Jaccard, MinHash-LSH,
+SimHash.
+
+Scale design — the whole point of this module:
+- exact_duplicates: one hash-aggregate on a 32-byte key. The only
+  correct way to exact-dedup 100 TB (never pairwise compare).
+- Jaccard via shingle self-join: cost is Σ_s n_s² over shingle
+  popularity — fine when shingles are discriminative; degenerate
+  (stop-shingles) keys must be capped (`max_shingle_freq`).
+- MinHash-LSH: the scale path. Signatures are per-doc aggregates
+  (linear); banding turns "all pairs" into "pairs sharing a band key"
+  (near-linear for realistic dup rates); only candidates pay the exact
+  Jaccard verify. This is the standard web-scale near-dedup layout.
+- SimHash: linear signature; near-dups = small Hamming distance.
+
+Hash choices are md5 (MinHash) so the DuckDB oracle can reproduce the
+exact signatures, and xxhash64 (SimHash) where no oracle parity is
+needed (verified by a pytest property test instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfns import shingles
+
+MINHASH_SEEDS = 9  # signature length
+LSH_BANDS = 3  # bands of 3 rows each → catches J ≳ 0.7 reliably
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-dup groups by md5(normalized text): (fingerprint,
+    representative id, group size). Representative = min id —
+    deterministic, oracle-checkable."""
+    from .text import fingerprint
+
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Exploded distinct word n-grams: (id, shingle)."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.7,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle self-join.
+
+    |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B| from per-doc sizes.
+    `max_shingle_freq` drops degenerate stop-shingles that appear in
+    more than N docs — they contribute O(N²) join rows but almost no
+    Jaccard signal (same trick as dropping stopwords).
+    """
+    sh = doc_shingles(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, seeds: int = MINHASH_SEEDS
+) -> DataFrame:
+    """MinHash signature per doc: sig_s = min over shingles of
+    md5(s || ':' || shingle). One explode + one grouped aggregate with
+    `seeds` min() columns — linear in corpus size, embarrassingly
+    partition-parallel. md5 (not xxhash64) so DuckDB can reproduce the
+    signatures bit-for-bit for the oracle check.
+    """
+    sh = doc_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"sig{s}")
+        for s in range(seeds)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = LSH_BANDS, seeds: int = MINHASH_SEEDS
+) -> DataFrame:
+    """Band the signature (rows-per-band = seeds/bands); docs sharing
+    any band key become candidate pairs. The self-join is per band key —
+    near-dup clusters are small, so this is near-linear."""
+    rows_per_band = seeds // bands
+    band_cols = []
+    for b in range(bands):
+        sig_slice = [F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *sig_slice)).alias("key"))
+        )
+    banded = signatures.select(
+        F.col("doc"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    x = banded.select(F.col("doc").alias("doc_a"), "band", "key")
+    y = banded.select(F.col("doc").alias("doc_b"), "band", "key")
+    return (
+        x.join(y, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.7,
+    seeds: int = MINHASH_SEEDS,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: signatures (linear) → band
+    candidates (near-linear) → exact Jaccard only on candidates."""
+    sigs = minhash_signatures(df, id_col, text_col, n, seeds)
+    cands = lsh_candidate_pairs(sigs, bands, seeds)
+    sh = doc_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    # equi-join on (doc_b, shingle) so each candidate pair only pays for
+    # its matching shingles, never the sz_a × sz_b cross product
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _bit_mask(b: int) -> int:
+    return (1 << b) if b < 63 else -(1 << 63)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, nbits: int = 64) -> DataFrame:
+    """SimHash signature as an `nbits`-char bit-string column.
+
+    Explode tokens → xxhash64 → per-bit +1/-1 vote summed per doc (one
+    shuffle, nbits aggregate columns) → sign bits concatenated. Linear,
+    partition-parallel; near-dups have small Hamming distance
+    (see hamming_pairs).
+    """
+    from ..functions.textfns import tokens
+
+    h = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = h.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(_bit_mask(b))) != 0, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(nbits)
+        ]
+    )
+    bits = F.concat(
+        *[F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(nbits)]
+    )
+    return votes.select("doc", bits.alias("simhash"))
+
+
+def hamming_pairs(
+    simhashes: DataFrame, max_distance: int = 3, prefix_bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_distance.
+
+    Blocking on the signature prefix keeps the self-join near-linear
+    (near-dups share long prefixes with high probability; multi-table
+    rotation blocking is the full-recall variant at scale). Distance is
+    computed by summing character mismatches via zip of the two bit
+    strings — built-ins only.
+    """
+    a = simhashes.select(
+        F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a")
+    ).withColumn("blk", F.substring("sh_a", 1, prefix_bits))
+    b = simhashes.select(
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b")
+    ).withColumn("blk", F.substring("sh_b", 1, prefix_bits))
+    dist = F.aggregate(
+        F.sequence(F.lit(1), F.length("sh_a")),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            F.col("sh_a").substr(i, F.lit(1)) != F.col("sh_b").substr(i, F.lit(1)), 1
+        ).otherwise(0),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", dist)
+        .filter(F.col("hamming") <= max_distance)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,184 @@
+"""Embedding similarity search (north-star extension, SURVEY.md §7
+Step 6): brute-force cosine top-k as the exact baseline, and a
+random-hyperplane LSH variant as the scale path.
+
+Representation: embeddings are plain `array<float>` columns (the
+driver's embeddings table shape) cast to double for math. All math is
+built-in array expressions (`zip_with` + `aggregate`) — JVM-side,
+codegen'd, no Python in the data path.
+
+Scale analysis:
+- brute_force_topk: O(|Q|·|C|) — correct baseline, and the right plan
+  when |Q| is small (broadcast Q, stream C; embarrassingly parallel,
+  no shuffle). Never acceptable for |Q| ≈ |C| at 100 TB.
+- nearest_neighbor_join: O(|C|²) exact — the oracle baseline for the
+  LSH path, usable to ~10⁵ rows per run.
+- lsh: sign-bit signatures w.r.t. fixed random hyperplanes, banded so
+  two vectors are candidates iff they share any band — turns the
+  quadratic join into per-bucket joins. Recall/precision tunable via
+  (n_planes, n_bands); property-tested against brute force in
+  tests/test_similarity.py. IVF (k-means cells + nprobe) is the other
+  standard scale path; LSH is chosen here because it needs no training
+  pass and its bucket assignment is a pure column expression.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SIM_SCALE = 6
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — fixed accumulation order so
+    the DuckDB oracle (list_inner_product) reproduces it bitwise."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    return df.withColumn("_v", v).withColumn("_norm", F.sqrt(dot(F.col("_v"), F.col("_v"))))
+
+
+def cosine(va: Column, vb: Column, na: Column, nb: Column) -> Column:
+    return F.round(dot(va, vb) / (na * nb), SIM_SCALE)
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus scan, rank per query. Zero shuffles on the corpus side except
+    the final per-query window (tiny: |Q|·|C| → |Q|·k rows after the
+    partial top-k AQE applies)."""
+    q = with_norm(queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("qv"),
+        F.col("_norm").alias("qn"),
+    )
+    c = with_norm(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_v").alias("cv"),
+        F.col("_norm").alias("cn"),
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", "rn")
+    )
+
+
+def nearest_neighbor_join(corpus: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Exact 1-NN for every vector (self excluded) — the embedding
+    near-dup workhorse and the recall oracle for the LSH path."""
+    a = with_norm(corpus).select(
+        F.col(id_col).alias("vec_id"), F.col("_v").alias("va"), F.col("_norm").alias("na")
+    )
+    b = with_norm(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_v").alias("vb"), F.col("_norm").alias("nb")
+    )
+    scored = (
+        a.crossJoin(b)
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "neighbor_id", "sim")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Fixed seeded hyperplanes — deterministic across runs/engines."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim)
+
+
+def with_lsh_bands(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append `bands`: array of (band_id, band_key) structs. Sign bit
+    per hyperplane; planes grouped into bands; band key = packed bits.
+    Pure column expressions — the planes are plan literals, shipped once
+    per executor with the plan (at 100 TB prefer a broadcast variable,
+    same semantics)."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    bits = [
+        F.when(dot(v, F.array(*[F.lit(float(x)) for x in plane])) >= 0, 1).otherwise(0)
+        for plane in planes
+    ]
+    per_band = n_planes // n_bands
+    band_structs = []
+    for band in range(n_bands):
+        key = sum(
+            bits[band * per_band + i] * (1 << i) for i in range(per_band)
+        )
+        band_structs.append(
+            F.struct(F.lit(band).alias("band"), key.alias("key"))
+        )
+    return df.withColumn("bands", F.array(*band_structs))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Banded-LSH approximate top-k: candidates share ≥1 band key with
+    the query; exact cosine re-ranks candidates only. The band join is
+    an equi-join on (band, key) — per-bucket work instead of |Q|·|C|."""
+    qb = with_lsh_bands(with_norm(queries), dim, n_planes, n_bands, seed).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("qv"),
+        F.col("_norm").alias("qn"),
+        F.explode("bands").alias("bk"),
+    )
+    cb = with_lsh_bands(with_norm(corpus), dim, n_planes, n_bands, seed).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_v").alias("cv"),
+        F.col("_norm").alias("cn"),
+        F.explode("bands").alias("bk"),
+    )
+    cands = (
+        qb.join(cb, qb.bk == cb.bk)
+        .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", "rn")
+    )

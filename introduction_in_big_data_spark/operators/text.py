@@ -1,0 +1,92 @@
+"""Text-analysis operators for a training-data pipeline (north-star
+extension, SURVEY.md §7 Step 6): token counting, quality scoring,
+language ID, document fingerprinting.
+
+All pure built-in column expressions — at 100 TB these run inside
+WholeStageCodegen over the parquet scan with zero shuffles (they are
+per-row maps); only downstream group-bys shuffle.
+
+Each operator's semantics are pinned by an exact DuckDB mirror in
+plans/text_queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfns import normalize_text, token_count, tokens
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. Deliberately tiny + deterministic: language ID at pipeline
+# scale is a cheap filter, not a model.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "nicht", "ist"),
+    "es": ("el", "la", "que", "de", "es"),
+    "fr": ("le", "la", "et", "les", "est"),
+}
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token count + char count + mean token length."""
+    c = F.col(text_col)
+    n_tok = token_count(c)
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "n_chars_m": F.length(c),
+            "avg_token_len": F.round(
+                (F.length(F.regexp_replace(c, r"\s+", "")) * F.lit(1.0))
+                / F.greatest(n_tok, F.lit(1)),
+                4,
+            ),
+        }
+    )
+
+
+def quality_score(text_col: Column) -> Column:
+    """Heuristic document quality in [0,1]: length band + stopword ratio
+    + type-token ratio. The formula is arbitrary but fixed — what
+    matters for the engine is that it is a pure column expression a
+    100 TB scan can evaluate inline (the reference's analog is the
+    z-score/band cleaning of Part_A_Q1.py; this is its text twin).
+
+      q = 0.4·len_ok + 0.3·min(1, stop_ratio·5) + 0.3·ttr
+    """
+    toks = tokens(text_col)
+    n = F.greatest(F.size(toks), F.lit(1))
+    stop = F.size(F.filter(toks, lambda x: x.isin(*LANG_MARKERS["en"])))
+    ttr = F.size(F.array_distinct(toks)) / n
+    len_ok = F.when((F.size(toks) >= 20) & (F.size(toks) <= 2000), 1.0).otherwise(0.0)
+    stop_ratio = F.least(F.lit(1.0), stop * F.lit(5.0) / n)
+    return F.round(0.4 * len_ok + 0.3 * stop_ratio + 0.3 * ttr, 4)
+
+
+def language_scores(text_col: Column) -> dict[str, Column]:
+    """Marker-token hit count per language over the token array."""
+    toks = tokens(F.lower(text_col))
+    return {
+        lang: F.size(F.filter(toks, lambda x: x.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def language_id(text_col: Column) -> Column:
+    """Argmax language with fixed precedence (en > de > es > fr, then
+    'und' for no hits) — precedence makes ties deterministic on both
+    engines."""
+    scores = language_scores(text_col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build the CASE chain in reverse so earlier languages win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((scores[lang] == best) & (best > 0), lang).otherwise(expr)
+    return expr
+
+
+def fingerprint(text_col: Column) -> Column:
+    """Deterministic 32-hex document fingerprint: md5 of the normalized
+    text. Identical content modulo case/whitespace collides on purpose —
+    this is the exact-dedup key (operators/dedup.exact_duplicates)."""
+    return F.md5(normalize_text(text_col))

@@ -1,0 +1,152 @@
+"""Collaborative-filtering queries (SURVEY.md §7 Step 4 — the
+reference's flagship pipeline, Part_A_Q2.py:79-198) instantiated on the
+driver tables per FIXTURES.md: user=o_custkey, item=l_partkey,
+rating=mean l_quantity.
+
+The oracle SQL mirrors the engine pipeline CTE-for-operator, including
+the fixed rounding scales, so both engines rank and weight bit-identical
+values (see operators/cf.py for the determinism rules).
+"""
+
+from __future__ import annotations
+
+from ..operators import cf
+from .registry import register, t
+
+MIN_ITEMS = 10  # active-user threshold (reference: ≥10 ratings)
+TOP_FRACTION = 0.05  # popular-item fraction (reference: top 5%)
+K_NEIGHBORS = 2  # reference: calc_neighbourhood(s, 2)
+
+# Shared CTE prefix: the cleaned long-format ratings frame.
+_RATINGS_CTE = f"""
+    WITH ratings_raw AS (
+        SELECT o_custkey AS user_id, l_partkey AS item_id,
+               round(avg(l_quantity), {cf.RATING_SCALE}) AS rating
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY user_id, item_id
+    ),
+    active AS (
+        SELECT user_id FROM ratings_raw GROUP BY user_id HAVING count(*) >= {MIN_ITEMS}
+    ),
+    r1 AS (
+        SELECT * FROM ratings_raw WHERE user_id IN (SELECT user_id FROM active)
+    ),
+    icounts AS (SELECT item_id, count(*) AS cnt FROM r1 GROUP BY item_id),
+    kk AS (SELECT CAST(floor(count(*) * {TOP_FRACTION}) AS BIGINT) AS k FROM icounts),
+    popular AS (
+        SELECT item_id FROM (
+            SELECT item_id, row_number() OVER (ORDER BY cnt DESC, item_id) AS rn
+            FROM icounts
+        ), kk
+        WHERE rn <= k
+    ),
+    ratings AS (
+        SELECT * FROM r1 WHERE item_id IN (SELECT item_id FROM popular)
+    )
+"""
+
+_SIMS_CTE = f"""
+    , dots AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               sum(a.rating * b.rating) AS dot
+        FROM ratings a JOIN ratings b ON a.item_id = b.item_id
+        WHERE a.user_id < b.user_id
+        GROUP BY user_a, user_b
+    ),
+    norms AS (
+        SELECT user_id, sqrt(sum(rating * rating)) AS norm
+        FROM ratings GROUP BY user_id
+    ),
+    sims_half AS (
+        SELECT user_a, user_b,
+               round(dot / (na.norm * nb.norm), {cf.SIM_SCALE}) AS sim
+        FROM dots
+        JOIN norms na ON na.user_id = user_a
+        JOIN norms nb ON nb.user_id = user_b
+    ),
+    sims AS (
+        SELECT user_a, user_b, sim FROM sims_half
+        UNION ALL
+        SELECT user_b AS user_a, user_a AS user_b, sim FROM sims_half
+    ),
+    knn AS (
+        SELECT user_a AS user_id, user_b AS neighbor_id, sim, rn
+        FROM (
+            SELECT user_a, user_b, sim,
+                   row_number() OVER (PARTITION BY user_a
+                                      ORDER BY sim DESC, user_b) AS rn
+            FROM sims
+        )
+        WHERE rn <= {K_NEIGHBORS}
+    )
+"""
+
+
+def _pipeline(spark, sf_dir):
+    ratings = cf.ratings_from_sales(
+        t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem")
+    )
+    ratings = cf.filter_active_users(ratings, MIN_ITEMS)
+    return cf.filter_popular_items(ratings, TOP_FRACTION)
+
+
+@register(
+    "cf_ratings",
+    oracle=_RATINGS_CTE + "SELECT user_id, item_id, rating FROM ratings",
+    tags=("cf", "join", "agg"),
+)
+def cf_ratings(spark, sf_dir):
+    """The cleaned long-format ratings frame — the engine's answer to
+    the reference's dense pivot matrix (Part_A_Q2.py:92-98). Never
+    widens; every downstream CF step is a join/agg over this."""
+    return _pipeline(spark, sf_dir)
+
+
+@register(
+    "cf_knn",
+    oracle=_RATINGS_CTE + _SIMS_CTE + "SELECT user_id, neighbor_id, sim, rn FROM knn",
+    tags=("cf", "join", "window"),
+    bench=True,
+)
+def cf_knn(spark, sf_dir):
+    """All-pairs cosine similarity (sparse item self-join, J5) + k-NN
+    window (K5). The quadratic danger zone of the whole engine — see
+    operators/cf.py's scale analysis for why the co-rating join form
+    scales where np.corrcoef cannot."""
+    ratings = _pipeline(spark, sf_dir)
+    sims = cf.user_cosine_similarities(ratings)
+    return cf.knn_neighbors(sims, K_NEIGHBORS)
+
+
+@register(
+    "cf_predict_metrics",
+    oracle=_RATINGS_CTE
+    + _SIMS_CTE
+    + f"""
+    , nr AS (
+        SELECT user_id AS neighbor_id, item_id, rating AS neighbor_rating
+        FROM ratings
+    ),
+    preds AS (
+        SELECT k.user_id, nr.item_id,
+               round(sum(k.sim * nr.neighbor_rating) / sum(k.sim),
+                     {cf.PRED_SCALE}) AS pred
+        FROM knn k JOIN nr ON k.neighbor_id = nr.neighbor_id
+        GROUP BY k.user_id, nr.item_id
+    )
+    SELECT round(avg(abs(pred - rating)), 4)             AS mae,
+           round(sqrt(avg((pred - rating) * (pred - rating))), 4) AS rmse,
+           count(*)                                      AS n_eval
+    FROM preds JOIN ratings USING (user_id, item_id)
+    """,
+    tags=("cf", "join", "agg", "metrics"),
+)
+def cf_predict_metrics(spark, sf_dir):
+    """Join-based weighted prediction + MAE/RMSE evaluation
+    (Part_A_Q2.py:130-147,194-198). Replaces the reference's dense
+    nested per-cell loop with one join and one grouped aggregate."""
+    ratings = _pipeline(spark, sf_dir)
+    sims = cf.user_cosine_similarities(ratings)
+    neighbors = cf.knn_neighbors(sims, K_NEIGHBORS)
+    preds = cf.predict_ratings(neighbors, ratings)
+    return cf.evaluate(preds, ratings)

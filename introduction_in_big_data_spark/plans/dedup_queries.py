@@ -1,0 +1,154 @@
+"""Deduplication queries over the documents table (north-star
+extension, SURVEY.md §7 Step 6): exact, n-gram Jaccard, MinHash-LSH,
+SimHash.
+
+The MinHash/LSH oracle SQL is generated from the same seed/band
+constants as the engine (operators/dedup.py), so both engines compute
+bit-identical md5-based signatures and band keys — the whole
+approximate pipeline is exactly reproducible and therefore
+hash-checkable, not just "approximately similar".
+
+SimHash uses xxhash64 (no DuckDB equivalent) → rows-only driver check +
+property tests in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from ..operators import dedup
+from .registry import register, t
+
+JACCARD_THRESHOLD = 0.7
+SHINGLE_N = 3
+
+_SHINGLES_CTE = """
+    WITH words AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+    sh AS (
+        SELECT doc_id AS doc, unnest(list_distinct(
+            CASE WHEN len(w) >= 3
+                 THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]
+                 ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+        FROM words
+    ),
+    sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+               min(doc_id) AS rep_id,
+               count(*)    AS group_size
+        FROM documents
+        GROUP BY fp
+    """,
+    tags=("dedup", "agg"),
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: one hash-aggregate on the normalized-content
+    fingerprint. The only correct 100 TB exact-dedup plan — group on a
+    32-byte key, never compare pairs."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(d, "doc_id", "text")
+
+
+@register(
+    "dedup_jaccard",
+    oracle=_SHINGLES_CTE
+    + f"""
+    , inter AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "join"),
+    bench=True,
+)
+def dedup_jaccard(spark, sf_dir):
+    """Exact word-trigram Jaccard near-dup pairs via shingle self-join —
+    the exact baseline the MinHash path approximates. Cost is
+    Σ_s df(s)²; discriminative shingles keep it near-linear."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(
+        d, "doc_id", "text", n=SHINGLE_N, threshold=JACCARD_THRESHOLD
+    )
+
+
+def _minhash_lsh_sql() -> str:
+    seeds, bands = dedup.MINHASH_SEEDS, dedup.LSH_BANDS
+    rows = seeds // bands
+    sig_cols = ",\n               ".join(
+        f"min(md5('{s}:' || shingle)) AS sig{s}" for s in range(seeds)
+    )
+    band_selects = "\n        UNION ALL\n".join(
+        "        SELECT doc, {b} AS band, md5({expr}) AS key FROM sigs".format(
+            b=b,
+            expr=" || '|' || ".join(f"sig{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return (
+        _SHINGLES_CTE
+        + f"""
+    , sigs AS (
+        SELECT doc,
+               {sig_cols}
+        FROM sh GROUP BY doc
+    ),
+    banded AS (
+{band_selects}
+    ),
+    cands AS (
+        SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.key = y.key AND x.doc < y.doc
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS inter
+        FROM cands c
+        JOIN sh a ON a.doc = c.doc_a
+        JOIN sh b ON b.doc = c.doc_b AND b.shingle = a.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= {JACCARD_THRESHOLD}
+    """
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_lsh_sql(),
+    tags=("dedup", "minhash", "lsh"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash→LSH→verify near-dedup — the 100 TB path: linear
+    signatures, near-linear band join, exact Jaccard only on candidates.
+    md5-based hashing makes the signatures reproducible in the oracle,
+    so even this 'approximate' pipeline is hash-checked exactly."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup(
+        d, "doc_id", "text", n=SHINGLE_N, threshold=JACCARD_THRESHOLD
+    )
+
+
+@register("dedup_simhash", oracle=None, tags=("dedup", "simhash"))
+def dedup_simhash(spark, sf_dir):
+    """SimHash Hamming-distance near-dup pairs (xxhash64-based — no
+    DuckDB twin, so rows-only here; property-tested in
+    tests/test_dedup.py against the exact Jaccard pairs)."""
+    d = t(spark, sf_dir, "documents")
+    sh = dedup.simhash(d, "doc_id", "text")
+    return dedup.hamming_pairs(sh, max_distance=8, prefix_bits=8)

@@ -1,0 +1,95 @@
+"""Similarity-search queries over the embeddings table.
+
+Cosine math is pinned on both engines: sequential-fold dot products in
+double precision (Spark `aggregate(zip_with(...))` vs DuckDB
+`list_inner_product(CAST(... AS DOUBLE[]))`), explicit norm division,
+round to 6 — so even float results hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import similarity
+from .registry import register, t
+
+TOPK = 5
+N_QUERIES = 10  # query set = vec_id < 10
+DIM = 64
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))) AS norm
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_inner_product(q.e, c.e) / (q.norm * c.norm), 6) AS sim
+            FROM v q JOIN v c ON q.vec_id < {N_QUERIES}
+        )
+        SELECT query_id, neighbor_id, sim, rn
+        FROM (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rn
+            FROM scored
+        )
+        WHERE rn <= {TOPK}
+    """,
+    tags=("similarity", "ann"),
+    bench=True,
+)
+def ann_bruteforce_topk(spark, sf_dir):
+    """Exact cosine top-5 for a small query set — broadcast queries
+    against the corpus scan; the baseline every ANN variant is measured
+    against."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return similarity.brute_force_topk(emb, queries, TOPK)
+
+
+@register(
+    "ann_nn_join",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))) AS norm
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT a.vec_id, b.vec_id AS neighbor_id,
+                   round(list_inner_product(a.e, b.e) / (a.norm * b.norm), 6) AS sim
+            FROM v a JOIN v b ON a.vec_id != b.vec_id
+        )
+        SELECT vec_id, neighbor_id, sim
+        FROM (
+            SELECT vec_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, neighbor_id) AS rn
+            FROM scored
+        )
+        WHERE rn = 1
+    """,
+    tags=("similarity", "ann"),
+)
+def ann_nn_join(spark, sf_dir):
+    """Exact 1-NN join (every vector's nearest neighbor) — the
+    embedding near-dup workhorse. O(n²): the exact baseline; the LSH
+    query below is the scale path."""
+    return similarity.nearest_neighbor_join(t(spark, sf_dir, "embeddings"))
+
+
+@register("ann_lsh_topk", oracle=None, tags=("similarity", "ann", "lsh"))
+def ann_lsh_topk(spark, sf_dir):
+    """Banded random-hyperplane LSH top-5 (rows-only driver check —
+    recall vs brute force is property-tested in
+    tests/test_similarity.py)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return similarity.lsh_topk(emb, queries, TOPK, DIM)
