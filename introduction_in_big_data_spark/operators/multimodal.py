@@ -1,0 +1,131 @@
+"""Multimodal column plumbing (north-star extension, SURVEY.md §7
+Step 6): image/audio/video as opaque `binary` columns with typed
+metadata structs, processed by Arrow-batched Pandas UDFs.
+
+The container has no image/audio libraries, so the decode kernels are
+STUBS (clearly marked, import-gated) — but everything Spark-side is
+real and tested: the schema convention, the mapInPandas batch shape,
+the partitioning, and a deterministic feature extractor that exercises
+the exact same plumbing real decoders would use.
+
+Scale notes:
+- binary payloads ride ordinary parquet columns; `mapInPandas` moves
+  them executor→Python in Arrow record batches (no per-row pickling).
+- decode/feature-extract is per-row work → embarrassingly parallel;
+  the only knob that matters is partition sizing so a batch of blobs
+  fits in worker memory (spark.sql.files.maxPartitionBytes, and
+  `maxRecordsPerBatch` for Arrow batches of large blobs).
+- metadata lives in a sibling struct column so filters on it (mime,
+  dimensions) prune *before* any blob is decoded.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = "media_id long, n_bytes long, content_md5 string, mime string"
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapt the documents table into the binary-media convention
+    (content = utf-8 bytes) so the multimodal plumbing is exercised on
+    real driver data."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Deterministic per-blob features via mapInPandas — the real
+    decode pipeline's shape (Arrow batch in, Arrow batch out, one
+    Python worker per partition), with a trivially verifiable kernel
+    (byte count + md5) instead of an image decode."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": content.map(lambda b: len(b) if b is not None else 0),
+                    "content_md5": content.map(
+                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+                    ),
+                    "mime": pdf["meta"].map(lambda m: m["mime"] if m else None),
+                }
+            )
+
+    return media.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def decode_image(media: DataFrame, target_size: tuple[int, int] = (224, 224)) -> DataFrame:
+    """STUB — real image decode/resize. The container ships no imaging
+    library; the Spark-side contract (signature, schema, batching) is
+    final, only the kernel body is gated.
+
+    Returns (media_id, pixels array<float>, width, height) when a
+    decoder is available."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - container has no PIL
+        raise NotImplementedError(
+            "image decode requires an imaging library (PIL/opencv); "
+            "not available in this container — plumbing is exercised via "
+            "extract_features instead"
+        ) from exc
+
+    out_schema = "media_id long, width int, height int, pixels array<float>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        w, h = target_size
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                img = Image.open(io.BytesIO(blob)).convert("L").resize((w, h))
+                rows.append((mid, w, h, np.asarray(img, dtype="float32").ravel().tolist()))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "pixels"])
+
+    return media.mapInPandas(kernel, out_schema)
+
+
+def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """STUB — video frame sampling; same gating pattern as decode_image."""
+    raise NotImplementedError(
+        "video frame sampling requires a video library; the media schema "
+        "convention (binary content + typed meta struct) is the stable part"
+    )

@@ -6,6 +6,9 @@ from . import cf_queries  # noqa: F401
 from . import text_queries  # noqa: F401
 from . import dedup_queries  # noqa: F401
 from . import similarity_queries  # noqa: F401
+from . import streaming_queries  # noqa: F401
+from . import sketch_queries  # noqa: F401
+from . import multimodal_queries  # noqa: F401
 from .registry import REGISTRY, QuerySpec, oracle_sql, queries, register
 
 __all__ = ["REGISTRY", "QuerySpec", "oracle_sql", "queries", "register"]

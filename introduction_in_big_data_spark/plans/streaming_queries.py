@@ -1,0 +1,80 @@
+"""Streaming queries with batch-SQL oracles — stream-batch parity is
+the correctness gate (SURVEY.md §5 item 5): each query drains the
+events file stream with Trigger.AvailableNow through real incremental
+micro-batches (5 staged files, 1 per trigger), and the result must
+hash-match the equivalent batch SQL over the same rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..streaming import stream as st
+from .registry import register
+
+N_FILES = 5
+
+
+@register(
+    "stream_user_counts",
+    oracle="SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id",
+    tags=("streaming", "agg"),
+)
+def stream_user_counts(spark, sf_dir):
+    """A13 — cumulative per-user frequency across micro-batches
+    (Part_B.py:90-110's dict folding as stateful streaming agg,
+    complete mode)."""
+    s = st.events_stream(spark, sf_dir, n_files=N_FILES)
+    return st.run_to_memory(st.cumulative_counts(s, ["user_id"]), "complete")
+
+
+@register(
+    "stream_top5_event_types",
+    oracle="""
+        SELECT event_type, count(*) AS cnt
+        FROM events
+        GROUP BY event_type
+        ORDER BY cnt DESC, event_type
+        LIMIT 5
+    """,
+    tags=("streaming", "topk"),
+)
+def stream_top5_event_types(spark, sf_dir):
+    """K6 — heavy hitters at stream end (per-batch reports are
+    exercised in tests/test_streaming.py via foreachBatch)."""
+    s = st.events_stream(spark, sf_dir, n_files=N_FILES)
+    counts = st.run_to_memory(st.cumulative_counts(s, ["event_type"]), "complete")
+    return counts.orderBy(F.desc("cnt"), F.asc("event_type")).limit(5)
+
+
+@register(
+    "stream_hourly_by_type",
+    oracle="""
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch,
+               event_type, count(*) AS cnt
+        FROM events
+        GROUP BY window_epoch, event_type
+    """,
+    tags=("streaming", "window", "time"),
+)
+def stream_hourly_by_type(spark, sf_dir):
+    """Tumbling 1-hour event-time windows — the idiomatic superset the
+    reference lacks (no timestamps processed in Part_B). Window starts
+    are epoch-aligned instants, so the bucket is timezone-free."""
+    s = st.events_stream(spark, sf_dir, n_files=N_FILES)
+    return st.run_to_memory(
+        st.tumbling_counts(s, "ts", "1 hour", ["event_type"]), "complete"
+    )
+
+
+@register(
+    "stream_distinct_users",
+    oracle="SELECT count(DISTINCT user_id) AS distinct_cnt FROM events",
+    tags=("streaming", "distinct"),
+)
+def stream_distinct_users(spark, sf_dir):
+    """A16 — exact distinct via streaming dropDuplicates state, the
+    intended semantics of the reference's set-based counter
+    (Part_B.py:136-157)."""
+    s = st.events_stream(spark, sf_dir, n_files=N_FILES)
+    return st.run_to_memory(st.streaming_distinct_count(s, "user_id"), "complete")

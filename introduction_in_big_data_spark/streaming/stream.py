@@ -1,0 +1,166 @@
+"""Structured Streaming counterparts of the reference's hand-rolled
+micro-batch processor (Part_B.py, SURVEY.md §2.9).
+
+Reference model → Spark model:
+- directory-as-queue, files pulled in order (Part_B.py:18-36)
+  → file stream source with maxFilesPerTrigger (S4)
+- ≤1000-record batches (Part_B.py:21) → micro-batch per trigger
+  (files-per-trigger is the Spark idiom; row-capped triggers don't
+  exist for file sources)
+- unbounded dict/set state folded across batches (Part_B.py:93-182)
+  → stateful streaming aggregation, complete/update output modes
+- per-batch printed reports (Part_B.py:108-114) → foreachBatch
+- "stream end" final report (Part_B.py:156-157) → Trigger.AvailableNow
+  bounded runs (streams don't end; availableNow drains then stops)
+
+Scale notes: a real deployment swaps the staged file source for
+Kafka/object-store listings; everything downstream (stateful aggs,
+watermarks, foreachBatch sinks) is unchanged. State lives in the
+executor state store (RocksDB at scale), checkpointed for
+exactly-once — none of which the reference's in-memory dicts survive.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STAGE_ROOT = "/tmp/ibd_spark_stream"
+
+
+def stage_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 5) -> str:
+    """Materialize the events table as an n-file parquet directory under
+    /tmp (the read-only testdata dir holds one file per table; a file
+    *stream* source needs a directory of files to treat as a queue).
+    Deterministic content per file via range-partitioning on event_id;
+    idempotent per (sf_dir, n_files)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(STAGE_ROOT, f"{tag}_{n_files}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        from ..sources.tables import load_table
+
+        events = load_table(spark, sf_dir, "events")
+        (
+            events.repartitionByRange(n_files, "event_id")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    return out
+
+
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 5,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """The events table as a bounded file stream: one staged file per
+    micro-batch — the analog of the reference's file-queue pull loop."""
+    staged = stage_events_dir(spark, sf_dir, n_files)
+    schema = spark.read.parquet(staged).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(staged)
+    )
+
+
+def ndjson_stream(
+    spark: SparkSession, path: str, schema, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """S4 — newline-delimited JSON directory stream with explicit
+    (nested) schema, e.g. the Twitter-post shape of FIXTURES.md A4."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def run_to_memory(
+    result_stream: DataFrame,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drain a (bounded) streaming result into an in-memory table with
+    Trigger.AvailableNow and return it as a batch DataFrame — the
+    reference's 'process the whole directory then report' semantics
+    with real incremental micro-batch execution underneath."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        result_stream.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = result_stream.sparkSession
+    return spark.table(name)
+
+
+def cumulative_counts(stream: DataFrame, keys: list[str]) -> DataFrame:
+    """A13 — running exact frequency count per key across batches
+    (Part_B.py:90-110's dict folding), as a stateful streaming agg."""
+    return stream.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def tumbling_counts(
+    stream: DataFrame, ts_col: str, duration: str, keys: list[str]
+) -> DataFrame:
+    """Tumbling event-time windows (the idiomatic superset the reference
+    lacks, SURVEY.md §2.9). Window start is emitted as epoch seconds —
+    timezone-free on every engine."""
+    win = F.window(F.col(ts_col), duration)
+    return (
+        stream.groupBy(win.alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").cast("long").alias("window_epoch"), *keys, "cnt"
+        )
+    )
+
+
+def streaming_distinct_count(stream: DataFrame, key: str) -> DataFrame:
+    """A16 — exact distinct via streaming dropDuplicates state + count."""
+    return (
+        stream.select(key)
+        .dropDuplicates([key])
+        .agg(F.count(F.lit(1)).alias("distinct_cnt"))
+    )
+
+
+def per_batch_topk(
+    stream: DataFrame,
+    keys: list[str],
+    k: int,
+    collector: list | None = None,
+) -> tuple[list, Callable]:
+    """K6 — per-micro-batch top-k heavy hitters via foreachBatch over a
+    complete-mode cumulative count (Part_B.py:112-114's per-batch
+    report). Returns (reports, start_fn); each report is
+    (batch_id, [(key..., cnt), ...]). Driver-side collection is for
+    report sinks only — the top-k itself runs distributed."""
+    reports: list = collector if collector is not None else []
+    counts = stream.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+
+    def _emit(batch_df: DataFrame, batch_id: int) -> None:
+        top = (
+            batch_df.orderBy(F.desc("cnt"), *[F.asc(c) for c in keys])
+            .limit(k)
+            .collect()
+        )
+        reports.append((batch_id, [tuple(r) for r in top]))
+
+    def start():
+        return (
+            counts.writeStream.outputMode("complete")
+            .foreachBatch(_emit)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    return reports, start

@@ -1,0 +1,111 @@
+"""Property tests for the approximate near-dup / ANN paths against
+their exact baselines."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from introduction_in_big_data_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    """LSH candidates must recover every exact-Jaccard pair at the
+    design threshold (bands tuned for J ≳ 0.7; planted dups are ≈0.9+)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.7).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.7).collect()
+    }
+    assert exact, "fixture should contain planted near-dups"
+    assert approx == exact  # verify step makes precision exact; recall must hold
+
+
+def test_simhash_detects_planted_near_dups(docs):
+    """Near-identical docs (exact Jaccard ≥ 0.9) should mostly collide
+    within small SimHash Hamming distance."""
+    planted = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.9).collect()
+    }
+    sh = dedup.simhash(docs, "doc_id", "text")
+    near = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.hamming_pairs(sh, max_distance=8, prefix_bits=8).collect()
+    }
+    if planted:
+        recall = len(planted & near) / len(planted)
+        assert recall >= 0.5, f"simhash recall {recall} too low"
+
+
+def test_simhash_is_deterministic(docs):
+    a = {tuple(r) for r in dedup.simhash(docs.limit(50), "doc_id", "text").collect()}
+    b = {tuple(r) for r in dedup.simhash(docs.limit(50), "doc_id", "text").collect()}
+    assert a == b
+
+
+def test_lsh_topk_recall_vs_bruteforce(emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, queries, 5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.lsh_topk(emb, queries, 5, dim=64).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # random-ish embeddings are LSH's worst case; still expect real signal
+    assert recall >= 0.3, f"LSH recall@5 = {recall}"
+    # every query must still return k rows (candidates include the query itself)
+    assert len({q for q, _ in approx}) == 10
+
+
+def test_lsh_candidates_prune_search_space(emb):
+    n = emb.count()
+    banded = similarity.with_lsh_bands(emb, dim=64).select(
+        "vec_id", F.explode("bands").alias("bk")
+    )
+    pair_rows = banded.alias("a").join(
+        banded.alias("b"), F.col("a.bk") == F.col("b.bk")
+    ).count()
+    assert pair_rows < 0.6 * n * n, "banding should prune most of the n² space"
+
+
+def test_multimodal_decode_stub_gated(docs):
+    media = multimodal.documents_as_media(docs.limit(5))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(media)
+    with pytest.raises(NotImplementedError):
+        multimodal.frame_sample(media)
+
+
+def test_multimodal_feature_kernel_matches_jvm(docs):
+    """The mapInPandas kernel must agree with JVM-side expressions."""
+    media = multimodal.documents_as_media(docs.limit(20))
+    via_udf = {
+        r["media_id"]: (r["n_bytes"], r["content_md5"])
+        for r in multimodal.extract_features(media).collect()
+    }
+    via_jvm = {
+        r["media_id"]: (r["n_bytes"], r["content_md5"])
+        for r in media.select(
+            "media_id",
+            F.octet_length("content").cast("long").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        ).collect()
+    }
+    assert via_udf == via_jvm

@@ -1,0 +1,135 @@
+"""Streaming semantics tests: true multi-micro-batch execution,
+per-batch heavy-hitter reports (Part_B.py:112-114), nested-NDJSON
+stream shape (FIXTURES.md A4), and watermarked windows."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from introduction_in_big_data_spark.sources.tables import load_table
+from introduction_in_big_data_spark.streaming import stream as st
+
+
+def test_stream_runs_in_multiple_batches(spark, sf_dir):
+    """5 staged files × maxFilesPerTrigger=1 → 5 micro-batches; the
+    cumulative count at the end equals the batch count."""
+    reports, start = st.per_batch_topk(
+        st.events_stream(spark, sf_dir, n_files=5), ["event_type"], k=5
+    )
+    q = start()
+    q.awaitTermination()
+    assert len(reports) == 5, f"expected 5 micro-batches, got {len(reports)}"
+    # per-batch totals must be non-decreasing (cumulative state)
+    totals = [sum(cnt for *_, cnt in rows) for _, rows in reports]
+    assert totals == sorted(totals)
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .count()
+        .orderBy(F.desc("count"), F.asc("event_type"))
+        .limit(5)
+        .collect()
+    )
+    assert [tuple(r) for r in exact] == list(reports[-1][1])
+
+
+POSTS_SCHEMA = T.StructType(
+    [
+        T.StructField("user", T.StructType([T.StructField("id", T.LongType())])),
+        T.StructField(
+            "entities",
+            T.StructType(
+                [
+                    T.StructField(
+                        "hashtags",
+                        T.ArrayType(
+                            T.StructType([T.StructField("text", T.StringType())])
+                        ),
+                    )
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def test_ndjson_nested_stream(spark, tmp_path):
+    """S4/F10-F12 — the reference's Twitter-post stream (Part_B.py:102,
+    105-106): nested user.id access + hashtag explode over an NDJSON
+    directory queue, counted cumulatively across micro-batches."""
+    posts = [
+        {"user": {"id": 1}, "entities": {"hashtags": [{"text": "spark"}, {"text": "big"}]}},
+        {"user": {"id": 2}, "entities": {"hashtags": [{"text": "spark"}]}},
+        {"user": {"id": 1}, "entities": {"hashtags": []}},
+        {"user": {"id": 3}, "entities": {"hashtags": [{"text": "data"}, {"text": "spark"}]}},
+    ]
+    d = tmp_path / "posts"
+    d.mkdir()
+    for i, chunk in enumerate([posts[:2], posts[2:]]):
+        with open(d / f"part-{i}.json", "w") as f:
+            for p in chunk:
+                f.write(json.dumps(p) + "\n")
+
+    s = st.ndjson_stream(spark, str(d), POSTS_SCHEMA, max_files_per_trigger=1)
+    tags = s.select(F.explode(F.col("entities.hashtags")).alias("h")).select(
+        F.col("h.text").alias("tag")
+    )
+    tag_counts = st.run_to_memory(st.cumulative_counts(tags, ["tag"]), "complete")
+    assert {(r["tag"], r["cnt"]) for r in tag_counts.collect()} == {
+        ("spark", 3),
+        ("big", 1),
+        ("data", 1),
+    }
+    users = st.run_to_memory(
+        st.cumulative_counts(s.select(F.col("user.id").alias("uid")), ["uid"]),
+        "complete",
+    )
+    assert {(r["uid"], r["cnt"]) for r in users.collect()} == {(1, 2), (2, 1), (3, 1)}
+
+
+def test_watermarked_window_append(spark, sf_dir):
+    """Watermark + tumbling window in append mode: only windows sealed
+    by the watermark emit; every emitted window must agree with the
+    batch computation."""
+    s = st.events_stream(spark, sf_dir, n_files=5)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").cast("long").alias("window_epoch"), "cnt")
+    )
+    emitted = {
+        r["window_epoch"]: r["cnt"] for r in st.run_to_memory(agg, "append").collect()
+    }
+    batch = {
+        r["window_epoch"]: r["cnt"]
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .groupBy(
+                F.expr("(unix_timestamp(ts) div 3600) * 3600")
+                .cast("long")
+                .alias("window_epoch")
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        ).collect()
+    }
+    assert emitted, "append mode should emit sealed windows"
+    # append-mode semantics: a sealed window never over-counts, and rows
+    # arriving later than the watermark are dropped — so emitted ≤ batch,
+    # with equality for almost all windows on near-time-ordered input
+    assert set(emitted) <= set(batch)
+    assert all(cnt <= batch[epoch] for epoch, cnt in emitted.items())
+    exact_matches = sum(1 for e, c in emitted.items() if batch[e] == c)
+    assert exact_matches >= 0.75 * len(emitted), (exact_matches, len(emitted))
+
+
+def test_stage_dir_idempotent(spark, sf_dir):
+    d1 = st.stage_events_dir(spark, sf_dir, 5)
+    mtime = os.path.getmtime(os.path.join(d1, "_SUCCESS"))
+    d2 = st.stage_events_dir(spark, sf_dir, 5)
+    assert d1 == d2
+    assert os.path.getmtime(os.path.join(d2, "_SUCCESS")) == mtime
