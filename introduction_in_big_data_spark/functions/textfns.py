@@ -31,15 +31,22 @@ def normalize_text(c: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
-def shingles(c: Column, n: int = 3, distinct: bool = True) -> Column:
-    """Word n-gram shingles as an array column.
+def shingles_from_tokens(toks: Column, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token array
+    column.
 
     Built with sequence + transform over the token array — stays inside
     codegen, no explode until the caller needs rows. element_at is
     1-based; sequence(1, size-n+1) yields one window start per shingle.
     Documents shorter than n words produce an empty array (not null).
+
+    Performance contract: `toks` must be a plain column reference
+    (project `tokens(...)` with withColumn/select first). Passing the
+    tokens(...) expression directly re-evaluates regexp_extract_all for
+    every element_at inside the lambda — Catalyst does not CSE
+    subexpressions across lambda bodies, which measured ~10x slower on
+    the documents corpus.
     """
-    toks = tokens(c)
     starts = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))

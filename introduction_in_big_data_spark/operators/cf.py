@@ -55,15 +55,19 @@ def ratings_from_sales(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
 
 
 def filter_active_users(ratings: DataFrame, min_items: int) -> DataFrame:
-    """J3 — keep users with ≥ min_items rated items (Part_A_Q2.py:83-85),
-    as a semi-join (never a collected isin list)."""
-    active = (
-        ratings.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= min_items)
-        .select("user_id")
+    """J3 — keep users with ≥ min_items rated items (Part_A_Q2.py:83-85).
+
+    Implemented as an unbounded window count rather than the
+    agg+semi-join form: identical semantics, one shuffle on user_id
+    instead of a shuffle for the aggregate plus a join — and the output
+    comes out hash-partitioned by user_id, which the downstream norm
+    aggregation reuses."""
+    w = Window.partitionBy("user_id")
+    return (
+        ratings.withColumn("__n", F.count(F.lit(1)).over(w))
+        .filter(F.col("__n") >= min_items)
+        .drop("__n")
     )
-    return ratings.join(active, "user_id", "left_semi")
 
 
 def filter_popular_items(ratings: DataFrame, top_fraction: float) -> DataFrame:

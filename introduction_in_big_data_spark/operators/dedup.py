@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textfns import shingles
+from ..functions.textfns import shingles_from_tokens, tokens
 
 MINHASH_SEEDS = 9  # signature length
 LSH_BANDS = 3  # bands of 3 rows each → catches J ≳ 0.7 reliably
@@ -47,10 +47,14 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Exploded distinct word n-grams: (id, shingle)."""
-    return df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    """Exploded distinct word n-grams: (id, shingle). Tokenizes in a
+    separate projection so the regex runs once per row, not once per
+    element_at (see shingles_from_tokens' performance contract)."""
+    tokenized = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
+    )
+    return tokenized.select(
+        "doc", F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("shingle")
     )
 
 
@@ -69,7 +73,10 @@ def jaccard_pairs(
     more than N docs — they contribute O(N²) join rows but almost no
     Jaccard signal (same trick as dropping stopwords).
     """
-    sh = doc_shingles(df, id_col, text_col, n)
+    # the shingle frame feeds three plan branches (sizes, both join
+    # sides); cache it so the tokenize+explode runs once, not 3x.
+    # At cluster scale this is the same call — MEMORY_AND_DISK spills.
+    sh = doc_shingles(df, id_col, text_col, n).cache()
     if max_shingle_freq is not None:
         rare = (
             sh.groupBy("shingle")
@@ -103,21 +110,25 @@ def jaccard_pairs(
     )
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, seeds: int = MINHASH_SEEDS
+def minhash_signatures_from_shingles(
+    sh: DataFrame, seeds: int = MINHASH_SEEDS
 ) -> DataFrame:
-    """MinHash signature per doc: sig_s = min over shingles of
-    md5(s || ':' || shingle). One explode + one grouped aggregate with
-    `seeds` min() columns — linear in corpus size, embarrassingly
-    partition-parallel. md5 (not xxhash64) so DuckDB can reproduce the
-    signatures bit-for-bit for the oracle check.
-    """
-    sh = doc_shingles(df, id_col, text_col, n)
+    """MinHash signatures from an exploded (doc, shingle) frame:
+    sig_s = min over shingles of md5(s || ':' || shingle). One grouped
+    aggregate with `seeds` min() columns — linear in corpus size,
+    embarrassingly partition-parallel. md5 (not xxhash64) so DuckDB can
+    reproduce the signatures bit-for-bit for the oracle check."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"sig{s}")
         for s in range(seeds)
     ]
     return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, seeds: int = MINHASH_SEEDS
+) -> DataFrame:
+    return minhash_signatures_from_shingles(doc_shingles(df, id_col, text_col, n), seeds)
 
 
 def lsh_candidate_pairs(
@@ -157,9 +168,11 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: signatures (linear) → band
     candidates (near-linear) → exact Jaccard only on candidates."""
-    sigs = minhash_signatures(df, id_col, text_col, n, seeds)
+    # five plan branches consume the shingles (signatures, sizes, both
+    # verify-join sides) — cache the explode once
+    sh = doc_shingles(df, id_col, text_col, n).cache()
+    sigs = minhash_signatures_from_shingles(sh, seeds)
     cands = lsh_candidate_pairs(sigs, bands, seeds)
-    sh = doc_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc").alias("doc_b"), "shingle")

@@ -87,7 +87,11 @@ def _pipeline(spark, sf_dir):
         t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem")
     )
     ratings = cf.filter_active_users(ratings, MIN_ITEMS)
-    return cf.filter_popular_items(ratings, TOP_FRACTION)
+    # downstream CF consumes the ratings frame from up to five plan
+    # branches (similarity self-join sides, norms, neighbor ratings,
+    # eval); cache the aggregated frame — it is orders of magnitude
+    # smaller than its join inputs, the exact case caching is for
+    return cf.filter_popular_items(ratings, TOP_FRACTION).cache()
 
 
 @register(

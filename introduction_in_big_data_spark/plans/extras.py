@@ -1,0 +1,175 @@
+"""Coverage-completing queries: Pearson correlation (F7), outer joins
+(§2.3 'free' variants), rollup (grouping sets — absent in the reference,
+zero-cost in Spark), and a TPC-H-Q3-shaped 3-way join for the bench."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register, t
+
+
+@register(
+    "corr_quantity_price",
+    oracle="""
+        SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(corr(l_discount, l_tax), 6)           AS corr_disc_tax
+        FROM lineitem
+    """,
+    tags=("stats",),
+)
+def corr_quantity_price(spark, sf_dir):
+    """F7 — Pearson correlation, the built-in replacement for the
+    reference's hand-written mean-centered cosine (Part_A_Q2.py:106-107).
+    Single-pass co-moment aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
+    )
+
+
+@register(
+    "left_join_order_gaps",
+    oracle="""
+        SELECT c_mktsegment,
+               count(*)                                        AS n_customers,
+               count(*) FILTER (WHERE order_cnt = 0)           AS n_without_orders
+        FROM (
+            SELECT c.c_custkey, c.c_mktsegment, count(o.o_orderkey) AS order_cnt
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_mktsegment
+        )
+        GROUP BY c_mktsegment
+    """,
+    tags=("join", "outer"),
+)
+def left_join_order_gaps(spark, sf_dir):
+    """Left outer join + null-aware count — the outer-join surface the
+    reference lacks (SURVEY.md §2.3). count(o_orderkey) skips nulls, so
+    customers with no orders count 0."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+    return per_cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(F.col("order_cnt") == 0, 1).otherwise(0)).alias("n_without_orders"),
+    )
+
+
+@register(
+    "rollup_flag_status",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty_i,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def rollup_flag_status(spark, sf_dir):
+    """Hierarchical rollup (grouping sets) — not in the reference
+    (SURVEY.md §2.4 notes the absence); Spark provides it natively and
+    the subtotal rows are computed map-side in the same aggregate.
+    Quantities are summed as integers so subtotal rows hash exactly."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty_i"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(epoch(o_orderdate) AS BIGINT)                AS orderdate_epoch
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, orderdate_epoch
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+    bench=True,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H-Q3-shaped: selective dimension filter → 3-way join →
+    grouped revenue → top-10. The probe for join-order/pushdown
+    quality: the segment filter prunes customer before the join, both
+    date filters reach the scans, customer broadcasts."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    # o_orderdate is TIMESTAMP_NTZ (parquet millis, not UTC-adjusted);
+    # NTZ→long isn't castable and NTZ→timestamp is session-TZ-dependent.
+    # Day arithmetic on the calendar date is exact and timezone-free.
+    orderdate_epoch = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        * 86400
+    )
+    return (
+        joined.groupBy("l_orderkey", orderdate_epoch.alias("orderdate_epoch"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "orderdate_epoch")
+    )
+
+
+@register(
+    "full_outer_nation_balance",
+    oracle="""
+        SELECT coalesce(cs.n_nationkey, ss.n_nationkey) AS n_nationkey,
+               coalesce(cust_bal, 0.0) AS cust_bal,
+               coalesce(supp_bal, 0.0) AS supp_bal
+        FROM (
+            SELECT c_nationkey AS n_nationkey, round(sum(c_acctbal), 2) AS cust_bal
+            FROM customer GROUP BY c_nationkey
+        ) cs
+        FULL OUTER JOIN (
+            SELECT s_nationkey AS n_nationkey, round(sum(s_acctbal), 2) AS supp_bal
+            FROM supplier GROUP BY s_nationkey
+        ) ss ON cs.n_nationkey = ss.n_nationkey
+    """,
+    tags=("join", "outer"),
+)
+def full_outer_nation_balance(spark, sf_dir):
+    """Full outer join of two aggregates — nations may have customers
+    but no suppliers (or vice versa); both sides preserved, gaps
+    zero-filled."""
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    cs = c.groupBy(F.col("c_nationkey").alias("n_nationkey")).agg(
+        F.round(F.sum("c_acctbal"), 2).alias("cust_bal")
+    )
+    ss = s.groupBy(F.col("s_nationkey").alias("n_nationkey")).agg(
+        F.round(F.sum("s_acctbal"), 2).alias("supp_bal")
+    )
+    return (
+        cs.join(ss, "n_nationkey", "full_outer")
+        .na.fill({"cust_bal": 0.0, "supp_bal": 0.0})
+    )

@@ -134,11 +134,12 @@ def text_fingerprints(spark, sf_dir):
 def text_ngram_freq(spark, sf_dir):
     """Corpus-level bigram frequencies, top-50 — explode + hash-agg +
     TakeOrdered; the shuffle carries only (bigram, partial count)."""
-    from ..functions.textfns import shingles
+    from ..functions.textfns import shingles_from_tokens
 
     d = t(spark, sf_dir, "documents")
-    grams = d.select(
-        F.explode(shingles(F.col("text"), n=2, distinct=False)).alias("bigram")
+    tokenized = d.select(tokens(F.col("text")).alias("__toks"))
+    grams = tokenized.select(
+        F.explode(shingles_from_tokens(F.col("__toks"), n=2, distinct=False)).alias("bigram")
     )
     return (
         grams.groupBy("bigram")

@@ -1,0 +1,99 @@
+"""IO-surface tests (SURVEY.md §2.1): CSV scans with projection /
+separator / encoding / drop-malformed, CSV sink, session-catalog DDL,
+JDBC plan construction."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from introduction_in_big_data_spark.sources import read_csv, write_csv
+
+BOOKS_SCHEMA = T.StructType(
+    [
+        T.StructField("isbn", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("year", T.IntegerType()),
+    ]
+)
+
+
+def test_csv_sep_projection_and_dropmalformed(spark, tmp_path):
+    """S1/S3 — `;`-separated scan with column projection and
+    drop-malformed (Part_A_Q1.py:10-11, Part_A_Q2.py:74-76)."""
+    p = tmp_path / "books.csv"
+    p.write_text(
+        "isbn;title;year\n"
+        "0123456789;Alpha;1999\n"
+        "too;many;fields;on;this;line\n"  # pandas error_bad_lines analog
+        "0123456790;Beta;2001\n"
+        "0123456791;Gamma;not_a_year\n"  # type-malformed
+    )
+    df = read_csv(
+        spark, str(p), BOOKS_SCHEMA, sep=";", drop_malformed=True,
+        columns=["isbn", "year"],
+    )
+    rows = {(r["isbn"], r["year"]) for r in df.collect()}
+    # DROPMALFORMED drops extra-field and type-failing rows (short rows
+    # would be null-padded — Spark's semantic, kept as documented)
+    assert rows == {("0123456789", 1999), ("0123456790", 2001)}
+    assert df.columns == ["isbn", "year"]
+
+
+def test_csv_latin1_encoding(spark, tmp_path):
+    """S2 — latin-1 CSVs (the Book-Crossing dumps' encoding)."""
+    p = tmp_path / "latin1.csv"
+    p.write_bytes("isbn;title;year\n1;Caf\xe9;2000\n".encode("latin-1"))
+    df = read_csv(spark, str(p), BOOKS_SCHEMA, sep=";", encoding="ISO-8859-1")
+    assert df.collect()[0]["title"] == "Café"
+
+
+def test_csv_sink_roundtrip(spark, tmp_path):
+    """S5 — distributed CSV write (replaces csv.writer, Part_A_Q2.py:64-71)."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    out = str(tmp_path / "out_csv")
+    write_csv(df, out)
+    assert glob.glob(f"{out}/part-*.csv")
+    back = spark.read.option("header", "true").schema("id int, v string").csv(out)
+    assert sorted(tuple(r) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_session_catalog_ddl(spark, tmp_path):
+    """S8 — the reference's MySQL DDL (Part_A_Q2.py:16-40) on the Spark
+    session catalog: CREATE DATABASE / CREATE TABLE / INSERT / DROP.
+    PK/FK constraints become documented invariants (fk_orphan_counts)."""
+    loc = tmp_path / "wh"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bx LOCATION '{loc}'")
+    spark.sql(
+        "CREATE TABLE IF NOT EXISTS bx.books (isbn STRING, title STRING) USING parquet"
+    )
+    spark.sql("INSERT INTO bx.books VALUES ('0123456789', 'Alpha')")
+    got = spark.sql("SELECT isbn, title FROM bx.books").collect()
+    assert [tuple(r) for r in got] == [("0123456789", "Alpha")]
+    assert spark.catalog.tableExists("bx.books")
+    spark.sql("DROP TABLE bx.books")
+    spark.sql("DROP DATABASE bx")
+
+
+def test_jdbc_writer_requires_driver(spark):
+    """S6 — JDBC writer builds a valid plan; no DB server exists in the
+    container, so the save must fail at connection time (not at plan
+    construction)."""
+    from introduction_in_big_data_spark.sources import write_jdbc
+
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(Exception):
+        write_jdbc(df, "jdbc:mysql://localhost:1/nope", "t", properties={"driver": "com.mysql.Driver"})
+
+
+def test_summary_and_flatten(spark, sf_dir):
+    """A10 df.summary() (approximate quartiles — excluded from oracle
+    hash-checks per SURVEY.md §7 risk 5) and F14 flatten."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = li.select("l_quantity").summary()
+    assert {r["summary"] for r in s.collect()} >= {"count", "mean", "min", "max", "50%"}
+    df = spark.createDataFrame([([[1, 2], [3]],)], "a array<array<int>>")
+    assert df.select(F.flatten("a").alias("f")).collect()[0]["f"] == [1, 2, 3]
