@@ -10,6 +10,7 @@ from . import streaming_queries  # noqa: F401
 from . import sketch_queries  # noqa: F401
 from . import multimodal_queries  # noqa: F401
 from . import extras  # noqa: F401
+from . import tpch_shapes  # noqa: F401
 from .registry import REGISTRY, QuerySpec, oracle_sql, queries, register
 
 __all__ = ["REGISTRY", "QuerySpec", "oracle_sql", "queries", "register"]

@@ -1,0 +1,144 @@
+"""Additional TPC-H-shaped bench queries probing plan quality:
+multi-hop dimension joins (Q5 shape) and group-filter-join (Q18 shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register, t
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    tags=("join", "agg"),
+    bench=True,
+)
+def q5_region_revenue(spark, sf_dir):
+    """Q5 shape: fact → 3 dimension hops with a selective region filter.
+    All three dims broadcast; the region predicate prunes through
+    nation/supplier before touching the fact scan output — zero fact
+    shuffles before the final 25-group aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 150
+        )
+        SELECT c_custkey, o_orderkey,
+               round(o_totalprice, 2) AS totalprice,
+               CAST(qty AS BIGINT)    AS total_qty
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN (
+            SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM lineitem GROUP BY l_orderkey
+        ) lq ON lq.l_orderkey = o_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    """,
+    tags=("join", "agg", "semi"),
+    bench=True,
+)
+def q18_large_orders(spark, sf_dir):
+    """Q18 shape: HAVING-filtered aggregate drives a semi-join into the
+    fact/dim join. The big-order key set is tiny after the filter →
+    broadcast semi-join; the quantity re-aggregation reuses the same
+    shuffle-by-orderkey partitioning."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    qty = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty")
+    )
+    big = qty.filter(F.col("qty") > 150).select("l_orderkey")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(qty, o.o_orderkey == qty.l_orderkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("qty").cast("long").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "embedding_near_dup",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))) AS norm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_inner_product(a.e, b.e) / (a.norm * b.norm), 6) AS sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE round(list_inner_product(a.e, b.e) / (a.norm * b.norm), 6) >= 0.4
+    """,
+    tags=("similarity", "dedup"),
+)
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs above a threshold — the
+    embedding flavor of document near-dedup. Exact O(n²) here (the
+    oracle-checkable baseline); the LSH/IVF variants are the scale path."""
+    from ..operators.similarity import cosine, with_norm
+
+    emb = t(spark, sf_dir, "embeddings")
+    a = with_norm(emb).select(
+        F.col("vec_id").alias("vec_a"), F.col("_v").alias("va"), F.col("_norm").alias("na")
+    )
+    b = with_norm(emb).select(
+        F.col("vec_id").alias("vec_b"), F.col("_v").alias("vb"), F.col("_norm").alias("nb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.4)
+    )
+
+
+@register("ann_ivf_topk", oracle=None, tags=("similarity", "ann", "ivf"))
+def ann_ivf_topk(spark, sf_dir):
+    """IVF (k-means cells + nprobe) approximate top-5 — rows-only for
+    the driver; recall vs brute force is property-tested."""
+    from ..operators import ivf
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf.ivf_topk(emb, queries, 5, n_cells=16, nprobe=4)
