@@ -129,10 +129,23 @@ def user_cosine_similarities(ratings: DataFrame) -> DataFrame:
             F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), SIM_SCALE).alias("sim"),
         )
     )
-    mirrored = sims.select(
-        F.col("user_b").alias("user_a"), F.col("user_a").alias("user_b"), "sim"
+    # emit both (u,v) and (v,u) from ONE pass with explode — a
+    # union-with-mirrored-select duplicates the entire similarity
+    # subtree in the plan (Catalyst does not CSE identical union
+    # branches), doubling the join work
+    both = F.explode(
+        F.array(
+            F.struct(
+                F.col("user_a").alias("ua"), F.col("user_b").alias("ub"), F.col("sim")
+            ),
+            F.struct(
+                F.col("user_b").alias("ua"), F.col("user_a").alias("ub"), F.col("sim")
+            ),
+        )
     )
-    return sims.unionByName(mirrored)
+    return sims.select(both.alias("p")).select(
+        F.col("p.ua").alias("user_a"), F.col("p.ub").alias("user_b"), F.col("p.sim").alias("sim")
+    )
 
 
 def knn_neighbors(similarities: DataFrame, k: int) -> DataFrame:

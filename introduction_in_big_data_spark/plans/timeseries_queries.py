@@ -1,0 +1,122 @@
+"""Time-series queries over events: as-of join, sessionization,
+unpivot — each with an exact DuckDB window-SQL twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import timeseries
+from .registry import register, t
+
+GAP_SECONDS = 1800  # 30-minute session gap
+
+
+@register(
+    "asof_last_signup",
+    oracle="""
+        WITH tagged AS (
+            SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, event_type,
+                   CASE WHEN event_type = 'signup' THEN CAST(floor(epoch(ts)) AS BIGINT) END AS signup_epoch,
+                   CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS side
+            FROM events
+            WHERE event_type IN ('signup', 'error')
+        )
+        SELECT user_id, ts_epoch,
+               last_value(signup_epoch IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts_epoch, side
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS last_signup_epoch
+        FROM tagged
+        QUALIFY side = 1
+    """,
+    tags=("timeseries", "asof", "window"),
+)
+def asof_last_signup(spark, sf_dir):
+    """As-of join: for every error event, the user's most recent signup
+    at or before it (NULL if none yet) — the union-trick window form,
+    one shuffle, no range join or UDF."""
+    e = t(spark, sf_dir, "events")
+    epoch = F.unix_timestamp(F.col("ts")).alias("ts_epoch")
+    errors = e.filter(F.col("event_type") == "error").select("user_id", epoch)
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", epoch, F.unix_timestamp(F.col("ts")).alias("last_signup_epoch")
+    )
+    joined = timeseries.asof_join(
+        errors,
+        signups.select("user_id", "ts_epoch", "last_signup_epoch"),
+        on="user_id",
+        ts_left="ts_epoch",
+        ts_right="ts_epoch",
+        right_cols=["last_signup_epoch"],
+    )
+    return joined.select("user_id", "ts_epoch", "last_signup_epoch")
+
+
+@register(
+    "session_stats_by_user",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events
+        ),
+        flagged AS (
+            SELECT user_id, ep,
+                   CASE WHEN lag(ep) OVER w IS NULL
+                             OR ep - lag(ep) OVER w > {GAP_SECONDS}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep)
+        ),
+        sessions AS (
+            SELECT user_id, ep,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ep
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM flagged
+        ),
+        per_session AS (
+            SELECT user_id, session_id, count(*) AS n_events,
+                   max(ep) - min(ep) AS dur_s
+            FROM sessions GROUP BY user_id, session_id
+        )
+        SELECT user_id,
+               count(*) AS n_sessions,
+               round(avg(dur_s), 4)    AS avg_session_sec,
+               round(avg(n_events), 4) AS avg_events_per_session
+        FROM per_session GROUP BY user_id
+    """,
+    tags=("timeseries", "session", "window"),
+)
+def session_stats_by_user(spark, sf_dir):
+    """Sessionization (lag → gap flag → running sum) + per-user session
+    summary. The streaming twin is session_window(ts, gap)."""
+    e = t(spark, sf_dir, "events")
+    return timeseries.session_stats(e, "user_id", "ts", GAP_SECONDS)
+
+
+@register(
+    "unpivot_balances",
+    oracle="""
+        SELECT n_nationkey, 'customer' AS side, round(bal, 2) AS bal FROM (
+            SELECT c_nationkey AS n_nationkey, sum(c_acctbal) AS bal
+            FROM customer GROUP BY c_nationkey)
+        UNION ALL
+        SELECT n_nationkey, 'supplier' AS side, round(bal, 2) AS bal FROM (
+            SELECT s_nationkey AS n_nationkey, sum(s_acctbal) AS bal
+            FROM supplier GROUP BY s_nationkey)
+    """,
+    tags=("unpivot",),
+)
+def unpivot_balances(spark, sf_dir):
+    """Wide→long unpivot via stack() — the inverse of A12's pivot."""
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    cs = c.groupBy(F.col("c_nationkey").alias("n_nationkey")).agg(
+        F.round(F.sum("c_acctbal"), 2).alias("customer")
+    )
+    ss = s.groupBy(F.col("s_nationkey").alias("n_nationkey")).agg(
+        F.round(F.sum("s_acctbal"), 2).alias("supplier")
+    )
+    wide = cs.join(ss, "n_nationkey", "full_outer")
+    long = wide.selectExpr(
+        "n_nationkey",
+        "stack(2, 'customer', customer, 'supplier', supplier) AS (side, bal)",
+    )
+    return long.filter(F.col("bal").isNotNull())
