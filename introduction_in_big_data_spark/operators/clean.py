@@ -106,6 +106,36 @@ def sigma_band_filter(df: DataFrame, column: str, n_sigma: float = 3.0) -> DataF
     )
 
 
+def zscore_filter_per_group(
+    df: DataFrame, group_keys: list[str], column: str, threshold: float = 3.0
+) -> DataFrame:
+    """Per-group z-score outlier removal via applyInPandas — the
+    grouped-map UDF surface (SURVEY.md §2.10: the reference's
+    dataset-in → dataset-out cleaners, e.g. remove_book_outliers,
+    generalized per group).
+
+    This exists to exercise the Arrow grouped-map path; for a GLOBAL
+    z-score the pure-JVM `zscore_filter` is strictly better (no Python
+    in the data path). Per group the window/agg composition also works —
+    applyInPandas is the template for cleaners whose logic genuinely
+    needs imperative pandas (iterative winsorization, per-group model
+    fits). Each group must fit in one worker's memory — the documented
+    grouped-map contract."""
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    schema = df.schema
+
+    def kernel(pdf):
+        s = pdf[column]
+        std = s.std()  # pandas sample std — matches stddev_samp
+        if not std or std != std:
+            return pdf
+        z = (s - s.mean()) / std
+        return pdf[z.abs() < threshold]
+
+    return df.groupBy(*group_keys).applyInPandas(kernel, schema)
+
+
 def dedup_by_key(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
     """P13 — deduplicate by key, keeping a deterministic representative.
 

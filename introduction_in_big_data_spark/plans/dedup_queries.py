@@ -151,4 +151,7 @@ def dedup_simhash(spark, sf_dir):
     tests/test_dedup.py against the exact Jaccard pairs)."""
     d = t(spark, sf_dir, "documents")
     sh = dedup.simhash(d, "doc_id", "text")
-    return dedup.hamming_pairs(sh, max_distance=8, prefix_bits=8)
+    # radius 4: this corpus has a 31-word vocabulary, so unrelated docs
+    # already share many token-hash votes; a wide radius floods the
+    # output with weak pairs (36k rows at sf0.1 with radius 8)
+    return dedup.hamming_pairs(sh, max_distance=4, prefix_bits=8)

@@ -141,6 +141,40 @@ def q3_shipping_priority(spark, sf_dir):
 
 
 @register(
+    "top5pct_parts_percentile",
+    oracle="""
+        WITH counts AS (
+            SELECT l_partkey, count(*) AS cnt
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, cnt
+        FROM (
+            SELECT l_partkey, cnt,
+                   percent_rank() OVER (ORDER BY cnt DESC, l_partkey) AS pr
+            FROM counts
+        )
+        WHERE pr <= 0.05
+    """,
+    tags=("topk", "window"),
+)
+def top5pct_parts_percentile(spark, sf_dir):
+    """K4's true-fraction semantics via percent_rank (SURVEY.md §2.5) —
+    the window-native alternative to the count-then-limit form of
+    `top5pct_parts`. percent_rank = (rank-1)/(n-1), identical in both
+    engines; deterministic tiebreak on key."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("l_partkey"))
+    return (
+        counts.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= 0.05)
+        .select("l_partkey", "cnt")
+    )
+
+
+@register(
     "full_outer_nation_balance",
     oracle="""
         SELECT coalesce(cs.n_nationkey, ss.n_nationkey) AS n_nationkey,

@@ -109,3 +109,20 @@ def test_multimodal_feature_kernel_matches_jvm(docs):
         ).collect()
     }
     assert via_udf == via_jvm
+
+
+def test_ml_minhash_recall_vs_exact(docs):
+    """MLlib MinHashLSH backend must recover most exact-Jaccard pairs."""
+    from introduction_in_big_data_spark.operators.dedup_ml import ml_minhash_pairs
+
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.7).collect()
+    }
+    ml = {
+        (r["doc_a"], r["doc_b"])
+        for r in ml_minhash_pairs(docs, "doc_id", "text", threshold=0.6).collect()
+    }
+    assert exact, "fixture has planted near-dups"
+    recall = len(exact & ml) / len(exact)
+    assert recall >= 0.8, f"MLlib MinHashLSH recall {recall}"

@@ -124,3 +124,27 @@ def test_top_k_per_group(spark):
     )
     out = topk.top_k_per_group(df, ["g"], [F.desc("v"), F.asc("id")], 2).collect()
     assert sorted((r["g"], r["id"]) for r in out) == [("g1", 1), ("g1", 2), ("g2", 4)]
+
+
+def test_zscore_per_group_matches_jvm_composition(spark):
+    """applyInPandas grouped-map cleaner == the window/agg JVM form."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(g, i, rng.gauss(50, 5)) for g in ("a", "b") for i in range(200)]
+    rows += [("a", 900, 10_000.0), ("b", 901, -10_000.0)]
+    df = spark.createDataFrame(rows, "g string, id int, v double")
+
+    via_udf = clean.zscore_filter_per_group(df, ["g"], "v", 3.0)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g")
+    via_jvm = (
+        df.withColumn("m", F.avg("v").over(w))
+        .withColumn("s", F.stddev_samp("v").over(w))
+        .filter(F.abs((F.col("v") - F.col("m")) / F.col("s")) < 3.0)
+        .select("g", "id", "v")
+    )
+    assert sorted(map(tuple, via_udf.collect())) == sorted(map(tuple, via_jvm.collect()))
+    assert via_udf.filter(F.col("id") >= 900).count() == 0
