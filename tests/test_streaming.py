@@ -133,3 +133,29 @@ def test_stage_dir_idempotent(spark, sf_dir):
     d2 = st.stage_events_dir(spark, sf_dir, 5)
     assert d1 == d2
     assert os.path.getmtime(os.path.join(d2, "_SUCCESS")) == mtime
+
+
+def test_streaming_session_window(spark, sf_dir):
+    """session_window(ts, gap) — the streaming twin of the batch
+    sessionize operator. Complete-mode session counts per user must
+    total the event count."""
+    s = st.events_stream(spark, sf_dir, n_files=5)
+    agg = (
+        s.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = st.run_to_memory(agg, "complete")
+    total = out.agg(F.sum("n")).collect()[0][0]
+    assert total == load_table(spark, sf_dir, "events").count()
+    # session count per user must match the batch sessionize operator
+    from introduction_in_big_data_spark.operators import timeseries
+
+    batch_sessions = (
+        timeseries.sessionize(load_table(spark, sf_dir, "events"), "user_id", "ts", 1800)
+        .groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n_sessions"))
+    )
+    stream_sessions = out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_sessions"))
+    assert sorted(map(tuple, batch_sessions.collect())) == sorted(
+        map(tuple, stream_sessions.collect())
+    )
