@@ -175,6 +175,42 @@ def top5pct_parts_percentile(spark, sf_dir):
 
 
 @register(
+    "merge_upsert_customers",
+    oracle="""
+        WITH updates AS (
+            SELECT c_custkey, round(c_acctbal * 1.1, 2) AS acctbal, 'updated' AS src
+            FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        SELECT c_custkey, round(c_acctbal, 2) AS acctbal, 'base' AS src
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+        UNION ALL
+        SELECT c_custkey, acctbal, src FROM updates
+    """,
+    tags=("merge", "cdc"),
+)
+def merge_upsert_customers(spark, sf_dir):
+    """MERGE-upsert (CDC apply) emulated with anti-join + union — the
+    lakehouse-free WHEN MATCHED UPDATE / NOT MATCHED INSERT. The
+    updates batch is the small side → broadcast anti-join."""
+    from ..operators import scd
+
+    c = t(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), F.lit("base").alias("src")
+    )
+    updates = (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 1.1, 2).alias("acctbal"),
+            F.lit("updated").alias("src"),
+        )
+    )
+    return scd.merge_upsert(base, updates, "c_custkey")
+
+
+@register(
     "full_outer_nation_balance",
     oracle="""
         SELECT coalesce(cs.n_nationkey, ss.n_nationkey) AS n_nationkey,

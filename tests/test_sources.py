@@ -97,3 +97,30 @@ def test_summary_and_flatten(spark, sf_dir):
     assert {r["summary"] for r in s.collect()} >= {"count", "mean", "min", "max", "50%"}
     df = spark.createDataFrame([([[1, 2], [3]],)], "a array<array<int>>")
     assert df.select(F.flatten("a").alias("f")).collect()[0]["f"] == [1, 2, 3]
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """partition_by + a partition filter → the scan lists only the
+    matching hive partition (PartitionFilters in the plan), the on-disk
+    layout downstream 100 TB readers rely on."""
+    import io
+    from contextlib import redirect_stdout
+
+    from introduction_in_big_data_spark.sources import write_parquet
+    from introduction_in_big_data_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_type")
+    write_parquet(events, out, partition_by=["event_type"])
+    import glob as g
+
+    assert g.glob(f"{out}/event_type=*"), "hive-style partition dirs expected"
+
+    back = spark.read.parquet(out).filter(F.col("event_type") == "error")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "error" in plan
+    n_err = events.filter(F.col("event_type") == "error").count()
+    assert back.count() == n_err
