@@ -601,6 +601,64 @@ def events_json_extract(spark, sf_dir):
 
 
 @register(
+    "events_props_map",
+    oracle="""
+        SELECT key AS prop_key,
+               CAST(sum(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS BIGINT) AS total,
+               count(*) AS cnt
+        FROM (SELECT unnest(json_keys(props)) AS key, props FROM events)
+        GROUP BY key
+    """,
+    tags=("json", "map", "agg"),
+)
+def events_props_map(spark, sf_dir):
+    """MapType surface: parse the whole props JSON once into
+    map<string,long>, explode entries, aggregate per key — the
+    scan-friendly alternative to repeated get_json_object calls when
+    multiple keys are consumed (parse once, not once per key)."""
+    e = t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return (
+        e.select(F.explode(m).alias("prop_key", "val"))
+        .groupBy("prop_key")
+        .agg(F.sum("val").alias("total"), F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS cnt
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    tags=("scan", "filter", "agg"),
+    bench=True,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H-Q6 shape: pure scan + conjunctive filters + scalar agg —
+    the pushdown probe. Every predicate reaches the parquet scan
+    (PushedFilters); zero shuffles beyond the 1-row final agg."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@register(
     "events_hourly",
     oracle="""
         SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

@@ -159,3 +159,58 @@ def test_streaming_session_window(spark, sf_dir):
     assert sorted(map(tuple, batch_sessions.collect())) == sorted(
         map(tuple, stream_sessions.collect())
     )
+
+
+def test_stream_stream_interval_join(spark, sf_dir):
+    """Stream-stream inner join with watermarks + event-time bound:
+    (click, purchase) pairs of the same user with the click in the hour
+    before the purchase. With a watermark far larger than the data span
+    nothing is dropped, so the result must equal the batch interval
+    join over the same rows."""
+    clicks = (
+        st.events_stream(spark, sf_dir, n_files=5)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "60 days")
+    )
+    purchases = (
+        st.events_stream(spark, sf_dir, n_files=5)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "60 days")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("click_id", "purchase_id")
+    streamed = {(r["click_id"], r["purchase_id"]) for r in st.run_to_memory(joined, "append").collect()}
+
+    e = load_table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+    )
+    batch = {
+        (r["click_id"], r["purchase_id"])
+        for r in c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        ).select("click_id", "purchase_id").collect()
+    }
+    assert streamed == batch
+    assert batch, "fixture should produce at least one pair"
