@@ -46,8 +46,14 @@ def ratings_from_sales(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         lineitem.select("l_orderkey", "l_partkey", "l_quantity"),
         F.col("o_orderkey") == F.col("l_orderkey"),
     )
+    # one explicit shuffle on the user key: hash(user) partitioning
+    # satisfies the (user, item) grouping requirement (grouping keys ⊇
+    # partition keys), AND the downstream active-user window and norm
+    # aggregate — three operators share a single exchange instead of
+    # each introducing their own
     return (
-        joined.groupBy(
+        joined.repartition("o_custkey")
+        .groupBy(
             F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id")
         )
         .agg(F.round(F.avg("l_quantity"), RATING_SCALE).alias("rating"))
