@@ -200,6 +200,53 @@ def minhash_lsh_dedup(
     )
 
 
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Near-dup clusters: connected components of the pair graph by
+    iterative min-label propagation. Returns (doc, component) where
+    component = the smallest doc id reachable (singletons map to
+    themselves) — the canonical-representative assignment that turns
+    pairwise near-dups into dedup groups.
+
+    Each iteration is one join + one aggregate (label := min over self
+    and neighbors); converges in O(diameter) iterations — near-dup
+    clusters are shallow, so a handful. The driver-side loop carries
+    only a changed-row count per iteration (no data). At graph scale
+    this is the standard large-star/small-star layout; GraphFrames'
+    Pregel is the library form."""
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).distinct()
+    labels = nodes.select(F.col("doc"), F.col("doc").alias("component"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels.cache()
+        if changed == 0:
+            break
+    return labels
+
+
 def _bit_mask(b: int) -> int:
     return (1 << b) if b < 63 else -(1 << 63)
 

@@ -14,6 +14,8 @@ property tests in tests/test_dedup.py.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..operators import dedup
 from .registry import register, t
 
@@ -142,6 +144,54 @@ def dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_dedup(
         d, "doc_id", "text", n=SHINGLE_N, threshold=JACCARD_THRESHOLD
     )
+
+
+@register(
+    "dedup_clusters",
+    # the reach CTE is recursive → RECURSIVE must be declared on the
+    # whole WITH clause
+    oracle=_SHINGLES_CTE.replace("WITH words", "WITH RECURSIVE words")
+    + f"""
+    , inter AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY doc_a, doc_b
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT d.doc_id AS doc,
+           least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS component
+    FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+    GROUP BY d.doc_id
+    """,
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup GROUPS, not just pairs: connected components over the
+    exact-Jaccard pair graph by iterative min-label propagation — the
+    step that turns pairwise detection into 'keep one per cluster'.
+    The oracle computes the same components with a recursive-CTE
+    transitive closure, so even the iterative algorithm is
+    hash-checked exactly."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, "doc_id", "text", n=SHINGLE_N, threshold=JACCARD_THRESHOLD)
+    nodes = d.select(F.col("doc_id").alias("doc"))
+    return dedup.connected_components(nodes, pairs)
 
 
 @register("dedup_simhash", oracle=None, tags=("dedup", "simhash"))

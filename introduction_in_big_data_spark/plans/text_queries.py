@@ -43,6 +43,32 @@ def text_token_stats(spark, sf_dir):
 
 
 @register(
+    "text_bpe_token_count",
+    oracle="""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
+               len(regexp_extract_all(text, '\\S+'))                         AS n_ws_tokens
+        FROM documents
+    """,
+    tags=("text",),
+)
+def text_bpe_token_count(spark, sf_dir):
+    """BPE-ish token counting: alphanumeric runs + individual
+    punctuation marks (the pre-tokenizer split most BPE vocabularies
+    assume), next to plain whitespace tokens. A cheap, pure-regex proxy
+    for LLM token budgeting at scan speed — per-row map, zero shuffles."""
+    d = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(c, F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.regexp_extract_all(c, F.lit(r"\S+"), 0)).alias("n_ws_tokens"),
+    )
+
+
+@register(
     "text_quality",
     oracle=f"""
         SELECT doc_id,

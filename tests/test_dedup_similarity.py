@@ -126,3 +126,15 @@ def test_ml_minhash_recall_vs_exact(docs):
     assert exact, "fixture has planted near-dups"
     recall = len(exact & ml) / len(exact)
     assert recall >= 0.8, f"MLlib MinHashLSH recall {recall}"
+
+
+def test_connected_components_hand_graph(spark):
+    """Components on a known graph: {1-2-3}, {5-6}, singleton 9."""
+    from introduction_in_big_data_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 9]], "doc long")
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    out = {r["doc"]: r["component"] for r in connected_components(nodes, pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
