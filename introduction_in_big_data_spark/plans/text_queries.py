@@ -140,6 +140,38 @@ def text_fingerprints(spark, sf_dir):
 
 
 @register(
+    "text_winnow_fingerprints",
+    oracle="""
+        WITH normed AS (
+            SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   [substr(md5(substr(norm, i, 8)), 1, 16)
+                    for i in range(1, greatest(length(norm) - 7, 0) + 1)] AS hashes
+            FROM normed
+        ),
+        winnowed AS (
+            SELECT doc_id,
+                   list_distinct([list_min(hashes[i:i+15])
+                                  for i in range(1, greatest(len(hashes) - 15, 0) + 1)]) AS fps
+            FROM hashed
+        )
+        SELECT doc_id, unnest(fps) AS fingerprint FROM winnowed
+    """,
+    tags=("text", "dedup", "fingerprint"),
+)
+def text_winnow_fingerprints(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (char 8-grams, window 16) —
+    substring-level near-dup signal; docs sharing any ≥23-char run
+    share a fingerprint. md5-based → the whole rolling-hash pipeline is
+    oracle-hash-checked."""
+    d = t(spark, sf_dir, "documents")
+    return textops.winnow_fingerprints(d, "doc_id", "text", k=8, window=16)
+
+
+@register(
     "text_ngram_freq",
     oracle="""
         WITH words AS (SELECT string_split_regex(text, '\\s+') AS w FROM documents),
