@@ -154,6 +154,71 @@ def user_cosine_similarities(ratings: DataFrame) -> DataFrame:
     )
 
 
+def user_cosine_similarities_pruned(
+    ratings: DataFrame, min_overlap: int = 2, max_item_raters: int | None = None
+) -> DataFrame:
+    """The scale variant of user_cosine_similarities (SURVEY.md §4 risk
+    #1): prune the quadratic pair stream before it exists.
+
+    - `max_item_raters` caps hot items: an item rated by n users emits
+      n² pair rows but contributes little discriminative signal when n
+      is huge (the stop-shingle argument); dropping items with
+      n > cap bounds Σ n² — the same lever DIMSUM's magnitude sampling
+      pulls probabilistically.
+    - `min_overlap` drops pairs sharing < m items, whose similarities
+      are noise for k-NN anyway.
+
+    Exactness: similarities that survive are exact; pairs dropped are
+    those a threshold/DIMSUM scheme would also drop. Recall vs the
+    exact k-NN is property-tested."""
+    r = ratings
+    if max_item_raters is not None:
+        ok_items = (
+            r.groupBy("item_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= max_item_raters)
+            .select("item_id")
+        )
+        r = r.join(ok_items, "item_id", "left_semi")
+    a = r.select(
+        F.col("user_id").alias("user_a"), "item_id", F.col("rating").alias("rating_a")
+    )
+    b = r.select(
+        F.col("user_id").alias("user_b"), "item_id", F.col("rating").alias("rating_b")
+    )
+    dots = (
+        a.join(b, "item_id")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.sum(F.col("rating_a") * F.col("rating_b")).alias("dot"),
+            F.count(F.lit(1)).alias("overlap"),
+        )
+        .filter(F.col("overlap") >= min_overlap)
+    )
+    norms = user_norms(ratings)  # norms over the FULL ratings, like the exact path
+    na = norms.select(F.col("user_id").alias("user_a"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col("user_id").alias("user_b"), F.col("norm").alias("norm_b"))
+    sims = (
+        dots.join(na, "user_a")
+        .join(nb, "user_b")
+        .select(
+            "user_a",
+            "user_b",
+            F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), SIM_SCALE).alias("sim"),
+        )
+    )
+    both = F.explode(
+        F.array(
+            F.struct(F.col("user_a").alias("ua"), F.col("user_b").alias("ub"), F.col("sim")),
+            F.struct(F.col("user_b").alias("ua"), F.col("user_a").alias("ub"), F.col("sim")),
+        )
+    )
+    return sims.select(both.alias("p")).select(
+        F.col("p.ua").alias("user_a"), F.col("p.ub").alias("user_b"), F.col("p.sim").alias("sim")
+    )
+
+
 def knn_neighbors(similarities: DataFrame, k: int) -> DataFrame:
     """K5 — k most similar other users per user (Part_A_Q2.py:121-123's
     intended semantics), via a row_number window with (sim desc, id)
