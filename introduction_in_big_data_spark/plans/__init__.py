@@ -11,6 +11,7 @@ from . import sketch_queries  # noqa: F401
 from . import multimodal_queries  # noqa: F401
 from . import extras  # noqa: F401
 from . import tpch_shapes  # noqa: F401
+from . import tpch_more  # noqa: F401
 from . import timeseries_queries  # noqa: F401
 from .registry import REGISTRY, QuerySpec, oracle_sql, queries, register
 

@@ -154,3 +154,66 @@ def cf_predict_metrics(spark, sf_dir):
     neighbors = cf.knn_neighbors(sims, K_NEIGHBORS)
     preds = cf.predict_ratings(neighbors, ratings)
     return cf.evaluate(preds, ratings)
+
+
+MIN_OVERLAP = 2  # pruned-path co-rating floor
+
+# Pruned similarity CTEs: identical to _SIMS_CTE except the dots
+# aggregate drops pairs sharing fewer than MIN_OVERLAP items — the
+# SQL-expressible half of the scale pruning (the max_item_raters cap
+# composes on top and is also exact-after-pruning).
+_SIMS_PRUNED_CTE = f"""
+    , dots AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               sum(a.rating * b.rating) AS dot
+        FROM ratings a JOIN ratings b ON a.item_id = b.item_id
+        WHERE a.user_id < b.user_id
+        GROUP BY user_a, user_b
+        HAVING count(*) >= {MIN_OVERLAP}
+    ),
+    norms AS (
+        SELECT user_id, sqrt(sum(rating * rating)) AS norm
+        FROM ratings GROUP BY user_id
+    ),
+    sims_half AS (
+        SELECT user_a, user_b,
+               round(dot / (na.norm * nb.norm), {cf.SIM_SCALE}) AS sim
+        FROM dots
+        JOIN norms na ON na.user_id = user_a
+        JOIN norms nb ON nb.user_id = user_b
+    ),
+    sims AS (
+        SELECT user_a, user_b, sim FROM sims_half
+        UNION ALL
+        SELECT user_b AS user_a, user_a AS user_b, sim FROM sims_half
+    ),
+    knn AS (
+        SELECT user_a AS user_id, user_b AS neighbor_id, sim, rn
+        FROM (
+            SELECT user_a, user_b, sim,
+                   row_number() OVER (PARTITION BY user_a
+                                      ORDER BY sim DESC, user_b) AS rn
+            FROM sims
+        )
+        WHERE rn <= {K_NEIGHBORS}
+    )
+"""
+
+
+@register(
+    "cf_knn_pruned",
+    oracle=_RATINGS_CTE
+    + _SIMS_PRUNED_CTE
+    + "SELECT user_id, neighbor_id, sim, rn FROM knn",
+    tags=("cf", "join", "window", "scale"),
+    bench=True,
+)
+def cf_knn_pruned(spark, sf_dir):
+    """The scale path for cf_knn: min-overlap pruning cuts the pair
+    stream before the quadratic groupBy materializes it (SURVEY.md §4
+    risk #1). Surviving similarities are bit-identical to the exact
+    path — the oracle proves it — and the k-NN recall property test
+    (tests/test_bucketing_cfprune.py) bounds what pruning discards."""
+    ratings = _pipeline(spark, sf_dir)
+    sims = cf.user_cosine_similarities_pruned(ratings, min_overlap=MIN_OVERLAP)
+    return cf.knn_neighbors(sims, K_NEIGHBORS)
