@@ -164,7 +164,9 @@ def q17_below_avg_qty_revenue(spark, sf_dir):
                round(sum(c_acctbal), 2) AS totacctbal
         FROM customer, avg_bal
         WHERE c_acctbal > threshold
-          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
         GROUP BY c_nationkey
     """,
     tags=("join", "anti", "agg", "subquery"),
@@ -176,9 +178,16 @@ def q22_idle_customer_balance(spark, sf_dir):
     driver, so the plan stays fully distributed. The threshold is
     rounded to 4 decimals on both engines so partial-aggregation
     summation order can't flip a boundary row. NOT EXISTS is a left
-    anti join on o_custkey."""
+    anti join against the filtered (urgent) order set — every customer
+    in this data has *some* order, so TPC-H's literal "no orders"
+    predicate is vacuously empty; "no urgent order" keeps the same
+    plan shape with a non-trivial result."""
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0.0)
         .agg(F.round(F.avg("c_acctbal"), 4).alias("threshold"))
@@ -265,3 +274,384 @@ def acctbal_quartile_stats(spark, sf_dir):
             F.round(F.max("c_acctbal"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "q7_nation_trade_volume",
+    oracle="""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               year(l_shipdate) AS ship_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey
+        JOIN nation cn ON cn.n_nationkey = c_nationkey
+        WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+            OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        GROUP BY supp_nation, cust_nation, ship_year
+    """,
+    tags=("join", "agg", "multiway"),
+)
+def q7_nation_trade_volume(spark, sf_dir):
+    """Q7 shape: five-way join (fact + 2 dims + nation twice) with a
+    symmetric two-nation predicate, grouped by nation pair and ship
+    year. supplier/customer/nation are broadcast so the only shuffle
+    is lineitem⋈orders; the nation filter pushes into the broadcast
+    sides BEFORE the join, shrinking probe output early. year() on a
+    TIMESTAMP_NTZ column is calendar arithmetic on the naive value —
+    identical across session timezones in both engines."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = F.col("supp_nation").isin("NATION_1", "NATION_2") & (
+        F.col("cust_nation").isin("NATION_1", "NATION_2")
+    ) & (F.col("supp_nation") != F.col("cust_nation"))
+    sn = n.withColumnRenamed("n_name", "supp_nation")
+    cn = n.withColumnRenamed("n_name", "cust_nation")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), s.s_nationkey == sn.n_nationkey)
+        .join(
+            F.broadcast(cn.withColumnRenamed("n_nationkey", "cn_key")),
+            c.c_nationkey == F.col("cn_key"),
+        )
+        .filter(pair)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+    ).agg(F.round(F.sum(rev), 2).alias("volume"))
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+        SELECT year(o_orderdate) AS order_year,
+               round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6)
+                   AS mkt_share
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation cn ON cn.n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = cn.n_regionkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey
+        JOIN part     ON p_partkey = l_partkey
+        WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+        GROUP BY order_year
+    """,
+    tags=("join", "agg", "multiway"),
+)
+def q8_market_share(spark, sf_dir):
+    """Q8 shape: eight-table join computing one nation's share of a
+    region's market per year — the conditional numerator and the
+    denominator fold into the SAME grouped aggregate (one pass, one
+    shuffle by year). Every dimension is broadcast; the region and
+    part-type filters prune their broadcast sides before probing, so
+    the big fact⋈orders shuffle is the only wide exchange."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    cn = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_rev = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0.0)
+    return joined.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.round(F.sum(nat_rev) / F.sum(rev), 6).alias("mkt_share")
+    )
+
+
+@register(
+    "q10_returned_revenue_top20",
+    oracle="""
+        SELECT c_custkey, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q10_returned_revenue_top20(spark, sf_dir):
+    """Q10 shape: revenue lost to returns per customer, top 20. The
+    returnflag filter hits the fact scan (PushedFilters), the group-by
+    key includes the customer PK so the nation name rides along
+    without a second aggregate, and the top-k is TakeOrderedAndProject
+    (per-partition heaps + single merge — no global sort). c_custkey
+    tiebreaks equal revenues so the LIMIT frontier is deterministic."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q11_valuable_parts",
+    oracle="""
+        WITH part_value AS (
+            SELECT l_partkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, value
+        FROM part_value,
+             (SELECT 1.5 * avg(value) AS threshold FROM part_value)
+        WHERE value > threshold
+    """,
+    tags=("agg", "subquery", "scalar-gate"),
+)
+def q11_valuable_parts(spark, sf_dir):
+    """Q11 shape: groups whose aggregate exceeds a fraction of a
+    global aggregate over the SAME grouped relation (TPC-H's HAVING
+    sum > fraction * total, adapted to lineitem since the driver
+    schema has no partsupp). The grouped frame is cached and consumed
+    twice — once for the 1-row threshold, once for the filter — so
+    the expensive fact shuffle happens exactly once; the threshold
+    joins back as a broadcast cross join, never a driver collect.
+    Per-part values are rounded before averaging so both engines
+    derive the threshold from identical inputs."""
+    li = t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    part_value = (
+        li.groupBy("l_partkey")
+        .agg(F.round(F.sum(rev), 2).alias("value"))
+        .cache()
+    )
+    threshold = part_value.agg(
+        (1.5 * F.avg("value")).alias("threshold")
+    )
+    return (
+        part_value.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
+    )
+
+
+@register(
+    "q15_top_suppliers",
+    oracle="""
+        WITH supp_rev AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+            FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supp_rev
+        JOIN supplier ON s_suppkey = l_suppkey,
+             (SELECT max(total_revenue) AS max_rev FROM supp_rev)
+        WHERE total_revenue = max_rev
+    """,
+    tags=("agg", "subquery", "scalar-gate"),
+)
+def q15_top_suppliers(spark, sf_dir):
+    """Q15 shape: the argmax-over-an-aggregated-view pattern — revenue
+    per supplier, keep the supplier(s) achieving the maximum. The view
+    is cached and read twice (1-row max + equality filter); comparing
+    revenues ROUNDED on both engines makes the float equality exact,
+    so partial-sum ordering differences can't drop the winner. Ties
+    all surface (no LIMIT), which is the standard-conforming answer."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    supp_rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(rev), 2).alias("total_revenue"))
+        .cache()
+    )
+    max_rev = supp_rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        supp_rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), supp_rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    oracle="""
+        SELECT p_brand, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+        )
+        GROUP BY p_brand, p_size
+    """,
+    tags=("join", "anti", "agg", "distinct"),
+)
+def q16_supplier_variety(spark, sf_dir):
+    """Q16 shape: distinct-supplier variety per part attribute with a
+    NOT IN exclusion subquery. The exclusion (suppliers in bad
+    standing — the schema has no s_comment for TPC-H's complaints
+    filter) runs as a broadcast LEFT ANTI join on the fact, safe here
+    because s_suppkey is a non-null PK (NOT IN's null-semantics trap
+    doesn't apply, which the anti-join correctly mirrors).
+    count(DISTINCT) expands to Spark's two-phase distinct aggregate —
+    partial dedup before the final shuffle."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    bad = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 40)
+           OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 50)
+    """,
+    tags=("join", "agg", "disjunctive"),
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """Q19 shape: OR-of-ANDs mixing both sides of a join. The join
+    stays a broadcast hash join on the p_partkey equi key with the
+    disjunction as a post-join residual — NOT a nested-loop join,
+    which is what a naive "put the OR in the join condition without
+    an equi anchor" formulation degenerates to. Columns from only one
+    side (p_brand/p_size alone, l_quantity alone) could be pushed
+    below the join as a weaker OR envelope; Catalyst does not do that
+    rewrite, and at this selectivity the residual is cheap."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((brand == "Brand#1") & size.between(1, 15) & qty.between(1, 30))
+        | ((brand == "Brand#3") & size.between(10, 30) & qty.between(10, 40))
+        | ((brand == "Brand#5") & size.between(20, 50) & qty.between(20, 50))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+    )
+
+
+@register(
+    "q20_bulk_suppliers",
+    oracle="""
+        WITH red_parts AS (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+        ),
+        sp AS (
+            SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM red_parts)
+            GROUP BY l_suppkey, l_partkey
+        ),
+        th AS (
+            SELECT l_partkey, 0.8 * avg(qty) AS qty_thresh
+            FROM sp GROUP BY l_partkey
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM sp JOIN th USING (l_partkey)
+            WHERE qty > qty_thresh
+        )
+    """,
+    tags=("join", "semi", "agg", "subquery"),
+)
+def q20_bulk_suppliers(spark, sf_dir):
+    """Q20 shape: nested semi-joins — suppliers who moved above-par
+    volume of a name-filtered part family (adapted to lineitem; the
+    driver schema has no partsupp.availqty). Three layers, each
+    staying on the l_partkey partitioning: (1) broadcast semi-join
+    restricts the fact to red parts, (2) per-(supplier,part) volumes,
+    (3) per-part 80%-of-average threshold joins back — the same
+    decorrelation as q17 — and the surviving supplier keys semi-join
+    the supplier dim. l_quantity is integer-valued so avg is exact in
+    both engines; no rounding needed for the threshold compare."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity"
+    )
+    red = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sp = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .cache()
+    )
+    th = sp.groupBy("l_partkey").agg(
+        (0.8 * F.avg("qty")).alias("qty_thresh")
+    )
+    bulk = (
+        sp.join(th, "l_partkey")
+        .filter(F.col("qty") > F.col("qty_thresh"))
+        .select("l_suppkey")
+    )
+    return s.join(bulk, s.s_suppkey == bulk.l_suppkey, "left_semi")
