@@ -110,6 +110,88 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via prefix filtering — the
+    AllPairs/PPJoin family (Bayardo et al., WWW 2007); the distributed
+    layout follows Vernica/Carey/Li's MapReduce set-similarity join
+    (SIGMOD 2010). Output is identical to `jaccard_pairs` (same oracle
+    SQL applies); only the candidate generation changes.
+
+    Why it's exact: for J(A,B) >= t the overlap obeys |A∩B| >= ceil(t·|A|)
+    (since |A∪B| >= |A|), so if each doc's shingles are sorted by one
+    GLOBAL canonical order (document frequency asc, then shingle — rarest
+    first), any qualifying pair must share a shingle inside each doc's
+    first |A| - ceil(t·|A|) + 1 shingles. Joining only those prefixes
+    yields a candidate superset; an array-intersect verify then computes
+    the true Jaccard, so no false positives survive and no true pair is
+    missed.
+
+    Why it's the scale path for EXACT dedup: the self-join cost drops
+    from Σ_s df(s)² over ALL shingles to Σ over prefix shingles only —
+    and because the canonical order puts rarest shingles in the prefix,
+    those are precisely the shingles with the smallest df². Hot
+    stop-shingles ('of the and') land outside every prefix and never
+    generate a candidate, without the lossy `max_shingle_freq` cap.
+    The verify step ships each candidate's shingle set once (array
+    column), not one row per shingle."""
+    from pyspark.sql import Window
+
+    # Three consumers (df-counts, prefix build, verify sets): cache the
+    # exploded shingles so tokenize+explode runs once.
+    sh = doc_shingles(df, id_col, text_col, n).cache()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    w_rank = Window.partitionBy("doc").orderBy("df_", "shingle")
+    w_doc = Window.partitionBy("doc")
+    ranked = sh.join(dfreq, "shingle").select(
+        "doc",
+        "shingle",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_doc).alias("sz"),
+    )
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select("doc", "shingle")
+    cands = (
+        prefix.select(F.col("doc").alias("doc_a"), "shingle")
+        .join(prefix.select(F.col("doc").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = sh.groupBy("doc").agg(
+        F.collect_set("shingle").alias("shset"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    pa = sets.select(
+        F.col("doc").alias("doc_a"),
+        F.col("shset").alias("set_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    pb = sets.select(
+        F.col("doc").alias("doc_b"),
+        F.col("shset").alias("set_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    return (
+        cands.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_signatures_from_shingles(
     sh: DataFrame, seeds: int = MINHASH_SEEDS
 ) -> DataFrame:

@@ -54,9 +54,8 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(d, "doc_id", "text")
 
 
-@register(
-    "dedup_jaccard",
-    oracle=_SHINGLES_CTE
+_JACCARD_ORACLE = (
+    _SHINGLES_CTE
     + f"""
     , inter AS (
         SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
@@ -69,7 +68,13 @@ def dedup_exact(spark, sf_dir):
     JOIN sizes sa ON sa.doc = doc_a
     JOIN sizes sb ON sb.doc = doc_b
     WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= {JACCARD_THRESHOLD}
-    """,
+    """
+)
+
+
+@register(
+    "dedup_jaccard",
+    oracle=_JACCARD_ORACLE,
     tags=("dedup", "join"),
     bench=True,
 )
@@ -79,6 +84,30 @@ def dedup_jaccard(spark, sf_dir):
     Σ_s df(s)²; discriminative shingles keep it near-linear."""
     d = t(spark, sf_dir, "documents")
     return dedup.jaccard_pairs(
+        d, "doc_id", "text", n=SHINGLE_N, threshold=JACCARD_THRESHOLD
+    )
+
+
+@register(
+    "dedup_jaccard_prefix",
+    oracle=_JACCARD_ORACLE,
+    tags=("dedup", "join", "scale"),
+)
+def dedup_jaccard_prefix(spark, sf_dir):
+    """Same exact result as dedup_jaccard (same oracle SQL), but
+    candidates come from prefix filtering (AllPairs/PPJoin; distributed
+    layout per Vernica et al., SIGMOD 2010): join only each doc's
+    rarest |A|-ceil(t|A|)+1 shingles — provably sufficient for J >= t —
+    then verify candidates with one array_intersect per pair. Hot
+    stop-shingles never enter the self-join, so the Σ df² blowup the
+    naive plan risks at 100 TB is structurally avoided while staying
+    exact. On this synthetic corpus shingles are near-uniformly rare,
+    so the naive join is already cheap and the prefix machinery costs
+    more than it saves (measured 5.0s vs 3.1s at sf0.1) — hence the
+    naive variant keeps the bench line; on a real web corpus (Zipfian
+    shingle df) the inequality reverses, which is why both exist."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs_prefix(
         d, "doc_id", "text", n=SHINGLE_N, threshold=JACCARD_THRESHOLD
     )
 

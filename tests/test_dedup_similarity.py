@@ -138,3 +138,45 @@ def test_connected_components_hand_graph(spark):
     )
     out = {r["doc"]: r["component"] for r in connected_components(nodes, pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_jaccard_prefix_equals_naive_on_skewed_corpus(spark):
+    """Prefix filtering (AllPairs/PPJoin) must return EXACTLY the naive
+    all-pairs result — exercised on a corpus with a universal
+    stop-shingle prefix, the shape where naive candidate generation
+    degenerates to O(N²) and the prefix path is designed to win: the
+    hot shingle ranks last in the df-ascending canonical order, so it
+    falls outside every doc's prefix and generates no candidates."""
+    stop = "of the and"  # shared by every doc
+    rows = [(i, f"{stop} unique{i} token{i} tail{i} word{i}") for i in range(40)]
+    # plant one true near-dup pair (differ in a single trailing word)
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta iota"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    naive = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    prefix = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.jaccard_pairs_prefix(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert prefix == naive
+    assert (100, 101) in {(a, b) for a, b, _ in prefix}
+
+
+def test_jaccard_prefix_equals_naive_on_documents(docs):
+    """Differential check on the real corpus at the registry threshold."""
+    naive = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.7).collect()
+    }
+    prefix = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.jaccard_pairs_prefix(
+            docs, "doc_id", "text", threshold=0.7
+        ).collect()
+    }
+    assert prefix == naive and len(naive) > 0
