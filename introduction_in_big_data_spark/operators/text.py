@@ -140,3 +140,83 @@ def winnow_fingerprints(
         .select(id_col, F.col("wmin").alias("fingerprint"))
         .distinct()
     )
+
+
+def repetition_ratio(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document repetition signal: the fraction of all word n-gram
+    occurrences taken by the single most frequent n-gram (Gopher-style
+    repetition rule — heavily repeated boilerplate scores near 1).
+    Two hash-aggregates keyed by (doc, gram) then doc; both partial
+    map-side, so the shuffle carries gram counts, not grams."""
+    from ..functions.textfns import shingles_from_tokens
+
+    tokenized = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
+    )
+    grams = tokenized.select(
+        "doc",
+        F.explode(shingles_from_tokens(F.col("__toks"), n, distinct=False)).alias(
+            "gram"
+        ),
+    )
+    freq = grams.groupBy("doc", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return freq.groupBy("doc").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("rep_ratio")
+    )
+
+
+def pack_token_shards(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: Column,
+    budget: int,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Greedy token-budget shard packing: documents in deterministic
+    id order are assigned to consecutive shards of ~`budget` tokens (a
+    doc belongs to the shard where its running total starts). The core
+    is a GLOBAL prefix sum, computed scalably as the textbook two-pass
+    distributed scan instead of a single-partition window:
+
+      1. `repartitionByRange(id)` — global order across partitions,
+         each partition sorts locally (no single-node sort);
+      2. partition-local running sums via a window keyed by
+         `spark_partition_id()` — fully parallel;
+      3. per-partition totals (one row per partition) get their own
+         tiny prefix sum and broadcast back as offsets.
+
+    The result is invariant to where the range boundaries land (range
+    partitioning guarantees every id in partition i sorts before
+    partition i+1), so sampling nondeterminism in step 1 cannot change
+    the output. A plain `Window.orderBy(id)` computes the same thing
+    on one executor; this shape is why the operator survives 100 TB."""
+    from pyspark.sql import Window
+
+    ranged = (
+        df.select(F.col(id_col).alias("id"), token_count_col.alias("ntok"))
+        .repartitionByRange(num_partitions, F.col("id"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("local_cum", F.sum("ntok").over(w_local))
+    totals = local.groupBy("pid").agg(F.sum("ntok").alias("ptotal"))
+    w_off = (
+        Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.withColumn(
+        "offset", F.sum("ptotal").over(w_off) - F.col("ptotal")
+    ).select("pid", "offset")
+    cum = local.join(F.broadcast(offsets), "pid").withColumn(
+        "cum", F.col("local_cum") + F.col("offset")
+    )
+    shard = F.floor((F.col("cum") - F.col("ntok")) / float(budget))
+    return cum.select(
+        F.col("id").alias(id_col), "ntok", shard.alias("shard")
+    )

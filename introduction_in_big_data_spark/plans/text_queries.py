@@ -205,3 +205,153 @@ def text_ngram_freq(spark, sf_dir):
         .orderBy(F.desc("cnt"), F.asc("bigram"))
         .limit(50)
     )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, unnest(
+                CASE WHEN len(w) >= 3
+                     THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           for i in range(1, len(w) - 1)]
+                     ELSE CAST([] AS VARCHAR[]) END) AS gram
+            FROM words
+        ),
+        freq AS (
+            SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+        )
+        SELECT doc_id AS doc, round(max(c) * 1.0 / sum(c), 6) AS rep_ratio
+        FROM freq GROUP BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def text_repetition_ratio(spark, sf_dir):
+    """Gopher-style repetition rule: share of all trigram occurrences
+    owned by the most frequent trigram — boilerplate/spam filter signal
+    for training-data curation. Two map-side-partial hash aggregates;
+    the shuffle moves (doc, gram, count), never raw text."""
+    from ..operators.text import repetition_ratio
+
+    d = t(spark, sf_dir, "documents")
+    return repetition_ratio(d, "doc_id", "text", n=3)
+
+
+@register(
+    "corpus_composition",
+    oracle="""
+        SELECT source, lang,
+               count(*) AS n_docs,
+               CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+                   AS total_tokens,
+               round(avg(n_chars), 2) AS avg_chars
+        FROM documents
+        GROUP BY source, lang
+    """,
+    tags=("text", "agg"),
+)
+def corpus_composition(spark, sf_dir):
+    """Corpus-composition report (C4/Dolma-style): docs, token budget
+    and size per (source, language) — the rollup every data-mixing
+    decision starts from. One hash-aggregate; token counting rides the
+    scan stage."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+# per-source sampling rates in 256ths, encoded as a 2-hex-digit md5
+# prefix threshold: keep doc iff substr(md5(doc_id), 1, 2) < thr.
+# String comparison of fixed-width lowercase hex == numeric comparison,
+# and both engines produce identical md5 hex, so the sample is
+# deterministic AND oracle-reproducible (no rand(), no seed drift).
+_MIX_RATES = {"src0": "80", "src1": "40", "src2": "c0"}  # 50%, 25%, 75%
+_MIX_DEFAULT = "20"  # 12.5% for the long tail
+
+
+@register(
+    "sample_mix_by_source",
+    oracle=f"""
+        SELECT source,
+               count(*) AS n_docs,
+               count(*) FILTER (
+                   WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                       CASE source
+                           WHEN 'src0' THEN '{_MIX_RATES["src0"]}'
+                           WHEN 'src1' THEN '{_MIX_RATES["src1"]}'
+                           WHEN 'src2' THEN '{_MIX_RATES["src2"]}'
+                           ELSE '{_MIX_DEFAULT}'
+                       END
+               ) AS n_sampled
+        FROM documents
+        GROUP BY source
+    """,
+    tags=("text", "sampling"),
+)
+def sample_mix_by_source(spark, sf_dir):
+    """Deterministic stratified sampling for training-data mixing:
+    per-source keep-rates applied via an md5-prefix threshold on the
+    doc id — reproducible across engines, runs and cluster sizes
+    (unlike rand()-based sampleBy), and a pure per-row map, so the
+    mix rebalances 100 TB without any shuffle beyond the final tiny
+    per-source rollup."""
+    d = t(spark, sf_dir, "documents")
+    thr = F.when(F.col("source") == "src0", _MIX_RATES["src0"]).when(
+        F.col("source") == "src1", _MIX_RATES["src1"]
+    ).when(F.col("source") == "src2", _MIX_RATES["src2"]).otherwise(_MIX_DEFAULT)
+    sampled = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < thr
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(sampled.cast("long")).alias("n_sampled"),
+    )
+
+
+SHARD_TOKEN_BUDGET = 2048
+
+
+@register(
+    "token_shard_stats",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS ntok
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, ntok,
+                   sum(ntok) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS c
+            FROM tok
+        )
+        SELECT CAST(floor((c - ntok) / {SHARD_TOKEN_BUDGET}.0) AS BIGINT) AS shard,
+               count(*) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS shard_tokens
+        FROM cum
+        GROUP BY shard
+    """,
+    tags=("text", "window", "scale"),
+)
+def token_shard_stats(spark, sf_dir):
+    """Token-budget shard packing for training runs: docs in id order
+    fill consecutive ~2048-token shards. The global prefix sum behind
+    it runs as a two-pass distributed scan (range partition →
+    partition-local window → broadcast offsets; operators/text.py
+    pack_token_shards), NOT a single-partition global window — the
+    oracle's plain windowed SQL computes the identical result, which
+    is precisely the point: same semantics, scalable plan."""
+    from ..operators.text import pack_token_shards
+
+    d = t(spark, sf_dir, "documents")
+    shards = pack_token_shards(
+        d, "doc_id", token_count(F.col("text")), SHARD_TOKEN_BUDGET
+    )
+    return shards.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("shard_tokens"),
+    )
