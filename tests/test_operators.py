@@ -148,3 +148,31 @@ def test_zscore_per_group_matches_jvm_composition(spark):
     )
     assert sorted(map(tuple, via_udf.collect())) == sorted(map(tuple, via_jvm.collect()))
     assert via_udf.filter(F.col("id") >= 900).count() == 0
+
+
+def test_pack_token_shards_partition_invariant(spark):
+    """The two-pass distributed prefix sum must assign identical shards
+    regardless of how many range partitions it runs across — the
+    property that makes it safe to scale the partition count with the
+    data instead of funneling a global window through one executor."""
+    from introduction_in_big_data_spark.operators.text import pack_token_shards
+
+    import random
+
+    rng = random.Random(7)
+    df = spark.createDataFrame(
+        [(f"d{i:05d}", "x " * rng.randint(1, 40)) for i in range(500)],
+        "doc_id string, text string",
+    )
+    ntok = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+
+    def shards(nparts):
+        out = pack_token_shards(df, "doc_id", ntok, budget=100, num_partitions=nparts)
+        return sorted((r["doc_id"], r["shard"]) for r in out.collect())
+
+    single = shards(1)  # degenerate case == plain global running sum
+    assert shards(32) == single
+    assert shards(7) == single
+    # shard ids are dense from 0
+    ids = sorted({s for _, s in single})
+    assert ids == list(range(len(ids)))
