@@ -1,0 +1,90 @@
+"""Corpus-curation operators for a training-data pipeline (north-star
+extension, SURVEY.md §7 Step 6): benchmark decontamination and PII
+redaction.
+
+These complete the curation surface next to dedup (operators/dedup.py),
+sampling/packing (operators/text.py) and quality scoring: before a
+100 TB corpus ships, docs that leak evaluation data are flagged
+(decontaminate) and contact strings are scrubbed (redact_pii).
+
+Both are oracle-checked in plans/curation_queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import doc_shingles
+
+# Redaction patterns use only syntax shared by Java regex (Spark) and
+# RE2 (DuckDB) so the oracle mirrors them verbatim: no backrefs, no
+# lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d{3}[- ]\d{3,4}[- ]\d{4}"
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_overlap_frac: float = 0.1,
+) -> DataFrame:
+    """Flag corpus documents whose word-n-gram overlap with a benchmark
+    (eval) set exceeds `min_overlap_frac` of their own distinct n-grams
+    — the standard train/test decontamination pass (the production
+    analog uses 13-grams; n is a parameter because the test corpus has
+    ~50-word docs).
+
+    Returns (doc, n_grams, n_hit, overlap_frac) for flagged docs.
+
+    Scale shape: the benchmark side is distinct-projected to bare
+    n-grams and — being an eval set, orders of magnitude smaller than
+    the corpus — broadcast, so the corpus-side explode never shuffles:
+    scan → explode → broadcast-semi-probe → one aggregate keyed by doc.
+    The corpus n-gram frame feeds both the size and hit counts through
+    a single aggregate (conditional count), not two plan branches.
+    """
+    c_sh = doc_shingles(corpus, id_col, text_col, n)
+    b_sh = (
+        doc_shingles(benchmark, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    # left join + conditional count → sizes and hits in ONE aggregate
+    probed = c_sh.join(F.broadcast(b_sh), "shingle", "left")
+    stats = probed.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("__hit").alias("n_hit"),
+    )
+    frac = F.round(F.col("n_hit") / F.col("n_grams"), 6)
+    return (
+        stats.withColumn("overlap_frac", frac)
+        .filter(F.col("overlap_frac") >= min_overlap_frac)
+        .select("doc", "n_grams", "n_hit", "overlap_frac")
+    )
+
+
+def redaction_counts(text_col: Column) -> dict[str, Column]:
+    """Per-row count of each PII pattern in the text."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_RE), 0)),
+        "n_phones": F.size(F.regexp_extract_all(text_col, F.lit(PHONE_RE), 0)),
+    }
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace email addresses and phone numbers with fixed tags and
+    record per-row match counts. Pure per-row column expressions — at
+    100 TB this runs inside WholeStageCodegen over the scan, no
+    shuffle, no UDF. Emails are redacted before phones so a digit-y
+    local part can't double-count."""
+    c = F.col(text_col)
+    counts = redaction_counts(c)
+    redacted = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.withColumns({**counts, "redacted": redacted})

@@ -1,0 +1,304 @@
+"""Final TPC-H-shaped queries: correlated-min supplier selection (Q2),
+profit rollup (Q9), late-shipment conditional counts (Q12), and the
+sole-blamed-supplier double-EXISTS (Q21).
+
+The driver tables are a reduced TPC-H schema (no partsupp /
+l_commitdate / l_receiptdate / l_shipmode), so each shape keeps the
+plan pattern of its namesake while using columns that exist
+(TESTDATA.md): unit cost is derived from lineitem prices, "late" means
+shipped >90 days after the order date, and Q12's ship-mode grouping
+uses l_linestatus.
+
+Reference parity: the reference (Part_A_Q1.py:49-86, Part_A_Q2.py:79-99)
+only reaches join→group→top-k shapes; these queries are part of the
+engine's full relational surface beyond it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register, t
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+        WITH offer AS (
+            SELECT l_partkey, l_suppkey,
+                   min(round(l_extendedprice / l_quantity, 4)) AS unit_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        eu_offer AS (
+            SELECT l_partkey, l_suppkey, unit_cost
+            FROM offer
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation   ON n_nationkey = s_nationkey
+            JOIN region   ON r_regionkey = n_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        best AS (
+            SELECT l_partkey, min(unit_cost) AS best_cost
+            FROM eu_offer GROUP BY l_partkey
+        )
+        SELECT p_partkey, p_brand, s_name, unit_cost
+        FROM eu_offer
+        JOIN best USING (l_partkey)
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN part     ON p_partkey = l_partkey
+        WHERE unit_cost = best_cost AND p_size <= 10
+    """,
+    tags=("join", "agg", "subquery", "multiway"),
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """Q2 shape: for each (small) part, the cheapest supplier within a
+    region — TPC-H's correlated MIN subquery, decorrelated into a
+    per-part minimum over the region-restricted offers joined back by
+    (partkey, cost) equality. Adapted to the reduced schema: the offer
+    book is derived from lineitem (min observed unit price per
+    part/supplier) since there is no partsupp.
+
+    Scale notes: the region restriction is applied BEFORE the per-part
+    minimum via broadcast joins on the supplier dim (nation ⋈ region
+    prunes suppliers first, so the big offer aggregate only sees
+    qualifying rows). The per-part minimum is a window MIN over the
+    offer aggregate's own (l_partkey, …) partitioning — NOT a
+    grouped-min re-joined back, which would evaluate the whole offer
+    subtree twice (Catalyst does not CSE plan branches; see PLANS.md
+    item 4) and shuffle twice. Unit cost is a per-row division rounded
+    to 4 decimals (IEEE-identical across engines) and aggregated with
+    MIN — exact, order-independent, so the equality filter cannot drop
+    winners the way a float SUM could. Ties (several suppliers at the
+    same minimum cost) all surface, matching the SQL."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 10)
+        .select("p_partkey", "p_brand")
+    )
+
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name")
+    )
+    unit = F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4)
+    eu_offer = (
+        li.join(F.broadcast(eu_supp), li.l_suppkey == eu_supp.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey", "s_name")
+        .agg(F.min(unit).alias("unit_cost"))
+    )
+    best = F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+    return (
+        eu_offer.withColumn("best_cost", best)
+        .filter(F.col("unit_cost") == F.col("best_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select("p_partkey", "p_brand", "s_name", "unit_cost")
+    )
+
+
+@register(
+    "q9_nation_profit",
+    oracle="""
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - 0.6 * p_retailprice * l_quantity), 2) AS profit
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY n_name, year(o_orderdate)
+    """,
+    tags=("join", "agg", "multiway"),
+)
+def q9_nation_profit(spark, sf_dir):
+    """Q9 shape: profit by supplier nation and order year over a
+    name-filtered part family. Adapted cost model: 60% of the part's
+    retail price per unit stands in for ps_supplycost (no partsupp in
+    the reduced schema) — the plan shape (5-way join, substring part
+    filter, two-level group key, big arithmetic expression inside one
+    aggregate) is the namesake's.
+
+    Scale notes: part (filtered by LIKE before the join), supplier and
+    nation broadcast; the only wide shuffle is lineitem ⋈ orders on
+    l_orderkey. The profit expression folds into a single map-side
+    partial aggregate — one pass over the fact, one small final
+    shuffle on (nation, year)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+@register(
+    "q12_late_shipment_priority",
+    oracle="""
+        SELECT l_linestatus AS ship_group,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE datediff('day', CAST(o_orderdate AS DATE),
+                       CAST(l_shipdate AS DATE)) > 90
+        GROUP BY ship_group
+    """,
+    tags=("join", "agg", "conditional"),
+)
+def q12_late_shipment_priority(spark, sf_dir):
+    """Q12 shape: late shipments bucketed by line status (standing in
+    for l_shipmode, absent from the reduced schema) with
+    priority-conditional counts — both CASE sums fold into one grouped
+    aggregate, so the fact ⋈ orders shuffle is the only wide exchange.
+    "Late" = shipped more than 90 days after the order date (the
+    schema has no commit/receipt dates); the day arithmetic compares
+    naive dates, identical across session timezones in both engines.
+
+    The non-equi lateness predicate references both sides, so it
+    evaluates as a post-join residual on the hash join — the equi key
+    still drives partitioning; no nested loop."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_linestatus"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = (
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+        > 90
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .groupBy(F.col("l_linestatus").alias("ship_group"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q21_sole_blame_suppliers",
+    oracle="""
+        WITH line AS (
+            SELECT l_orderkey, l_suppkey,
+                   CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+                                      CAST(l_shipdate AS DATE)) > 90
+                        THEN 1 ELSE 0 END AS is_late
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE o_orderstatus = 'F'
+        ),
+        ord AS (
+            SELECT l_orderkey,
+                   count(DISTINCT l_suppkey) AS n_supp,
+                   count(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END)
+                       AS n_late_supp
+            FROM line GROUP BY l_orderkey
+        )
+        SELECT s_name, count(DISTINCT line.l_orderkey) AS numwait
+        FROM line
+        JOIN ord USING (l_orderkey)
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE is_late = 1 AND n_supp > 1 AND n_late_supp = 1
+        GROUP BY s_name
+    """,
+    tags=("join", "agg", "subquery", "semi", "anti"),
+)
+def q21_sole_blame_suppliers(spark, sf_dir):
+    """Q21 shape: suppliers who were the ONLY late supplier on a
+    finished multi-supplier order — TPC-H's EXISTS (another supplier on
+    the order) + NOT EXISTS (another LATE supplier on the order)
+    double-correlation. Decorrelated into per-order distinct counts
+    computed as window aggregates over the l_orderkey partitioning:
+    one pass computes both existence predicates at once (n_supp > 1 ⇔
+    EXISTS, n_late_supp = 1 with this row late ⇔ NOT EXISTS another),
+    replacing two correlated self-joins of the fact with a single
+    shuffle on l_orderkey — a grouped aggregate re-joined back would
+    evaluate the fact⋈orders subtree twice (Catalyst does not CSE plan
+    branches, PLANS.md item 4). "Late" = shipped >90 days after the
+    order date (reduced schema, see q12).
+
+    Scale notes: collect_set sizes stand in for window countDistinct
+    (unsupported in Spark windows); sets are bounded by suppliers per
+    order (~7 in TPC-H), so no skew risk. The supplier dim is
+    broadcast; the per-supplier distinct-order count is the only
+    further shuffle and moves one row per qualifying (supplier,
+    order)."""
+    from pyspark.sql import Window
+
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+        > 90
+    ).cast("int")
+    line = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", late.alias("is_late")
+    )
+    w = Window.partitionBy("l_orderkey")
+    blamed = (
+        line.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
+    )
+    return (
+        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )

@@ -1,0 +1,94 @@
+"""Intended-semantics unit tests for the curation operators
+(operators/curation.py): decontamination flags exactly the docs that
+share enough n-grams with the benchmark, and PII redaction scrubs
+every planted pattern without touching clean text."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from introduction_in_big_data_spark.operators import curation
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            # 8 distinct trigrams, 6 shared with the benchmark → 0.75
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            # no shared trigrams
+            (2, "one two three four five six"),
+            # too short for a trigram → dropped by explode (no row)
+            (3, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    benchmark = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    out = curation.decontaminate(
+        corpus, benchmark, "doc_id", "text", n=3, min_overlap_frac=0.5
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.doc == 1
+    assert row.n_grams == 8
+    assert row.n_hit == 6
+    assert abs(row.overlap_frac - 0.75) < 1e-9
+
+
+def test_decontaminate_threshold_excludes_low_overlap(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma one two three four five six seven")],
+        ["doc_id", "text"],
+    )
+    benchmark = spark.createDataFrame(
+        [(100, "alpha beta gamma")], ["doc_id", "text"]
+    )
+    # 1 shared of 8 grams = 0.125
+    hits = curation.decontaminate(
+        corpus, benchmark, "doc_id", "text", n=3, min_overlap_frac=0.2
+    ).count()
+    assert hits == 0
+    hits_low = curation.decontaminate(
+        corpus, benchmark, "doc_id", "text", n=3, min_overlap_frac=0.1
+    ).count()
+    assert hits_low == 1
+
+
+def test_redact_pii_scrubs_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user+tag@sub.example.org and b@x.io now"),
+            (2, "call 555-123-4567 or +30 210-555-1234 today"),
+            (3, "clean text with no contact info at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in curation.redact_pii(df, "text").collect()}
+    assert rows[1].n_emails == 2 and rows[1].n_phones == 0
+    assert rows[1].redacted == "mail <EMAIL> and <EMAIL> now"
+    assert rows[2].n_emails == 0 and rows[2].n_phones == 2
+    assert "<PHONE>" in rows[2].redacted
+    assert "555" not in rows[2].redacted and "210" not in rows[2].redacted
+    assert rows[3].n_emails == 0 and rows[3].n_phones == 0
+    assert rows[3].redacted == rows[3].text
+
+
+def test_decontaminate_benchmark_side_is_broadcast(spark):
+    corpus = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), F.col("id"), F.lit(" common trigram words here too")).alias(
+            "text"
+        ),
+    )
+    benchmark = spark.createDataFrame(
+        [(999, "common trigram words here")], ["doc_id", "text"]
+    )
+    plan = (
+        curation.decontaminate(corpus, benchmark, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
