@@ -68,6 +68,81 @@ def decontaminate(
     )
 
 
+def incremental_dedup(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag incoming-shard documents whose normalized-text fingerprint
+    already exists in the reference corpus — the dedup pass every
+    *re-crawl / re-ingest* runs before appending to a 100 TB corpus.
+
+    Scale shape is the decisive part: the CORPUS side is the 100 TB
+    one, so it must never shuffle. The incoming shard's distinct
+    fingerprints broadcast; the corpus scan probes them map-side
+    (left_semi), so only corpus rows that collide survive — a set no
+    larger than the shard itself — and that tiny matched-fp set
+    broadcasts back onto the shard as an `is_dup` flag. Two broadcast
+    hash joins, zero exchanges on the big side.
+
+    Returns `incoming` plus (fp, is_dup).
+    """
+    from .text import fingerprint
+
+    inc = incoming.withColumn("fp", fingerprint(F.col(text_col)))
+    inc_fps = inc.select("fp").distinct()
+    matched = (
+        corpus.select(fingerprint(F.col(text_col)).alias("fp"))
+        .join(F.broadcast(inc_fps), "fp", "left_semi")
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return inc.join(F.broadcast(matched), "fp", "left").withColumn(
+        "is_dup", F.col("__dup").isNotNull()
+    ).drop("__dup")
+
+
+# Host extraction mirrors DuckDB's regexp form exactly; Spark's
+# parse_url(url, 'HOST') agrees for well-formed http(s) URLs but the
+# regexp keeps both engines on one definition (and inside codegen).
+HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+
+
+def url_host(url_col: Column) -> Column:
+    """Host part of a URL ('' when the pattern misses)."""
+    return F.regexp_extract(url_col, HOST_RE, 1)
+
+
+def domain_report(
+    df: DataFrame,
+    url_col: str,
+    weight_col: Column,
+    blocklist: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-domain corpus report: document count, total weight (e.g.
+    token count), and a blocklist flag — the per-source accounting that
+    drives crawl filtering. One map-side-partial aggregate keyed by
+    domain; the blocklist is a literal IN-list evaluated in the scan
+    (a real deployment's million-entry blocklist would broadcast-join
+    instead — same plan shape)."""
+    host = url_host(F.col(url_col))
+    return (
+        df.select(
+            host.alias("domain"),
+            weight_col.alias("__w"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__w").alias("total_weight"),
+        )
+        .withColumn(
+            "blocked",
+            F.col("domain").isin(*blocklist) if blocklist else F.lit(False),
+        )
+    )
+
+
 def redaction_counts(text_col: Column) -> dict[str, Column]:
     """Per-row count of each PII pattern in the text."""
     return {

@@ -109,3 +109,93 @@ def redact_pii_stats(spark, sf_dir):
     return red.select(
         "doc_id", "n_emails", "n_phones", F.md5("redacted").alias("red_fp")
     )
+
+
+_NORM_FP = "md5(trim(regexp_replace(lower({c}), '\\s+', ' ', 'g')))"
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+        WITH incoming AS (
+            SELECT doc_id + 1000000 AS doc_id,
+                   CASE WHEN doc_id % 10 = 7 THEN text
+                        ELSE text || ' fresh content' END AS text
+            FROM documents WHERE doc_id % 10 IN (3, 7)
+        ),
+        inc AS (SELECT doc_id, {_NORM_FP.format(c="text")} AS fp
+                FROM incoming),
+        corp AS (SELECT DISTINCT {_NORM_FP.format(c="text")} AS fp
+                 FROM documents)
+        SELECT i.doc_id, i.fp, (c.fp IS NOT NULL) AS is_dup
+        FROM inc i LEFT JOIN corp c USING (fp)
+    """,
+    tags=("curation", "dedup", "join"),
+)
+def dedup_incremental(spark, sf_dir):
+    """Re-ingest dedup: an incoming shard (re-keyed corpus slice where
+    doc_id%10==7 rows are byte-identical re-crawls and %10==3 rows have
+    genuinely new text) is flagged against the full corpus. The corpus
+    — the 100 TB side — is never shuffled: the shard's fingerprints
+    broadcast into its scan and only colliding rows come back (see
+    operators/curation.incremental_dedup). Both dup and non-dup rows
+    appear in the result, so the flag is checked in both directions."""
+    d = t(spark, sf_dir, "documents")
+    incoming = d.filter((F.col("doc_id") % 10).isin(3, 7)).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 10 == 7, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" fresh content")))
+        .alias("text"),
+    )
+    flagged = curation.incremental_dedup(incoming, d, "text")
+    return flagged.select("doc_id", "fp", "is_dup")
+
+
+BLOCKED_DOMAINS = ("src1-2.example.com", "src3-0.example.com")
+
+
+@register(
+    "domain_stats",
+    oracle=f"""
+        WITH planted AS (
+            SELECT doc_id, text,
+                   'https://' || source || '-' || CAST(doc_id % 3 AS VARCHAR)
+                       || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
+        )
+        SELECT regexp_extract(url, '{curation.HOST_RE}', 1) AS domain,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+                   AS total_weight,
+               regexp_extract(url, '{curation.HOST_RE}', 1) IN
+                   {BLOCKED_DOMAINS} AS blocked
+        FROM planted
+        GROUP BY domain
+    """,
+    tags=("curation", "agg"),
+)
+def domain_stats(spark, sf_dir):
+    """Per-domain corpus accounting with a blocklist flag — the crawl-
+    filtering report. URLs are planted deterministically per doc (the
+    synthetic corpus has none); host extraction uses one regexp both
+    engines share. One map-side-partial aggregate keyed by domain; the
+    token-count weight is computed inside the scan projection. See
+    operators/curation.domain_report."""
+    from ..functions.textfns import token_count
+
+    d = t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit("-"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return curation.domain_report(
+        planted, "url", token_count(F.col("text")), blocklist=BLOCKED_DOMAINS
+    )

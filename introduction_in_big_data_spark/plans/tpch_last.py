@@ -302,3 +302,96 @@ def q21_sole_blame_suppliers(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
     )
+
+
+@register(
+    "rolling_revenue_7d",
+    oracle="""
+        WITH daily AS (
+            SELECT datediff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS day_num,
+                   CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT)
+                       AS revenue_cents
+            FROM orders GROUP BY day_num
+        )
+        SELECT day_num, revenue_cents,
+               CAST(round(avg(revenue_cents) OVER (
+                   ORDER BY day_num
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 0) AS BIGINT)
+                   AS avg7_cents,
+               CAST(sum(revenue_cents) OVER (
+                   ORDER BY day_num
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_cents
+        FROM daily
+    """,
+    tags=("window", "frame", "agg", "timeseries"),
+)
+def rolling_revenue_7d(spark, sf_dir):
+    """Window FRAME specs (rowsBetween) — trailing-7-row moving average
+    and running cumulative revenue over the daily rollup. Revenue is
+    held as integer cents so the cumulative sum is exact in both
+    engines (float accumulation order would differ). As with the lag
+    query, the global-order window runs on the daily rollup — one row
+    per calendar day, a few thousand rows regardless of input scale —
+    so its single-partition sort is deliberate; the distributed work is
+    the pre-aggregate. Days stay epoch-day integers (timezone-proof)."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    daily = o.groupBy(day.alias("day_num")).agg(
+        F.round(F.sum("o_totalprice") * 100, 0).cast("long").alias("revenue_cents")
+    )
+    w7 = Window.orderBy("day_num").rowsBetween(-6, Window.currentRow)
+    wcum = Window.orderBy("day_num").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day_num",
+        "revenue_cents",
+        F.round(F.avg("revenue_cents").over(w7), 0).cast("long").alias("avg7_cents"),
+        F.sum("revenue_cents").over(wcum).alias("cum_cents"),
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+        SELECT coalesce(o_orderstatus, '<all>') AS status,
+               coalesce(o_orderpriority, '<all>') AS priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT)
+                   AS revenue_cents
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def cube_status_priority(spark, sf_dir):
+    """CUBE multi-dimensional aggregate: all four grouping-set
+    combinations of (status, priority) in ONE pass — Spark expands the
+    sets map-side and shares a single shuffle, exactly what a report
+    layer wants instead of four separate group-bys over a 100 TB scan.
+    Subtotal rows are tagged '<all>' (the driver tables have no NULL
+    grouping values, so coalesce is unambiguous). Integer-cents revenue
+    keeps the sums exact across engines. Completes the grouping-set
+    family next to rollup_flag_status."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "n_orders",
+            "revenue_cents",
+        )
+    )
