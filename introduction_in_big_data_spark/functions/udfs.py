@@ -1,0 +1,81 @@
+"""Python UDF surface (SURVEY.md §2.10) — the escape hatches, each in
+its fastest available form (Arrow-vectorized), for semantics the
+built-in functions genuinely cannot express.
+
+Everything the reference computes maps to built-ins (the engine's hot
+paths use those — see operators/); these exist so a user porting custom
+logic has the idiomatic pattern to follow, and each is unit-tested to
+agree exactly with its built-in twin (tests/test_udf_surface.py), which
+both pins semantics and demonstrates the ~equivalence.
+
+Surface demonstrated here:
+- scalar `pandas_udf`  — vectorized per-row kernel (cosine similarity
+  over array<float>; the Arrow-batched alternative backend SURVEY §2.8
+  F6 names for embedding math).
+- grouped-agg `pandas_udf` — custom UDAF shape (RMSE; A17's metric as
+  a user aggregate).
+- Python UDTF — one row in, N rows out with per-call state (sentence
+  splitting with positions); the table-function escape hatch.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import DoubleType
+
+
+@pandas_udf(DoubleType())
+def cosine_sim_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized cosine similarity between two array<float> columns.
+    Arrow hands each batch over as Series of numpy arrays; the kernel
+    is pure numpy per batch — no per-row Python. Null/zero-norm rows
+    yield None."""
+    import numpy as np
+
+    out = []
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            out.append(None)
+            continue
+        xv, yv = np.asarray(x, dtype="float64"), np.asarray(y, dtype="float64")
+        nx, ny = np.linalg.norm(xv), np.linalg.norm(yv)
+        out.append(float(xv @ yv / (nx * ny)) if nx > 0 and ny > 0 else None)
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(DoubleType())
+def rmse_udf(pred: pd.Series, actual: pd.Series) -> float:
+    """Grouped-aggregate pandas UDF: per-group RMSE (A17 as a custom
+    UDAF). Spark feeds each group's full columns as Series; the return
+    is one scalar per group. Map-side partial aggregation does NOT
+    apply to grouped-agg UDFs — every row shuffles to its group — so
+    the built-in sqrt(avg(pow(...))) form in
+    operators/relational.regression_errors remains the scale path."""
+    d = (pred - actual).to_numpy(dtype="float64")
+    return float(math.sqrt((d * d).mean()))
+
+
+@udtf(returnType="sent_idx int, sentence string, n_chars int")
+class SplitSentences:
+    """Python UDTF (table function): explode a document into sentences
+    with positions — one input row, variable output rows, computed in
+    Python. The regex split itself could be posexplode(split(...));
+    the UDTF form is the template for splitters that need real state
+    (tokenizers, parsers) that no column expression can express."""
+
+    _SENT_RE = re.compile(r"[^.!?]+[.!?]?")
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        idx = 0
+        for m in self._SENT_RE.finditer(text):
+            s = m.group(0).strip()
+            if s:
+                yield idx, s, len(s)
+                idx += 1

@@ -68,6 +68,35 @@ def stream_hourly_by_type(spark, sf_dir):
 
 
 @register(
+    "stream_nation_event_revenue",
+    oracle="""
+        SELECT c.c_nationkey, count(*) AS cnt,
+               round(sum(e.value), 2) AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_nationkey
+    """,
+    tags=("streaming", "join", "agg"),
+)
+def stream_nation_event_revenue(spark, sf_dir):
+    """Stream-static join: the events stream enriched with the static
+    customer dimension (broadcast — stateless per micro-batch, nothing
+    buffered across batches), then a cumulative per-nation aggregate in
+    complete mode. This is the canonical production streaming topology
+    (fact stream ⋈ dimension → rollup) that the reference's file-queue
+    loop (Part_B.py:12-36) could never express."""
+    from ..sources.tables import load_table
+
+    s = st.events_stream(spark, sf_dir, n_files=N_FILES)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = st.enrich_with_static(s, dim, [("user_id", "c_custkey")])
+    agg = joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return st.run_to_memory(agg, "complete")
+
+
+@register(
     "stream_distinct_users",
     oracle="SELECT count(DISTINCT user_id) AS distinct_cnt FROM events",
     tags=("streaming", "distinct"),

@@ -124,6 +124,31 @@ def tumbling_counts(
     )
 
 
+def enrich_with_static(
+    stream: DataFrame,
+    static_dim: DataFrame,
+    on: list[tuple[str, str]],
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static dimension enrichment — the most common streaming
+    join in practice (fact stream ⋈ slowly-changing dimension). The
+    join is STATELESS on the stream side: each micro-batch probes the
+    static relation and nothing is buffered across batches, so it
+    scales with batch size, not stream history. The dimension is
+    broadcast by default (dims are small relative to a fact stream);
+    pass broadcast=False for a dimension too large to fit an executor,
+    which shuffles each micro-batch instead.
+
+    `on` is [(stream_col, static_col), ...].
+    """
+    dim = F.broadcast(static_dim) if broadcast else static_dim
+    cond = None
+    for s_col, d_col in on:
+        clause = stream[s_col] == dim[d_col]
+        cond = clause if cond is None else (cond & clause)
+    return stream.join(dim, cond, "inner")
+
+
 def streaming_distinct_count(stream: DataFrame, key: str) -> DataFrame:
     """A16 — exact distinct via streaming dropDuplicates state + count."""
     return (
