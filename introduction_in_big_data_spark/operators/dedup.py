@@ -296,7 +296,16 @@ def connected_components(
     clusters are shallow, so a handful. The driver-side loop carries
     only a changed-row count per iteration (no data). At graph scale
     this is the standard large-star/small-star layout; GraphFrames'
-    Pregel is the library form."""
+    Pregel is the library form.
+
+    Every iteration ends in an EAGER localCheckpoint: without lineage
+    truncation the plan nests one join deeper per iteration (analysis
+    time and recovery cost grow without bound — the classic iterative-
+    algorithm failure on Spark), and the eager materialization also
+    means the iteration's join runs exactly once (the convergence count
+    then reads materialized partitions). A production run on a lossy
+    cluster would use reliable `checkpoint()` into the job's checkpoint
+    dir instead — same shape, durable storage."""
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = edges.unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
@@ -317,13 +326,14 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc")
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels = new_labels.cache()
+        labels = new_labels
         if changed == 0:
             break
     return labels

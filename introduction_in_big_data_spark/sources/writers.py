@@ -36,6 +36,44 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_parquet_sharded(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    target_files: int | None = None,
+) -> None:
+    """Parquet write with output-file-size control — the small-files /
+    giant-files problem is the #1 operational failure of petabyte
+    writes (a 100 TB job with 200k tasks otherwise emits 200k files per
+    partition dir; conversely one task per dir emits one unsplittable
+    monster).
+
+    Two independent knobs:
+    - `max_records_per_file` caps rows per file (Spark splits a task's
+      output into multiple files; no shuffle added).
+    - `target_files` repartitions to exactly that many output tasks —
+      a shuffle, but one that also rebalances skewed upstream
+      partitions. With `partition_by`, repartitioning on the partition
+      columns routes each hive dir's rows to one task (fewer, bigger
+      files per dir).
+    """
+    out = df
+    if target_files:
+        out = (
+            df.repartition(target_files, *partition_by)
+            if partition_by
+            else df.repartition(target_files)
+        )
+    writer = out.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
