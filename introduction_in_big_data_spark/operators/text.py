@@ -220,3 +220,57 @@ def pack_token_shards(
     return cum.select(
         F.col("id").alias(id_col), "ntok", shard.alias("shard")
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic corpus-analysis
+    ranking (what "characterizes" each doc against the collection).
+
+      score(d, t) = tf(d,t) · ln((N + 1) / (df(t) + 1))
+
+    Plan shape at 100 TB: the corpus is scanned and exploded ONCE.
+    After the per-(doc,term) tf aggregate, document frequency needs no
+    second pass over the corpus — (doc,term) is unique in tf, so
+    df(t) = count(*) over a term-partitioned window of tf, and the
+    window input (the term dictionary × docs containing it) is orders
+    of magnitude smaller than the exploded token stream. (The naive
+    form — a second groupBy on the token stream joined back — scans
+    and explodes the corpus twice; `.explain` showed two Generate
+    nodes, which is why this shape exists.) N is a 1-row broadcast
+    cross join; the final per-doc top-k is a row_number window that
+    Spark executes with WindowGroupLimit pushdown. Ranking uses the
+    ROUNDED score with the term as tiebreaker so ordering is
+    reproducible across engines (ties in (tf, df) are common).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.textfns import tokens
+
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = tok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.withColumn("dfreq", dfreq)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("dfreq") + 1.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc", "term", "score", F.col("rn").cast("int").alias("rn"))
+    )

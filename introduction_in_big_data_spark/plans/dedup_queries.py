@@ -234,3 +234,52 @@ def dedup_simhash(spark, sf_dir):
     # already share many token-hash votes; a wide radius floods the
     # output with weak pairs (36k rows at sf0.1 with radius 8)
     return dedup.hamming_pairs(sh, max_distance=4, prefix_bits=8)
+
+
+FUZZY_MAX_DIST = 3
+
+
+@register(
+    "fuzzy_name_pairs",
+    oracle=f"""
+        WITH names AS (SELECT DISTINCT p_name FROM part),
+        blocked AS (
+            SELECT p_name,
+                   regexp_extract(p_name, '(\\S+)$', 1) AS blk
+            FROM names
+        )
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        FROM blocked a JOIN blocked b
+          ON a.blk = b.blk AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    """,
+    tags=("dedup", "join", "text"),
+)
+def fuzzy_name_pairs(spark, sf_dir):
+    """Edit-distance fuzzy matching with blocking — typo-level near-dup
+    detection (the string-similarity family member next to Jaccard /
+    MinHash / SimHash). The quadratic all-pairs space is cut by an
+    equi-join BLOCK KEY (the name's last token) before any levenshtein
+    runs: the plan is a hash join on blk over the deduplicated name
+    dictionary — tiny next to the corpus — with the O(len²) distance
+    evaluated only inside blocks. The dictionary-first layout
+    (distinct before pairing) is what keeps this viable at scale:
+    string dictionaries grow sublinearly with corpus rows."""
+    names = (
+        t(spark, sf_dir, "part").select("p_name").distinct().withColumn(
+            "blk", F.regexp_extract("p_name", r"(\S+)$", 1)
+        )
+    )
+    a = names.select(F.col("p_name").alias("name_a"), "blk")
+    b = names.select(F.col("p_name").alias("name_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+    )

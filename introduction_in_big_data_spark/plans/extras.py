@@ -178,10 +178,10 @@ def top5pct_parts_percentile(spark, sf_dir):
     "merge_upsert_customers",
     oracle="""
         WITH updates AS (
-            SELECT c_custkey, round(c_acctbal * 1.1, 2) AS acctbal, 'updated' AS src
+            SELECT c_custkey, c_acctbal * 1.1 AS acctbal, 'updated' AS src
             FROM customer WHERE c_mktsegment = 'BUILDING'
         )
-        SELECT c_custkey, round(c_acctbal, 2) AS acctbal, 'base' AS src
+        SELECT c_custkey, c_acctbal AS acctbal, 'base' AS src
         FROM customer
         WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
         UNION ALL
@@ -192,18 +192,27 @@ def top5pct_parts_percentile(spark, sf_dir):
 def merge_upsert_customers(spark, sf_dir):
     """MERGE-upsert (CDC apply) emulated with anti-join + union — the
     lakehouse-free WHEN MATCHED UPDATE / NOT MATCHED INSERT. The
-    updates batch is the small side → broadcast anti-join."""
+    updates batch is the small side → broadcast anti-join.
+
+    The updated balance is the RAW product c_acctbal * 1.1 — per-row
+    IEEE arithmetic is bit-identical across engines, so the canonical
+    %.9g compare is exact. Rounding it to 2 decimals (the original
+    form) DIVERGED at sf0.1: decimal rounding of a binary double is
+    engine-specific at boundary digits (Spark rounds the shortest
+    decimal repr HALF_UP, DuckDB rounds the binary value), e.g.
+    c_acctbal*1.1 landing on x.xx5. Round accumulations, never per-row
+    arithmetic (PLANS.md item 10)."""
     from ..operators import scd
 
     c = t(spark, sf_dir, "customer")
     base = c.select(
-        "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), F.lit("base").alias("src")
+        "c_custkey", F.col("c_acctbal").alias("acctbal"), F.lit("base").alias("src")
     )
     updates = (
         c.filter(F.col("c_mktsegment") == "BUILDING")
         .select(
             "c_custkey",
-            F.round(F.col("c_acctbal") * 1.1, 2).alias("acctbal"),
+            (F.col("c_acctbal") * 1.1).alias("acctbal"),
             F.lit("updated").alias("src"),
         )
     )

@@ -355,3 +355,36 @@ def token_shard_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("ntok").alias("shard_tokens"),
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id AS doc, unnest(regexp_extract_all(text, '\\S+')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT doc, term, count(*) AS tf FROM tok GROUP BY doc, term),
+        dfreq AS (SELECT term, count(DISTINCT doc) AS dfreq FROM tok GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc, tf.term,
+                   round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.dfreq + 1.0)), 6)
+                       AS score
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT doc, term, score, CAST(rn AS INT) AS rn FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc ORDER BY score DESC, term) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    """,
+    tags=("text", "agg", "window", "topk"),
+)
+def tfidf_top_terms_q(spark, sf_dir):
+    """Top-3 TF-IDF terms per document. See
+    operators/text.tfidf_top_terms for the scale shape (shared explode,
+    broadcast vocabulary, per-doc window)."""
+    from ..operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(t(spark, sf_dir, "documents"), "doc_id", "text", k=3)

@@ -120,3 +120,55 @@ def unpivot_balances(spark, sf_dir):
         "stack(2, 'customer', customer, 'supplier', supplier) AS (side, bal)",
     )
     return long.filter(F.col("bal").isNotNull())
+
+
+@register(
+    "interval_event_counts",
+    oracle="""
+        WITH pts AS (
+            SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+            FROM events
+        ),
+        anchors AS (
+            SELECT event_id AS window_id, sec AS lo, sec + 7200 AS hi
+            FROM pts
+            ORDER BY value DESC, event_id
+            LIMIT 20
+        )
+        SELECT a.window_id, a.lo,
+               count(*) AS n_events,
+               round(sum(p.value), 2) AS total_value
+        FROM anchors a JOIN pts p ON p.sec BETWEEN a.lo AND a.hi
+        GROUP BY a.window_id, a.lo
+    """,
+    tags=("timeseries", "join", "range"),
+)
+def interval_event_counts(spark, sf_dir):
+    """Point-in-interval range join: the 20 highest-value events anchor
+    2-hour windows; count and sum every event falling inside each. The
+    naive BETWEEN join is a BroadcastNestedLoopJoin (points ×
+    intervals); operators/rangejoin.point_in_interval_join quantizes to
+    1-hour buckets so it runs as a hash equi-join with a residual
+    filter — each interval replicates to ≤3 buckets, each point to
+    exactly one, and a pair can only meet in the point's bucket (no
+    dedup needed). Epoch-second arithmetic keeps it timezone-free."""
+    from ..operators.rangejoin import point_in_interval_join
+
+    e = t(spark, sf_dir, "events")
+    pts = e.select(
+        "event_id", F.col("ts").cast("long").alias("sec"), "value"
+    )
+    anchors = (
+        pts.orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(20)
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("sec").alias("lo"),
+            (F.col("sec") + 7200).alias("hi"),
+        )
+    )
+    joined = point_in_interval_join(pts, anchors, "sec", "lo", "hi", 3600)
+    return joined.groupBy("window_id", "lo").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

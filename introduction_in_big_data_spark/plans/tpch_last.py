@@ -26,7 +26,7 @@ from .registry import register, t
     oracle="""
         WITH offer AS (
             SELECT l_partkey, l_suppkey,
-                   min(round(l_extendedprice / l_quantity, 4)) AS unit_cost
+                   min(l_extendedprice / l_quantity) AS unit_cost
             FROM lineitem GROUP BY l_partkey, l_suppkey
         ),
         eu_offer AS (
@@ -65,11 +65,14 @@ def q2_min_cost_supplier(spark, sf_dir):
     offer aggregate's own (l_partkey, …) partitioning — NOT a
     grouped-min re-joined back, which would evaluate the whole offer
     subtree twice (Catalyst does not CSE plan branches; see PLANS.md
-    item 4) and shuffle twice. Unit cost is a per-row division rounded
-    to 4 decimals (IEEE-identical across engines) and aggregated with
-    MIN — exact, order-independent, so the equality filter cannot drop
-    winners the way a float SUM could. Ties (several suppliers at the
-    same minimum cost) all surface, matching the SQL."""
+    item 4) and shuffle twice. Unit cost is the RAW per-row division —
+    IEEE-identical bits in both engines — aggregated with MIN (exact,
+    order-independent), so the equality filter cannot drop winners the
+    way a float SUM could, and the %.9g canonical compare is exact.
+    Rounding the quotient to 4 decimals (the original form) diverged
+    at sf0.1: decimal rounding of a binary double is engine-specific
+    at boundary digits (PLANS.md item 10). Ties (several suppliers at
+    the same minimum cost) all surface, matching the SQL."""
     from pyspark.sql import Window
 
     li = t(spark, sf_dir, "lineitem").select(
@@ -89,7 +92,7 @@ def q2_min_cost_supplier(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name")
     )
-    unit = F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4)
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
     eu_offer = (
         li.join(F.broadcast(eu_supp), li.l_suppkey == eu_supp.s_suppkey)
         .groupBy("l_partkey", "l_suppkey", "s_name")
