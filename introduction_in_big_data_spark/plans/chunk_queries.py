@@ -32,6 +32,7 @@ CHUNK_STRIDE = 24
         FROM st
     """,
     tags=("curation", "text", "explode"),
+    bench=True,
 )
 def doc_chunks(spark, sf_dir):
     """Sliding {size}/{stride} token windows per document (overlapping

@@ -686,3 +686,37 @@ def events_hourly(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "events_props_variant",
+    oracle="""
+        SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+               count(*) AS cnt,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS sum_k
+        FROM events
+        GROUP BY k_bucket
+    """,
+    tags=("json", "variant", "agg"),
+)
+def events_props_variant(spark, sf_dir):
+    """Semi-structured access via Spark 4's VARIANT type: props is
+    parsed ONCE into the binary variant encoding, then fields are read
+    with variant_get — the scale path for JSON-heavy tables, where
+    repeated get_json_object calls would re-parse the string per
+    access and per query. (events_json_extract keeps the classic
+    string-path form for comparison; a production table would persist
+    the variant column in parquet so the parse happens once at ingest,
+    not once per query.)"""
+    e = t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        e.select(k.alias("k_val"))
+        .groupBy((F.col("k_val") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("k_val").alias("sum_k"),
+        )
+    )

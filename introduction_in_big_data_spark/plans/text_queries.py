@@ -380,6 +380,7 @@ def token_shard_stats(spark, sf_dir):
         ) WHERE rn <= 3
     """,
     tags=("text", "agg", "window", "topk"),
+    bench=True,
 )
 def tfidf_top_terms_q(spark, sf_dir):
     """Top-3 TF-IDF terms per document. See
