@@ -95,3 +95,54 @@ def session_stats(
         F.round(F.avg("dur_s"), 4).alias("avg_session_sec"),
         F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
     )
+
+
+def funnel_stage_times(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the earliest time of
+    stage k that occurs STRICTLY AFTER their stage k-1 time (classic
+    view→click→purchase conversion). Returns one row per user with a
+    nullable `t_<stage>` column per stage; a null means the funnel
+    broke there.
+
+    Scale shape: stage 0 is a filtered min-aggregate keyed by user;
+    each later stage is the same aggregate over that stage's events
+    joined to the accumulated per-user frame — every stage is one
+    shuffle on the user key and the per-user frame (≤1 row per user)
+    only shrinks relative to the event stream. The join stays on the
+    same key every time, so at scale consecutive stages reuse the
+    partitioning (no reshuffles of the big side beyond its own
+    aggregate). len(stages) is small and fixed — the loop builds a
+    static plan, not an iteration.
+
+    Timestamps are compared as integer microseconds (`unix_micros`) —
+    exact, timezone-free, and identical in any engine.
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    us = F.unix_micros(F.col(ts_col))
+    typed = events.select(
+        F.col(user_col).alias("user"),
+        F.col(type_col).alias("etype"),
+        us.alias("t_us"),
+    )
+    acc = (
+        typed.filter(F.col("etype") == stages[0])
+        .groupBy("user")
+        .agg(F.min("t_us").alias(f"t_{stages[0]}"))
+    )
+    for prev, cur in zip(stages, stages[1:]):
+        nxt = (
+            typed.filter(F.col("etype") == cur)
+            .join(acc.select("user", f"t_{prev}"), "user")
+            .filter(F.col("t_us") > F.col(f"t_{prev}"))
+            .groupBy("user")
+            .agg(F.min("t_us").alias(f"t_{cur}"))
+        )
+        acc = acc.join(nxt, "user", "left")
+    return acc

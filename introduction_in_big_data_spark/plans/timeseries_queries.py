@@ -172,3 +172,41 @@ def interval_event_counts(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+        WITH e AS (
+            SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t_us
+            FROM events
+        ),
+        s0 AS (SELECT u, min(t_us) AS t_view FROM e
+               WHERE et = 'view' GROUP BY u),
+        s1 AS (SELECT e.u, min(t_us) AS t_click FROM e
+               JOIN s0 ON e.u = s0.u
+               WHERE et = 'click' AND t_us > t_view GROUP BY e.u),
+        s2 AS (SELECT e.u, min(t_us) AS t_purchase FROM e
+               JOIN s1 ON e.u = s1.u
+               WHERE et = 'purchase' AND t_us > t_click GROUP BY e.u)
+        SELECT s0.u AS user, t_view, t_click, t_purchase
+        FROM s0 LEFT JOIN s1 ON s0.u = s1.u LEFT JOIN s2 ON s0.u = s2.u
+    """,
+    tags=("timeseries", "funnel", "agg", "join"),
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered conversion funnel over the events table: per user, the
+    earliest view time, earliest click strictly after it, and earliest
+    purchase strictly after that (nullable where the funnel breaks) —
+    every per-user microsecond timestamp is hash-checked, so the
+    strict-ordering semantics are pinned row by row (a count-only
+    output would pass even with ordering bugs when every user
+    eventually converts). See operators/timeseries.funnel_stage_times;
+    broken-funnel cases are unit-tested on a hand fixture in
+    tests/test_rangejoin.py."""
+    from ..operators.timeseries import funnel_stage_times
+
+    e = t(spark, sf_dir, "events")
+    return funnel_stage_times(
+        e, "user_id", "event_type", "ts", ["view", "click", "purchase"]
+    )

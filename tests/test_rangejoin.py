@@ -55,3 +55,43 @@ def test_no_duplicate_pairs(spark):
     out = point_in_interval_join(pts, ivls, "sec", "lo", "hi", bucket_width=10)
     pairs = _pairs(out)
     assert len(pairs) == len(set(pairs))
+
+
+def test_funnel_strict_ordering(spark):
+    from introduction_in_big_data_spark.operators.timeseries import (
+        funnel_stage_times,
+    )
+
+    rows = [
+        # u1: clean conversion view(10) < click(20) < purchase(30)
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # u2: click BEFORE view only -> funnel breaks at click
+        (2, "click", 5), (2, "view", 10), (2, "purchase", 30),
+        # u3: purchase before the qualifying click -> breaks at purchase
+        (3, "view", 10), (3, "click", 20), (3, "purchase", 15),
+        # u4: never viewed -> absent from output
+        (4, "click", 5), (4, "purchase", 8),
+        # u5: earliest click is pre-view, later click qualifies
+        (5, "click", 1), (5, "view", 10), (5, "click", 40),
+        (5, "purchase", 50),
+        # u6: simultaneous view/click -> strict > rejects the click
+        (6, "view", 10), (6, "click", 10),
+    ]
+    df = spark.createDataFrame(
+        [(u, t_, ts * 1_000_000) for u, t_, ts in rows],
+        "user_id long, event_type string, us long",
+    ).withColumn("ts", F.timestamp_micros("us"))
+    out = {
+        r["user"]: (r["t_view"], r["t_click"], r["t_purchase"])
+        for r in funnel_stage_times(
+            df, "user_id", "event_type", "ts", ["view", "click", "purchase"]
+        ).collect()
+    }
+    M = 1_000_000
+    assert out == {
+        1: (10 * M, 20 * M, 30 * M),
+        2: (10 * M, None, None),
+        3: (10 * M, 20 * M, None),
+        5: (10 * M, 40 * M, 50 * M),
+        6: (10 * M, None, None),
+    }
