@@ -720,3 +720,36 @@ def events_props_variant(spark, sf_dir):
             F.sum("k_val").alias("sum_k"),
         )
     )
+
+
+@register(
+    "events_sliding_1h_30m",
+    oracle="""
+        SELECT (epoch_us(ts) // 1800000000 - i) * 1800 AS window_epoch,
+               event_type,
+               count(*) AS cnt
+        FROM events, unnest([0, 1]) AS u(i)
+        GROUP BY window_epoch, event_type
+    """,
+    tags=("time", "window", "sliding", "agg"),
+)
+def events_sliding_1h_30m(spark, sf_dir):
+    """Sliding event-time windows in batch: 1-hour windows every 30
+    minutes, so each event lands in exactly 2 overlapping buckets.
+    Spark's F.window(slideDuration=...) expands the buckets inside the
+    scan projection (a Generate of window/duration structs) before one
+    hash aggregate — same shape as the oracle's explicit 2-element
+    unnest. Window starts are emitted as epoch seconds (timezone-free);
+    the streaming twin uses identical semantics via the same F.window
+    expression."""
+    e = t(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_epoch"),
+            "event_type",
+            "cnt",
+        )
+    )

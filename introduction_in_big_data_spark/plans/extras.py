@@ -252,3 +252,43 @@ def full_outer_nation_balance(spark, sf_dir):
         cs.join(ss, "n_nationkey", "full_outer")
         .na.fill({"cust_bal": 0.0, "supp_bal": 0.0})
     )
+
+
+@register(
+    "dq_customer_report",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN c_name IS NOT NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) AS name_not_null,
+               CAST(sum(CASE WHEN c_acctbal BETWEEN -1000 AND 10000 THEN 0
+                             ELSE 1 END) AS BIGINT) AS acctbal_in_band,
+               CAST(sum(CASE WHEN c_mktsegment IN
+                        ('BUILDING','AUTOMOBILE','MACHINERY','HOUSEHOLD',
+                         'FURNITURE') THEN 0 ELSE 1 END) AS BIGINT)
+                   AS segment_known,
+               CAST(sum(CASE WHEN c_custkey >= 0 THEN 0 ELSE 1 END)
+                    AS BIGINT) AS key_nonneg
+        FROM customer
+    """,
+    tags=("quality", "agg"),
+)
+def dq_customer_report(spark, sf_dir):
+    """Data-quality expectations in ONE scan: four row-local rules fold
+    into a single conditional aggregate (adding a rule adds a counter,
+    never a pass over the 100 TB table). The engine-level replacement
+    for the reference's unenforced MySQL constraints (SURVEY.md §1.3);
+    FK integrity has its own anti-join check (fk_orphan_counts), key
+    uniqueness its own distinct (operators/quality.duplicate_key_count
+    — a shuffle, deliberately opt-in)."""
+    from ..operators.quality import expect_report
+
+    c = t(spark, sf_dir, "customer")
+    return expect_report(
+        c,
+        name_not_null=F.col("c_name").isNotNull(),
+        acctbal_in_band=F.col("c_acctbal").between(-1000, 10000),
+        segment_known=F.col("c_mktsegment").isin(
+            "BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"
+        ),
+        key_nonneg=F.col("c_custkey") >= 0,
+    )

@@ -72,3 +72,27 @@ def test_sharded_write_target_files_with_partitioning(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == li.count()
     assert set(back.columns) == {"l_orderkey", "l_quantity", "l_returnflag"}
+
+
+def test_expect_report_counts_violations(spark):
+    from introduction_in_big_data_spark.operators.quality import (
+        duplicate_key_count,
+        expect_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5.0),
+            (2, None, 50.0),     # name null
+            (3, "c", -7.0),      # below band
+            (3, "d", None),      # dup key + null balance (counts as violation)
+        ],
+        "k long, name string, bal double",
+    )
+    r = expect_report(
+        df,
+        name_not_null=F.col("name").isNotNull(),
+        bal_in_band=F.col("bal").between(0, 10),
+    ).first()
+    assert (r["n_rows"], r["name_not_null"], r["bal_in_band"]) == (4, 1, 3)
+    assert duplicate_key_count(df, "k").first()["n_duplicate_rows"] == 1
