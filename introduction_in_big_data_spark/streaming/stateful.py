@@ -59,3 +59,51 @@ def running_user_stats(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_user_stats_tws(events_stream: DataFrame) -> DataFrame:
+    """The same cumulative counter on Spark 4's transformWithState API
+    (StatefulProcessor + typed ValueState) — the successor to
+    applyInPandasWithState: named state variables instead of one opaque
+    tuple, per-variable TTL, timers, and state-schema evolution across
+    restarts. Kept semantically identical to running_user_stats so the
+    parity test pins both APIs to the same batch result.
+
+    Environment note: executing this requires google.protobuf (the TWS
+    driver worker speaks protobuf to the JVM), absent from the test
+    container — the parity test import-skips there and the plan-build
+    smoke still runs; same gating policy as the JDBC writer."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n": [n],
+                    "total": [total],
+                    "mean": [total / n if n else 0.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events_stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _RunningStats(),
+            outputStructType=RUNNING_STATS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
