@@ -123,9 +123,72 @@ def decode_image(media: DataFrame, target_size: tuple[int, int] = (224, 224)) ->
     return media.mapInPandas(kernel, out_schema)
 
 
-def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:
-    """STUB — video frame sampling; same gating pattern as decode_image."""
-    raise NotImplementedError(
-        "video frame sampling requires a video library; the media schema "
-        "convention (binary content + typed meta struct) is the stable part"
-    )
+THUMB_PIXELS = 16  # fake-decoder thumbnail size (evenly sampled bytes)
+THUMB_SCHEMA = "media_id long, px_idx int, byte_val int"
+
+
+def byte_thumbnail(media: DataFrame, n_pixels: int = THUMB_PIXELS) -> DataFrame:
+    """Deterministic stand-in for decode_image's decode+resize: sample
+    n_pixels bytes at evenly spaced offsets floor(j·len/n) from each
+    blob and emit them as (media_id, px_idx, byte_val) rows — a
+    "thumbnail" whose pixel values are exactly checkable without an
+    imaging library. Same production plumbing as the gated real kernel:
+    mapInPandas over Arrow batches, per-row work only, zero shuffles.
+    Empty/null blobs produce no rows (nothing to decode)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, vals = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if not blob:
+                    continue
+                n = len(blob)
+                for j in range(n_pixels):
+                    ids.append(mid)
+                    idxs.append(j)
+                    vals.append(blob[j * n // n_pixels])
+            yield pd.DataFrame({"media_id": ids, "px_idx": idxs, "byte_val": vals})
+
+    return media.mapInPandas(kernel, THUMB_SCHEMA)
+
+
+FRAME_BYTES = 256  # fake-codec frame size; a real codec yields variable frames
+FRAME_SCHEMA = "media_id long, frame_idx int, n_bytes int, frame_md5 string"
+
+
+def frame_sample(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Video frame sampling with a DETERMINISTIC FAKE codec: the binary
+    content is treated as a stream of fixed FRAME_BYTES-byte frames and
+    every_n-th frame is emitted with its byte length and md5. The real
+    pipeline would swap the chunker for an actual demuxer (gated like
+    decode_image); everything Spark-side is the production shape and
+    runs for real — mapInPandas over Arrow batches, one output row per
+    sampled frame, no shuffle (frame extraction is per-blob), schema
+    fixed by FRAME_SCHEMA.
+
+    Sampling keeps frames 0, every_n, 2·every_n, … of each blob's
+    frame sequence; a trailing partial frame is a frame."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, hashes = [], [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if blob is None:
+                    continue
+                n_frames = (len(blob) + FRAME_BYTES - 1) // FRAME_BYTES
+                for fi in range(0, n_frames, every_n):
+                    chunk = blob[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
+                    ids.append(mid)
+                    idxs.append(fi)
+                    sizes.append(len(chunk))
+                    hashes.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "n_bytes": sizes,
+                    "frame_md5": hashes,
+                }
+            )
+
+    return media.mapInPandas(kernel, FRAME_SCHEMA)

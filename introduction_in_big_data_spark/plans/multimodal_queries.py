@@ -19,6 +19,7 @@ from .registry import register, t
         FROM documents
     """,
     tags=("multimodal", "udf"),
+    bench=True,
 )
 def multimodal_features(spark, sf_dir):
     """documents → binary media convention → mapInPandas feature
@@ -27,3 +28,60 @@ def multimodal_features(spark, sf_dir):
     md5/n_bytes make the kernel output exactly verifiable."""
     media = multimodal.documents_as_media(t(spark, sf_dir, "documents"))
     return multimodal.extract_features(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+        WITH frames AS (
+            SELECT doc_id AS media_id,
+                   unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT), 4))
+                       AS fi,
+                   text
+            FROM documents
+            WHERE length(text) > 0
+        )
+        SELECT media_id,
+               CAST(fi AS INT) AS frame_idx,
+               CAST(length(substring(text, CAST(fi * 256 + 1 AS BIGINT), 256))
+                    AS INT) AS n_bytes,
+               md5(substring(text, CAST(fi * 256 + 1 AS BIGINT), 256))
+                   AS frame_md5
+        FROM frames
+    """,
+    tags=("multimodal", "udf"),
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling over the binary media convention: every 4th
+    256-byte frame of each blob with its md5 — the deterministic-fake
+    codec whose Spark plumbing (mapInPandas over Arrow batches, per-
+    blob row expansion, zero shuffles) is the production shape. The
+    oracle mirrors the chunking with substring arithmetic — documents
+    text is pure ASCII, so byte and character offsets coincide."""
+    from ..operators.multimodal import documents_as_media, frame_sample
+
+    media = documents_as_media(t(spark, sf_dir, "documents"))
+    return frame_sample(media, every_n=4)
+
+
+@register(
+    "multimodal_thumbnail",
+    oracle="""
+        SELECT doc_id AS media_id,
+               CAST(j AS INT) AS px_idx,
+               ascii(substring(text,
+                               CAST(j * length(text) // 16 AS BIGINT) + 1,
+                               1)) AS byte_val
+        FROM documents, unnest(range(0, 16)) AS u(j)
+        WHERE length(text) > 0
+    """,
+    tags=("multimodal", "udf"),
+)
+def multimodal_thumbnail(spark, sf_dir):
+    """Fake image decode: 16 bytes sampled at evenly spaced offsets of
+    each blob as (media_id, px_idx, byte_val) pixel rows — the gated
+    decode_image kernel's plumbing, running for real. The oracle
+    mirrors the sampling with substring/ascii — documents text is pure
+    ASCII, so character codes ARE the bytes."""
+    media = multimodal.documents_as_media(t(spark, sf_dir, "documents"))
+    return multimodal.byte_thumbnail(media, n_pixels=16)

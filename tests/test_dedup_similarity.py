@@ -89,8 +89,40 @@ def test_multimodal_decode_stub_gated(docs):
     media = multimodal.documents_as_media(docs.limit(5))
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(media)
-    with pytest.raises(NotImplementedError):
-        multimodal.frame_sample(media)
+
+
+def test_multimodal_byte_thumbnail_exact(spark):
+    """byte_thumbnail samples bytes at floor(j*len/n); empty blobs drop."""
+    blob = bytes(range(100, 132))  # 32 bytes
+    media = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, b""), (3, None)],
+        "media_id long, content binary",
+    )
+    got = {
+        (r["media_id"], r["px_idx"]): r["byte_val"]
+        for r in multimodal.byte_thumbnail(media, n_pixels=4).collect()
+    }
+    assert got == {(1, j): blob[j * 32 // 4] for j in range(4)}
+
+
+def test_multimodal_frame_sample_exact(spark):
+    """frame_sample's fake codec: every_n-th 256-byte frame, trailing
+    partial frame included, null blobs dropped."""
+    import hashlib
+
+    blob = bytes(range(256)) * 2 + b"tail"  # 2 full frames + 4-byte tail
+    media = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, None)],
+        "media_id long, content binary",
+    )
+    got = {
+        (r["media_id"], r["frame_idx"]): (r["n_bytes"], r["frame_md5"])
+        for r in multimodal.frame_sample(media, every_n=2).collect()
+    }
+    assert got == {
+        (1, 0): (256, hashlib.md5(blob[:256]).hexdigest()),
+        (1, 2): (4, hashlib.md5(blob[512:]).hexdigest()),
+    }
 
 
 def test_multimodal_feature_kernel_matches_jvm(docs):
