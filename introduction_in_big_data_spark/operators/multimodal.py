@@ -152,6 +152,44 @@ def byte_thumbnail(media: DataFrame, n_pixels: int = THUMB_PIXELS) -> DataFrame:
     return media.mapInPandas(kernel, THUMB_SCHEMA)
 
 
+WINDOW_BYTES = 256  # fake-DSP analysis window (a real pipeline uses PCM samples)
+ENERGY_SCHEMA = "media_id long, window_idx int, peak_byte int, byte_sum long"
+
+
+def audio_energy(media: DataFrame, window: int = WINDOW_BYTES) -> DataFrame:
+    """Audio-style windowed energy with a DETERMINISTIC FAKE DSP: the
+    blob is cut into fixed `window`-byte analysis windows and each
+    window reports its peak byte value and byte sum — stand-ins for
+    peak amplitude / energy over PCM samples. A real pipeline swaps the
+    byte reader for a PCM decoder (gated like decode_image); the Spark
+    side is the production shape: mapInPandas over Arrow batches, one
+    row per window, zero shuffles. Empty/null blobs emit nothing;
+    a trailing partial window is a window."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, peaks, sums = [], [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if not blob:
+                    continue
+                for wi in range(0, (len(blob) + window - 1) // window):
+                    chunk = blob[wi * window : (wi + 1) * window]
+                    ids.append(mid)
+                    idxs.append(wi)
+                    peaks.append(max(chunk))
+                    sums.append(sum(chunk))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "window_idx": idxs,
+                    "peak_byte": peaks,
+                    "byte_sum": sums,
+                }
+            )
+
+    return media.mapInPandas(kernel, ENERGY_SCHEMA)
+
+
 FRAME_BYTES = 256  # fake-codec frame size; a real codec yields variable frames
 FRAME_SCHEMA = "media_id long, frame_idx int, n_bytes int, frame_md5 string"
 

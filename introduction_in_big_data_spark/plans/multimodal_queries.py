@@ -85,3 +85,32 @@ def multimodal_thumbnail(spark, sf_dir):
     ASCII, so character codes ARE the bytes."""
     media = multimodal.documents_as_media(t(spark, sf_dir, "documents"))
     return multimodal.byte_thumbnail(media, n_pixels=16)
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id AS media_id,
+                   CAST((u.j - 1) // 256 AS INT) AS window_idx,
+                   ascii(substring(text, CAST(u.j AS BIGINT), 1)) AS v
+            FROM documents, unnest(range(1, length(text) + 1)) AS u(j)
+            WHERE length(text) > 0
+        )
+        SELECT media_id,
+               window_idx,
+               MAX(v) AS peak_byte,
+               CAST(SUM(v) AS BIGINT) AS byte_sum
+        FROM b
+        GROUP BY media_id, window_idx
+    """,
+    tags=("multimodal", "udf"),
+)
+def multimodal_audio_energy(spark, sf_dir):
+    """Windowed audio energy over the binary media convention: peak
+    byte + byte sum per 256-byte analysis window — the deterministic
+    fake DSP whose mapInPandas plumbing matches a real PCM feature
+    extractor. The oracle unnests character positions (documents text
+    is pure ASCII → codes are bytes) and re-aggregates per window."""
+    media = multimodal.documents_as_media(t(spark, sf_dir, "documents"))
+    return multimodal.audio_energy(media, window=256)

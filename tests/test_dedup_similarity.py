@@ -105,6 +105,19 @@ def test_multimodal_byte_thumbnail_exact(spark):
     assert got == {(1, j): blob[j * 32 // 4] for j in range(4)}
 
 
+def test_multimodal_audio_energy_exact(spark):
+    """audio_energy: peak/sum per fixed window, partial tail window kept."""
+    blob = bytes([10] * 256 + [1, 200, 3])  # full window + 3-byte tail
+    media = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, b"")], "media_id long, content binary"
+    )
+    got = {
+        (r["media_id"], r["window_idx"]): (r["peak_byte"], r["byte_sum"])
+        for r in multimodal.audio_energy(media, window=256).collect()
+    }
+    assert got == {(1, 0): (10, 2560), (1, 1): (200, 204)}
+
+
 def test_multimodal_frame_sample_exact(spark):
     """frame_sample's fake codec: every_n-th 256-byte frame, trailing
     partial frame included, null blobs dropped."""
