@@ -182,3 +182,47 @@ def lsh_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim", "rn")
     )
+
+
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale path for embedding-cosine near-dup (SemDeDup-style): LSH
+    band buckets generate candidate pairs via an equi-join on
+    (band, key) — per-bucket work instead of the exact variant's O(n²)
+    cross join — then exact cosine keeps pairs >= threshold. Output is
+    a subset of `embedding_near_dup`'s exact pairs with identical sim
+    values (same fold order, same rounding); recall rises with sim and
+    with n_bands. Candidate dedup happens BEFORE the cosine so each
+    surviving pair pays the dot product once."""
+    banded = with_lsh_bands(with_norm(emb), dim, n_planes, n_bands, seed).select(
+        F.col(id_col), F.col("_v"), F.col("_norm"), F.explode("bands").alias("bk")
+    )
+    a = banded.select(
+        F.col(id_col).alias("vec_a"),
+        F.col("_v").alias("va"),
+        F.col("_norm").alias("na"),
+        "bk",
+    )
+    b = banded.select(
+        F.col(id_col).alias("vec_b"),
+        F.col("_v").alias("vb"),
+        F.col("_norm").alias("nb"),
+        "bk",
+    )
+    cands = (
+        a.join(b, "bk")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return cands.select(
+        "vec_a",
+        "vec_b",
+        cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("sim"),
+    ).filter(F.col("sim") >= threshold)

@@ -93,3 +93,18 @@ def ann_lsh_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return similarity.lsh_topk(emb, queries, TOPK, DIM)
+
+
+@register(
+    "embedding_near_dup_lsh",
+    tags=("similarity", "dedup", "ann"),
+)
+def embedding_near_dup_lsh(spark, sf_dir):
+    """LSH-banded near-dup pairs (sim >= 0.4) — the scale path for
+    `embedding_near_dup`: band-bucket equi-join candidates, exact
+    cosine re-check. Rows-only for the driver (bucket membership is
+    not SQL-expressible); tests/test_dedup_similarity.py proves the
+    output is a subset of the exact pairs with identical sims and
+    bounds its recall."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.lsh_near_dup_pairs(emb, threshold=0.4, dim=DIM)

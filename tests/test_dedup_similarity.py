@@ -225,3 +225,34 @@ def test_jaccard_prefix_equals_naive_on_documents(docs):
         ).collect()
     }
     assert prefix == naive and len(naive) > 0
+
+
+def test_lsh_near_dup_subset_and_recall(emb):
+    """LSH-banded near-dup pairs ⊆ exact pairs with identical sims;
+    recall over the threshold-0.4 set must show real signal (random
+    embeddings are hyperplane LSH's worst case)."""
+    exact_df = (
+        similarity.with_norm(emb)
+        .select("vec_id", "_v", "_norm")
+        .alias("a")
+        .crossJoin(similarity.with_norm(emb).select("vec_id", "_v", "_norm").alias("b"))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            similarity.cosine(
+                F.col("a._v"), F.col("b._v"), F.col("a._norm"), F.col("b._norm")
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.4)
+    )
+    exact = {(r["vec_a"], r["vec_b"]): r["sim"] for r in exact_df.collect()}
+    approx = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in similarity.lsh_near_dup_pairs(emb, threshold=0.4, dim=64).collect()
+    }
+    assert exact, "fixture should contain pairs above threshold"
+    for pair, sim in approx.items():
+        assert exact[pair] == sim  # subset, bitwise-identical sims
+    recall = len(approx) / len(exact)
+    assert recall >= 0.2, f"LSH near-dup recall = {recall}"
