@@ -163,3 +163,44 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
     )
     return df.withColumns({**counts, "redacted": redacted})
+
+
+def funnel_report(
+    docs: DataFrame,
+    quality_threshold: float = 0.5,
+    lang: str = "en",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end curation funnel accounting in ONE corpus scan:
+    per-source doc counts surviving (1) language ID, (2) quality
+    threshold, (3) exact dedup (normalized-md5 canonical, min id wins
+    among surviving docs), plus the kept token budget. Per-doc flags
+    are pure column expressions evaluated inline in the scan stage;
+    the only shuffles are the dedup window (fp) and the per-source
+    aggregate — a 100 TB curation run reports every stage without
+    re-scanning per stage."""
+    from pyspark.sql import Window
+
+    from . import text as textops
+
+    c = F.col(text_col)
+    scored = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(source_col).alias("source"),
+        F.size(F.regexp_extract_all(c, F.lit(r"\S+"), 0)).alias("n_tokens"),
+        (textops.language_id(c) == lang).alias("lang_ok"),
+        (textops.quality_score(c) >= quality_threshold).alias("quality_ok"),
+        textops.fingerprint(c).alias("fp"),
+    ).withColumn("passed", F.col("lang_ok") & F.col("quality_ok"))
+    w = Window.partitionBy("fp", "passed").orderBy("_id")
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    kept = F.col("passed") & (F.col("rn") == 1)
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_raw"),
+        F.sum(F.col("lang_ok").cast("long")).alias("n_lang"),
+        F.sum(F.col("passed").cast("long")).alias("n_quality"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(F.lit(0))).alias("tokens_kept"),
+    )

@@ -199,3 +199,61 @@ def domain_stats(spark, sf_dir):
     return curation.domain_report(
         planted, "url", token_count(F.col("text")), blocklist=BLOCKED_DOMAINS
     )
+
+
+@register(
+    "curation_funnel",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, source, text,
+                   regexp_extract_all(lower(text), '\\S+') AS tl,
+                   regexp_extract_all(text, '\\S+') AS toks
+            FROM documents
+        ), feat AS (
+            SELECT doc_id, source,
+                   len(toks) AS n_tokens,
+                   len(list_filter(tl, x -> x IN ('the','and','of','to','is')))      AS s_en,
+                   len(list_filter(tl, x -> x IN ('der','die','und','nicht','ist'))) AS s_de,
+                   len(list_filter(tl, x -> x IN ('el','la','que','de','es')))       AS s_es,
+                   len(list_filter(tl, x -> x IN ('le','la','et','les','est')))      AS s_fr,
+                   greatest(len(toks), 1) AS n,
+                   len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS stop,
+                   len(list_distinct(toks)) AS ttr,
+                   CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END AS len_ok,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM base
+        ), flags AS (
+            SELECT doc_id, source, n_tokens, fp,
+                   (s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0)
+                       AS lang_ok,
+                   (round(0.4 * len_ok
+                        + 0.3 * least(1.0, stop * 5.0 / n)
+                        + 0.3 * (ttr * 1.0 / n), 4) >= 0.5) AS quality_ok
+            FROM feat
+        ), ranked AS (
+            SELECT doc_id, source, n_tokens, lang_ok,
+                   (lang_ok AND quality_ok) AS passed,
+                   row_number() OVER (PARTITION BY fp, (lang_ok AND quality_ok)
+                                      ORDER BY doc_id) AS rn
+            FROM flags
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_raw,
+               CAST(SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+               CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+               CAST(SUM(CASE WHEN passed AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(SUM(CASE WHEN passed AND rn = 1 THEN n_tokens ELSE 0 END)
+                    AS BIGINT) AS tokens_kept
+        FROM ranked
+        GROUP BY source
+    """,
+    tags=("curation", "text"),
+)
+def curation_funnel(spark, sf_dir):
+    """End-to-end curation funnel in ONE corpus scan: per-source doc
+    counts surviving language ID ('en' argmax), quality threshold
+    (>= 0.5), and exact dedup (md5-of-normalized-text canonical, min
+    doc_id wins), plus the token budget of the kept set. See
+    operators/curation.funnel_report for the plan shape."""
+    return curation.funnel_report(t(spark, sf_dir, "documents"))

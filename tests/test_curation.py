@@ -92,3 +92,31 @@ def test_decontaminate_benchmark_side_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_report_stages(spark):
+    """Each funnel stage drops exactly the engineered doc: German fails
+    language ID, the 5-token doc fails quality, the case/whitespace
+    duplicate fails dedup (min doc_id canonical), and tokens_kept
+    counts only survivors."""
+    from introduction_in_big_data_spark.operators.curation import funnel_report
+
+    good = (
+        "the cat and dog of house to garden is bright alpha beta gamma "
+        "delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    )  # 24 tokens, 5 'en' markers, all distinct -> quality 1.0
+    dup = good.replace("the cat", "The  CAT")  # same normalized fingerprint
+    rows = [
+        (1, good, "sA"),
+        (2, dup, "sA"),
+        (3, "der die und nicht ist der die und nicht ist", "sA"),
+        (4, "the the the the the", "sB"),  # en but quality 0.36 < 0.5
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["source"]: (
+            r["n_raw"], r["n_lang"], r["n_quality"], r["n_kept"], r["tokens_kept"]
+        )
+        for r in funnel_report(docs).collect()
+    }
+    assert got == {"sA": (3, 2, 2, 1, 24), "sB": (1, 1, 0, 0, 0)}
