@@ -34,13 +34,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-        # ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs, then rebuild
-        # a microsecond TimestampType with exact integer division (`div`,
-        # not `/`: ~1.7e18 ns exceeds double's 2^53 integer range).
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) across driver
+        # testdata generations. Normalize every variant to a TIMESTAMP
+        # (LTZ) whose epoch equals the file's wall time read as UTC —
+        # session-timezone-independently — so downstream epoch
+        # arithmetic (unix_timestamp div 3600 buckets), watermarks
+        # (which REQUIRE TimestampType, not NTZ), and the DuckDB
+        # oracles (naive-as-UTC) all agree:
+        #  - NANOS: Spark 4 rejects it ([PARQUET_TYPE_ILLEGAL]) unless
+        #    nanosAsLong maps it to raw longs; rebuild with exact
+        #    integer division (`div`, not `/`: ~1.7e18 ns exceeds
+        #    double's 2^53 integer range).
+        #  - MICROS-NTZ: cast NTZ → string (timezone-free wall
+        #    rendering) + explicit 'Z' suffix → TIMESTAMP. The literal
+        #    zone makes the parse session-tz-independent, unlike a
+        #    bare NTZ→LTZ cast or to_utc_timestamp, which both consult
+        #    the session timezone.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # nanos-as-long file
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn(
+                "ts", F.expr("cast(concat(cast(ts as string), 'Z') as timestamp)")
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -39,7 +39,10 @@ def stage_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 5) -> str:
     Deterministic content per file via range-partitioning on event_id;
     idempotent per (sf_dir, n_files)."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = os.path.join(STAGE_ROOT, f"{tag}_{n_files}")
+    # "v2": ts normalized to TIMESTAMP (LTZ) in sources/tables — the
+    # version suffix keeps stale stage dirs written under an older
+    # events schema from being reused across engine versions
+    out = os.path.join(STAGE_ROOT, f"{tag}_{n_files}_v2")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         from ..sources.tables import load_table
 
@@ -139,8 +142,12 @@ def enrich_with_static(
     pass broadcast=False for a dimension too large to fit an executor,
     which shuffles each micro-batch instead.
 
-    `on` is [(stream_col, static_col), ...].
+    `on` is [(stream_col, static_col), ...] and must be non-empty — an
+    empty key list would silently degenerate into an unconstrained
+    cartesian join of the stream with the dimension.
     """
+    if not on:
+        raise ValueError("on must be non-empty: [(stream_col, static_col), ...]")
     dim = F.broadcast(static_dim) if broadcast else static_dim
     cond = None
     for s_col, d_col in on:
