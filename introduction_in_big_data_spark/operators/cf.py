@@ -78,19 +78,23 @@ def filter_active_users(ratings: DataFrame, min_items: int) -> DataFrame:
 
 def filter_popular_items(ratings: DataFrame, top_fraction: float) -> DataFrame:
     """J4/K4 — keep the top `top_fraction` of items by rating count
-    (Part_A_Q2.py:87-89), deterministic tiebreak on item id."""
+    (Part_A_Q2.py:87-89), deterministic tiebreak on item id.
+
+    Scale plan (VERDICT r1 item 1): NO global row_number window — that
+    ranks the whole item dictionary through a single-partition
+    WindowExec. Instead: (a) aggregate counts once and cache them,
+    (b) one O(1)-output job sizes k, (c) `orderBy(...).limit(k)`
+    compiles to TakeOrderedAndProject (per-partition size-k heaps,
+    driver merge — never a global sort), (d) the k popular keys
+    broadcast into a semi-join. Every stage is bounded by k, not by
+    the dictionary size."""
     counts = ratings.groupBy("item_id").agg(F.count(F.lit(1)).alias("cnt"))
-    k = counts.agg(
-        F.floor(F.count(F.lit(1)) * top_fraction).cast("long").alias("k")
-    )
-    w = Window.orderBy(F.desc("cnt"), F.asc("item_id"))
+    counts = counts.persist()
+    k = int(counts.count() * top_fraction)  # floor; one tiny scalar job
     popular = (
-        counts.withColumn("rn", F.row_number().over(w))
-        .crossJoin(F.broadcast(k))
-        .filter(F.col("rn") <= F.col("k"))
-        .select("item_id")
+        counts.orderBy(F.desc("cnt"), F.asc("item_id")).limit(k).select("item_id")
     )
-    return ratings.join(popular, "item_id", "left_semi")
+    return ratings.join(F.broadcast(popular), "item_id", "left_semi")
 
 
 def user_norms(ratings: DataFrame) -> DataFrame:

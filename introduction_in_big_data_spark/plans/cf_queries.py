@@ -110,13 +110,17 @@ def cf_ratings(spark, sf_dir):
     "cf_knn",
     oracle=_RATINGS_CTE + _SIMS_CTE + "SELECT user_id, neighbor_id, sim, rn FROM knn",
     tags=("cf", "join", "window"),
-    bench=True,
 )
 def cf_knn(spark, sf_dir):
     """All-pairs cosine similarity (sparse item self-join, J5) + k-NN
     window (K5). The quadratic danger zone of the whole engine — see
     operators/cf.py's scale analysis for why the co-rating join form
-    scales where np.corrcoef cannot."""
+    scales where np.corrcoef cannot.
+
+    Oracle BASELINE only (VERDICT r1 item 3): the bench-headline /
+    default CF path is `cf_knn_pruned`, whose surviving similarities
+    are bit-identical; this exact form stays registered so the driver
+    keeps hash-checking the full all-pairs semantics."""
     ratings = _pipeline(spark, sf_dir)
     sims = cf.user_cosine_similarities(ratings)
     return cf.knn_neighbors(sims, K_NEIGHBORS)

@@ -335,18 +335,19 @@ def active_customers(spark, sf_dir):
 def top5pct_parts(spark, sf_dir):
     """Top-5%-by-count keys (J4/K4, Part_A_Q2.py:87-89): count per part,
     take the top 5% of distinct parts by count (deterministic tiebreak
-    on key). The 5% threshold is computed as an aggregate and broadcast
-    — no driver round-trip."""
-    li = t(spark, sf_dir, "lineitem")
-    counts = relational.group_count(li, ["l_partkey"], out="cnt")
-    k = counts.agg((F.floor(F.count(F.lit(1)) * 0.05)).cast("long").alias("k"))
-    from pyspark.sql import Window
+    on key).
 
-    w = Window.orderBy(F.desc("cnt"), F.asc("l_partkey"))
-    ranked = counts.withColumn("rn", F.row_number().over(w))
+    Scale plan (VERDICT r1 item 1): no global row_number window — a
+    tiny scalar job sizes k = floor(0.05 * |parts|), then
+    `orderBy(...).limit(k)` compiles to TakeOrderedAndProject
+    (per-partition size-k heaps + driver merge). Nothing ever sorts
+    the part dictionary on one executor."""
+    li = t(spark, sf_dir, "lineitem")
+    counts = relational.group_count(li, ["l_partkey"], out="cnt").persist()
+    k = int(counts.count() * 0.05)  # floor
     return (
-        ranked.crossJoin(F.broadcast(k))
-        .filter(F.col("rn") <= F.col("k"))
+        counts.orderBy(F.desc("cnt"), F.asc("l_partkey"))
+        .limit(k)
         .select("l_partkey", "cnt")
     )
 

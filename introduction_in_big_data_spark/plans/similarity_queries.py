@@ -98,10 +98,13 @@ def ann_lsh_topk(spark, sf_dir):
 @register(
     "embedding_near_dup_lsh",
     tags=("similarity", "dedup", "ann"),
+    bench=True,
 )
 def embedding_near_dup_lsh(spark, sf_dir):
-    """LSH-banded near-dup pairs (sim >= 0.4) — the scale path for
-    `embedding_near_dup`: band-bucket equi-join candidates, exact
+    """LSH-banded near-dup pairs (sim >= 0.4) — the DEFAULT near-dup
+    entry point and bench headline (VERDICT r1 item 3); the exact
+    O(n²) `embedding_near_dup` crossJoin stays registered as the
+    oracle-only baseline. Band-bucket equi-join candidates, exact
     cosine re-check. Rows-only for the driver (bucket membership is
     not SQL-expressible); tests/test_dedup_similarity.py proves the
     output is a subset of the exact pairs with identical sims and
