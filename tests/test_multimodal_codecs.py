@@ -1,0 +1,127 @@
+"""Golden-byte tests for the stdlib media codecs (functions/codecs.py)
+— decoders are checked against HAND-WRITTEN container bytes, not just
+our own encoder's output, so encoder and decoder cannot share a bug.
+The Spark-side round trips are covered by the oracle-checked
+multimodal_bmp_stats / multimodal_wav_energy queries."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from introduction_in_big_data_spark.functions import codecs
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+# 2x2 24-bit BMP, gray pixels top-down [[10, 20], [30, 40]]:
+# stored bottom-up, row stride padded 6 -> 8 bytes.
+GOLDEN_BMP = (
+    b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+    + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16, 2835, 2835, 0, 0)
+    + bytes([30, 30, 30, 40, 40, 40, 0, 0])  # bottom row first
+    + bytes([10, 10, 10, 20, 20, 20, 0, 0])
+)
+
+
+def test_decode_bmp_golden_bytes():
+    w, h, rows = codecs.decode_bmp(GOLDEN_BMP)
+    assert (w, h) == (2, 2)
+    assert rows == [[(10, 10, 10), (20, 20, 20)], [(30, 30, 30), (40, 40, 40)]]
+
+
+def test_encode_bmp_matches_golden():
+    assert codecs.encode_bmp(2, 2, [[10, 20], [30, 40]]) == GOLDEN_BMP
+
+
+def test_decode_bmp_top_down_storage():
+    # negative height = top-down row order; decoder must NOT flip
+    blob = (
+        b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 24, 0, 16, 0, 0, 0, 0)
+        + bytes([10, 10, 10, 20, 20, 20, 0, 0])  # top row first
+        + bytes([30, 30, 30, 40, 40, 40, 0, 0])
+    )
+    _, _, rows = codecs.decode_bmp(blob)
+    assert rows[0][0] == (10, 10, 10) and rows[1][1] == (40, 40, 40)
+
+
+def test_decode_bmp_rejects_non_bmp():
+    with pytest.raises(ValueError):
+        codecs.decode_bmp(b"PNG....not-a-bmp....." + b"\x00" * 60)
+
+
+def test_bmp_roundtrip_odd_width_padding():
+    # width 3 -> row stride 12 (9 + 3 pad): padding arithmetic exercised
+    rows = [[1, 2, 3], [4, 5, 6]]
+    w, h, out = codecs.decode_bmp(codecs.encode_bmp(3, 2, rows))
+    assert (w, h) == (3, 2)
+    assert [[px[0] for px in row] for row in out] == rows
+
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+
+GOLDEN_SAMPLES = [0, 1000, -1000, 32767, -32768]
+GOLDEN_WAV = (
+    b"RIFF" + struct.pack("<I", 4 + 8 + 16 + 8 + 10) + b"WAVE"
+    + b"fmt " + struct.pack("<I", 16)
+    + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    + b"data" + struct.pack("<I", 10)
+    + struct.pack("<5h", *GOLDEN_SAMPLES)
+)
+
+
+def test_decode_wav_golden_bytes():
+    rate, samples = codecs.decode_wav(GOLDEN_WAV)
+    assert rate == 8000
+    assert samples == GOLDEN_SAMPLES
+
+
+def test_encode_wav_matches_golden():
+    assert codecs.encode_wav(GOLDEN_SAMPLES, 8000) == GOLDEN_WAV
+
+
+def test_decode_wav_walks_unknown_chunks():
+    # a LIST chunk (odd length -> word-aligned pad) before fmt/data
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    body = (
+        extra
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16)
+        + b"data" + struct.pack("<I", 4) + struct.pack("<2h", 7, -7)
+    )
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    rate, samples = codecs.decode_wav(blob)
+    assert rate == 44100 and samples == [7, -7]
+
+
+def test_decode_wav_rejects_stereo():
+    body = (
+        b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+        + b"data" + struct.pack("<I", 0)
+    )
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(ValueError):
+        codecs.decode_wav(blob)
+
+
+# ---------------------------------------------------------------------------
+# PPM
+# ---------------------------------------------------------------------------
+
+
+def test_decode_ppm_golden_bytes_with_comment():
+    blob = b"P6\n# a comment\n2 1\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+    w, h, rows = codecs.decode_ppm(blob)
+    assert (w, h) == (2, 1)
+    assert rows == [[(1, 2, 3), (4, 5, 6)]]
+
+
+def test_ppm_roundtrip():
+    rows = [[(9, 8, 7)], [(1, 2, 3)]]
+    assert codecs.decode_ppm(codecs.encode_ppm(1, 2, rows)) == (1, 2, rows)
