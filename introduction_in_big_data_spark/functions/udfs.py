@@ -32,20 +32,27 @@ from pyspark.sql.types import DoubleType
 @pandas_udf(DoubleType())
 def cosine_sim_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Vectorized cosine similarity between two array<float> columns.
-    Arrow hands each batch over as Series of numpy arrays; the kernel
-    is pure numpy per batch — no per-row Python. Null/zero-norm rows
-    yield None."""
+    Arrow hands each batch over as Series of numpy arrays; non-null
+    rows are stacked into 2-D (batch, dim) matrices and the whole
+    batch is one einsum + two norms — no per-row Python in the kernel.
+    Null and zero-norm rows yield None. Assumes equal-length vectors
+    within a batch (the embeddings table's fixed dim)."""
     import numpy as np
 
-    out = []
-    for x, y in zip(a, b):
-        if x is None or y is None:
-            out.append(None)
-            continue
-        xv, yv = np.asarray(x, dtype="float64"), np.asarray(y, dtype="float64")
-        nx, ny = np.linalg.norm(xv), np.linalg.norm(yv)
-        out.append(float(xv @ yv / (nx * ny)) if nx > 0 and ny > 0 else None)
-    return pd.Series(out, dtype="object")
+    mask = a.notna() & b.notna()
+    out = pd.Series([None] * len(a), dtype="object")
+    if mask.any():
+        xm = np.stack(a[mask].to_numpy()).astype("float64")
+        ym = np.stack(b[mask].to_numpy()).astype("float64")
+        dots = np.einsum("ij,ij->i", xm, ym)
+        nx = np.linalg.norm(xm, axis=1)
+        ny = np.linalg.norm(ym, axis=1)
+        ok = (nx > 0) & (ny > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = dots / (nx * ny)
+        vals = [float(s) if k else None for s, k in zip(sims, ok)]
+        out[mask] = vals
+    return out
 
 
 @pandas_udf(DoubleType())

@@ -144,10 +144,15 @@ def domain_report(
 
 
 def redaction_counts(text_col: Column) -> dict[str, Column]:
-    """Per-row count of each PII pattern in the text."""
+    """Per-row count of each PII pattern, mirroring redaction order:
+    emails are counted on the raw text, phones on the email-redacted
+    intermediate — so a phone-shaped substring inside an email local
+    part (e.g. '555-123-4567@x.com') is neither counted nor tagged,
+    and the counts always agree with the tags in the redacted output."""
+    emails_gone = F.regexp_replace(text_col, EMAIL_RE, "<EMAIL>")
     return {
         "n_emails": F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_RE), 0)),
-        "n_phones": F.size(F.regexp_extract_all(text_col, F.lit(PHONE_RE), 0)),
+        "n_phones": F.size(F.regexp_extract_all(emails_gone, F.lit(PHONE_RE), 0)),
     }
 
 
@@ -156,7 +161,8 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     record per-row match counts. Pure per-row column expressions — at
     100 TB this runs inside WholeStageCodegen over the scan, no
     shuffle, no UDF. Emails are redacted before phones so a digit-y
-    local part can't double-count."""
+    local part can't double-count; phone COUNTS are likewise taken on
+    the email-redacted intermediate so counts == tags emitted."""
     c = F.col(text_col)
     counts = redaction_counts(c)
     redacted = F.regexp_replace(

@@ -46,9 +46,24 @@ def expect_report(df: DataFrame, **rules: Column) -> DataFrame:
 def duplicate_key_count(df: DataFrame, *key_cols: str) -> DataFrame:
     """Rows beyond the first per key (0 = key is unique). This one
     shuffles (distinct on the key) — deliberately separate from the
-    scan-local report."""
+    scan-local report.
+
+    NULL keys are reported separately (`n_null_key_rows`) rather than
+    folded into the duplicate count: `count_distinct` drops any tuple
+    containing a NULL, so a raw count(*) − count_distinct(keys) delta
+    would conflate null-ness with duplication (two DISTINCT null-key
+    rows would read as 2 duplicates). `n_duplicate_rows` is computed
+    over fully-non-null key tuples only."""
+    keys = [F.col(c) for c in key_cols]
+    nonnull = keys[0].isNotNull()
+    for k in keys[1:]:
+        nonnull = nonnull & k.isNotNull()
+    n_nonnull = F.sum(F.when(nonnull, 1).otherwise(0))
     return df.agg(
-        (
-            F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in key_cols])
-        ).cast("long").alias("n_duplicate_rows")
+        F.coalesce(n_nonnull - F.count_distinct(*keys), F.lit(0))
+        .cast("long")
+        .alias("n_duplicate_rows"),
+        F.coalesce(F.sum(F.when(nonnull, 0).otherwise(1)), F.lit(0))
+        .cast("long")
+        .alias("n_null_key_rows"),
     )

@@ -15,6 +15,7 @@ from . import tpch_more  # noqa: F401
 from . import tpch_last  # noqa: F401
 from . import timeseries_queries  # noqa: F401
 from . import curation_queries  # noqa: F401
+from . import skew_queries  # noqa: F401
 from . import chunk_queries  # noqa: F401
 from .registry import REGISTRY, QuerySpec, oracle_sql, queries, register
 

@@ -80,7 +80,9 @@ _FOOTER_SQL = (
         WITH planted AS (SELECT doc_id, {_FOOTER_SQL} AS ptext FROM documents)
         SELECT doc_id,
                len(regexp_extract_all(ptext, '{curation.EMAIL_RE}')) AS n_emails,
-               len(regexp_extract_all(ptext, '{curation.PHONE_RE}')) AS n_phones,
+               len(regexp_extract_all(
+                   regexp_replace(ptext, '{curation.EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{curation.PHONE_RE}')) AS n_phones,
                md5(regexp_replace(
                    regexp_replace(ptext, '{curation.EMAIL_RE}', '<EMAIL>', 'g'),
                    '{curation.PHONE_RE}', '<PHONE>', 'g')) AS red_fp

@@ -1,5 +1,5 @@
 from .tables import TABLE_NAMES, load_table, load_tables, register_views
-from .readers import read_csv, read_ndjson, read_parquet
+from .readers import read_csv, read_jdbc, read_ndjson, read_parquet
 from .writers import write_csv, write_parquet, write_jdbc
 
 __all__ = [
@@ -8,6 +8,7 @@ __all__ = [
     "load_tables",
     "register_views",
     "read_csv",
+    "read_jdbc",
     "read_ndjson",
     "read_parquet",
     "write_csv",

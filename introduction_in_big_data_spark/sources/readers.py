@@ -56,5 +56,40 @@ def read_ndjson(spark: SparkSession, path: str, schema: T.StructType) -> DataFra
     return spark.read.schema(schema).json(path)
 
 
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """JDBC table source — the read half of the S6 warehouse contract
+    (round-trip-tested against the embedded Derby engine that ships on
+    Spark's own classpath; see tests/test_sources.py).
+
+    Without partitioning options the whole table arrives through ONE
+    connection — fine for dimension tables, wrong for facts. For scale,
+    pass (partition_column, lower_bound, upper_bound, num_partitions)
+    so each executor reads its own key range in parallel; Catalyst
+    still pushes projected columns and filters into the generated SQL.
+    """
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
+            .option("numPartitions", num_partitions or 4)
+        )
+    return reader.load()
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)

@@ -83,8 +83,10 @@ def write_jdbc(
 ) -> None:
     """JDBC table sink (S6). Replaces the reference's `df.to_sql(...,
     if_exists='replace')` (Part_A_Q2.py:55-59). Requires the JDBC driver
-    jar on the classpath; there is no database in the test container, so
-    this is exercised only via its plan construction in tests.
+    jar on the classpath. Round-trip-tested end to end against embedded
+    Derby (`jdbc:derby:memory:...` — the Derby jars ship with Spark
+    itself), which exercises the same codepath any warehouse driver
+    uses; see tests/test_sources.py::test_jdbc_roundtrip_embedded_derby.
     """
     writer = df.write.format("jdbc").mode(mode).option("url", url).option("dbtable", table)
     for k, v in (properties or {}).items():

