@@ -239,8 +239,12 @@ def lsh_near_dup_pairs(
     # once per SURVIVING candidate pair (round-1 plan shipped both
     # 64-double vectors through every exchange — 4x the shuffle bytes
     # and the band signatures computed on both wide sides)
-    banded = with_lsh_bands(emb, dim, n_planes, n_bands, seed).select(
-        F.col(id_col), F.explode("bands").alias("bk")
+    # (id, band_key) is n_bands longs per vector — cache it so the
+    # Arrow band-signature kernel runs once, not once per join side
+    banded = (
+        with_lsh_bands(emb, dim, n_planes, n_bands, seed)
+        .select(F.col(id_col), F.explode("bands").alias("bk"))
+        .persist()
     )
     a = banded.select(F.col(id_col).alias("vec_a"), "bk")
     b = banded.select(F.col(id_col).alias("vec_b"), "bk")

@@ -111,3 +111,69 @@ def embedding_near_dup_lsh(spark, sf_dir):
     bounds its recall."""
     emb = t(spark, sf_dir, "embeddings")
     return similarity.lsh_near_dup_pairs(emb, threshold=0.4, dim=DIM)
+
+
+NEAR_DUP_THRESHOLD = 0.4
+
+
+@register(
+    "embedding_dup_clusters",
+    oracle=f"""
+        WITH RECURSIVE v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))) AS norm
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE round(list_inner_product(a.e, b.e) / (a.norm * b.norm), 6)
+                  >= {NEAR_DUP_THRESHOLD}
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT em.vec_id AS doc,
+               least(em.vec_id, coalesce(min(r.dst), em.vec_id)) AS component
+        FROM embeddings em LEFT JOIN reach r ON r.src = em.vec_id
+        GROUP BY em.vec_id
+    """,
+    tags=("similarity", "dedup", "graph", "iterative"),
+)
+def embedding_dup_clusters(spark, sf_dir):
+    """SemDeDup-style semantic dedup GROUPS: connected components over
+    the exact embedding-cosine near-dup pair graph (sim >= 0.4) by
+    iterative min-label propagation — keep-one-per-cluster for
+    embedding near-dups, the composition of `embedding_near_dup` and
+    the dedup CC operator. Oracle: recursive-CTE transitive closure
+    over the same exact pair graph, so the iterative algorithm is
+    hash-checked end to end. The exact O(n²) pair step is the oracle
+    baseline; at scale the pair generation swaps to
+    `lsh_near_dup_pairs` with identical downstream clustering."""
+    from ..operators import dedup
+    from ..operators.similarity import cosine, with_norm
+
+    emb = t(spark, sf_dir, "embeddings")
+    a = with_norm(emb).select(
+        F.col("vec_id").alias("doc_a"), F.col("_v").alias("va"), F.col("_norm").alias("na")
+    )
+    b = with_norm(emb).select(
+        F.col("vec_id").alias("doc_b"), F.col("_v").alias("vb"), F.col("_norm").alias("nb")
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("sim", cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")))
+        .filter(F.col("sim") >= NEAR_DUP_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    nodes = emb.select(F.col("vec_id").alias("doc"))
+    return dedup.connected_components(nodes, pairs)

@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Scale-up probe: measure how the headline plans behave at 10x the
+bench data (sf0.1 -> "sf1"), the empirical check behind the 100 TB
+design claims (SCALE.md records results).
+
+Builds an sf1-equivalent star schema under /tmp by unioning 10
+key-shifted copies of the sf0.1 tables (foreign keys shifted
+consistently so join fan-outs are preserved: each copy is a disjoint
+replica of the original graph — selectivities, group counts per key,
+and join multiplicities all match sf0.1 exactly, so wall-clock ratios
+isolate the engine's scaling, not a changed workload).
+
+Prints one JSON line:
+  {"metric": "scale_ratio_10x", "queries": {name: {"t1": s, "t10": s,
+   "ratio": r}}, ...}
+
+A plan that scales linearly shows ratio <= ~10 (usually well under:
+fixed per-query cost amortizes); a super-linear operator (quadratic
+join, single-partition sort) shows ratio >> 10 and is a bug.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from introduction_in_big_data_spark import plans  # noqa: E402
+from introduction_in_big_data_spark.session import get_spark  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = "/tmp/ibd_scale/sf1"
+COPIES = 10
+SHIFT = 1_000_000_000  # key shift per copy; far above any real key
+
+# key columns to shift per table (consistent across fact/dim so every
+# copy joins only within itself)
+KEYED = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "documents": ["doc_id"],
+}
+UNKEYED = ["nation", "region"]  # tiny dims: single copy, keys unshifted
+
+PROBE_QUERIES = [
+    "q1_pricing_summary",      # scan + hash agg
+    "top20_brands",            # broadcast dim join + TakeOrdered
+    "q3_shipping_priority",    # multiway broadcast join
+    "q5_region_revenue",       # star join, fact never pre-shuffles
+    "top5pct_parts",           # r2 threshold plan (no global window)
+    "skew_join_unsalted",      # hot-key sort-merge (AQE skew path)
+    "skew_join_salted",        # salted twin
+    "dedup_exact",             # documents hash-agg dedup
+    "text_token_stats",        # regex scan stage
+]
+
+
+def build_sf1(spark) -> None:
+    if os.path.exists(os.path.join(OUT, "_SUCCESS")):
+        return
+    os.makedirs(OUT, exist_ok=True)
+    from introduction_in_big_data_spark.sources.tables import load_table
+
+    for name, keys in KEYED.items():
+        src = load_table(spark, BASE, name)
+        parts = []
+        for i in range(COPIES):
+            c = src
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+            parts.append(c)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(f"{OUT}/{name}.parquet")
+    for name in UNKEYED:
+        load_table(spark, BASE, name).write.mode("overwrite").parquet(
+            f"{OUT}/{name}.parquet"
+        )
+    # events/embeddings aren't probed; symlink-equivalent copies keep
+    # load_table's table list satisfied if a probed query ever needs them
+    for name in ["events", "embeddings"]:
+        load_table(spark, BASE, name).write.mode("overwrite").parquet(
+            f"{OUT}/{name}.parquet"
+        )
+    Path(os.path.join(OUT, "_SUCCESS")).touch()
+
+
+def time_query(spark, name: str, sf_dir: str) -> float:
+    spec = plans.REGISTRY[name]
+    best = float("inf")
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    spark = get_spark("ibd-scale-probe")
+    build_sf1(spark)
+    # warmup
+    plans.REGISTRY[PROBE_QUERIES[0]].fn(spark, BASE).count()
+    results = {}
+    for name in PROBE_QUERIES:
+        t1 = time_query(spark, name, BASE)
+        t10 = time_query(spark, name, OUT)
+        results[name] = {
+            "t1": round(t1, 3),
+            "t10": round(t10, 3),
+            "ratio": round(t10 / t1, 2) if t1 > 0 else None,
+        }
+        print(f"# {name}: {t1:.2f}s -> {t10:.2f}s (x{t10 / t1:.1f})", file=sys.stderr)
+    print(
+        json.dumps(
+            {"metric": "scale_ratio_10x", "copies": COPIES, "queries": results}
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -38,3 +38,28 @@ def test_approx_top_k_heavy_hitters(spark, sf_dir):
     }
     # with only 5 distinct types the sketch must be exact
     assert approx_items == exact
+
+
+def test_exact_ntile_matches_window_ntile(spark):
+    """operators/topk.exact_ntile (distributed rank: range repartition
+    + per-partition offsets) must reproduce SQL ntile() exactly —
+    including the remainder-to-leading-buckets rule — for bucket
+    counts that do and don't divide n, and n < n_buckets."""
+    from pyspark.sql import Window
+
+    from introduction_in_big_data_spark.operators import topk
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 101) for i in range(103)], "id long, v long"
+    )
+    for n_buckets in (4, 7, 200):
+        got = {
+            r["id"]: r["bucket"]
+            for r in topk.exact_ntile(df, n_buckets, ["v", "id"]).collect()
+        }
+        w = Window.orderBy("v", "id")  # tiny frame: global window OK in a test
+        want = {
+            r["id"]: r["nt"]
+            for r in df.select("id", F.ntile(n_buckets).over(w).alias("nt")).collect()
+        }
+        assert got == want, f"n_buckets={n_buckets}"
