@@ -333,3 +333,58 @@ def fuzzy_name_pairs(spark, sf_dir):
         )
         .filter(F.col("dist") <= FUZZY_MAX_DIST)
     )
+
+
+@register(
+    "dedup_keep_representatives",
+    oracle=_SHINGLES_CTE.replace("WITH words", "WITH RECURSIVE words")
+    + f"""
+    , inter AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY doc_a, doc_b
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+        SELECT d.doc_id AS doc,
+               least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS component
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id
+    )
+    SELECT component AS rep_id, CAST(count(*) AS BIGINT) AS cluster_size
+    FROM comp GROUP BY component
+    """,
+    tags=("dedup", "graph", "curation"),
+)
+def dedup_keep_representatives(spark, sf_dir):
+    """The dedup ENDPOINT a pipeline actually consumes: one
+    representative per near-dup cluster (min doc id) with the cluster
+    size as its dedup weight — `dedup_clusters`' component labels
+    rolled up to keep-one-per-group. Downstream corpus assembly joins
+    this against documents (left_semi on rep_id) to drop duplicates
+    while preserving count-weighting for loss scaling."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        d, "doc_id", "text", n=SHINGLE_N, threshold=JACCARD_THRESHOLD
+    )
+    nodes = d.select(F.col("doc_id").alias("doc"))
+    comp = dedup.connected_components(nodes, pairs)
+    return comp.groupBy(F.col("component").alias("rep_id")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )

@@ -297,3 +297,59 @@ def dq_customer_report(spark, sf_dir):
         ),
         key_nonneg=F.col("c_custkey") >= 0,
     )
+
+
+@register(
+    "unpivot_part_metrics",
+    oracle="""
+        SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+        FROM part
+    """,
+    tags=("reshape", "unpivot"),
+)
+def unpivot_part_metrics(spark, sf_dir):
+    """Wide→long reshape (the inverse of A12's pivot): part's numeric
+    metrics melted to (key, metric, value) rows with Spark's native
+    `unpivot` (Expand node — one scan emits both rows per input, no
+    shuffle, no UDF). The oracle is the portable UNION ALL form."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "quantity_percentiles_by_flag",
+    oracle="""
+        SELECT l_returnflag,
+               round(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 4) AS p25,
+               round(CAST(quantile_cont(l_quantity, 0.50) AS DOUBLE), 4) AS p50,
+               round(CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE), 4) AS p75
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats", "window"),
+)
+def quantity_percentiles_by_flag(spark, sf_dir):
+    """PER-GROUP exact interpolated percentiles — the grouped form of
+    `quantity_percentiles`: one hash-shuffle on the group key, exact
+    `percentile` within each group (group cardinality is small and
+    bounded — return flags — so per-group sort cost is constant w.r.t.
+    corpus size; unbounded-cardinality columns switch to
+    percentile_approx, see sketch.approx_quantiles)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
+    )

@@ -107,3 +107,28 @@ def stream_distinct_users(spark, sf_dir):
     (Part_B.py:136-157)."""
     s = st.events_stream(spark, sf_dir, n_files=N_FILES)
     return st.run_to_memory(st.streaming_distinct_count(s, "user_id"), "complete")
+
+
+@register(
+    "stream_dedup_unique_users_by_type",
+    oracle="""
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
+        FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "dedup", "agg"),
+)
+def stream_dedup_unique_users_by_type(spark, sf_dir):
+    """Streaming DEDUP-then-AGGREGATE — the ingest-time dedup shape of
+    a training-data pipeline (drop records already seen, then account
+    per category): dropDuplicates state on (user_id, event_type)
+    across micro-batches feeding a downstream streaming aggregate.
+    Order-insensitive output (counts per type), so stream-batch parity
+    is exact regardless of arrival order."""
+    s = st.events_stream(spark, sf_dir, n_files=N_FILES)
+    agg = (
+        s.select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("unique_users"))
+    )
+    return st.run_to_memory(agg, "complete")
