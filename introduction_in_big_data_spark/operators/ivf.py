@@ -21,33 +21,53 @@ from .similarity import cosine, with_norm
 
 
 def _cell_assignments(
-    vectors: DataFrame, centroids: list[list[float]], id_col: str, n_cells_keep: int
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    n_cells_keep: int,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Nearest `n_cells_keep` centroid ids per vector by cosine, as
-    exploded (id, cell) rows. Centroids ride the plan as literals —
-    k·dim doubles, broadcast-equivalent."""
+    exploded (id, cell) rows.
+
+    One Arrow-batched pandas_udf does the whole (batch, dim) @
+    (dim, k) matmul + stable argsort (sim desc, cell asc on ties) —
+    the same vectorized-kernel swap as similarity.with_lsh_bands: the
+    previous form built k centroid literal arrays per row and folded
+    each cosine through interpreted zip_with/aggregate, then ranked
+    through a per-id window. Centroids ship inside the UDF closure
+    (k·dim doubles — broadcast-equivalent)."""
+    import numpy as np_
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np_.array(centroids, dtype="float64")  # (k, dim)
+    cn = np_.linalg.norm(cmat, axis=1)
+    cn[cn == 0] = 1.0
+    cu_t = (cmat / cn[:, None]).T  # (dim, k), unit-norm columns
+    nk = n_cells_keep
+
+    @pandas_udf("array<int>")
+    def best_cells(v):  # hints omitted: module uses `from __future__ import annotations`
+        res = [None] * len(v)
+        mask = v.notna().to_numpy()
+        if mask.any():
+            mat = np_.stack(v[mask].to_numpy()).astype("float64")
+            norms = np_.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms[:, None]) @ cu_t  # (batch, k)
+            # stable argsort of -sims: sim DESC, ties by cell ASC
+            top = np_.argsort(-sims, axis=1, kind="stable")[:, :nk]
+            for pos, row in zip(np_.flatnonzero(mask), top):
+                res[pos] = row.tolist()
+        return pd.Series(res, dtype="object")
+
     v = with_norm(vectors)
-    cent_structs = []
-    for ci, c in enumerate(centroids):
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        norm = float(sum(x * x for x in c) ** 0.5) or 1.0
-        cent_structs.append(
-            F.struct(
-                F.lit(ci).alias("cell"),
-                cosine(F.col("_v"), arr, F.col("_norm"), F.lit(norm)).alias("csim"),
-            )
-        )
-    ranked = v.select(
+    return v.select(
         F.col(id_col),
         F.col("_v"),
         F.col("_norm"),
-        F.explode(F.array(*cent_structs)).alias("c"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("c.csim"), F.asc("c.cell"))
-    return (
-        ranked.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_cells_keep)
-        .select(id_col, F.col("c.cell").alias("cell"), "_v", "_norm")
+        F.explode(best_cells(F.col(vec_col))).alias("cell"),
     )
 
 
@@ -59,10 +79,13 @@ def train_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # KMeans iterates maxIter times over this frame — cache it so each
+    # iteration reads memory, not the parquet scan + conversion again
     ml_df = vectors.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    )
+    ).cache()
     model = KMeans(k=k, seed=seed, maxIter=10).fit(ml_df)
+    ml_df.unpersist(blocking=False)
     # clusterCenters() yields numpy arrays (or ml.linalg Vectors in
     # older versions) — normalize either to plain lists
     return [
