@@ -353,3 +353,93 @@ def quantity_percentiles_by_flag(spark, sf_dir):
         F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("p50"),
         F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
     )
+
+
+@register(
+    "top_parts_per_brand_with_ties",
+    oracle="""
+        SELECT p_brand, l_partkey, cnt, CAST(rk AS INT) AS rk FROM (
+            SELECT p_brand, l_partkey, cnt,
+                   rank() OVER (PARTITION BY p_brand ORDER BY cnt DESC) AS rk
+            FROM (
+                SELECT p_brand, l_partkey, count(*) AS cnt
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                GROUP BY p_brand, l_partkey
+            )
+        ) WHERE rk <= 2
+    """,
+    tags=("window", "topk", "rank"),
+)
+def top_parts_per_brand_with_ties(spark, sf_dir):
+    """Per-group top-k WITH ties — rank() instead of row_number(), so
+    equally-counted parts all surface (the SQL-standard tie semantics
+    the reference's argsort slice cannot express). Partitioned window:
+    one shuffle on the brand key, WindowGroupLimit pushdown prunes
+    per-partition before the full sort materializes."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem").select("l_partkey")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    counts = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("cnt"))
+    return (
+        counts.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("p_brand", "l_partkey", "cnt", "rk")
+    )
+
+
+@register(
+    "mad_outlier_counts",
+    oracle="""
+        WITH med AS (
+            SELECT CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS m
+            FROM lineitem
+        ),
+        dev AS (
+            SELECT CAST(quantile_cont(abs(l_quantity - med.m), 0.5) AS DOUBLE)
+                       AS mad, any_value(med.m) AS m
+            FROM lineitem, med
+        )
+        SELECT CAST(count(*) FILTER (
+                   WHERE abs(l_quantity - dev.m) > 3 * 1.4826 * dev.mad
+               ) AS BIGINT) AS n_outliers,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(dev.m, 4) AS median_qty,
+               round(dev.mad, 4) AS mad
+        FROM lineitem, dev
+        GROUP BY dev.m, dev.mad
+    """,
+    tags=("agg", "stats", "quality"),
+)
+def mad_outlier_counts(spark, sf_dir):
+    """Robust outlier detection via Median Absolute Deviation — the
+    curation-grade alternative to the z-score split (P10): median and
+    MAD are unmoved by the very outliers being hunted, where mean/std
+    are dragged toward them. Two aggregate passes (median, then median
+    of |x - med|), each a 1-row broadcast into the next stage — no
+    sort of the full column, no window."""
+    li = t(spark, sf_dir, "lineitem").select("l_quantity")
+    med = li.agg(F.expr("percentile(l_quantity, 0.5)").alias("m"))
+    dev = (
+        li.crossJoin(F.broadcast(med))
+        .agg(
+            F.expr("percentile(abs(l_quantity - m), 0.5)").alias("mad"),
+            F.first("m").alias("m"),
+        )
+    )
+    flagged = li.crossJoin(F.broadcast(dev)).agg(
+        F.sum(
+            F.when(
+                F.abs(F.col("l_quantity") - F.col("m")) > 3 * 1.4826 * F.col("mad"), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.first("m"), 4).alias("median_qty"),
+        F.round(F.first("mad"), 4).alias("mad"),
+    )
+    return flagged
