@@ -56,17 +56,29 @@ def hll_merged_total(df: DataFrame, keys: list[str], column: str) -> DataFrame:
     )
 
 
-def _bucket(column, d: int, width: int):
-    """Row d's bucket for a value: xxhash64 with per-row seed prefix,
-    pmod (never %: ANSI-safe, non-negative)."""
-    return F.pmod(
-        F.xxhash64(F.concat(F.lit(f"{d}:"), F.col(column).cast("string"))),
-        F.lit(width),
-    ).cast("int")
+def _bucket(column, d: int, width: int, hash_fn: str = "xxhash64"):
+    """Row d's bucket for a value: seeded hash, pmod (never %:
+    ANSI-safe, non-negative).
+
+    hash_fn "md5": the first 15 md5 hex digits as a 60-bit integer —
+    byte-identical in DuckDB via ('0x' || substr(md5(...),1,15))::
+    BIGINT, which makes the WHOLE sketch table oracle-checkable (the
+    same reproducibility trick as MinHash/SimHash). xxhash64 stays
+    the fast default."""
+    seeded = F.concat(F.lit(f"{d}:"), F.col(column).cast("string"))
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(seeded), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(seeded)
+    return F.pmod(h, F.lit(width)).cast("int")
 
 
 def cms_build(
-    df: DataFrame, column: str, width: int = CMS_WIDTH, depth: int = CMS_DEPTH
+    df: DataFrame,
+    column: str,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """A14 — Count-Min Sketch as a (depth, bucket, cnt) DataFrame:
     one explode (depth rows per input row) + one hash aggregate.
@@ -77,7 +89,7 @@ def cms_build(
             F.array(
                 *[
                     F.struct(
-                        F.lit(d).alias("depth"), _bucket(column, d, width).alias("bucket")
+                        F.lit(d).alias("depth"), _bucket(column, d, width, hash_fn).alias("bucket")
                     )
                     for d in range(depth)
                 ]
@@ -93,6 +105,7 @@ def cms_estimate(
     column: str,
     width: int = CMS_WIDTH,
     depth: int = CMS_DEPTH,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Point-query the sketch for each key: recompute the key's buckets,
     join the sketch table, min over depth rows. A join, not a
@@ -103,7 +116,7 @@ def cms_estimate(
             F.array(
                 *[
                     F.struct(
-                        F.lit(d).alias("depth"), _bucket(column, d, width).alias("bucket")
+                        F.lit(d).alias("depth"), _bucket(column, d, width, hash_fn).alias("bucket")
                     )
                     for d in range(depth)
                 ]

@@ -36,16 +36,63 @@ def sketch_hll_merged(spark, sf_dir):
     return sketch.hll_merged_total(t(spark, sf_dir, "events"), ["event_type"], "user_id")
 
 
-@register("sketch_cms_event_types", oracle=None, tags=("sketch", "cms"))
+def _cms_oracle(width: int, depth: int) -> str:
+    """DuckDB twin of the md5-mode CMS: same seeded-md5 buckets
+    (('0x' || first 15 hex digits)::BIGINT % width == Spark's
+    conv(...,16,10) pmod width), same (depth,bucket,cnt) sketch table,
+    same min-over-depth point query."""
+    bucket = (
+        "CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || event_type), 1, 15))"
+        " AS BIGINT) % {w}"
+    ).format(w=width)
+    return f"""
+        WITH cells AS (
+            SELECT d.d AS depth, {bucket} AS bucket
+            FROM events, unnest(range(0, {depth})) AS d(d)
+        ),
+        cms AS (
+            SELECT depth, bucket, count(*) AS cnt FROM cells
+            GROUP BY depth, bucket
+        ),
+        probes AS (
+            SELECT DISTINCT event_type, d.d AS depth, {bucket} AS bucket
+            FROM events, unnest(range(0, {depth})) AS d(d)
+        ),
+        est AS (
+            SELECT p.event_type,
+                   CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS cms_estimate
+            FROM probes p LEFT JOIN cms USING (depth, bucket)
+            GROUP BY p.event_type
+        )
+        SELECT est.event_type, est.cms_estimate,
+               CAST(x.exact_cnt AS BIGINT) AS exact_cnt
+        FROM est JOIN (
+            SELECT event_type, count(*) AS exact_cnt FROM events
+            GROUP BY event_type
+        ) x USING (event_type)
+    """
+
+
+@register(
+    "sketch_cms_event_types",
+    oracle=_cms_oracle(sketch.CMS_WIDTH, sketch.CMS_DEPTH),
+    tags=("sketch", "cms"),
+)
 def sketch_cms_event_types(spark, sf_dir):
     """Relational Count-Min Sketch over event_type, point-queried for
     every distinct type, next to exact counts (est ≥ exact one-sided
-    bound is asserted in tests)."""
+    bound is asserted in tests). Runs in md5 hash mode so the ENTIRE
+    sketch — every (depth, bucket) cell count and every point
+    estimate — is hash-checked against a DuckDB twin, not just bounded
+    (the same reproducibility trick as MinHash/SimHash; xxhash64 mode
+    in operators/sketch.py stays the fast default)."""
     e = t(spark, sf_dir, "events")
-    cms = sketch.cms_build(e, "event_type")
+    cms = sketch.cms_build(e, "event_type", hash_fn="md5")
     keys = e.select("event_type").distinct()
-    est = sketch.cms_estimate(cms, keys, "event_type")
-    exact = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = sketch.cms_estimate(cms, keys, "event_type", hash_fn="md5")
+    exact = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
     return est.join(exact, "event_type")
 
 

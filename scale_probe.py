@@ -61,6 +61,9 @@ PROBE_QUERIES = [
     "skew_join_salted",        # salted twin
     "dedup_exact",             # documents hash-agg dedup
     "text_token_stats",        # regex scan stage
+    "cf_knn_pruned",           # CF headline: self-join Σn² is linear in
+                               # disjoint copies — the probe proves it
+    "tfidf_top_terms",         # one corpus explode + term-window df(t)
 ]
 
 
