@@ -125,3 +125,57 @@ def test_decode_ppm_golden_bytes_with_comment():
 def test_ppm_roundtrip():
     rows = [[(9, 8, 7)], [(1, 2, 3)]]
     assert codecs.decode_ppm(codecs.encode_ppm(1, 2, rows)) == (1, 2, rows)
+
+
+# ---------------------------------------------------------------------------
+# property tests: roundtrip over arbitrary shapes/values
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st_
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st_.integers(min_value=1, max_value=9),
+    h=st_.integers(min_value=1, max_value=9),
+    data=st_.data(),
+)
+def test_bmp_roundtrip_property(w, h, data):
+    rows = [
+        [data.draw(st_.integers(min_value=0, max_value=255)) for _ in range(w)]
+        for _ in range(h)
+    ]
+    dw, dh, out = codecs.decode_bmp(codecs.encode_bmp(w, h, rows))
+    assert (dw, dh) == (w, h)
+    assert [[px[0] for px in row] for row in out] == rows
+    assert all(px[0] == px[1] == px[2] for row in out for px in row)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    samples=st_.lists(
+        st_.integers(min_value=-32768, max_value=32767), min_size=0, max_size=64
+    ),
+    rate=st_.sampled_from([8000, 16000, 44100, 48000]),
+)
+def test_wav_roundtrip_property(samples, rate):
+    got_rate, got = codecs.decode_wav(codecs.encode_wav(samples, rate))
+    assert got_rate == rate and got == samples
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st_.integers(min_value=1, max_value=6),
+    h=st_.integers(min_value=1, max_value=6),
+    data=st_.data(),
+)
+def test_ppm_roundtrip_property(w, h, data):
+    rows = [
+        [
+            tuple(data.draw(st_.integers(min_value=0, max_value=255)) for _ in range(3))
+            for _ in range(w)
+        ]
+        for _ in range(h)
+    ]
+    assert codecs.decode_ppm(codecs.encode_ppm(w, h, rows)) == (w, h, rows)
