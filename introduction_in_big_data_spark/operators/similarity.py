@@ -163,6 +163,39 @@ def with_lsh_bands(
     return df.withColumn("bands", band_keys(F.col(vec_col)))
 
 
+def with_lsh_bands_repro(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Oracle-reproducible twin of with_lsh_bands: hyperplane dots via
+    the JVM sequential left fold (`dot`), which is BITWISE identical to
+    DuckDB's list_inner_product over the same doubles — so the sign
+    bits, band keys, and therefore the whole banded candidate set can
+    be recomputed exactly in SQL with the planes inlined as literals.
+    Same band-key encoding as the fast path (band*2^per_band + packed
+    bits). Slower (interpreted higher-order functions, one fold per
+    plane) — use ONLY where exact cross-engine reproducibility is the
+    point; the matmul form is the production default."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    bits = [
+        F.when(dot(v, F.array(*[F.lit(float(x)) for x in plane])) >= 0, 1).otherwise(0)
+        for plane in planes
+    ]
+    per_band = n_planes // n_bands
+    keys = []
+    for band in range(n_bands):
+        packed = sum(
+            bits[band * per_band + i] * (1 << i) for i in range(per_band)
+        )
+        keys.append((F.lit(band * (1 << per_band)) + packed).cast("long"))
+    return df.withColumn("bands", F.array(*keys))
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -172,6 +205,7 @@ def lsh_topk(
     n_bands: int = 4,
     seed: int = 42,
     id_col: str = "vec_id",
+    repro: bool = False,
 ) -> DataFrame:
     """Banded-LSH approximate top-k: candidates share ≥1 band key with
     the query; exact cosine re-ranks candidates only. The band join is
@@ -179,10 +213,11 @@ def lsh_topk(
     # candidate generation over (id, band_key) ONLY — the 2·dim-double
     # vector payloads must not ride the band join + dedup shuffles
     # (they did in round 1: ~4x the bytes through every exchange)
-    qb = with_lsh_bands(queries, dim, n_planes, n_bands, seed).select(
+    bander = with_lsh_bands_repro if repro else with_lsh_bands
+    qb = bander(queries, dim, n_planes, n_bands, seed).select(
         F.col(id_col).alias("query_id"), F.explode("bands").alias("bk")
     )
-    cb = with_lsh_bands(corpus, dim, n_planes, n_bands, seed).select(
+    cb = bander(corpus, dim, n_planes, n_bands, seed).select(
         F.col(id_col).alias("neighbor_id"), F.explode("bands").alias("bk")
     )
     cands = (
@@ -225,6 +260,7 @@ def lsh_near_dup_pairs(
     n_bands: int = 4,
     seed: int = 42,
     id_col: str = "vec_id",
+    repro: bool = False,
 ) -> DataFrame:
     """Scale path for embedding-cosine near-dup (SemDeDup-style): LSH
     band buckets generate candidate pairs via an equi-join on
@@ -241,8 +277,9 @@ def lsh_near_dup_pairs(
     # and the band signatures computed on both wide sides)
     # (id, band_key) is n_bands longs per vector — cache it so the
     # Arrow band-signature kernel runs once, not once per join side
+    bander = with_lsh_bands_repro if repro else with_lsh_bands
     banded = (
-        with_lsh_bands(emb, dim, n_planes, n_bands, seed)
+        bander(emb, dim, n_planes, n_bands, seed)
         .select(F.col(id_col), F.explode("bands").alias("bk"))
         .persist()
     )

@@ -177,3 +177,135 @@ def embedding_dup_clusters(spark, sf_dir):
     )
     nodes = emb.select(F.col("vec_id").alias("doc"))
     return dedup.connected_components(nodes, pairs)
+
+
+def _lsh_near_dup_oracle(dim, n_planes, n_bands, seed, threshold) -> str:
+    """DuckDB twin of the repro-mode banded LSH: the seeded hyperplanes
+    are inlined as float literals, each sign bit computed with
+    list_inner_product — bitwise identical to the engine's JVM
+    sequential fold — then packed into the same band-key encoding, so
+    the candidate set and surviving pairs match exactly."""
+    from ..operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes, seed)
+    per_band = n_planes // n_bands
+    bit = [
+        "(CASE WHEN list_inner_product(e, [{lits}]) >= 0 THEN 1 ELSE 0 END)".format(
+            lits=", ".join(repr(float(x)) for x in plane)
+        )
+        for plane in planes
+    ]
+    keys = []
+    for band in range(n_bands):
+        packed = " + ".join(
+            f"{bit[band * per_band + i]} * {1 << i}" for i in range(per_band)
+        )
+        keys.append(f"{band * (1 << per_band)} + {packed}")
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))) AS norm
+            FROM embeddings
+        ),
+        banded AS (
+            SELECT vec_id, unnest([{", ".join(keys)}]) AS bk FROM v
+        ),
+        cands AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM banded a JOIN banded b ON a.bk = b.bk AND a.vec_id < b.vec_id
+        )
+        SELECT c.vec_a, c.vec_b,
+               round(list_inner_product(va.e, vb.e) / (va.norm * vb.norm), 6) AS sim
+        FROM cands c
+        JOIN v va ON va.vec_id = c.vec_a
+        JOIN v vb ON vb.vec_id = c.vec_b
+        WHERE round(list_inner_product(va.e, vb.e) / (va.norm * vb.norm), 6)
+              >= {threshold}
+    """
+
+
+@register(
+    "embedding_near_dup_lsh_repro",
+    oracle=_lsh_near_dup_oracle(DIM, 16, 4, 42, NEAR_DUP_THRESHOLD),
+    tags=("similarity", "dedup", "ann", "repro"),
+)
+def embedding_near_dup_lsh_repro(spark, sf_dir):
+    """The banded-LSH near-dup pipeline in ORACLE-REPRODUCIBLE mode:
+    hyperplane sign bits via the JVM sequential fold (bitwise equal to
+    DuckDB's list_inner_product over the same doubles), so bucket
+    membership — the part of LSH that is normally unverifiable in SQL —
+    is hash-checked end to end, not just recall-bounded. The Arrow
+    matmul form (`embedding_near_dup_lsh`) stays the fast default and
+    bench headline; this twin exists to PROVE the banding logic."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.lsh_near_dup_pairs(
+        emb, threshold=NEAR_DUP_THRESHOLD, dim=DIM, repro=True
+    )
+
+
+def _lsh_topk_oracle(dim, n_planes, n_bands, seed, k, n_queries) -> str:
+    """DuckDB twin of repro-mode banded-LSH top-k: same inlined-plane
+    sign bits and band keys, candidate (query, neighbor) pairs sharing
+    any band, exact cosine re-rank, row_number top-k."""
+    from ..operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes, seed)
+    per_band = n_planes // n_bands
+    bit = [
+        "(CASE WHEN list_inner_product(e, [{lits}]) >= 0 THEN 1 ELSE 0 END)".format(
+            lits=", ".join(repr(float(x)) for x in plane)
+        )
+        for plane in planes
+    ]
+    keys = []
+    for band in range(n_bands):
+        packed = " + ".join(
+            f"{bit[band * per_band + i]} * {1 << i}" for i in range(per_band)
+        )
+        keys.append(f"{band * (1 << per_band)} + {packed}")
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))) AS norm
+            FROM embeddings
+        ),
+        banded AS (
+            SELECT vec_id, unnest([{", ".join(keys)}]) AS bk FROM v
+        ),
+        cands AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM banded q JOIN banded c ON q.bk = c.bk
+            WHERE q.vec_id < {n_queries}
+        ),
+        scored AS (
+            SELECT cd.query_id, cd.neighbor_id,
+                   round(list_inner_product(vq.e, vc.e)
+                         / (vq.norm * vc.norm), 6) AS sim
+            FROM cands cd
+            JOIN v vq ON vq.vec_id = cd.query_id
+            JOIN v vc ON vc.vec_id = cd.neighbor_id
+        )
+        SELECT query_id, neighbor_id, sim, CAST(rn AS INT) AS rn FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+            FROM scored
+        ) WHERE rn <= {k}
+    """
+
+
+@register(
+    "ann_lsh_topk_repro",
+    oracle=_lsh_topk_oracle(DIM, 16, 4, 42, TOPK, N_QUERIES),
+    tags=("similarity", "ann", "lsh", "repro"),
+)
+def ann_lsh_topk_repro(spark, sf_dir):
+    """Banded-LSH approximate top-k in oracle-reproducible mode — the
+    ANN search twin of `embedding_near_dup_lsh_repro`: bucket
+    membership, candidate generation, and the exact re-rank are all
+    hash-checked against SQL. The matmul form (`ann_lsh_topk`) stays
+    the production default."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return similarity.lsh_topk(emb, queries, TOPK, DIM, repro=True)
