@@ -256,3 +256,24 @@ def test_lsh_near_dup_subset_and_recall(emb):
         assert exact[pair] == sim  # subset, bitwise-identical sims
     recall = len(approx) / len(exact)
     assert recall >= 0.2, f"LSH near-dup recall = {recall}"
+
+
+def test_lsh_band_keys_fast_matches_repro(spark, sf_dir):
+    """The Arrow-matmul band keys (production path) and the fold-exact
+    repro band keys (oracle path) must agree on every vector — ties
+    this session's two implementations together so the hash-checked
+    repro twin actually vouches for the fast default."""
+    from introduction_in_big_data_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    fast = {
+        r["vec_id"]: r["bands"]
+        for r in similarity.with_lsh_bands(emb, 64).select("vec_id", "bands").collect()
+    }
+    repro = {
+        r["vec_id"]: r["bands"]
+        for r in similarity.with_lsh_bands_repro(emb, 64)
+        .select("vec_id", "bands")
+        .collect()
+    }
+    assert fast == repro
