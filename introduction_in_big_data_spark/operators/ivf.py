@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .similarity import cosine, with_norm
+from .similarity import dot as dot_fold
 
 
 def _cell_assignments(
@@ -125,6 +126,70 @@ def ivf_topk(
         "neighbor_id",
         cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("sim"),
     ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", "rn")
+    )
+
+
+def ivf_topk_fixed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: list[list[float]],
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Fixed-codebook IVF in ORACLE-REPRODUCIBLE mode: the centroids
+    are frozen plan constants (train-on-a-sample, index-everything is
+    standard IVF practice), and every centroid similarity uses the JVM
+    sequential fold — bitwise identical to DuckDB's
+    list_inner_product over the same literal doubles — so cell
+    assignment, probe sets, and the exact re-rank are all value-hash
+    checkable in SQL. `ivf_topk` (trained codebook + Arrow matmul
+    assignment) remains the production path."""
+
+    def cells(df: DataFrame, keep: int, out_id: str) -> DataFrame:
+        v = with_norm(df)
+        structs = []
+        for ci, c in enumerate(centroids):
+            arr = F.array(*[F.lit(float(x)) for x in c])
+            cn = float(sum(x * x for x in c) ** 0.5) or 1.0
+            structs.append(
+                F.struct(
+                    F.lit(ci).alias("cell"),
+                    (dot_fold(F.col("_v"), arr) / (F.col("_norm") * F.lit(cn))).alias(
+                        "csim"
+                    ),
+                )
+            )
+        ranked = v.select(
+            F.col(id_col).alias(out_id),
+            "_v",
+            "_norm",
+            F.explode(F.array(*structs)).alias("c"),
+        )
+        w = Window.partitionBy(out_id).orderBy(F.desc("c.csim"), F.asc("c.cell"))
+        return (
+            ranked.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= keep)
+            .select(out_id, F.col("c.cell").alias("cell"), "_v", "_norm")
+        )
+
+    cor = cells(corpus, 1, "neighbor_id").select(
+        "neighbor_id", "cell", F.col("_v").alias("cv"), F.col("_norm").alias("cn")
+    )
+    qry = cells(queries, nprobe, "query_id").select(
+        "query_id", "cell", F.col("_v").alias("qv"), F.col("_norm").alias("qn")
+    )
+    # corpus keep=1 => each (query, neighbor) pair appears at most once
+    scored = qry.join(cor, "cell").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("sim"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

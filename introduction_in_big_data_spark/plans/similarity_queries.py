@@ -309,3 +309,91 @@ def ann_lsh_topk_repro(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return similarity.lsh_topk(emb, queries, TOPK, DIM, repro=True)
+
+
+IVF_NPROBE = 2
+IVF_K = 5
+
+
+def _ivf_fixed_oracle(k, nprobe, n_queries) -> str:
+    """DuckDB twin of the fixed-codebook IVF: the frozen centroids (and
+    their Python-computed norms) are inlined as literals, so both
+    engines rank cells by bitwise-identical fold similarities."""
+    from .ivf_constants import FIXED_IVF_CENTROIDS
+
+    rows = []
+    for ci, c in enumerate(FIXED_IVF_CENTROIDS):
+        cn = float(sum(x * x for x in c) ** 0.5) or 1.0
+        lits = ", ".join(repr(float(x)) for x in c)
+        rows.append(f"({ci}, [{lits}], {cn!r})")
+    values = ",\n                ".join(rows)
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))) AS norm
+            FROM embeddings
+        ),
+        cents AS (
+            SELECT * FROM (VALUES
+                {values}
+            ) t(cell, cent, cnorm)
+        ),
+        sims AS (
+            SELECT v.vec_id, cents.cell,
+                   list_inner_product(v.e, cents.cent) / (v.norm * cents.cnorm)
+                       AS csim
+            FROM v CROSS JOIN cents
+        ),
+        corpus_cells AS (
+            SELECT vec_id AS neighbor_id, cell FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+                FROM sims
+            ) WHERE rn = 1
+        ),
+        query_cells AS (
+            SELECT vec_id AS query_id, cell FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+                FROM sims WHERE vec_id < {n_queries}
+            ) WHERE rn <= {nprobe}
+        ),
+        scored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   round(list_inner_product(vq.e, vc.e)
+                         / (vq.norm * vc.norm), 6) AS sim
+            FROM query_cells q JOIN corpus_cells c USING (cell)
+            JOIN v vq ON vq.vec_id = q.query_id
+            JOIN v vc ON vc.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, sim, CAST(rn AS INT) AS rn FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+            FROM scored
+        ) WHERE rn <= {k}
+    """
+
+
+@register(
+    "ann_ivf_topk_fixed",
+    oracle=_ivf_fixed_oracle(IVF_K, IVF_NPROBE, N_QUERIES),
+    tags=("similarity", "ann", "ivf", "repro"),
+)
+def ann_ivf_topk_fixed(spark, sf_dir):
+    """Fixed-codebook IVF top-k, fully hash-checked: the 8 frozen
+    k-means centroids (plans/ivf_constants.py — trained once on the
+    sf0.01 corpus, which is exactly the train-on-a-sample /
+    index-everything deployment shape) are inlined into both engines,
+    and cell similarities use the JVM sequential fold ≡ DuckDB
+    list_inner_product, so assignment, probing, and the exact re-rank
+    all value-hash match. The trained-per-run `ann_ivf_topk` stays the
+    production path (recall-property-tested)."""
+    from ..operators import ivf
+    from .ivf_constants import FIXED_IVF_CENTROIDS
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return ivf.ivf_topk_fixed(
+        emb, queries, IVF_K, FIXED_IVF_CENTROIDS, nprobe=IVF_NPROBE
+    )
