@@ -443,3 +443,31 @@ def mad_outlier_counts(spark, sf_dir):
         F.round(F.first("mad"), 4).alias("mad"),
     )
     return flagged
+
+
+@register(
+    "udaf_value_rmse_by_type",
+    oracle="""
+        SELECT event_type,
+               round(sqrt(avg((value - 50.0) * (value - 50.0))), 4) AS rmse_vs_50
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("udf", "agg"),
+)
+def udaf_value_rmse_by_type(spark, sf_dir):
+    """Grouped-aggregate pandas UDF in the driver-checked path
+    (SURVEY.md §2.10): per-event-type RMSE of `value` against a fixed
+    reference level, computed by the Arrow grouped-agg kernel
+    (functions/udfs.rmse_udf) rather than built-ins — so the custom-
+    UDAF surface itself is value-hash-checked against SQL. Rounded to
+    4dp: numpy's pairwise-summation mean and SQL's sequential avg
+    agree to ~1e-12 relative, far inside the rounding grid. The
+    built-in sqrt(avg(pow)) form stays the scale path (grouped-agg
+    UDFs get no map-side partial aggregation)."""
+    from ..functions.udfs import rmse_udf
+
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(rmse_udf(F.col("value"), F.lit(50.0)), 4).alias("rmse_vs_50")
+    )

@@ -397,3 +397,32 @@ def ann_ivf_topk_fixed(spark, sf_dir):
     return ivf.ivf_topk_fixed(
         emb, queries, IVF_K, FIXED_IVF_CENTROIDS, nprobe=IVF_NPROBE
     )
+
+
+@register(
+    "udf_cosine_adjacent_vectors",
+    oracle="""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT a.vec_id,
+               round(list_inner_product(a.e, b.e)
+                     / (sqrt(list_inner_product(a.e, a.e))
+                        * sqrt(list_inner_product(b.e, b.e))), 4) AS sim_next
+        FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
+    """,
+    tags=("udf", "similarity"),
+)
+def udf_cosine_adjacent_vectors(spark, sf_dir):
+    """Scalar pandas UDF in the driver-checked path (SURVEY.md §2.10):
+    cosine between each vector and its successor, computed by the
+    Arrow-batched numpy kernel (functions/udfs.cosine_sim_udf) instead
+    of built-in expressions — the batch-vectorized UDF surface itself
+    is value-hash-checked. Rounded to 4dp: numpy einsum accumulation
+    and SQL's sequential fold agree far inside the rounding grid."""
+    from ..functions.udfs import cosine_sim_udf
+
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id"), F.col("embedding").alias("ea"))
+    b = emb.select((F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("eb"))
+    return a.join(b, "vec_id").select(
+        "vec_id", F.round(cosine_sim_udf(F.col("ea"), F.col("eb")), 4).alias("sim_next")
+    )

@@ -389,3 +389,43 @@ def tfidf_top_terms_q(spark, sf_dir):
     from ..operators.text import tfidf_top_terms
 
     return tfidf_top_terms(t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+@register(
+    "doc_sentences",
+    oracle=r"""
+        WITH s AS (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(
+                           regexp_extract_all(text, '[^.!?]+[.!?]?'),
+                           x -> trim(x, ' ' || chr(9) || chr(10) || chr(13))),
+                       x -> x <> '') AS lst
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(u.i - 1 AS INT) AS sent_idx,
+               lst[u.i] AS sentence,
+               CAST(length(lst[u.i]) AS INT) AS n_chars
+        FROM s, unnest(range(1, len(lst) + 1)) AS u(i)
+    """,
+    tags=("text", "udtf"),
+)
+def doc_sentences(spark, sf_dir):
+    """Python UDTF in the driver-checked path: LATERAL-join the
+    SplitSentences table function against documents — one input row,
+    variable output rows computed in Python, the template for
+    stateful tokenizers/parsers no column expression can express
+    (SURVEY.md §2.10). The oracle mirrors the regex split + strip +
+    empty-drop + positional index in SQL, so the UDTF's Python row
+    expansion is value-hash-checked, not just smoke-run."""
+    from ..functions.udfs import SplitSentences
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("__docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars
+        FROM __docs_for_udtf d, LATERAL split_sentences(d.text) s
+        """
+    )
