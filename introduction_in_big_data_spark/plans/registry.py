@@ -57,13 +57,18 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-# Queries that already have a driver-green (rows+schema+hash) row in
-# CORRECTNESS_r01.json. The round-1 driver checked the FIRST ~50
-# registry entries, so queries()/oracle_sql() now order the not-yet-
+# Queries that already have a driver-green (rows+schema+hash) row in a
+# prior round's CORRECTNESS_r{N}.json. The driver checks the FIRST ~50
+# registry entries, so queries()/oracle_sql() order the not-yet-
 # driver-checked queries first: successive rounds sweep the whole
-# registry even if each round samples a prefix. Local verification is
-# unaffected — tests/test_oracle.py and the sweep artifact
-# (SWEEP_r02.json) always run every query.
+# registry even if each round samples a prefix. The already-green tail
+# is ordered by a round-salted hash, so the sample slots left after the
+# unchecked queries re-validate a *rotating* subset of previously-green
+# queries each round (regression coverage under prefix sampling). Local
+# verification is unaffected — tests/test_oracle.py and the sweep
+# artifacts always run every query.
+_ROTATION_SALT = "r3"
+
 _R1_DRIVER_GREEN = frozenset(
     {
         "q1_pricing_summary", "top20_brands", "mktsegment_order_counts",
@@ -87,16 +92,53 @@ _R1_DRIVER_GREEN = frozenset(
 )
 
 
+_R2_DRIVER_GREEN = frozenset(
+    {
+        "doc_sentences", "dedup_simhash", "dedup_keep_representatives",
+        "ann_nn_join", "embedding_dup_clusters",
+        "embedding_near_dup_lsh_repro", "ann_lsh_topk_repro",
+        "ann_ivf_topk_fixed", "udf_cosine_adjacent_vectors",
+        "stream_user_counts", "stream_top5_event_types",
+        "stream_hourly_by_type", "stream_nation_event_revenue",
+        "stream_distinct_users", "stream_dedup_unique_users_by_type",
+        "sketch_cms_event_types", "multimodal_features",
+        "multimodal_frame_sample", "multimodal_thumbnail",
+        "multimodal_bmp_stats", "multimodal_wav_energy",
+        "multimodal_audio_energy", "corr_quantity_price",
+        "left_join_order_gaps", "rollup_flag_status",
+        "q3_shipping_priority", "top5pct_parts_percentile",
+        "merge_upsert_customers", "full_outer_nation_balance",
+        "dq_customer_report", "unpivot_part_metrics",
+        "quantity_percentiles_by_flag", "top_parts_per_brand_with_ties",
+        "mad_outlier_counts", "udaf_value_rmse_by_type",
+        "q5_region_revenue", "q18_large_orders", "embedding_near_dup",
+        "q4_priority_order_counts", "q13_order_count_distribution",
+        "q14_promo_revenue_share", "q17_below_avg_qty_revenue",
+        "q22_idle_customer_balance", "daily_revenue_momentum",
+        "acctbal_quartile_stats", "q7_nation_trade_volume",
+        "q8_market_share", "q10_returned_revenue_top20",
+        "q11_valuable_parts", "q15_top_suppliers",
+    }
+)
+
+_DRIVER_GREEN = _R1_DRIVER_GREEN | _R2_DRIVER_GREEN
+
+
 def _ordered_specs() -> list[QuerySpec]:
-    """Unchecked-oracle queries first, then unchecked rows-only, then
-    the already-driver-green prefix from round 1."""
+    """Never-driver-checked queries first (oracle-checked before
+    rows-only), then every previously-green query in round-salted-hash
+    order so prefix sampling re-validates a rotating subset."""
+    import hashlib
 
-    def bucket(spec: QuerySpec) -> int:
-        if spec.name in _R1_DRIVER_GREEN:
-            return 2
-        return 0 if spec.oracle else 1
+    def key(spec: QuerySpec):
+        if spec.name not in _DRIVER_GREEN:
+            return (0 if spec.oracle else 1, spec.name)
+        digest = hashlib.md5(
+            (_ROTATION_SALT + spec.name).encode()
+        ).hexdigest()
+        return (2, digest)
 
-    return sorted(REGISTRY.values(), key=lambda s: bucket(s))
+    return sorted(REGISTRY.values(), key=key)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

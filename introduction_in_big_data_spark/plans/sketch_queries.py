@@ -106,3 +106,116 @@ def sketch_approx_quantiles(spark, sf_dir):
         F.col("quantiles")[1].alias("p50"),
         F.col("quantiles")[2].alias("p75"),
     )
+
+
+@register(
+    "sketch_hll_vs_exact",
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+               TRUE AS hllpp_ok, TRUE AS hll_ok
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT '*' AS event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+               TRUE AS hllpp_ok, TRUE AS hll_ok
+        FROM events
+    """,
+    tags=("sketch", "approx"),
+)
+def sketch_hll_vs_exact(spark, sf_dir):
+    """Deterministic witness for the HLL family (VERDICT r2 item 4):
+    the estimates themselves have no DuckDB twin, but their ERROR
+    CONTRACT does. Emits per-type exact distincts plus booleans
+    asserting HLL++ (rsd=0.02, bound 5*rsd) and the Datasketches
+    estimate land within tolerance, and a '*' row checking the
+    hll_union_agg merge path against the global exact — all
+    hash-comparable because both engines agree the booleans must be
+    TRUE. A broken sketch (or merge) flips a boolean and fails the
+    hash, turning the three rows-only HLL queries' machinery into a
+    driver-checkable component (same pattern as the CMS md5 twin)."""
+    rsd = 0.02
+    tol = 5 * rsd  # 5 sigma for HLL++; >6 sigma for lgK=12 Datasketches
+
+    def ok(est, exact):
+        return (
+            F.abs(est.cast("double") - exact) <= F.lit(tol) * exact
+        ).alias  # caller names it
+
+    e = t(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"),
+        F.approx_count_distinct("user_id", rsd).alias("_hllpp"),
+        F.hll_sketch_agg("user_id").alias("_sk"),
+    )
+    per_rows = per.select(
+        "event_type",
+        "exact_distinct",
+        ok(F.col("_hllpp"), F.col("exact_distinct"))("hllpp_ok"),
+        ok(F.hll_sketch_estimate("_sk"), F.col("exact_distinct"))("hll_ok"),
+    )
+    glob = e.agg(
+        F.countDistinct("user_id").alias("exact_distinct"),
+        F.approx_count_distinct("user_id", rsd).alias("_hllpp"),
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_hll_merged")
+    )
+    glob_row = glob.crossJoin(merged).select(
+        F.lit("*").alias("event_type"),
+        "exact_distinct",
+        ok(F.col("_hllpp"), F.col("exact_distinct"))("hllpp_ok"),
+        ok(F.col("_hll_merged"), F.col("exact_distinct"))("hll_ok"),
+    )
+    return per_rows.unionByName(glob_row)
+
+
+@register(
+    "sketch_quantiles_vs_exact",
+    oracle="""
+        SELECT CAST(count(l_extendedprice) AS BIGINT) AS n,
+               TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+        FROM lineitem
+    """,
+    tags=("sketch", "approx"),
+)
+def sketch_quantiles_vs_exact(spark, sf_dir):
+    """Deterministic witness for the GK quantile sketch: the sketch
+    guarantees each returned value's rank is within eps*n of the
+    requested quantile (eps = 1/accuracy). Both rank bounds are exact
+    integer counts Spark recomputes against the data — cnt_lt(v) <
+    (q+eps)*n and cnt_le(v) >= (q-eps)*n (the tie-aware bracketing) —
+    so the booleans are TRUE iff the sketch honored its contract, and
+    the oracle agrees on TRUE plus the exact row count n."""
+    accuracy = 10000
+    eps = 1.0 / accuracy
+    probs = [0.25, 0.5, 0.75]
+    li = t(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.expr(
+            f"percentile_approx(l_extendedprice, array({', '.join(map(str, probs))}),"
+            f" {accuracy})"
+        ).alias("_qs"),
+        F.count("l_extendedprice").alias("n"),
+    )
+    probe = li.crossJoin(F.broadcast(stats))
+    c = F.col("l_extendedprice")
+    aggs = [F.first("n").alias("n")]
+    for i in range(len(probs)):
+        v = F.col("_qs")[i]
+        aggs.append(
+            F.sum((c < v).cast("long")).alias(f"_lt{i}")
+        )
+        aggs.append(
+            F.sum((c <= v).cast("long")).alias(f"_le{i}")
+        )
+    counted = probe.agg(*aggs)
+    out_cols = [F.col("n")]
+    for i, (q, name) in enumerate(zip(probs, ["p25_ok", "p50_ok", "p75_ok"])):
+        n = F.col("n").cast("double")
+        ok_col = (
+            (F.col(f"_lt{i}") < (q + eps) * n + 1)
+            & (F.col(f"_le{i}") >= (q - eps) * n - 1)
+        ).alias(name)
+        out_cols.append(ok_col)
+    return counted.select(*out_cols)

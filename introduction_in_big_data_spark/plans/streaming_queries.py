@@ -56,6 +56,8 @@ def stream_top5_event_types(spark, sf_dir):
         GROUP BY window_epoch, event_type
     """,
     tags=("streaming", "window", "time"),
+    bench=True,  # VERDICT r2 item 5: keep the streaming engine in the
+    # headline so round-over-round regressions are visible
 )
 def stream_hourly_by_type(spark, sf_dir):
     """Tumbling 1-hour event-time windows — the idiomatic superset the

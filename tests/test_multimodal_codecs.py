@@ -179,3 +179,115 @@ def test_ppm_roundtrip_property(w, h, data):
         for _ in range(h)
     ]
     assert codecs.decode_ppm(codecs.encode_ppm(w, h, rows)) == (w, h, rows)
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _golden_png(idat_split: bool = False) -> bytes:
+    """Hand-constructed 2x2 RGB PNG (filter 0 scanlines) — built with
+    struct+zlib directly, NOT via codecs.encode_png, so encoder and
+    decoder cannot share a bug."""
+    import zlib
+
+    raw = (
+        b"\x00" + bytes([10, 20, 30, 40, 50, 60])
+        + b"\x00" + bytes([70, 80, 90, 100, 110, 120])
+    )
+    comp = zlib.compress(raw)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    if idat_split:
+        mid = len(comp) // 2
+        idat = _chunk(b"IDAT", comp[:mid]) + _chunk(b"IDAT", comp[mid:])
+    else:
+        idat = _chunk(b"IDAT", comp)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        # ancillary chunk the decoder must skip
+        + _chunk(b"tEXt", b"Comment\x00golden")
+        + idat
+        + _chunk(b"IEND", b"")
+    )
+
+
+GOLDEN_PNG_PIXELS = [
+    [(10, 20, 30), (40, 50, 60)],
+    [(70, 80, 90), (100, 110, 120)],
+]
+
+
+def test_decode_png_golden_bytes():
+    w, h, rows = codecs.decode_png(_golden_png())
+    assert (w, h) == (2, 2)
+    assert rows == GOLDEN_PNG_PIXELS
+
+
+def test_decode_png_split_idat_and_ancillary_chunks():
+    w, h, rows = codecs.decode_png(_golden_png(idat_split=True))
+    assert (w, h) == (2, 2)
+    assert rows == GOLDEN_PNG_PIXELS
+
+
+def test_decode_png_rejects_bad_crc():
+    blob = bytearray(_golden_png())
+    blob[-5] ^= 0xFF  # corrupt IEND CRC
+    with pytest.raises(ValueError, match="CRC"):
+        codecs.decode_png(bytes(blob))
+
+
+def test_decode_png_rejects_non_png():
+    with pytest.raises(ValueError):
+        codecs.decode_png(GOLDEN_BMP)
+
+
+def test_encode_png_exercises_all_five_filters():
+    import zlib
+
+    # 6 rows -> filter bytes 0,1,2,3,4,0 in the raw scanline stream
+    rows = [[(x * 40 % 256, y * 40 % 256, (x + y) % 256) for x in range(4)] for y in range(6)]
+    blob = codecs.encode_png(4, 6, rows)
+    # pull the IDAT payload back out and check the filter byte per row
+    pos = 8
+    idat = b""
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        if blob[pos + 4 : pos + 8] == b"IDAT":
+            idat += blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = 1 + 4 * 3
+    assert [raw[y * stride] for y in range(6)] == [0, 1, 2, 3, 4, 0]
+    assert codecs.decode_png(blob)[2] == rows
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st_.integers(min_value=1, max_value=7),
+    h=st_.integers(min_value=1, max_value=8),
+    data=st_.data(),
+)
+def test_png_roundtrip_property(w, h, data):
+    rows = [
+        [
+            tuple(data.draw(st_.integers(0, 255)) for _ in range(3))
+            for _ in range(w)
+        ]
+        for _ in range(h)
+    ]
+    got_w, got_h, got_rows = codecs.decode_png(codecs.encode_png(w, h, rows))
+    assert (got_w, got_h) == (w, h)
+    assert got_rows == rows
