@@ -86,7 +86,14 @@ def _pipeline(spark, sf_dir):
     ratings = cf.ratings_from_sales(
         t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem")
     )
-    ratings = cf.filter_active_users(ratings, MIN_ITEMS)
+    # materialize the aggregated frame BEFORE filter_popular_items: its
+    # k-sizing count() action would otherwise compute the whole
+    # orders⋈lineitem subtree once for the count and the final query
+    # would compute it all AGAIN while populating the cache — the join
+    # ran twice per invocation (measured ~1.3s of cf_knn_pruned's 3.1s
+    # at sf0.1). Lazy localCheckpoint: the sizing job stores the blocks,
+    # every later branch reads them, ContextCleaner frees them on GC.
+    ratings = cf.filter_active_users(ratings, MIN_ITEMS).localCheckpoint(eager=False)
     # downstream CF consumes the ratings frame from up to five plan
     # branches (similarity self-join sides, norms, neighbor ratings,
     # eval); cache the aggregated frame — it is orders of magnitude

@@ -60,6 +60,8 @@ PROBE_QUERIES = [
     "skew_join_unsalted",      # hot-key sort-merge (AQE skew path)
     "skew_join_salted",        # salted twin
     "dedup_exact",             # documents hash-agg dedup
+    "dedup_jaccard",           # shingle self-join, Σn² bounded by cap
+    "dedup_minhash_lsh",       # signatures + band join + verify
     "text_token_stats",        # regex scan stage
     "cf_knn_pruned",           # CF headline: self-join Σn² is linear in
                                # disjoint copies — the probe proves it
@@ -80,6 +82,16 @@ def build_sf1(spark) -> None:
             c = src
             for k in keys:
                 c = c.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+            if name == "documents" and i > 0:
+                # tag every token with the copy id so copies are
+                # text-disjoint too: without this, identical texts
+                # across copies cross-match in the shingle/band joins
+                # (candidate pairs grow with COPIES², a CHANGED workload,
+                # not a scaled one). Tagging preserves per-copy token
+                # counts, shingle structure and df(t) shapes exactly.
+                c = c.withColumn(
+                    "text", F.regexp_replace(F.col("text"), r"(\S+)", f"$1~{i}")
+                )
             parts.append(c)
         df = parts[0]
         for p in parts[1:]:

@@ -1,0 +1,82 @@
+"""Z-order layout: Morton-key correctness vs a pure-Python reference,
+and the actual pruning payoff measured from parquet footer stats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from introduction_in_big_data_spark.operators import layout
+
+
+def _py_spread16(x: int) -> int:
+    x &= 0xFFFF
+    x = (x | (x << 8)) & 0x00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F
+    x = (x | (x << 2)) & 0x33333333
+    x = (x | (x << 1)) & 0x55555555
+    return x
+
+
+def _py_z(x: int, y: int) -> int:
+    return _py_spread16(x) | (_py_spread16(y) << 1)
+
+
+def test_zkey_matches_python_reference(spark):
+    pts = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 2), (65535, 65535),
+           (12345, 54321), (65535, 0), (255, 256)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in layout.with_zkey(df, "x", "y", "z").collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == _py_z(x, y), (x, y)
+
+
+def test_zkey_known_values(spark):
+    # z(1,0)=1, z(0,1)=2, z(1,1)=3, z(2,2)=12: the quad recursion
+    df = spark.createDataFrame(
+        [(1, 0), (0, 1), (1, 1), (2, 2)], "x long, y long"
+    )
+    vals = [r["z"] for r in layout.with_zkey(df, "x", "y", "z").orderBy("x", "y").collect()]
+    assert sorted(vals) == [1, 2, 3, 12]
+
+
+def test_zordered_write_bounds_both_dimensions(spark, tmp_path):
+    """The pruning property itself: after write_zordered on a uniform
+    (x, y) grid, per-file footer stats are tight in BOTH dimensions,
+    and a selective predicate on EITHER dimension skips >= half the
+    files — while a linear sort on x alone gives zero pruning on y."""
+    n = 1 << 12
+    grid = spark.range(n).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    zpath, xpath = str(tmp_path / "zord"), str(tmp_path / "xsort")
+    layout.write_zordered(grid, zpath, "x", "y", n_files=16)
+    (
+        grid.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(xpath)
+    )
+    zboxes = layout.file_bounding_boxes(zpath, ["x", "y"])
+    xboxes = layout.file_bounding_boxes(xpath, ["x", "y"])
+    assert len(zboxes) == 16
+
+    # point-ish predicates on each dimension: x in [0,7], y in [0,7]
+    zx = layout.pruning_fraction(zboxes, "x", 0, 7)
+    zy = layout.pruning_fraction(zboxes, "y", 0, 7)
+    xy = layout.pruning_fraction(xboxes, "y", 0, 7)
+    assert zx >= 0.5, f"z-layout should skip most files on x, got {zx}"
+    assert zy >= 0.5, f"z-layout should skip most files on y, got {zy}"
+    # the x-sorted layout cannot skip anything on y (every file spans y)
+    assert xy == 0.0
+    # rows survive the layout intact
+    assert spark.read.parquet(zpath).count() == n
+
+
+def test_pruning_fraction_handles_missing_stats():
+    assert layout.pruning_fraction([], "x", 0, 1) == 0.0
+    boxes = [{"file": "f", "rows": 1, "x": (None, None)}]
+    assert layout.pruning_fraction(boxes, "x", 0, 1) == 0.0
