@@ -447,3 +447,73 @@ def hamming_pairs(
         .filter(F.col("hamming") <= max_distance)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_chars: int = 32,
+    anchor_window: int = 8,
+) -> DataFrame:
+    """Cross-document repeated-substring accounting — the char-level
+    complement of the word-shingle suite (the "dedup training data at
+    the substring level" idea of Lee et al., 2107.06499, made
+    shuffle-friendly with content-defined sampling instead of a
+    suffix array, which no shared-nothing engine builds globally).
+
+    Gram positions are CONTENT-DEFINED, not fixed-stride: position p
+    is an anchor iff the first hex digit of md5 of the `anchor_window`
+    chars at p is '0' (expected gap 16). Content-defined anchors are
+    alignment-independent — a span shared by two documents anchors at
+    the SAME span-relative offsets in both, wherever each copy starts,
+    so any shared span of length gram_chars + O(16) is detected with
+    high probability. (A fixed stride-s grid only catches copies at
+    equal alignment mod s — it misses an arbitrary-offset repeat.)
+    Each anchor emits the md5 of the `gram_chars`-char gram starting
+    there; a gram in >= 2 DISTINCT documents is "duplicated". Output
+    per doc: total grams and duplicated grams — the span accounting a
+    pipeline thresholds on before cutting documents.
+
+    Scale: anchoring costs one md5 of `anchor_window` chars per
+    character (JVM codegen, map-side only) and emits ~n/16 rows; the
+    df(gram) group-by is the only wide op. Degenerate grams
+    (whitespace runs, boilerplate) concentrate like stop-shingles — a
+    df cap before the join is the production knob, same as
+    `max_shingle_freq`.
+    """
+    grams = (
+        df.filter(F.length(F.col(text_col)) >= gram_chars)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.expr(
+                    f"transform("
+                    f" filter(sequence(1, length({text_col}) - {gram_chars} + 1),"
+                    f"  p -> substring(md5(substring({text_col}, p,"
+                    f"   {anchor_window})), 1, 1) = '0'),"
+                    f" p -> md5(substring({text_col}, p, {gram_chars})))"
+                )
+            ).alias("h"),
+        )
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc").alias("ddf"))
+        .filter(F.col("ddf") >= 2)
+        .select("h")
+    )
+    per_doc = grams.groupBy("doc").agg(F.count(F.lit(1)).alias("n_grams"))
+    dup_per_doc = (
+        grams.join(dup, "h", "left_semi")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("dup_grams"))
+    )
+    return (
+        per_doc.join(dup_per_doc, "doc", "left")
+        .select(
+            F.col("doc"),
+            "n_grams",
+            F.coalesce(F.col("dup_grams"), F.lit(0)).alias("dup_grams"),
+        )
+    )

@@ -388,3 +388,40 @@ def dedup_keep_representatives(spark, sf_dir):
     return comp.groupBy(F.col("component").alias("rep_id")).agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
+
+
+@register(
+    "substring_dup_stats",
+    oracle="""
+        WITH g AS (
+            SELECT doc_id AS doc, md5(substr(text, p.p, 32)) AS h
+            FROM documents,
+                 unnest(list_filter(range(1, length(text) - 32 + 2),
+                        p -> substr(md5(substr(text, p, 8)), 1, 1) = '0')) AS p(p)
+            WHERE length(text) >= 32
+        ),
+        dup AS (
+            SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc) >= 2
+        ),
+        cnt AS (SELECT doc, count(*) AS n_grams FROM g GROUP BY doc),
+        dupc AS (
+            SELECT doc, count(*) AS dup_grams FROM g
+            WHERE h IN (SELECT h FROM dup) GROUP BY doc
+        )
+        SELECT c.doc, c.n_grams, coalesce(d.dup_grams, 0) AS dup_grams
+        FROM cnt c LEFT JOIN dupc d USING (doc)
+    """,
+    tags=("dedup", "text", "scale"),
+)
+def substring_dup_stats(spark, sf_dir):
+    """Char-level repeated-substring accounting (Lee et al. substring
+    dedup): per document, how many 32-char grams at CONTENT-DEFINED
+    anchor positions (md5-of-8-char-window hex digit = '0', expected
+    gap 16 — alignment-independent, so arbitrary-offset copies are
+    caught) also appear in ANOTHER document. Anchor selection and
+    grams are byte-identical in DuckDB, so the whole pipeline — anchor
+    predicate, gram md5s, cross-doc df, per-doc accounting — is
+    hash-checked."""
+    return dedup.substring_dup_stats(
+        t(spark, sf_dir, "documents"), "doc_id", "text", gram_chars=32, anchor_window=8
+    )

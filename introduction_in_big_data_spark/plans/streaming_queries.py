@@ -134,3 +134,59 @@ def stream_dedup_unique_users_by_type(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("unique_users"))
     )
     return st.run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_stream_view_click",
+    oracle="""
+        SELECT v.user_id,
+               CAST(floor(epoch(v.ts)) AS BIGINT) AS view_epoch,
+               CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch
+        FROM events v JOIN events c
+          ON v.user_id = c.user_id
+         AND v.event_type = 'view' AND c.event_type = 'click'
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join", "stateful"),
+)
+def stream_stream_view_click(spark, sf_dir):
+    """STREAM-STREAM inner join (§2.9's last uncovered join shape):
+    each 'view' joined to same-user 'click's within the following 30
+    minutes. Both sides are independent file-stream readers of the
+    same staged queue; the time-range predicate bounds the join state
+    (a view matches only clicks in [view_ts, view_ts+30m], so state
+    for older views is reclaimable once the watermark passes).
+
+    The watermark delay here is set LARGER than the bounded run's time
+    span: with Trigger.AvailableNow over a finite file queue the goal
+    is exact batch parity (the oracle is the batch self-join), and a
+    short delay would let one side's watermark evict view-state that a
+    later-arriving file still matches — the staged files are
+    event_id-ranged, only approximately time-ordered. A production
+    deployment sets the delay to its real out-of-orderness bound and
+    accepts dropping matches older than that; the OPERATOR is
+    identical, only the delay constant changes. Epochs emitted as
+    longs — session-timezone-free."""
+    s = st.events_stream(spark, sf_dir, n_files=N_FILES)
+    views = (
+        s.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "3650 days")
+    )
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "3650 days")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "user_id = c_user_id AND click_ts >= view_ts "
+            "AND click_ts <= view_ts + interval 30 minutes"
+        ),
+    ).select(
+        "user_id",
+        F.unix_timestamp("view_ts").alias("view_epoch"),
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+    )
+    return st.run_to_memory(joined, "append")

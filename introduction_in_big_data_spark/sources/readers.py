@@ -93,3 +93,28 @@ def read_jdbc(
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Directory of opaque media blobs as a DataFrame — Spark's
+    `binaryFile` source: (path, modificationTime, length, content:
+    binary). This is the REAL ingestion path for the multimodal
+    operators (operators/multimodal.py): raw image/audio files land in
+    object storage, this scan turns them into the binary column the
+    decode kernels consume. Filter with `pathGlobFilter` (pushed into
+    file listing, not a post-filter) and prune `content` away for
+    metadata-only queries — the reader only materializes the bytes
+    when the column is selected."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same predicate-pushdown/column-pruning contract as
+    parquet (both are columnar with min/max stats); ships with Spark,
+    no extra jars."""
+    return spark.read.orc(path)

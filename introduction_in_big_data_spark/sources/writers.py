@@ -92,3 +92,10 @@ def write_jdbc(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (zlib default codec) — the columnar alternative when a
+    consumer ecosystem is Hive/ORC-native; round-trip-tested against
+    the parquet path in tests/test_sources.py."""
+    df.write.mode(mode).orc(path)

@@ -171,3 +171,82 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "error" in plan
     n_err = events.filter(F.col("event_type") == "error").count()
     assert back.count() == n_err
+
+
+def test_binary_files_roundtrip_png_decode(spark, tmp_path):
+    """binaryFile source -> multimodal decode: write real PNG blobs to
+    a directory, scan them back as (path, content), and run the stdlib
+    PNG decoder over the binary column — the actual ingestion topology
+    for an image corpus (files in object storage -> binary column ->
+    mapInPandas kernel)."""
+    from pyspark.sql import functions as F
+
+    from introduction_in_big_data_spark.functions import codecs
+    from introduction_in_big_data_spark.operators import multimodal
+    from introduction_in_big_data_spark.sources.readers import read_binary_files
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    for mid in (3, 7):
+        rows = [
+            [multimodal.png_rgb(mid, x, y) for x in range(multimodal.PNG_W)]
+            for y in range(multimodal.PNG_H)
+        ]
+        (d / f"img_{mid}.png").write_bytes(
+            codecs.encode_png(multimodal.PNG_W, multimodal.PNG_H, rows)
+        )
+    (d / "ignore.txt").write_text("not an image")
+
+    scanned = read_binary_files(spark, str(d), glob="*.png")
+    assert scanned.count() == 2
+    media = scanned.select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.png", 1)
+        .cast("long")
+        .alias("media_id"),
+        "content",
+    )
+    stats = {r["media_id"]: r for r in multimodal.decode_png_stats(media).collect()}
+    for mid in (3, 7):
+        grays = [
+            ch
+            for y in range(multimodal.PNG_H)
+            for x in range(multimodal.PNG_W)
+            for ch in multimodal.png_rgb(mid, x, y)
+        ]
+        assert stats[mid]["px_min"] == min(grays)
+        assert stats[mid]["px_max"] == max(grays)
+        assert stats[mid]["r_sum"] == sum(
+            multimodal.png_rgb(mid, x, y)[0]
+            for y in range(multimodal.PNG_H)
+            for x in range(multimodal.PNG_W)
+        )
+
+
+def test_orc_roundtrip_matches_parquet(spark, tmp_path, sf_dir):
+    """ORC sink/source round trip: same rows, schema and values as the
+    parquet original (nation: covers int/string)."""
+    from introduction_in_big_data_spark.sources.readers import read_orc
+    from introduction_in_big_data_spark.sources.tables import load_table
+    from introduction_in_big_data_spark.sources.writers import write_orc
+
+    nation = load_table(spark, sf_dir, "nation")
+    p = str(tmp_path / "nation_orc")
+    write_orc(nation, p)
+    back = read_orc(spark, p)
+    assert back.schema == nation.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_orc_scan_pushes_filters(spark, tmp_path, sf_dir):
+    from introduction_in_big_data_spark.sources.readers import read_orc
+    from introduction_in_big_data_spark.sources.tables import load_table
+    from introduction_in_big_data_spark.sources.writers import write_orc
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+    p = str(tmp_path / "li_orc")
+    write_orc(li, p)
+    q = read_orc(spark, p).filter("l_quantity > 45").select("l_orderkey")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in plan
