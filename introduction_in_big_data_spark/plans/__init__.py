@@ -18,6 +18,7 @@ from . import curation_queries  # noqa: F401
 from . import skew_queries  # noqa: F401
 from . import chunk_queries  # noqa: F401
 from . import layout_queries  # noqa: F401
+from . import graph_queries  # noqa: F401
 from .registry import REGISTRY, QuerySpec, oracle_sql, queries, register
 
 __all__ = ["REGISTRY", "QuerySpec", "oracle_sql", "queries", "register"]

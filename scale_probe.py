@@ -66,6 +66,8 @@ PROBE_QUERIES = [
     "cf_knn_pruned",           # CF headline: self-join Σn² is linear in
                                # disjoint copies — the probe proves it
     "tfidf_top_terms",         # one corpus explode + term-window df(t)
+    "substring_dup_stats",     # content-defined char grams, df group-by
+    "pagerank_trade_graph",    # 5 iterations, lineage-truncated loop
 ]
 
 

@@ -250,3 +250,55 @@ def test_orc_scan_pushes_filters(spark, tmp_path, sf_dir):
     q = read_orc(spark, p).filter("l_quantity > 45").select("l_orderkey")
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in plan
+
+
+def test_python_datasource_synthetic_docs(spark):
+    """Spark 4 Python DataSource API: the registered synthetic corpus
+    source generates per-partition on executors, honors the partition
+    option, and is bit-deterministic across reads (splitmix64 content,
+    no version-dependent RNG)."""
+    from introduction_in_big_data_spark.sources.synthetic import (
+        SyntheticDocsDataSource,
+        doc_for,
+    )
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 500)
+        .option("n_partitions", 8)
+        .option("seed", 7)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    rows = {r["doc_id"]: (r["text"], r["lang"]) for r in df.collect()}
+    assert len(rows) == 500
+    # executor content == the pure function, spot-checked across range
+    for did in (0, 1, 137, 499):
+        _, text, lang = doc_for(did, 7)
+        assert rows[did] == (text, lang)
+    # second read identical (determinism), different seed differs
+    again = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 500)
+        .option("n_partitions", 8)
+        .option("seed", 7)
+        .load()
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(
+        (k, v[0], v[1]) for k, v in rows.items()
+    )
+    other = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 10)
+        .option("seed", 8)
+        .load()
+    )
+    assert {r["text"] for r in other.collect()} != {
+        rows[i][0] for i in range(10)
+    }
+    # and a real operator runs over the generated corpus end to end
+    from introduction_in_big_data_spark.operators.dedup import exact_duplicates
+
+    dups = exact_duplicates(df, "doc_id", "text")
+    assert dups.count() >= 0

@@ -214,3 +214,69 @@ def test_stream_stream_interval_join(spark, sf_dir):
     }
     assert streamed == batch
     assert batch, "fixture should produce at least one pair"
+
+
+def test_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
+    """Fault-tolerance witness (§2.9): run the file queue with a
+    checkpoint, STOP after the first 3 files, add the remaining 2, and
+    restart with the SAME checkpoint. The resumed query must (a) skip
+    the already-committed files — measured via numInputRows — and
+    (b) land on exactly the batch answer: state restored + no double
+    counting = exactly-once end to end."""
+    import glob as _glob
+    import shutil
+
+    staged = st.stage_events_dir(spark, sf_dir, 5)
+    files = sorted(_glob.glob(os.path.join(staged, "part-*")))
+    assert len(files) == 5
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(staged).schema
+
+    def run(name: str):
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows_in = sum(
+            int(p["numInputRows"]) for p in (json.loads(pp.json) for pp in q.recentProgress)
+        )
+        return rows_in
+
+    for f in files[:3]:
+        shutil.copy(f, src / os.path.basename(f))
+    phase1_rows = run("ckpt_phase1")
+
+    for f in files[3:]:
+        shutil.copy(f, src / os.path.basename(f))
+    phase2_rows = run("ckpt_phase2")
+
+    first3 = spark.read.parquet(*files[:3]).count()
+    last2 = spark.read.parquet(*files[3:]).count()
+    assert phase1_rows == first3
+    # the resumed run read ONLY the two new files
+    assert phase2_rows == last2, (phase2_rows, last2)
+
+    got = {
+        r["event_type"]: r["cnt"] for r in spark.table("ckpt_phase2").collect()
+    }
+    expected = {
+        r["event_type"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == expected
