@@ -80,3 +80,18 @@ def test_pruning_fraction_handles_missing_stats():
     assert layout.pruning_fraction([], "x", 0, 1) == 0.0
     boxes = [{"file": "f", "rows": 1, "x": (None, None)}]
     assert layout.pruning_fraction(boxes, "x", 0, 1) == 0.0
+
+
+def test_pagerank_mass_conservation_and_uniform_cycle(spark):
+    """Invariants: (a) on a dangling-free graph total rank mass stays
+    exactly 1 (each iteration maps mass -> (1-d) + d*mass); (b) on a
+    symmetric cycle every node ends at exactly 1/N."""
+    from introduction_in_big_data_spark.operators.graph import pagerank
+
+    n = 8
+    cyc = [(i, (i + 1) % n) for i in range(n)] + [((i + 1) % n, i) for i in range(n)]
+    df = spark.createDataFrame(cyc, "src long, dst long")
+    ranks = {r["node"]: r["rank"] for r in pagerank(df, iters=4).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-8
+    for v in ranks.values():
+        assert abs(v - 1.0 / n) < 1e-9
