@@ -1,0 +1,113 @@
+"""Automated physical-plan audit across the ENTIRE query registry —
+the regression guard for the round-1 defect classes:
+
+1. No single-partition WindowExec (a global `Window.orderBy` ranks the
+   whole dataset on one task — the defect r1 shipped four of) unless
+   the query is in the documented allowlist of bounded-small frames.
+2. No CartesianProduct / nested-loop Cross join except the documented
+   1-row scalar gates and the deliberately-quadratic oracle baselines.
+
+Plans are built at sf0.001 and inspected as text; nothing is executed
+beyond what query BUILDERS themselves run (scalar sizing jobs, k-means
+training). Streaming queries are skipped — their builders execute the
+stream and return a memory-table scan, which has no plan to audit.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from introduction_in_big_data_spark import plans
+
+# Global-window allowlist: frames proven bounded-small (aggregate
+# rollups over <= calendar-days rows or P partition summaries — see
+# VERDICT r2 anti-pattern audit), or ties-ranking over one group's
+# aggregate output.
+GLOBAL_WINDOW_OK = {
+    "rolling_revenue_7d",       # daily rollup frame <= calendar days
+    "daily_revenue_momentum",   # same daily-rollup shape
+    "q6_forecast_revenue",      # daily rollup
+    "tfidf_top_terms",          # df(t) window over the tf AGGREGATE
+    "text_winnow_fingerprints", # per-doc winnow windows over k-gram seq
+    "acctbal_quartile_stats",   # partition-local ranks (audited plan);
+                                # matches only via its offsets subtree
+    "token_shard_stats",        # distributed prefix sum: the global
+                                # window runs over P partition SUMMARIES
+                                # (P rows), not the data
+}
+
+# Cross-join allowlist: 1-row broadcast scalar gates (a cross join
+# against a single aggregate row is a broadcast nested loop over ONE
+# row) and the labeled O(n^2) oracle baselines whose registered scale
+# twins are the defaults.
+CROSS_OK = {
+    # 1-row scalar gates
+    "zscore_outlier_counts", "sigma_band_orders", "mad_outlier_counts",
+    "q11_valuable_parts", "q15_top_suppliers", "q22_idle_customer_balance",
+    "tfidf_top_terms", "corpus_composition", "sample_mix_by_source",
+    "q14_promo_revenue_share", "q17_below_avg_qty_revenue",
+    "q13_order_count_distribution", "q16_supplier_variety",
+    "dq_customer_report", "sketch_hll_vs_exact",
+    "sketch_quantiles_vs_exact", "sketch_approx_distinct_users",
+    "text_quality", "text_repetition_ratio", "curation_funnel",
+    "decontam_overlap", "redact_pii_stats", "domain_stats",
+    # labeled quadratic oracle baselines (scale twins are the defaults)
+    "embedding_near_dup", "ann_bruteforce_topk", "ann_nn_join",
+    "embedding_dup_clusters", "dedup_keep_representatives",
+    "fuzzy_name_pairs", "cf_knn", "cf_ratings", "cf_predict_metrics",
+    "cf_knn_pruned",
+    "fk_orphan_counts",  # three 1-row scalar counts crossed into one row
+}
+
+
+import re
+
+_WSD_FIRST_ARG = re.compile(r"windowspecdefinition\(([^,()]*)[,)]")
+
+
+def _offending_windows(plan: str) -> list[str]:
+    """A windowspecdefinition whose FIRST argument is a sort-ordered
+    expression (carries ASC/DESC) has no partition columns — Spark
+    renders partition exprs first, bare, then order exprs. Robust to
+    the line truncation that breaks `], [` separator counting."""
+    out = []
+    for line in plan.split("\n"):
+        if "windowspecdefinition(" not in line:
+            continue
+        for first_arg in _WSD_FIRST_ARG.findall(line):
+            if " ASC" in first_arg or " DESC" in first_arg:
+                out.append(line.strip()[:120])
+                break
+    return out
+
+
+def _offending_cross(plan: str) -> list[str]:
+    out = []
+    for line in plan.split("\n"):
+        if "CartesianProduct" in line or (
+            "NestedLoopJoin" in line and "Cross" in line
+        ):
+            out.append(line.strip()[:120])
+    return out
+
+
+def test_registry_plans_have_no_unexpected_global_windows_or_cross_joins(
+    spark, sf_dir
+):
+    failures = []
+    for spec in plans.REGISTRY.values():
+        if "streaming" in spec.tags:
+            continue
+        try:
+            df = spec.fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # builder itself broken -> fail loudly
+            failures.append(f"{spec.name}: builder error {ex}")
+            continue
+        if spec.name not in GLOBAL_WINDOW_OK:
+            for w in _offending_windows(plan):
+                failures.append(f"{spec.name}: single-partition window: {w}")
+        if spec.name not in CROSS_OK:
+            for c in _offending_cross(plan):
+                failures.append(f"{spec.name}: cross join: {c}")
+    assert not failures, "\n".join(failures)
