@@ -280,3 +280,39 @@ def test_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_rocksdb_state_store_parity(spark, sf_dir):
+    """The 100 TB streaming-state path: the default HDFS-backed state
+    store keeps every key in executor heap; RocksDB (ships with Spark)
+    spills state to local disk and is the provider a large stateful
+    job actually deploys with. Run the cumulative aggregate under
+    RocksDB and assert exact parity with the batch answer — the
+    provider is a drop-in conf, not a semantics change."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        s = st.events_stream(spark, sf_dir, n_files=5)
+        got = {
+            r["event_type"]: r["cnt"]
+            for r in st.run_to_memory(
+                st.cumulative_counts(s, ["event_type"]), "complete"
+            ).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    expected = {
+        r["event_type"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == expected
