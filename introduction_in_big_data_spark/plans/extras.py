@@ -477,3 +477,56 @@ def udaf_value_rmse_by_type(spark, sf_dir):
     return e.groupBy("event_type").agg(
         F.round(rmse_udf(F.col("value"), F.lit(50.0)), 4).alias("rmse_vs_50")
     )
+
+
+@register(
+    "scd2_customer_history",
+    oracle="""
+        WITH base AS (
+            SELECT c_custkey AS k, c_acctbal AS bal,
+                   CAST(0 AS BIGINT) AS valid_from,
+                   CAST(NULL AS BIGINT) AS valid_to,
+                   TRUE AS is_current
+            FROM customer
+        ),
+        upd AS (
+            SELECT c_custkey AS k, c_acctbal + 100 AS bal,
+                   CAST(1000 AS BIGINT) AS ts
+            FROM customer WHERE c_custkey % 3 = 0
+        )
+        SELECT b.k, b.bal, b.valid_from,
+               CASE WHEN u.k IS NOT NULL THEN u.ts ELSE b.valid_to END AS valid_to,
+               CASE WHEN u.k IS NOT NULL THEN FALSE ELSE b.is_current END AS is_current
+        FROM base b LEFT JOIN upd u USING (k)
+        UNION ALL
+        SELECT k, bal, ts AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+               TRUE AS is_current
+        FROM upd
+    """,
+    tags=("cdc", "scd2", "join"),
+)
+def scd2_customer_history(spark, sf_dir):
+    """SCD Type-2 history application (operators/scd.scd2_apply) in the
+    driver-checked path: every third customer receives a changed
+    balance at ts=1000; the current version is closed (valid_to set,
+    is_current false) and the new version appended open-ended. The
+    changed attribute is bal+100 (exact float arithmetic — a *1.1
+    would hit the cross-engine half-even rounding trap documented in
+    PLANS.md). MERGE-emulation semantics identical to a lakehouse
+    MERGE; see sources/lakehouse.py for the jar-gated native form."""
+    from ..operators import scd
+
+    c = t(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_acctbal") + 100).alias("bal"),
+        F.lit(1000).cast("long").alias("ts"),
+    )
+    return scd.scd2_apply(base, updates, "k", "ts", ["bal"])
