@@ -94,3 +94,69 @@ def pruning_fraction(
         if b.get(col) and b[col][0] is not None and (b[col][1] < lo or b[col][0] > hi)
     )
     return skipped / len(boxes)
+
+
+def dir_file_stats(path: str) -> dict:
+    """Driver-side parquet-footer census of a directory: file count,
+    total bytes, rows — the signal a compaction policy reads. Metadata
+    only; at real scale this is the table-format manifest listing."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(f"{path}/part-*.parquet"))
+    rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    size = sum(_os.path.getsize(f) for f in files)
+    return {"n_files": len(files), "bytes": size, "rows": rows}
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+    sort_within_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction (the OPTIMIZE/bin-packing analog for a
+    plain parquet directory): rewrite `path` into
+    ceil(total_bytes / target_file_bytes) files.
+
+    Small files are the classic large-pipeline failure mode — a
+    streaming sink or over-parallel write leaves thousands of KB-scale
+    files, and every downstream scan pays per-file open/footer/schedule
+    cost. Policy: footer census first (metadata only); skip when the
+    directory is already within budget (idempotent — a second call is
+    a no-op). The rewrite uses `coalesce` when shrinking (narrow — no
+    shuffle; each output task concatenates input splits) and falls
+    back to `repartition` only when growing the file count (splitting
+    requires a shuffle). `sort_within_by` optionally restores
+    clustering (footer min/max tightness) during the same pass — by
+    default compaction preserves bytes, not order.
+
+    Writes to a temp sibling dir then atomically swaps via rename, so
+    a failed compaction never destroys the input. Returns
+    {before, after} censuses."""
+    import os as _os
+    import shutil as _shutil
+
+    before = dir_file_stats(path)
+    n_target = max(1, -(-before["bytes"] // target_file_bytes))
+    if before["n_files"] <= max(n_target, min_files_to_compact - 1):
+        return {"before": before, "after": before, "compacted": False}
+
+    df = spark.read.parquet(path)
+    if n_target < before["n_files"]:
+        df = df.coalesce(n_target)
+    else:  # pragma: no cover - growing is the rare path
+        df = df.repartition(n_target)
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__compact_old"
+    _os.rename(path, old)
+    _os.rename(tmp, path)
+    _shutil.rmtree(old)
+    return {"before": before, "after": dir_file_stats(path), "compacted": True}

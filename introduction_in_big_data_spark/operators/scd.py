@@ -1,7 +1,9 @@
 """CDC / upsert / SCD2 operators — MERGE INTO emulated with
-anti-join + union (the lakehouse-free pattern; with Delta/Iceberg jars
-on the classpath the same semantics are one MERGE statement — gated in
-sources/lakehouse.py).
+anti-join + union (the lakehouse-free pattern for when the result is
+a DataFrame, not a table on disk; for a persisted table with real
+snapshot/commit semantics, sources/acidtable.AcidTable.merge applies
+the same WHEN MATCHED/NOT MATCHED semantics copy-on-write with
+file-level pruning).
 
 Scale notes: the anti-join shuffles on the merge key like any equi-join
 (broadcast when the updates batch is small — the common CDC case); the

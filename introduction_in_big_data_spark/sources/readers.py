@@ -118,3 +118,27 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     parquet (both are columnar with min/max stats); ships with Spark,
     no extra jars."""
     return spark.read.orc(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: T.StructType | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """XML scan — Spark 4's built-in XML data source (the spark-xml
+    package merged into core; no extra jars). Each element matching
+    `row_tag` becomes a row; nested elements become structs/arrays,
+    attributes surface as `_attrName` columns, and mixed
+    element-with-attributes text lands in `_VALUE`. Schema inference
+    samples the files like JSON; pass `schema` to pin types (numeric
+    strings otherwise infer as LONG/DOUBLE). XML has no columnar
+    pushdown — at scale, land XML once and convert to parquet; this
+    reader is the ingestion edge, not a query-time format."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    for k, v in (options or {}).items():
+        r = r.option(k, v)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)

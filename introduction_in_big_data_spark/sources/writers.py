@@ -99,3 +99,23 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     consumer ecosystem is Hive/ORC-native; round-trip-tested against
     the parquet path in tests/test_sources.py."""
     df.write.mode(mode).orc(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink (Spark 4 built-in) — one `row_tag` element per row
+    under `root_tag` per output file; struct columns nest, array
+    columns repeat the element. Round-trip-tested (incl. attribute
+    round trip) in tests/test_sources.py."""
+    (
+        df.write.format("xml")
+        .mode(mode)
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )

@@ -1,0 +1,196 @@
+"""Copy-on-write ACID table: snapshot isolation, time travel,
+file-pruned MERGE/DELETE, optimistic concurrency, vacuum retention."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from introduction_in_big_data_spark.operators.scd import merge_upsert
+from introduction_in_big_data_spark.sources.acidtable import AcidTable, CommitConflict
+from introduction_in_big_data_spark.sources.tables import load_table
+
+
+@pytest.fixture()
+def nation_table(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    t = AcidTable.create(spark, str(tmp_path / "nation_acid"), nation)
+    return t, nation
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_create_read_append_history(nation_table, spark):
+    t, nation = nation_table
+    assert _rows(t.read()) == _rows(nation)
+
+    extra = spark.createDataFrame([(99, "ATLANTIS", 0)], nation.schema)
+    v = t.append(extra)
+    assert v == 1
+    assert t.read().count() == nation.count() + 1
+    ops = [h["op"] for h in t.history()]
+    assert ops == ["create", "append"]
+
+
+def test_time_travel_pins_old_snapshot(nation_table, spark):
+    t, nation = nation_table
+    t.overwrite(nation.filter("n_regionkey = 0"))
+    assert t.read().count() < nation.count()
+    # snapshot 0 still reads the full original — old files are immutable
+    assert _rows(t.read(version=0)) == _rows(nation)
+
+
+def test_merge_matches_anti_join_union_semantics(spark, sf_dir, tmp_path):
+    """MERGE parity with the operator-level merge_upsert (itself
+    driver-hash-checked via merge_upsert_customers)."""
+    cust = load_table(spark, sf_dir, "customer")
+    t = AcidTable.create(spark, str(tmp_path / "cust_acid"), cust)
+    updates = (
+        cust.filter("c_custkey % 7 = 0")
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 1000.0, 2))
+    )
+    new_rows = cust.limit(0).unionByName(
+        spark.createDataFrame(
+            [tuple(None if i > 0 else 999_999 for i in range(len(cust.columns)))],
+            cust.schema,
+        )
+    )
+    updates = updates.unionByName(new_rows)
+    t.merge(updates, "c_custkey")
+    assert _rows(t.read()) == _rows(merge_upsert(cust, updates, "c_custkey"))
+
+
+def test_merge_rewrites_only_hit_files(spark, sf_dir, tmp_path):
+    """The copy-on-write point: files without matched keys carry
+    forward BY REFERENCE (same path in the next manifest)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # lay the table out in 8 files partitioned by key range so updates
+    # to a few keys hit a subset of files
+    t = AcidTable.create(
+        spark,
+        str(tmp_path / "ord_acid"),
+        orders.repartitionByRange(8, "o_orderkey"),
+    )
+    m0 = t._manifest(0)
+    assert len(m0["files"]) == 8
+    lo_keys = orders.orderBy("o_orderkey").limit(3)
+    updates = lo_keys.withColumn("o_totalprice", F.lit(0.0))
+    t.merge(updates, "o_orderkey")
+    m1 = t._manifest(1)
+    carried = set(m0["files"]) & set(m1["files"])
+    assert m1["rewrote_files"] < 8, "merge must not rewrite every file"
+    assert len(carried) == 8 - m1["rewrote_files"]
+    # data correct
+    got = dict(
+        t.read().filter(F.col("o_orderkey").isin(
+            [r["o_orderkey"] for r in lo_keys.collect()]
+        )).select("o_orderkey", "o_totalprice").collect()
+    )
+    assert set(got.values()) == {0.0}
+
+
+def test_delete_where_and_file_pruning(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    t = AcidTable.create(
+        spark, str(tmp_path / "nat_acid"), nation.repartitionByRange(4, "n_nationkey")
+    )
+    t.delete("n_nationkey >= 20")
+    assert t.read().count() == nation.filter("n_nationkey < 20").count()
+    m1 = t._manifest(1)
+    assert m1["rewrote_files"] < 4, "delete should prune untouched files"
+
+
+def test_optimistic_concurrency_conflict(nation_table, spark):
+    t, nation = nation_table
+    # both writers read latest=0 and prepare version 1; the racing one
+    # lands its manifest first (the window _commit closes)
+    loser_files = t._manifest(0)["files"] + t._write_data_files(nation.limit(1))
+    racing = os.path.join(t.log_dir, f"{1:08d}.json")
+    with open(racing, "x") as fh:
+        json.dump({"version": 1, "files": t._manifest(0)["files"],
+                   "op": "append", "ts": 0,
+                   "schema": t._manifest(0)["schema"]}, fh)
+    with pytest.raises(CommitConflict):
+        t._commit(1, loser_files, "append")
+    # loser re-reads the log and retries against the new latest
+    v = t.append(nation.limit(1))
+    assert v == 2
+
+
+def test_uncommitted_files_invisible(nation_table, spark):
+    """Data files land before the manifest that references them — a
+    crashed writer's orphans must not appear in reads."""
+    t, nation = nation_table
+    orphans = t._write_data_files(nation.limit(5))
+    assert all(os.path.exists(f) for f in orphans)
+    assert t.read().count() == nation.count()  # unchanged
+
+
+def test_vacuum_enforces_retention(nation_table, spark):
+    t, nation = nation_table
+    t.overwrite(nation.filter("n_regionkey = 1"))
+    removed = t.vacuum(keep_last=1)
+    assert removed, "v0's files are no longer referenced"
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.read(version=0)
+    # latest still intact
+    assert t.read().count() == nation.filter("n_regionkey = 1").count()
+
+
+def test_streaming_upsert_sink_foreachbatch(spark, sf_dir, tmp_path):
+    """Streaming CDC sink: foreachBatch MERGEs each micro-batch into
+    the ACID table — the standard lakehouse streaming-upsert pattern.
+    End state must equal last-write-wins over the batch sequence."""
+    from introduction_in_big_data_spark.streaming.stream import (
+        events_stream,
+        stage_events_dir,
+    )
+
+    staged = stage_events_dir(spark, sf_dir, n_files=3)
+    stream = events_stream(spark, sf_dir, n_files=3).select(
+        F.col("user_id"), F.col("event_type"), F.col("ts")
+    )
+
+    seed = spark.createDataFrame([], stream.schema)
+    t = AcidTable.create(spark, str(tmp_path / "ev_acid"), seed)
+
+    def upsert(batch_df, _bid):
+        from pyspark.sql import Window
+
+        # one row per user per batch (latest ts wins inside the batch)
+        latest = (
+            batch_df.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.desc("ts"), F.desc("event_type")
+                    )
+                ),
+            )
+            .filter("rn = 1")
+            .drop("rn")
+        )
+        t.merge(latest, "user_id")
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    final = t.read()
+    # one row per user, and every user from the source present
+    src = spark.read.parquet(staged)
+    assert final.count() == src.select("user_id").distinct().count()
+    assert final.groupBy("user_id").count().filter("count > 1").count() == 0
+    assert [h["op"] for h in t.history()][:1] == ["create"]
+    assert len(t.history()) >= 2  # at least one merge committed

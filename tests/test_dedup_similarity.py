@@ -85,10 +85,61 @@ def test_lsh_candidates_prune_search_space(emb):
     assert pair_rows < 0.6 * n * n, "banding should prune most of the n² space"
 
 
-def test_multimodal_decode_stub_gated(docs):
-    media = multimodal.documents_as_media(docs.limit(5))
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(media)
+def test_multimodal_decode_image_all_formats(spark):
+    """decode_image is REAL (round 3): one blob per container format
+    (BMP / PPM / PNG / JPEG, all via our stdlib codecs) through the
+    mapInPandas kernel; luma + bilinear resize must equal the same pure
+    functions run driver-side."""
+    import numpy as np
+
+    from introduction_in_big_data_spark.functions import codecs, jpegcodec
+
+    w, h = 11, 7
+    px = [
+        [((x * 13 + y * 29) % 256, (x * 7 + y * 3) % 256, (x * 31 + y * 11) % 256)
+         for x in range(w)]
+        for y in range(h)
+    ]
+    blobs = {
+        1: codecs.encode_bmp(w, h, [[r for (r, _g, _b) in row] for row in px]),
+        2: codecs.encode_ppm(w, h, px),
+        3: codecs.encode_png(w, h, px),
+        4: jpegcodec.encode_jpeg(w, h, px, quality=90, subsample=False),
+    }
+    media = spark.createDataFrame(
+        [(mid, bytearray(b)) for mid, b in blobs.items()],
+        "media_id long, content binary",
+    )
+    tw, th = 5, 4
+    got = {
+        r["media_id"]: r
+        for r in multimodal.decode_image(media, target_size=(tw, th)).collect()
+    }
+    assert set(got) == set(blobs)
+
+    decoders = {
+        1: codecs.decode_bmp, 2: codecs.decode_ppm,
+        3: codecs.decode_png, 4: jpegcodec.decode_jpeg,
+    }
+    for mid, blob in blobs.items():
+        _w, _h, rows = decoders[mid](blob)
+        arr = np.array(rows, dtype=np.float64)
+        # BMP blob was encoded gray (r=g=b from the red channel)
+        luma = arr[..., 0] * 0.299 + arr[..., 1] * 0.587 + arr[..., 2] * 0.114
+        want = multimodal.bilinear_resize_gray(luma, tw, th).astype("float32")
+        assert got[mid]["width"] == tw and got[mid]["height"] == th
+        np.testing.assert_allclose(
+            np.array(got[mid]["pixels"], dtype="float32").reshape(th, tw),
+            want, rtol=0, atol=1e-4,
+        )
+
+
+def test_multimodal_decode_image_unknown_format_raises(docs):
+    """ASCII text is no image container: the kernel must fail loudly
+    (decode error), not emit garbage."""
+    media = multimodal.documents_as_media(docs.limit(2))
+    with pytest.raises(Exception, match="unsupported image container"):
+        multimodal.decode_image(media).collect()
 
 
 def test_multimodal_byte_thumbnail_exact(spark):

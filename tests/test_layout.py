@@ -95,3 +95,54 @@ def test_pagerank_mass_conservation_and_uniform_cycle(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-8
     for v in ranks.values():
         assert abs(v - 1.0 / n) < 1e-9
+
+
+def test_compact_small_files_preserves_data(spark, sf_dir, tmp_path):
+    """Fragmented write → compact_files: file count collapses to the
+    byte-budget target, rows/values identical, second call is a no-op."""
+    from introduction_in_big_data_spark.operators.layout import (
+        compact_files,
+        dir_file_stats,
+    )
+    from introduction_in_big_data_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    p = str(tmp_path / "frag")
+    orders.repartition(40).write.parquet(p)  # the streaming-sink failure mode
+    assert dir_file_stats(p)["n_files"] == 40
+
+    res = compact_files(spark, p, target_file_bytes=256 * 1024 * 1024)
+    assert res["compacted"] is True
+    assert res["after"]["n_files"] == 1
+    assert res["after"]["rows"] == res["before"]["rows"]
+
+    back = spark.read.parquet(p)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, orders.collect())
+    )
+
+    res2 = compact_files(spark, p, target_file_bytes=256 * 1024 * 1024)
+    assert res2["compacted"] is False  # idempotent
+
+
+def test_compact_files_respects_target_size(spark, sf_dir, tmp_path):
+    """Target smaller than total bytes → more than one output file,
+    ceil(total/target) exactly."""
+    from introduction_in_big_data_spark.operators.layout import (
+        compact_files,
+        dir_file_stats,
+    )
+    from introduction_in_big_data_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = str(tmp_path / "frag2")
+    li.repartition(24).write.parquet(p)
+    total = dir_file_stats(p)["bytes"]
+    target = total // 3 + 1
+    res = compact_files(spark, p, target_file_bytes=target)
+    want = -(-total // target)
+    assert res["compacted"] is True
+    # coalesce merges input splits; output count equals the computed
+    # target (bounded above by input file count)
+    assert res["after"]["n_files"] == want
+    assert res["after"]["rows"] == res["before"]["rows"]

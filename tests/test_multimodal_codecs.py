@@ -291,3 +291,160 @@ def test_png_roundtrip_property(w, h, data):
     got_w, got_h, got_rows = codecs.decode_png(codecs.encode_png(w, h, rows))
     assert (got_w, got_h) == (w, h)
     assert got_rows == rows
+
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline DCT/Huffman codec (round 3)
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from introduction_in_big_data_spark.functions import jpegcodec
+
+
+def _test_image(w: int, h: int, phase: int = 0):
+    """Smooth deterministic RGB test image (JPEG-friendly)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (128 + 80 * np.sin((xx + phase) / 9.0) + 40 * np.cos(yy / 7.0)).clip(0, 255)
+    rgb = np.stack([base, np.roll(base, 3, axis=1), 255 - base], -1).astype(np.uint8)
+    return rgb, [
+        [tuple(int(c) for c in rgb[y, x]) for x in range(w)] for y in range(h)
+    ]
+
+
+def _psnr(a, b) -> float:
+    mse = ((np.asarray(a, dtype=float) - np.asarray(b, dtype=float)) ** 2).mean()
+    return float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def test_jpeg_dct_matrix_orthonormal():
+    a = jpegcodec._dct_matrix()
+    assert np.abs(a @ a.T - np.eye(8)).max() < 1e-12
+
+
+@pytest.mark.parametrize("subsample", [True, False])
+@pytest.mark.parametrize("quality", [95, 75, 50])
+def test_jpeg_roundtrip_psnr(subsample, quality):
+    w, h = 53, 37  # not MCU-aligned: exercises padding + crop
+    rgb, rows = _test_image(w, h)
+    blob = jpegcodec.encode_jpeg(w, h, rows, quality=quality, subsample=subsample)
+    W, H, dec = jpegcodec.decode_jpeg(blob)
+    assert (W, H) == (w, h)
+    # lossy, but a correct codec keeps a smooth image well above these
+    # floors; a wrong zigzag/quant/Huffman step craters PSNR
+    floor = {(True, 95): 33, (True, 75): 32, (True, 50): 30,
+             (False, 95): 45, (False, 75): 38, (False, 50): 35}[(subsample, quality)]
+    assert _psnr(dec, rgb) > floor
+
+
+def test_jpeg_quality_monotone_size():
+    w, h = 48, 32
+    _rgb, rows = _test_image(w, h)
+    sizes = [
+        len(jpegcodec.encode_jpeg(w, h, rows, quality=q)) for q in (30, 60, 90)
+    ]
+    assert sizes[0] < sizes[1] < sizes[2]
+
+
+def test_jpeg_restart_markers_roundtrip():
+    w, h = 40, 24
+    rgb, rows = _test_image(w, h, phase=5)
+    blob = jpegcodec.encode_jpeg(w, h, rows, quality=85, restart_interval=2)
+    # RST0..RST7 markers must actually appear in the entropy stream
+    assert any(bytes((0xFF, 0xD0 + i)) in blob for i in range(8))
+    W, H, dec = jpegcodec.decode_jpeg(blob)
+    assert (W, H) == (w, h)
+    assert _psnr(dec, rgb) > 28  # the roll-seam edge rings; structure checked below
+    # restart stream must equal the non-restart stream pixel-for-pixel?
+    # No — padding bits differ; but decoded output must be IDENTICAL
+    # because restarts only re-align the entropy coder.
+    blob_plain = jpegcodec.encode_jpeg(w, h, rows, quality=85)
+    _, _, dec_plain = jpegcodec.decode_jpeg(blob_plain)
+    assert dec == dec_plain
+
+
+def test_jpeg_gray_roundtrip():
+    w, h = 30, 21
+    yy, xx = np.mgrid[0:h, 0:w]
+    g = ((xx * 7 + yy * 3) % 200 + 20).astype(np.uint8)
+    rows = [[int(v) for v in r] for r in g]
+    blob = jpegcodec.encode_jpeg_gray(w, h, rows, quality=92)
+    W, H, dec = jpegcodec.decode_jpeg(blob)
+    arr = np.array(dec)
+    assert (W, H) == (w, h)
+    assert (arr[:, :, 0] == arr[:, :, 1]).all() and (arr[:, :, 0] == arr[:, :, 2]).all()
+    assert _psnr(arr[:, :, 0], g) > 40
+
+
+def test_jpeg_deterministic_encode():
+    w, h = 21, 13
+    _rgb, rows = _test_image(w, h, phase=2)
+    a = jpegcodec.encode_jpeg(w, h, rows, quality=77, restart_interval=2)
+    b = jpegcodec.encode_jpeg(w, h, rows, quality=77, restart_interval=2)
+    assert a == b
+
+
+def test_jpeg_flat_image_is_tiny_and_exact():
+    # a flat gray block has only DC energy: decode must be exact and
+    # the stream must collapse to near-header size
+    w, h = 16, 16
+    rows = [[(128, 128, 128)] * w for _ in range(h)]
+    blob = jpegcodec.encode_jpeg(w, h, rows, quality=75)
+    W, H, dec = jpegcodec.decode_jpeg(blob)
+    assert all(px == (128, 128, 128) for row in dec for px in row)
+    assert len(blob) < 700  # headers + a handful of entropy bytes
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    w, h = 16, 16
+    _rgb, rows = _test_image(w, h)
+    blob = bytearray(jpegcodec.encode_jpeg(w, h, rows))
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="SOF2"):
+        jpegcodec.decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError, match="SOI"):
+        jpegcodec.decode_jpeg(b"\x00\x11garbage")
+
+
+def test_jpeg_byte_stuffing_destuffed():
+    # scan many phases so at least one entropy stream contains a
+    # stuffed 0xFF00 pair — then decode must still round-trip
+    found = False
+    for phase in range(20):
+        w, h = 32, 24
+        rgb, rows = _test_image(w, h, phase=phase)
+        blob = jpegcodec.encode_jpeg(w, h, rows, quality=95, subsample=False)
+        sos = blob.find(b"\xff\xda")
+        if b"\xff\x00" in blob[sos:]:
+            found = True
+            _W, _H, dec = jpegcodec.decode_jpeg(blob)
+            assert _psnr(dec, rgb) > 40
+            break
+    assert found, "no stuffed byte produced in 20 phases (suspicious)"
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st_.integers(1, 24),
+    h=st_.integers(1, 20),
+    quality=st_.integers(40, 98),
+    subsample=st_.booleans(),
+    seed=st_.integers(0, 2**31 - 1),
+)
+def test_jpeg_roundtrip_property(w, h, quality, subsample, seed):
+    """Any size (including 1x1 and non-MCU-aligned), any quality:
+    encode→decode must preserve dims and reconstruct a smooth image
+    within a loose-but-real error band (max abs error under ~quant
+    ceiling for smooth content)."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (rng.randint(40, 216) + 30 * np.sin(xx / 5.0 + rng.rand()) +
+            20 * np.cos(yy / 4.0)).clip(0, 255)
+    rgb = np.stack([base] * 3, -1).astype(np.uint8)
+    rows = [[tuple(int(c) for c in rgb[y, x]) for x in range(w)] for y in range(h)]
+    blob = jpegcodec.encode_jpeg(w, h, rows, quality=quality, subsample=subsample)
+    W, H, dec = jpegcodec.decode_jpeg(blob)
+    assert (W, H) == (w, h)
+    err = np.abs(np.array(dec, dtype=float) - rgb.astype(float)).max()
+    assert err < 96  # catches structural bugs, tolerates quantization

@@ -302,3 +302,59 @@ def test_python_datasource_synthetic_docs(spark):
 
     dups = exact_duplicates(df, "doc_id", "text")
     assert dups.count() >= 0
+
+
+def test_xml_roundtrip_nested_and_arrays(spark, tmp_path):
+    """XML sink/source round trip via Spark 4's built-in XML source:
+    scalars, a nested struct, and an array column (repeated element)
+    survive write→read with a pinned schema."""
+    from pyspark.sql import types as T
+
+    from introduction_in_big_data_spark.sources.readers import read_xml
+    from introduction_in_big_data_spark.sources.writers import write_xml
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField(
+                "addr",
+                T.StructType(
+                    [
+                        T.StructField("city", T.StringType()),
+                        T.StructField("zip", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+        ]
+    )
+    rows = [
+        (1, "alpha", ("Athens", "11111"), ["a", "b"]),
+        (2, "beta", ("Berlin", "22222"), ["c"]),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    p = str(tmp_path / "xmlout")
+    write_xml(df, p, row_tag="book", root_tag="books")
+    back = read_xml(spark, p, row_tag="book", schema=schema).select(*df.columns)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_xml_attributes_and_inference(spark, tmp_path):
+    """Hand-written XML with attributes: `_attr` columns + `_VALUE`
+    text content, schema inferred — the shapes real feed XML has."""
+    from introduction_in_big_data_spark.sources.readers import read_xml
+
+    p = tmp_path / "feed.xml"
+    p.write_text(
+        """<catalog>
+  <item sku="A1"><price currency="EUR">9.5</price><qty>3</qty></item>
+  <item sku="B2"><price currency="USD">12.0</price><qty>7</qty></item>
+</catalog>"""
+    )
+    df = read_xml(spark, str(p), row_tag="item")
+    got = {
+        r["_sku"]: (r["price"]["_currency"], float(r["price"]["_VALUE"]), r["qty"])
+        for r in df.collect()
+    }
+    assert got == {"A1": ("EUR", 9.5, 3), "B2": ("USD", 12.0, 7)}
