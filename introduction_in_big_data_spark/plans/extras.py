@@ -231,6 +231,50 @@ def merge_upsert_customers(spark, sf_dir):
 
 
 @register(
+    "acid_merge_customers",
+    oracle="""
+        WITH updates AS (
+            SELECT c_custkey, c_acctbal * 1.1 AS acctbal, 'updated' AS src
+            FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        SELECT c_custkey, c_acctbal AS acctbal, 'base' AS src
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+        UNION ALL
+        SELECT c_custkey, acctbal, src FROM updates
+    """,
+    tags=("merge", "cdc", "acid"),
+)
+def acid_merge_customers(spark, sf_dir):
+    """The SAME MERGE semantics as merge_upsert_customers, but through
+    the persisted copy-on-write table (sources/acidtable.py): create an
+    AcidTable from the base frame (4 range-partitioned data files),
+    MERGE the updates batch (file-pruned rewrite + manifest swap), and
+    return the post-merge SNAPSHOT read. The oracle is identical to
+    merge_upsert_customers' — what's under test here is that the full
+    persist → commit-log → snapshot-read cycle preserves MERGE
+    semantics, not just the in-memory plan. A fresh temp table dir per
+    invocation keeps the query deterministic and re-runnable."""
+    import tempfile
+
+    from ..sources.acidtable import AcidTable
+
+    c = t(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey", F.col("c_acctbal").alias("acctbal"), F.lit("base").alias("src")
+    )
+    updates = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey",
+        (F.col("c_acctbal") * 1.1).alias("acctbal"),
+        F.lit("updated").alias("src"),
+    )
+    path = tempfile.mkdtemp(prefix="acid_merge_") + "/t"
+    table = AcidTable.create(spark, path, base.repartitionByRange(4, "c_custkey"))
+    table.merge(updates, "c_custkey")
+    return table.read()
+
+
+@register(
     "full_outer_nation_balance",
     oracle="""
         SELECT coalesce(cs.n_nationkey, ss.n_nationkey) AS n_nationkey,

@@ -87,21 +87,39 @@ def ndjson_stream(
 def run_to_memory(
     result_stream: DataFrame,
     output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a (bounded) streaming result into an in-memory table with
     Trigger.AvailableNow and return it as a batch DataFrame — the
     reference's 'process the whole directory then report' semantics
-    with real incremental micro-batch execution underneath."""
-    name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        result_stream.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with real incremental micro-batch execution underneath.
+
+    `state_partitions` sizes the state store: a streaming aggregation
+    shards its state into `spark.sql.shuffle.partitions` HDFS/RocksDB
+    stores, fixed at the first checkpoint — AQE never coalesces
+    micro-batch shuffles, so a low-cardinality aggregate (a handful of
+    event types x windows) pays 32 state-store tasks PER BATCH for a
+    few dozen keys unless sized down. This is the standard streaming
+    deployment knob (state shards ≈ key cardinality / target shard
+    size, NOT cpu count); the conf is set only while the bounded query
+    drains, then restored."""
     spark = result_stream.sparkSession
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            result_stream.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
