@@ -491,6 +491,8 @@ def decode_jpeg(blob: bytes):
             break
         (seglen,) = struct.unpack_from(">H", blob, pos + 2)
         body = blob[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError(f"truncated JPEG segment at offset {pos}")
         pos += 2 + seglen
         if marker == 0xDB:  # DQT (may hold several tables)
             i = 0

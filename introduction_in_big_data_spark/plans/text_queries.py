@@ -429,3 +429,33 @@ def doc_sentences(spark, sf_dir):
         FROM __docs_for_udtf d, LATERAL split_sentences(d.text) s
         """
     )
+
+
+@register(
+    "text_char_lm_quality",
+    oracle="""
+        WITH grams AS (
+            SELECT doc_id, substring(text, CAST(i.v AS BIGINT), 3) AS g
+            FROM documents, unnest(range(1, length(text) - 1)) AS i(v)
+            WHERE length(text) >= 3
+        ),
+        counts AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+        scal AS (SELECT CAST(sum(c) AS BIGINT) AS N, count(*) AS V FROM counts)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               round(avg(-ln((c + 1.0) / (N + V))), 6) AS avg_nll
+        FROM grams JOIN counts USING (g), scal
+        GROUP BY doc_id
+    """,
+    tags=("text", "quality", "lm"),
+)
+def text_char_lm_quality(spark, sf_dir):
+    """Corpus-trained char-trigram LM perplexity scoring (the CCNet/
+    Gopher-style quality filter) — train + score in one declarative
+    plan; see operators/text.char_lm_scores for the scale analysis
+    (trigram dictionary provably broadcastable at any corpus size).
+    No reference analog; first-class per the build brief's text-
+    analysis mandate."""
+    return textops.char_lm_scores(
+        t(spark, sf_dir, "documents"), "doc_id", "text"
+    )

@@ -120,3 +120,25 @@ def test_funnel_report_stages(spark):
         for r in funnel_report(docs).collect()
     }
     assert got == {"sA": (3, 2, 2, 1, 24), "sB": (1, 1, 0, 0, 0)}
+
+
+def test_char_lm_scores_rank_typicality(spark):
+    """The corpus-trained trigram LM must score corpus-typical text
+    (repeated common grams) lower-NLL than a one-off random-looking
+    string, and drop sub-trigram docs."""
+    from introduction_in_big_data_spark.operators.text import char_lm_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat " * 20),
+            (2, "the cat sat on the mat " * 20),
+            (3, "qzx#7!vb@kplm&wy"),  # grams seen once each
+            (4, "ab"),  # too short: no grams, no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in char_lm_scores(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["avg_nll"] == got[2]["avg_nll"]  # identical docs, identical score
+    assert got[1]["avg_nll"] < got[3]["avg_nll"], "typical text must look more likely"
+    assert got[3]["n_grams"] == len("qzx#7!vb@kplm&wy") - 2

@@ -448,3 +448,17 @@ def test_jpeg_roundtrip_property(w, h, quality, subsample, seed):
     assert (W, H) == (w, h)
     err = np.abs(np.array(dec, dtype=float) - rgb.astype(float)).max()
     assert err < 96  # catches structural bugs, tolerates quantization
+
+
+def test_jpeg_truncated_stream_fails_cleanly():
+    """Truncation anywhere must raise (ValueError or struct.error from
+    header parsing), never hang or return garbage silently."""
+    w, h = 24, 16
+    _rgb, rows = _test_image(w, h, phase=3)
+    blob = jpegcodec.encode_jpeg(w, h, rows, quality=80)
+    for cut in (3, 10, len(blob) // 2, len(blob) - 3):
+        try:
+            jpegcodec.decode_jpeg(blob[:cut])
+        except (ValueError, struct.error):
+            continue
+        raise AssertionError(f"truncation at {cut} did not raise")

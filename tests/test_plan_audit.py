@@ -50,6 +50,8 @@ CROSS_OK = {
     "dq_customer_report", "sketch_hll_vs_exact",
     "sketch_quantiles_vs_exact", "sketch_approx_distinct_users",
     "text_quality", "text_repetition_ratio", "curation_funnel",
+    "text_char_lm_quality",  # 1-row (N, V) scalar gate into the scorer
+
     "decontam_overlap", "redact_pii_stats", "domain_stats",
     # labeled quadratic oracle baselines (scale twins are the defaults)
     "embedding_near_dup", "ann_bruteforce_topk", "ann_nn_join",
