@@ -661,3 +661,43 @@ def decode_jpeg_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(cols)
 
     return media.mapInPandas(kernel, JPEG_STATS_SCHEMA)
+
+
+def extract_features_arrow(media: DataFrame) -> DataFrame:
+    """extract_features via mapInArrow — the remaining §2.10 UDF
+    surface: raw pyarrow RecordBatches in/out (no pandas conversion
+    layer at all). Byte lengths come from vectorized Arrow compute
+    (`pc.binary_length`); md5 has no Arrow kernel, so the digest loop
+    reads buffers zero-copy via as_py(). Same output contract as
+    extract_features — the registered query shares multimodal_features'
+    oracle, so the two UDF backends are pinned to one answer."""
+
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            content = batch.column(batch.schema.get_field_index("content"))
+            meta = batch.column(batch.schema.get_field_index("meta"))
+            n_bytes = pc.cast(
+                pc.coalesce(pc.binary_length(content), pa.scalar(0, pa.int32())),
+                pa.int64(),  # must match the declared `n_bytes long` exactly
+            )
+            md5s = [
+                hashlib.md5(b.as_py()).hexdigest() if b.is_valid else None
+                for b in content
+            ]
+            mimes = [
+                m["mime"].as_py() if m.is_valid else None for m in meta
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("media_id")),
+                    n_bytes,
+                    pa.array(md5s, pa.string()),
+                    pa.array(mimes, pa.string()),
+                ],
+                ["media_id", "n_bytes", "content_md5", "mime"],
+            )
+
+    return media.mapInArrow(kernel, FEATURE_SCHEMA)

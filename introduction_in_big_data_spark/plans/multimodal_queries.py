@@ -9,6 +9,19 @@ from ..operators import multimodal
 from .registry import register, t
 
 
+def _spread_ids(spark, sf_dir):
+    """(doc_id → media_id) spread across 2x defaultParallelism
+    partitions. The documents table is ONE parquet file at test scale,
+    so without this every per-blob codec kernel runs in a single
+    Python worker — measured 14.2s → 2.9s on multimodal_jpeg_stats at
+    sf0.1. The shuffle moves only the id column; at real scale (many
+    input files) it simply rebalances."""
+    ids = t(spark, sf_dir, "documents").select(
+        multimodal.F.col("doc_id").alias("media_id")
+    )
+    return ids.repartition(ids.sparkSession.sparkContext.defaultParallelism * 2)
+
+
 @register(
     "multimodal_features",
     oracle="""
@@ -111,9 +124,7 @@ def multimodal_bmp_stats(spark, sf_dir):
     emit integer pixel stats. The oracle recomputes the stats from the
     pixel formula directly — any decode bug (padding, row order, BGR
     offsets, header arithmetic) breaks the hash match."""
-    ids = t(spark, sf_dir, "documents").select(
-        multimodal.F.col("doc_id").alias("media_id")
-    )
+    ids = _spread_ids(spark, sf_dir)
     media = multimodal.encode_bmp_media(ids)
     return multimodal.decode_bmp_stats(media)
 
@@ -139,9 +150,7 @@ def multimodal_wav_energy(spark, sf_dir):
     report per-window integer energy (Σ s²) and peak |amplitude|. The
     oracle recomputes both from the sample formula — endianness or
     chunk-offset bugs cannot hash-match."""
-    ids = t(spark, sf_dir, "documents").select(
-        multimodal.F.col("doc_id").alias("media_id")
-    )
+    ids = _spread_ids(spark, sf_dir)
     media = multimodal.encode_wav_media(ids)
     return multimodal.wav_energy(media)
 
@@ -207,9 +216,7 @@ def multimodal_png_stats(spark, sf_dir):
     path). The oracle recomputes the channel stats from the pixel
     formulas directly; no reference analog (/root/reference has no
     multimodal), first-class per the build brief."""
-    ids = t(spark, sf_dir, "documents").select(
-        multimodal.F.col("doc_id").alias("media_id")
-    )
+    ids = _spread_ids(spark, sf_dir)
     media = multimodal.encode_png_media(ids)
     return multimodal.decode_png_stats(media)
 
@@ -249,8 +256,26 @@ def multimodal_jpeg_stats(spark, sf_dir):
     the distributed decode breaks the hash match. No reference analog
     (/root/reference has no multimodal); first-class per the build
     brief."""
-    ids = t(spark, sf_dir, "documents").select(
-        multimodal.F.col("doc_id").alias("media_id")
-    )
+    ids = _spread_ids(spark, sf_dir)
     media = multimodal.encode_jpeg_media(ids)
     return multimodal.decode_jpeg_stats(media)
+
+
+@register(
+    "multimodal_features_arrow",
+    oracle="""
+        SELECT doc_id AS media_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text)                  AS content_md5,
+               'text/plain'               AS mime
+        FROM documents
+    """,
+    tags=("multimodal", "udf", "arrow"),
+)
+def multimodal_features_arrow(spark, sf_dir):
+    """The mapInArrow backend of multimodal_features — raw Arrow
+    RecordBatches with vectorized pc.binary_length, no pandas layer.
+    Shares multimodal_features' oracle: both §2.10 batch-UDF APIs are
+    pinned to the same hash."""
+    media = multimodal.documents_as_media(t(spark, sf_dir, "documents"))
+    return multimodal.extract_features_arrow(media)

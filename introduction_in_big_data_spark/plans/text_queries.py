@@ -448,6 +448,8 @@ def doc_sentences(spark, sf_dir):
         GROUP BY doc_id
     """,
     tags=("text", "quality", "lm"),
+    bench=True,  # flagship curation-class op: keep LM scoring's perf
+    # visible round-over-round alongside the dedup headliners
 )
 def text_char_lm_quality(spark, sf_dir):
     """Corpus-trained char-trigram LM perplexity scoring (the CCNet/

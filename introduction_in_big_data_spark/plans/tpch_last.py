@@ -398,3 +398,41 @@ def cube_status_priority(spark, sf_dir):
             "revenue_cents",
         )
     )
+
+
+@register(
+    "grouping_sets_flag_line",
+    oracle="""
+        SELECT coalesce(l_returnflag, '<all>') AS flag,
+               coalesce(l_linestatus, '<all>') AS status,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT)
+                   AS price_cents
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+    """,
+    tags=("agg", "cube", "groupingsets"),
+)
+def grouping_sets_flag_line(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form CUBE/ROLLUP desugar
+    to): exactly the three requested sets — (flag, status), (flag),
+    grand total — in one pass/one shuffle; a CUBE here would also pay
+    for the unwanted (status) set. Completes the grouping-set family
+    (rollup_flag_status, cube_status_priority). Integer-cents sums
+    keep cross-engine exactness; '<all>' tags subtotal rows (no NULL
+    grouping values in the driver tables)."""
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, '<all>') AS flag,
+               coalesce(l_linestatus, '<all>') AS status,
+               count(*) AS n_items,
+               CAST(round(sum(l_extendedprice) * 100, 0) AS LONG)
+                   AS price_cents
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )

@@ -68,6 +68,13 @@ PROBE_QUERIES = [
     "tfidf_top_terms",         # one corpus explode + term-window df(t)
     "substring_dup_stats",     # content-defined char grams, df group-by
     "pagerank_trade_graph",    # 5 iterations, lineage-truncated loop
+    "text_char_lm_quality",    # r3-cont: trigram LM train+score; the
+                               # dictionary is charset-bounded, so only
+                               # the gram stream grows with the corpus
+    "multimodal_jpeg_stats",   # r3-cont: per-doc encode+decode kernels,
+                               # embarrassingly parallel
+    "acid_merge_customers",    # r3-cont: COW MERGE — cost ∝ files hit,
+                               # both table and update batch scale 10x
 ]
 
 
