@@ -17,8 +17,17 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import spread_if_narrow
 from ..operators import dedup
 from .registry import register, t
+
+
+def _docs_spread(spark, sf_dir):
+    """documents projected + spread: the shingle/signature/gram map
+    stages are per-row expensive, and the single-row-group test file
+    would otherwise run them in ONE task (functions/partitioning.py;
+    measured 3.0s->1.4s jaccard, 4.4s->1.5s substring at sf0.1)."""
+    return spread_if_narrow(t(spark, sf_dir, "documents"))
 
 JACCARD_THRESHOLD = 0.7
 SHINGLE_N = 3
@@ -83,7 +92,7 @@ def dedup_jaccard(spark, sf_dir):
     """Exact word-trigram Jaccard near-dup pairs via shingle self-join —
     the exact baseline the MinHash path approximates. Cost is
     Σ_s df(s)²; discriminative shingles keep it near-linear."""
-    d = t(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     return dedup.jaccard_pairs(
         d, "doc_id", "text", n=SHINGLE_N, threshold=JACCARD_THRESHOLD
     )
@@ -107,7 +116,7 @@ def dedup_jaccard_prefix(spark, sf_dir):
     more than it saves (measured 5.0s vs 3.1s at sf0.1) — hence the
     naive variant keeps the bench line; on a real web corpus (Zipfian
     shingle df) the inequality reverses, which is why both exist."""
-    d = t(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     return dedup.jaccard_pairs_prefix(
         d, "doc_id", "text", n=SHINGLE_N, threshold=JACCARD_THRESHOLD
     )
@@ -170,7 +179,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     signatures, near-linear band join, exact Jaccard only on candidates.
     md5-based hashing makes the signatures reproducible in the oracle,
     so even this 'approximate' pipeline is hash-checked exactly."""
-    d = t(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     return dedup.minhash_lsh_dedup(
         d, "doc_id", "text", n=SHINGLE_N, threshold=JACCARD_THRESHOLD
     )
@@ -276,7 +285,7 @@ def dedup_simhash(spark, sf_dir):
     prefix blocking, Hamming filter — is hash-checked against DuckDB
     (VERDICT r1 item 5; xxhash64 mode stays the scale default in
     operators/dedup.simhash)."""
-    d = t(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     sh = dedup.simhash(d, "doc_id", "text", nbits=SIMHASH_BITS, hash_fn="md5")
     # radius 4: this corpus has a 31-word vocabulary, so unrelated docs
     # already share many token-hash votes; a wide radius floods the
@@ -423,5 +432,5 @@ def substring_dup_stats(spark, sf_dir):
     predicate, gram md5s, cross-doc df, per-doc accounting — is
     hash-checked."""
     return dedup.substring_dup_stats(
-        t(spark, sf_dir, "documents"), "doc_id", "text", gram_chars=32, anchor_window=8
+        _docs_spread(spark, sf_dir), "doc_id", "text", gram_chars=32, anchor_window=8
     )

@@ -458,6 +458,8 @@ def text_char_lm_quality(spark, sf_dir):
     (trigram dictionary provably broadcastable at any corpus size).
     No reference analog; first-class per the build brief's text-
     analysis mandate."""
+    from ..functions.partitioning import spread_if_narrow
+
     return textops.char_lm_scores(
-        t(spark, sf_dir, "documents"), "doc_id", "text"
+        spread_if_narrow(t(spark, sf_dir, "documents")), "doc_id", "text"
     )
