@@ -426,3 +426,103 @@ def udf_cosine_adjacent_vectors(spark, sf_dir):
     return a.join(b, "vec_id").select(
         "vec_id", F.round(cosine_sim_udf(F.col("ea"), F.col("eb")), 4).alias("sim_next")
     )
+
+
+_SQ8_CODES_CTE = """
+    WITH enc AS (
+        SELECT vec_id,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) / 127.0 AS scale,
+               CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ),
+    codes AS (
+        SELECT vec_id, scale,
+               list_transform(
+                   e,
+                   x -> CASE WHEN scale = 0 THEN 0
+                             ELSE CAST(round(x / scale) AS INTEGER) END
+               ) AS c
+        FROM enc
+    )
+"""
+
+
+@register(
+    "embedding_sq8_stats",
+    oracle=_SQ8_CODES_CTE
+    + """
+    SELECT vec_id, round(scale, 9) AS scale_r,
+           CAST(list_sum(c) AS BIGINT) AS code_sum,
+           CAST(list_sum(list_transform(c, x -> abs(x))) AS BIGINT) AS code_l1,
+           CAST(list_inner_product(CAST(c AS DOUBLE[]),
+                                   CAST(c AS DOUBLE[])) AS BIGINT) AS code_sq
+    FROM codes
+    """,
+    tags=("similarity", "quantize"),
+)
+def embedding_sq8_stats(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column
+    (operators/quantize.sq8_encode): per-vector scale + exact integer
+    summaries of the codes. The encode is a pure map (zero shuffles);
+    integer sums are order-insensitive and exact, so the DuckDB twin
+    hash-matches bitwise. The at-scale point of SQ8: a 4x smaller
+    embedding scan for every downstream ANN/dedup pass."""
+    from ..operators import quantize
+
+    enc = quantize.sq8_encode(t(spark, sf_dir, "embeddings"))
+    zero = F.lit(0).cast("long")
+    return enc.select(
+        "vec_id",
+        F.round(F.col("scale"), 9).alias("scale_r"),
+        F.aggregate(
+            F.col("codes"), zero, lambda acc, x: acc + x.cast("long")
+        ).alias("code_sum"),
+        F.aggregate(
+            F.col("codes"), zero, lambda acc, x: acc + F.abs(x).cast("long")
+        ).alias("code_l1"),
+        quantize.idot(F.col("codes"), F.col("codes")).alias("code_sq"),
+    )
+
+
+@register(
+    "ann_sq8_topk",
+    oracle=_SQ8_CODES_CTE
+    + f"""
+    , normed AS (
+        SELECT vec_id, CAST(c AS DOUBLE[]) AS cd,
+               list_inner_product(CAST(c AS DOUBLE[]),
+                                  CAST(c AS DOUBLE[])) AS cc
+        FROM codes
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               round(list_inner_product(q.cd, n.cd)
+                     / sqrt(q.cc * n.cc), 6) AS sim_q
+        FROM normed q JOIN normed n ON q.vec_id < {N_QUERIES}
+        WHERE q.cc > 0 AND n.cc > 0
+    )
+    SELECT query_id, neighbor_id, sim_q, rn
+    FROM (
+        SELECT query_id, neighbor_id, sim_q,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim_q DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    WHERE rn <= {TOPK}
+    """,
+    tags=("similarity", "ann", "quantize"),
+)
+def ann_sq8_topk(spark, sf_dir):
+    """Quantized brute-force cosine top-5 (operators/quantize.sq8_topk):
+    the fp32 baseline's plan with the scan swapped to int8 codes. The
+    per-vector scales cancel in the cosine, so the score is an exact
+    integer dot over codes divided by exact integer norms — bitwise
+    reproducible, hence a full value-hash oracle (unlike LSH/IVF whose
+    float bucket math needs repro twins). Recall vs the fp32 exact
+    top-k is property-tested in tests/test_quantize.py."""
+    from ..operators import quantize
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return quantize.sq8_topk(emb, queries, TOPK)
