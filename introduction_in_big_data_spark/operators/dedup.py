@@ -74,9 +74,11 @@ def jaccard_pairs(
     Jaccard signal (same trick as dropping stopwords).
     """
     # the shingle frame feeds three plan branches (sizes, both join
-    # sides); cache it so the tokenize+explode runs once, not 3x.
+    # sides); checkpoint it so the tokenize+explode runs once, not 3x
+    # (localCheckpoint blocks are GC-freed; cache() entries would pile
+    # up in CacheManager across calls in a long session — ADVICE r2).
     # At cluster scale this is the same call — MEMORY_AND_DISK spills.
-    sh = doc_shingles(df, id_col, text_col, n).cache()
+    sh = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
     if max_shingle_freq is not None:
         rare = (
             sh.groupBy("shingle")
@@ -144,7 +146,7 @@ def jaccard_pairs_prefix(
 
     # Three consumers (df-counts, prefix build, verify sets): cache the
     # exploded shingles so tokenize+explode runs once.
-    sh = doc_shingles(df, id_col, text_col, n).cache()
+    sh = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     w_rank = Window.partitionBy("doc").orderBy("df_", "shingle")
     w_doc = Window.partitionBy("doc")
@@ -252,7 +254,7 @@ def minhash_lsh_dedup(
     candidates (near-linear) → exact Jaccard only on candidates."""
     # five plan branches consume the shingles (signatures, sizes, both
     # verify-join sides) — cache the explode once
-    sh = doc_shingles(df, id_col, text_col, n).cache()
+    sh = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
     sigs = minhash_signatures_from_shingles(sh, seeds)
     cands = lsh_candidate_pairs(sigs, bands, seeds)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))

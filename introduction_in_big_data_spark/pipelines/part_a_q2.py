@@ -48,7 +48,7 @@ def run_collaborative_filtering(
         .agg(F.round(F.avg("Book-Rating"), cf.RATING_SCALE).alias("rating"))
     )
     r = cf.filter_active_users(r, min_ratings)
-    r = cf.filter_popular_items(r, top_fraction).cache()
+    r = cf.filter_popular_items(r, top_fraction).localCheckpoint(eager=False)
 
     sims = cf.user_cosine_similarities(r)
     neighbors = cf.knn_neighbors(sims, k)

@@ -96,9 +96,14 @@ def _pipeline(spark, sf_dir):
     ratings = cf.filter_active_users(ratings, MIN_ITEMS).localCheckpoint(eager=False)
     # downstream CF consumes the ratings frame from up to five plan
     # branches (similarity self-join sides, norms, neighbor ratings,
-    # eval); cache the aggregated frame — it is orders of magnitude
-    # smaller than its join inputs, the exact case caching is for
-    return cf.filter_popular_items(ratings, TOP_FRACTION).cache()
+    # eval); materialize it once — it is orders of magnitude smaller
+    # than its join inputs. localCheckpoint, not cache(): CacheManager
+    # entries outlive the call in long driver sessions and match
+    # identical plans across separate invocations (ADVICE r2), while
+    # checkpoint blocks are private to this plan and GC-freed.
+    return cf.filter_popular_items(ratings, TOP_FRACTION).localCheckpoint(
+        eager=False
+    )
 
 
 @register(

@@ -259,3 +259,44 @@ def curation_funnel(spark, sf_dir):
     doc_id wins), plus the token budget of the kept set. See
     operators/curation.funnel_report for the plan shape."""
     return curation.funnel_report(t(spark, sf_dir, "documents"))
+
+
+CAP_PER_SOURCE = 10
+
+
+@register(
+    "cap_docs_per_source",
+    oracle=f"""
+        SELECT doc_id, source, rn
+        FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        )
+        WHERE rn <= {CAP_PER_SOURCE}
+    """,
+    tags=("curation", "sampling"),
+)
+def cap_docs_per_source(spark, sf_dir):
+    """Exact-k per-domain cap — the other half of corpus mixing next
+    to rate-based `sample_mix_by_source`: keep AT MOST k docs per
+    source, chosen by deterministic hash order (reproducible across
+    engines, runs and cluster sizes; no rand()). Plan: one hash
+    partition by source with Spark's WindowGroupLimit pre-filtering
+    each map partition to its local top-k BEFORE the exchange, so the
+    shuffle carries ~k rows per (source, input partition) — at 100 TB
+    the cap is enforced map-side, not by sorting whole domains."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CAP_PER_SOURCE)
+    )

@@ -271,3 +271,47 @@ def stream_session_stats(spark, sf_dir):
         F.round(F.avg("dur_s"), 4).alias("avg_session_sec"),
         F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
     )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT DISTINCT user_id, event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket
+            FROM events
+        )
+        GROUP BY event_type
+    """,
+    tags=("streaming", "dedup", "watermark"),
+)
+def stream_dedup_within_watermark(spark, sf_dir):
+    """Ingest-time dedup with BOUNDED state:
+    `dropDuplicatesWithinWatermark` keeps a key's dedup state only
+    until the watermark passes it, unlike plain `dropDuplicates`
+    whose state grows with every distinct key forever — on a 100 TB
+    stream the within-watermark form is the only deployable one
+    (state ~ keys per watermark horizon, not keys ever seen). Key =
+    (user_id, event_type, epoch-hour bucket): "count a user's repeated
+    events of a type within an hour once". The delay (90 days) covers
+    the staged data's full 30-day span, so no duplicate arrives after
+    its first occurrence's state expired and the append-mode output
+    equals batch DISTINCT exactly — stream-batch parity stays a
+    value-hash check. Epoch-hour buckets are timezone-free."""
+    s = st.events_stream(spark, sf_dir, n_files=N_FILES)
+    keyed = s.select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("ts").cast("long") / F.lit(3600)).cast("long").alias(
+            "hour_bucket"
+        ),
+        "ts",
+    )
+    deduped = (
+        keyed.withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "hour_bucket"])
+        .select("user_id", "event_type", "hour_bucket")
+    )
+    out = st.run_to_memory(deduped, "append", state_partitions=8)
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))

@@ -466,7 +466,7 @@ def q11_valuable_parts(spark, sf_dir):
     part_value = (
         li.groupBy("l_partkey")
         .agg(F.round(F.sum(rev), 2).alias("value"))
-        .cache()
+        .localCheckpoint(eager=False)
     )
     threshold = part_value.agg(
         (1.5 * F.avg("value")).alias("threshold")
@@ -508,7 +508,7 @@ def q15_top_suppliers(spark, sf_dir):
     supp_rev = (
         li.groupBy("l_suppkey")
         .agg(F.round(F.sum(rev), 2).alias("total_revenue"))
-        .cache()
+        .localCheckpoint(eager=False)
     )
     max_rev = supp_rev.agg(F.max("total_revenue").alias("max_rev"))
     return (
@@ -646,7 +646,7 @@ def q20_bulk_suppliers(spark, sf_dir):
         li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
-        .cache()
+        .localCheckpoint(eager=False)
     )
     th = sp.groupBy("l_partkey").agg(
         (0.8 * F.avg("qty")).alias("qty_thresh")
