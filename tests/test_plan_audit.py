@@ -55,6 +55,8 @@ CROSS_OK = {
     "decontam_overlap", "redact_pii_stats", "domain_stats",
     # labeled quadratic oracle baselines (scale twins are the defaults)
     "embedding_near_dup", "ann_bruteforce_topk", "ann_nn_join",
+    "ann_sq8_topk",  # broadcast-queries brute force over int8 codes —
+                     # same deliberate baseline shape as ann_bruteforce_topk
     "embedding_dup_clusters", "dedup_keep_representatives",
     "fuzzy_name_pairs", "cf_knn", "cf_ratings", "cf_predict_metrics",
     "cf_knn_pruned",
