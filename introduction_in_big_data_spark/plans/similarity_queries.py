@@ -526,3 +526,150 @@ def ann_sq8_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return quantize.sq8_topk(emb, queries, TOPK)
+
+
+def _pq_fixed_oracle(k, n_queries) -> str:
+    """DuckDB twin of the fixed-codebook PQ ADC search: the frozen
+    per-subspace codebooks (and their Python-computed squared norms)
+    are inlined as DOUBLE[] literals; encoding argmin and ADC scoring
+    fold the same doubles in the same order as the Spark plan."""
+    from .pq_constants import FIXED_PQ_CODEBOOKS
+
+    m_count = len(FIXED_PQ_CODEBOOKS)
+    d_sub = len(FIXED_PQ_CODEBOOKS[0][0])
+
+    def dlist(xs):
+        return "CAST([" + ", ".join(repr(float(x)) for x in xs) + "] AS DOUBLE[])"
+
+    code_cols, normsq_terms, ip_terms = [], [], []
+    for m, book in enumerate(FIXED_PQ_CODEBOOKS):
+        lo, hi = m * d_sub + 1, (m + 1) * d_sub
+        cb = "CAST([" + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in book
+        ) + "] AS DOUBLE[][])"
+        n2 = dlist([sum(x * x for x in c) for c in book])
+        scores = (
+            f"list_transform(range(0, {len(book)}), j -> "
+            f"-2.0 * list_inner_product(e[{lo}:{hi}], ({cb})[j + 1]) "
+            f"+ ({n2})[j + 1])"
+        )
+        code_cols.append(
+            f"CAST(list_position({scores}, list_min({scores})) - 1 AS INT)"
+            f" AS code_{m}"
+        )
+        normsq_terms.append(f"({n2})[code_{m} + 1]")
+        ip_terms.append(
+            f"list_inner_product(q.e[{lo}:{hi}], ({cb})[c.code_{m} + 1])"
+        )
+    codes_sql = ",\n                   ".join(code_cols)
+    norm_sq = " + ".join(normsq_terms)
+    ip = " + ".join(ip_terms)
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))) AS norm
+            FROM embeddings
+        ),
+        enc0 AS (
+            SELECT vec_id,
+                   {codes_sql}
+            FROM v
+        ),
+        enc AS (
+            SELECT vec_id, {", ".join(f"code_{m}" for m in range(m_count))},
+                   sqrt({norm_sq}) AS recon_norm
+            FROM enc0
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(({ip})
+                         / (q.norm * c.recon_norm), 6) AS sim_q
+            FROM v q JOIN enc c ON q.vec_id < {n_queries}
+            WHERE c.recon_norm > 0
+        )
+        SELECT query_id, neighbor_id, sim_q, rn FROM (
+            SELECT query_id, neighbor_id, sim_q,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim_q DESC, neighbor_id) AS rn
+            FROM scored
+        ) WHERE rn <= {k}
+    """
+
+
+@register(
+    "ann_pq_topk_fixed",
+    oracle=_pq_fixed_oracle(TOPK, N_QUERIES),
+    tags=("similarity", "ann", "pq", "quantize", "repro"),
+)
+def ann_pq_topk_fixed(spark, sf_dir):
+    """Product-quantization ADC top-5 with frozen codebooks
+    (operators/pq.py; plans/pq_constants.py trained once on sf0.01,
+    seed 42): the corpus scan carries 8 four-bit codes + one norm per
+    vector — 4 bytes of payload instead of 256 — and queries score
+    against literal centroid lookups. Encoding argmin, reconstruction
+    norms, and ADC scores are all sequential folds over inlined
+    literals, so the whole pipeline is value-hash checked (same
+    pattern as ann_ivf_topk_fixed). Recall vs the fp32 exact top-k is
+    property-tested in tests/test_quantize.py."""
+    from ..operators import pq
+    from .pq_constants import FIXED_PQ_CODEBOOKS
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return pq.pq_topk_fixed(emb, queries, TOPK, FIXED_PQ_CODEBOOKS)
+
+
+PQ_SHORTLIST = 100
+
+
+def _pq_refined_oracle(k, shortlist, n_queries) -> str:
+    """Two-stage twin: the ADC shortlist CTE (same literal folds as
+    _pq_fixed_oracle) re-ranked by exact fp32 cosine."""
+    inner = _pq_fixed_oracle(shortlist, n_queries)
+    return f"""
+        WITH shortlist AS ({inner}),
+        v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))) AS norm
+            FROM embeddings
+        ),
+        rescored AS (
+            SELECT s.query_id, s.neighbor_id,
+                   round(list_inner_product(q.e, c.e) / (q.norm * c.norm), 6)
+                       AS sim
+            FROM shortlist s
+            JOIN v q ON q.vec_id = s.query_id
+            JOIN v c ON c.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, sim, rn FROM (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rn
+            FROM rescored
+        ) WHERE rn <= {k}
+    """
+
+
+@register(
+    "ann_pq_refined_topk",
+    oracle=_pq_refined_oracle(TOPK, PQ_SHORTLIST, N_QUERIES),
+    tags=("similarity", "ann", "pq", "quantize", "repro"),
+)
+def ann_pq_refined_topk(spark, sf_dir):
+    """PQ shortlist + exact refine (operators/pq.pq_topk_refined) —
+    the production deployment of PQ: the corpus scan touches 4-byte
+    codes, fp32 vectors are fetched only for the |Q|x100 shortlist,
+    and the exact re-rank restores the recall ADC alone gives up
+    (measured in tests/test_quantize.py). Both stages are
+    deterministic folds, so the full two-stage pipeline value-hash
+    matches the SQL twin."""
+    from ..operators import pq
+    from .pq_constants import FIXED_PQ_CODEBOOKS
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return pq.pq_topk_refined(
+        emb, queries, TOPK, FIXED_PQ_CODEBOOKS, shortlist=PQ_SHORTLIST
+    )

@@ -57,6 +57,8 @@ CROSS_OK = {
     "embedding_near_dup", "ann_bruteforce_topk", "ann_nn_join",
     "ann_sq8_topk",  # broadcast-queries brute force over int8 codes —
                      # same deliberate baseline shape as ann_bruteforce_topk
+    "ann_pq_topk_fixed",    # exhaustive ADC over 4-byte PQ codes — the
+    "ann_pq_refined_topk",  # deliberate scan PQ exists to make cheap
     "embedding_dup_clusters", "dedup_keep_representatives",
     "fuzzy_name_pairs", "cf_knn", "cf_ratings", "cf_predict_metrics",
     "cf_knn_pruned",

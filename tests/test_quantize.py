@@ -67,3 +67,69 @@ def test_sq8_zero_vector_guard(spark):
     assert max(abs(c) for c in enc[1].codes) == 127
     out = quantize.sq8_topk(df, df, k=2).collect()
     assert all(r.query_id != 1 and r.neighbor_id != 1 for r in out)
+
+
+# --- product quantization (operators/pq.py) ---
+
+
+def test_pq_refine_recovers_adc_losses(emb, spark):
+    """ADC over 4-byte codes is lossy on unclustered gaussian vectors;
+    the refine stage must recover whatever the shortlist covers: (a)
+    refined top-5 ⊆ shortlist, re-ranked by EXACT cosine (matches
+    brute force on the covered set), (b) refined recall strictly
+    dominates raw ADC recall, (c) shortlist coverage of the exact
+    top-5 clears the measured floor (0.86 at sf0.001; bound 0.6)."""
+    from pyspark.sql import functions as F
+
+    from introduction_in_big_data_spark.operators import pq
+    from introduction_in_big_data_spark.plans.pq_constants import (
+        FIXED_PQ_CODEBOOKS,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, 5).collect()
+    }
+    adc = {
+        (r.query_id, r.neighbor_id)
+        for r in pq.pq_topk_fixed(emb, queries, 5, FIXED_PQ_CODEBOOKS).collect()
+    }
+    shortlist = {
+        (r.query_id, r.neighbor_id)
+        for r in pq.pq_topk_fixed(emb, queries, 100, FIXED_PQ_CODEBOOKS).collect()
+    }
+    refined_rows = pq.pq_topk_refined(
+        emb, queries, 5, FIXED_PQ_CODEBOOKS, shortlist=100
+    ).collect()
+    refined = {(r.query_id, r.neighbor_id) for r in refined_rows}
+    assert refined <= shortlist
+    coverage = len(exact & shortlist) / len(exact)
+    assert coverage >= 0.6, f"shortlist coverage {coverage}"
+    r_adc = len(exact & adc) / len(exact)
+    r_ref = len(exact & refined) / len(exact)
+    assert r_ref >= r_adc, (r_ref, r_adc)
+    assert r_ref >= coverage - 1e-9  # refine keeps everything covered
+
+
+def test_pq_codes_compact_and_deterministic(emb):
+    """Codes live in [0, 15] (4 bits each) and encoding is a pure
+    function — two independent plans produce identical codes."""
+    from pyspark.sql import functions as F
+
+    from introduction_in_big_data_spark.operators import pq
+    from introduction_in_big_data_spark.plans.pq_constants import (
+        FIXED_PQ_CODEBOOKS,
+    )
+
+    enc = pq.pq_encode_fixed(emb, FIXED_PQ_CODEBOOKS)
+    row = enc.agg(
+        F.min(F.least(*[F.col(f"code_{m}") for m in range(8)])).alias("lo"),
+        F.max(F.greatest(*[F.col(f"code_{m}") for m in range(8)])).alias("hi"),
+    ).first()
+    assert 0 <= row.lo and row.hi <= 15
+    a = sorted(map(tuple, pq.pq_encode_fixed(emb, FIXED_PQ_CODEBOOKS)
+                   .select("vec_id", "code_0", "code_7").collect()))
+    b = sorted(map(tuple, pq.pq_encode_fixed(emb, FIXED_PQ_CODEBOOKS)
+                   .select("vec_id", "code_0", "code_7").collect()))
+    assert a == b
