@@ -315,3 +315,109 @@ def stream_dedup_within_watermark(spark, sf_dir):
     )
     out = st.run_to_memory(deduped, "append", state_partitions=8)
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "stream_acid_user_state",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, event_type,
+                   CAST(epoch_us(ts) AS BIGINT) AS ep, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ),
+        agg AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+        )
+        SELECT a.user_id, a.n_events,
+               r.ep AS last_epoch_us, r.event_type AS last_event_type
+        FROM agg a JOIN ranked r ON r.user_id = a.user_id AND r.rn = 1
+    """,
+    tags=("streaming", "acid", "cdc", "merge"),
+)
+def stream_acid_user_state(spark, sf_dir):
+    """Streaming CDC upsert into the ACID table — the lakehouse
+    standard topology (stream -> foreachBatch MERGE -> queryable
+    snapshot) that Delta/Iceberg sinks provide, run here against
+    sources/acidtable.py: each micro-batch reduces to per-user deltas
+    (count + argmax-by-(ts, event_id) last event), merges them with
+    the table's current rows for the touched users ONLY, and upserts
+    via copy-on-write MERGE. Both per-batch reductions are associative
+    (sums; max of a lexicographic struct), so the final snapshot is
+    independent of batch boundaries and hash-matches batch SQL — the
+    same stream-batch parity gate as every other streaming query. At
+    scale each merge rewrites only the data files containing touched
+    keys; the events scan itself never re-reads the table."""
+    import tempfile
+
+    from ..sources.acidtable import AcidTable
+
+    s = st.events_stream(spark, sf_dir, n_files=N_FILES)
+    path = tempfile.mkdtemp(prefix="acid_stream_") + "/t"
+    # the table persists last_event_id purely as the argmax tiebreak:
+    # two events can share a microsecond across batches, and the
+    # across-batch winner must match the oracle's (ts, event_id) order
+    empty = spark.createDataFrame(
+        [],
+        "user_id long, n_events long, last_epoch_us long, "
+        "last_event_id long, last_event_type string",
+    )
+    table = AcidTable.create(spark, path, empty)
+
+    def upsert(batch_df, batch_id):
+        delta = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(
+                F.struct(
+                    F.unix_micros("ts").alias("ep"),
+                    F.col("event_id").alias("eid"),
+                    F.col("event_type").alias("et"),
+                )
+            ).alias("last"),
+        )
+        cur = table.read().select(
+            "user_id",
+            F.col("n_events").alias("cur_n"),
+            F.struct(
+                F.col("last_epoch_us").alias("ep"),
+                F.col("last_event_id").alias("eid"),
+                F.col("last_event_type").alias("et"),
+            ).alias("cur_last"),
+        )
+        merged = (
+            delta.join(cur, "user_id", "left")
+            .select(
+                "user_id",
+                (F.col("n_events") + F.coalesce(F.col("cur_n"), F.lit(0))).alias(
+                    "n_events"
+                ),
+                F.when(
+                    F.col("cur_last").isNull()
+                    | (F.col("last") > F.col("cur_last")),
+                    F.col("last"),
+                )
+                .otherwise(F.col("cur_last"))
+                .alias("last"),
+            )
+            .select(
+                "user_id",
+                "n_events",
+                F.col("last.ep").alias("last_epoch_us"),
+                F.col("last.eid").alias("last_event_id"),
+                F.col("last.et").alias("last_event_type"),
+            )
+        )
+        table.merge(merged, "user_id")
+
+    q = (
+        s.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", path + "_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return table.read().select(
+        "user_id", "n_events", "last_epoch_us", "last_event_type"
+    )
