@@ -35,7 +35,7 @@ from introduction_in_big_data_spark import plans  # noqa: E402
 from introduction_in_big_data_spark.session import get_spark  # noqa: E402
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = "/tmp/ibd_scale/sf1"
+OUT = "/tmp/ibd_scale/sf1_v2"  # v2: embeddings now key-shifted too
 COPIES = 10
 SHIFT = 1_000_000_000  # key shift per copy; far above any real key
 
@@ -48,6 +48,12 @@ KEYED = {
     "part": ["p_partkey"],
     "supplier": ["s_suppkey"],
     "documents": ["doc_id"],
+    "embeddings": ["vec_id"],  # copies reuse the vectors; ANN top-k
+    # probes keep the ORIGINAL 10-query set (vec_id < 10 exists only in
+    # copy 0), so corpus work scales 10x while |Q| stays fixed — the
+    # deployment shape. (Near-dup pair probes would NOT be valid on
+    # this build: identical vectors across copies cross-match, growing
+    # candidates by COPIES² — a changed workload, not a scaled one.)
 }
 UNKEYED = ["nation", "region"]  # tiny dims: single copy, keys unshifted
 
@@ -75,6 +81,13 @@ PROBE_QUERIES = [
                                # embarrassingly parallel
     "acid_merge_customers",    # r3-cont: COW MERGE — cost ∝ files hit,
                                # both table and update batch scale 10x
+    "ann_sq8_topk",            # r3-cont2: int8 brute force — corpus scan
+                               # 10x, broadcast query set fixed
+    "ann_pq_topk_fixed",       # r3-cont2: ADC over 4-byte codes, encode
+                               # is a per-row map — linear by design
+    "ann_pq_refined_topk",     # r3-cont2: shortlist stays |Q|x100, so
+                               # ONLY the ADC stage should grow
+    "cap_docs_per_source",     # r3-cont2: WindowGroupLimit map-side cap
 ]
 
 
@@ -110,9 +123,9 @@ def build_sf1(spark) -> None:
         load_table(spark, BASE, name).write.mode("overwrite").parquet(
             f"{OUT}/{name}.parquet"
         )
-    # events/embeddings aren't probed; symlink-equivalent copies keep
-    # load_table's table list satisfied if a probed query ever needs them
-    for name in ["events", "embeddings"]:
+    # events isn't probed; a plain copy keeps load_table's table
+    # list satisfied if a probed query ever needs it
+    for name in ["events"]:
         load_table(spark, BASE, name).write.mode("overwrite").parquet(
             f"{OUT}/{name}.parquet"
         )
