@@ -63,6 +63,7 @@ CROSS_OK = {
     "fuzzy_name_pairs", "cf_knn", "cf_ratings", "cf_predict_metrics",
     "cf_knn_pruned",
     "fk_orphan_counts",  # three 1-row scalar counts crossed into one row
+    "triangle_count_copurchase",  # 1-row edge stats x 1-row wedge stats
 }
 
 
