@@ -300,3 +300,37 @@ def cap_docs_per_source(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= CAP_PER_SOURCE)
     )
+
+
+@register(
+    "train_val_test_split",
+    oracle="""
+        SELECT source,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val' ELSE 'test' END AS split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY source, split
+    """,
+    tags=("curation", "sampling", "split"),
+)
+def train_val_test_split(spark, sf_dir):
+    """Deterministic ~80/10/10 train/val/test split by md5(doc_id)
+    prefix — the split every training pipeline needs pinned: stable
+    across engines, runs, cluster sizes and data ORDER (a rand() or
+    modulo-on-row-number split changes membership whenever the scan
+    order does; a content-hash split never leaks a doc across splits
+    between runs). Pure per-row map + one small rollup: the 100 TB
+    cost is the scan."""
+    d = t(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    ).alias("split")
+    return d.groupBy("source", split).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

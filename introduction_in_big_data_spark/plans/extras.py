@@ -574,3 +574,58 @@ def scd2_customer_history(spark, sf_dir):
         F.lit(1000).cast("long").alias("ts"),
     )
     return scd.scd2_apply(base, updates, "k", "ts", ["bal"])
+
+
+@register(
+    "acid_changes_feed",
+    oracle="""
+        SELECT c_custkey, c_acctbal * 1.1 AS acctbal,
+               'updated' AS src, 'update_postimage' AS _change_type
+        FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND NOT (c_acctbal * 1.1 < 0)
+        UNION ALL
+        SELECT c_custkey, c_acctbal AS acctbal, 'base' AS src,
+               'delete' AS _change_type
+        FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND c_acctbal * 1.1 < 0
+        UNION ALL
+        SELECT c_custkey + 10000000 AS c_custkey, c_acctbal AS acctbal,
+               'new' AS src, 'insert' AS _change_type
+        FROM customer
+        WHERE c_mktsegment = 'MACHINERY'
+    """,
+    tags=("acid", "cdc", "merge"),
+)
+def acid_changes_feed(spark, sf_dir):
+    """Change data feed between ACID snapshots (the Delta CDF analog,
+    sources/acidtable.AcidTable.changes): create the base table, MERGE
+    an update+insert batch (BUILDING balances x1.1; brand-new keys for
+    MACHINERY), DELETE the negative updated balances, then diff
+    snapshot v0 against the head — every row tagged
+    insert/update_postimage/delete, deletes carrying their pre-image.
+    The diff is a key-shuffled full-outer join of two file-pruned
+    snapshot scans with struct inequality: no change log needed, and
+    the tags hash-match the closed-form SQL."""
+    import tempfile
+
+    from ..sources.acidtable import AcidTable
+
+    c = t(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey", F.col("c_acctbal").alias("acctbal"), F.lit("base").alias("src")
+    )
+    updates = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey",
+        (F.col("c_acctbal") * 1.1).alias("acctbal"),
+        F.lit("updated").alias("src"),
+    )
+    inserts = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("new").alias("src"),
+    )
+    path = tempfile.mkdtemp(prefix="acid_cdf_") + "/t"
+    table = AcidTable.create(spark, path, base.repartitionByRange(4, "c_custkey"))
+    table.merge(updates.unionByName(inserts), "c_custkey")
+    table.delete("src = 'updated' AND acctbal < 0")
+    return table.changes("c_custkey", 0, table.latest_version())

@@ -163,6 +163,39 @@ class AcidTable:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
 
+    def changes(self, key: str, v_from: int, v_to: int) -> DataFrame:
+        """Change data feed between two snapshots (Delta CDF analog,
+        computed from snapshots rather than logged): one row per key
+        whose row changed, tagged `_change_type` in
+        {'insert','update_postimage','delete'}. Implemented as a
+        full-outer join of the two snapshots on `key` with row-struct
+        inequality for update detection — at scale both sides are
+        file-pruned parquet scans and the join shuffles on the key.
+        Emits post-image columns (pre-image rows of deletes carry the
+        OLD values, the only image that exists)."""
+        before = self.read(v_from)
+        after = self.read(v_to)
+        cols = after.columns
+        b = before.select(
+            F.col(key).alias("__k"),
+            F.struct(*[F.col(c) for c in cols]).alias("__before"),
+        )
+        a = after.select(
+            F.col(key).alias("__k"),
+            F.struct(*[F.col(c) for c in cols]).alias("__after"),
+        )
+        j = b.join(a, "__k", "full_outer")
+        tagged = j.select(
+            F.coalesce(F.col("__after"), F.col("__before")).alias("__row"),
+            F.when(F.col("__before").isNull(), F.lit("insert"))
+            .when(F.col("__after").isNull(), F.lit("delete"))
+            .when(F.col("__before") != F.col("__after"), F.lit("update_postimage"))
+            .alias("_change_type"),
+        ).filter(F.col("_change_type").isNotNull())
+        return tagged.select(
+            *[F.col(f"__row.{c}").alias(c) for c in cols], "_change_type"
+        )
+
     def history(self) -> list[dict]:
         return [
             {k: m[k] for k in ("version", "op", "ts")} | {"n_files": len(m["files"])}

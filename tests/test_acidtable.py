@@ -194,3 +194,28 @@ def test_streaming_upsert_sink_foreachbatch(spark, sf_dir, tmp_path):
     assert final.groupBy("user_id").count().filter("count > 1").count() == 0
     assert [h["op"] for h in t.history()][:1] == ["create"]
     assert len(t.history()) >= 2  # at least one merge committed
+
+
+def test_changes_feed_tags_and_excludes_unchanged(spark, tmp_path):
+    """changes(key, v0, v2): inserts/updates/deletes tagged; a row
+    merged with IDENTICAL values is not a change; deletes carry their
+    pre-image."""
+    base = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")], "k long, v double, s string"
+    )
+    t = AcidTable.create(spark, str(tmp_path / "cdf"), base)
+    updates = spark.createDataFrame(
+        [(1, 10.0, "a"),     # identical -> must NOT appear in the feed
+         (2, 99.0, "b"),     # update
+         (4, 40.0, "d")],    # insert
+        "k long, v double, s string",
+    )
+    t.merge(updates, "k")
+    t.delete("k = 3")
+    feed = {r.k: (r.v, r.s, r._change_type)
+            for r in t.changes("k", 0, t.latest_version()).collect()}
+    assert feed == {
+        2: (99.0, "b", "update_postimage"),
+        3: (30.0, "c", "delete"),       # pre-image values
+        4: (40.0, "d", "insert"),
+    }
