@@ -629,3 +629,47 @@ def acid_changes_feed(spark, sf_dir):
     table.merge(updates.unionByName(inserts), "c_custkey")
     table.delete("src = 'updated' AND acctbal < 0")
     return table.changes("c_custkey", 0, table.latest_version())
+
+
+@register(
+    "bloom_pruned_revenue",
+    oracle="""
+        SELECT o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_items,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_totalprice > 300000
+        GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "bloom", "scale"),
+)
+def bloom_pruned_revenue(spark, sf_dir):
+    """Bloom-style runtime pruning in the driver path
+    (operators/bloom.bloom_prune): the selective order set (totalprice
+    > 300k) is summarized into a broadcast bucket bitmap that kills
+    most lineitem rows BEFORE the join shuffle — at 100 TB the fact
+    never shuffles rows the join would discard. The prefilter has
+    false positives but never false negatives, so the exact join that
+    follows makes prune-then-join semantics-preserving: the oracle is
+    the PLAIN join, which is the whole point."""
+    from ..operators.bloom import bloom_prune
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    hot = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    pruned = bloom_prune(li, hot, "l_orderkey", "o_orderkey")
+    return (
+        pruned.join(hot, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
