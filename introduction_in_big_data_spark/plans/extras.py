@@ -642,6 +642,7 @@ def acid_changes_feed(spark, sf_dir):
         GROUP BY o.o_orderpriority
     """,
     tags=("join", "bloom", "scale"),
+    bench=True,  # join-pruning headline: fact rows die before the shuffle
 )
 def bloom_pruned_revenue(spark, sf_dir):
     """Bloom-style runtime pruning in the driver path
