@@ -336,3 +336,57 @@ def char_lm_scores(
             ).alias("avg_nll"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: Column,
+    budget: int,
+    group_size: int = 100,
+) -> DataFrame:
+    """HARD-boundary next-fit sequence packing (LLM pretraining's
+    sample packing): documents in id order are concatenated into
+    sequences that NEVER exceed `budget` tokens — a doc that would
+    overflow starts the next sequence (an oversized doc occupies one
+    alone). Unlike pack_token_shards' prefix-sum shards (docs assigned
+    by running-total position, shard may overflow), next-fit state is
+    inherently sequential and NOT associative, so no window/prefix-sum
+    form exists. The scalable shape is the one production pipelines
+    use: pack WITHIN deterministic groups (id div group_size — shard
+    boundaries are natural packing resets), each group's sequential
+    scan running in an applyInPandas kernel; groups are embarrassingly
+    parallel and the output is independent of partitioning. Returns
+    (id, grp, seq, ntok) with seq numbering local to the group."""
+    import pandas as pd  # noqa: F401  (worker-side)
+
+    grouped = df.select(
+        F.col(id_col).alias("id"),
+        token_count_col.cast("long").alias("ntok"),
+        F.floor(F.col(id_col) / group_size).cast("long").alias("grp"),
+        # floor, not bare cast: cast truncates toward zero, and the
+        # DuckDB twin must use floor() too (its CAST(float AS BIGINT)
+        # ROUNDS half away — a silent cross-engine divergence)
+    )
+
+    def _pack(pdf):
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        seqs = []
+        seq, fill = 0, 0
+        first = True
+        for ntok in pdf["ntok"]:
+            if first:
+                fill = ntok
+                first = False
+            elif fill + ntok > budget:
+                seq += 1
+                fill = ntok
+            else:
+                fill += ntok
+            seqs.append(seq)
+        pdf["seq"] = seqs
+        return pdf[["id", "grp", "seq", "ntok"]]
+
+    return grouped.groupBy("grp").applyInPandas(
+        _pack, "id long, grp long, seq long, ntok long"
+    )

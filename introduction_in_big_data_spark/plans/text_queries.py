@@ -463,3 +463,61 @@ def text_char_lm_quality(spark, sf_dir):
     return textops.char_lm_scores(
         spread_if_narrow(t(spark, sf_dir, "documents")), "doc_id", "text"
     )
+
+
+SEQ_PACK_BUDGET = 512
+SEQ_PACK_GROUP = 100
+
+
+@register(
+    "sequence_pack_stats",
+    oracle=f"""
+        WITH RECURSIVE tok AS (
+            SELECT doc_id, CAST(floor(doc_id / {SEQ_PACK_GROUP}.0) AS BIGINT) AS grp,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ntok,
+                   row_number() OVER (
+                       PARTITION BY CAST(floor(doc_id / {SEQ_PACK_GROUP}.0) AS BIGINT)
+                       ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        pack AS (
+            SELECT grp, rn, doc_id, ntok,
+                   CAST(0 AS BIGINT) AS seq, ntok AS fill
+            FROM tok WHERE rn = 1
+            UNION ALL
+            SELECT d.grp, d.rn, d.doc_id, d.ntok,
+                   CASE WHEN p.fill + d.ntok > {SEQ_PACK_BUDGET}
+                        THEN p.seq + 1 ELSE p.seq END,
+                   CASE WHEN p.fill + d.ntok > {SEQ_PACK_BUDGET}
+                        THEN d.ntok ELSE p.fill + d.ntok END
+            FROM pack p JOIN tok d ON d.grp = p.grp AND d.rn = p.rn + 1
+        )
+        SELECT grp, seq,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS seq_tokens
+        FROM pack
+        GROUP BY grp, seq
+    """,
+    tags=("text", "packing", "llm"),
+)
+def sequence_pack_stats(spark, sf_dir):
+    """HARD-boundary next-fit sequence packing
+    (operators/text.pack_sequences) — LLM sample packing where a
+    sequence never exceeds the token budget (vs token_shard_stats'
+    prefix-sum shards, which may overflow on the straddling doc).
+    Next-fit state is sequential, not associative, so the scale shape
+    is per-group packing (id div 100 — shard boundaries as packing
+    resets) in an applyInPandas kernel; groups are embarrassingly
+    parallel. The DuckDB twin replays the same scan as a recursive
+    CTE, so even this stateful kernel is value-hash checked."""
+    from ..functions.textfns import token_count
+    from ..operators.text import pack_sequences
+
+    d = t(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        d, "doc_id", token_count(F.col("text")), SEQ_PACK_BUDGET, SEQ_PACK_GROUP
+    )
+    return packed.groupBy("grp", "seq").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("seq_tokens"),
+    )

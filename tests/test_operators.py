@@ -176,3 +176,48 @@ def test_pack_token_shards_partition_invariant(spark):
     # shard ids are dense from 0
     ids = sorted({s for _, s in single})
     assert ids == list(range(len(ids)))
+
+
+def test_pack_sequences_next_fit_hard_budget(spark):
+    """Hard-boundary next-fit: no sequence exceeds the budget (except a
+    single oversized doc alone), docs stay in id order, and the
+    assignment equals the plain-Python scan."""
+    from introduction_in_big_data_spark.operators.text import pack_sequences
+
+    ntoks = [50, 60, 10, 100, 90, 130, 1, 1, 200, 120, 5]
+    df = spark.createDataFrame(
+        [(i, "x " * n) for i, n in enumerate(ntoks)], "doc_id long, text string"
+    )
+    out = {
+        r.id: (r.grp, r.seq, r.ntok)
+        for r in pack_sequences(
+            df, "doc_id", F.size(F.split(F.trim(F.col("text")), " ")),
+            budget=128, group_size=6,
+        ).collect()
+    }
+
+    def ref(group):
+        seqs, seq, fill, first = {}, 0, 0, True
+        for i, n in group:
+            if first:
+                fill, first = n, False
+            elif fill + n > 128:
+                seq, fill = seq + 1, n
+            else:
+                fill += n
+            seqs[i] = seq
+        return seqs
+
+    expect = {}
+    for g in (0, 1):
+        members = [(i, n) for i, n in enumerate(ntoks) if i // 6 == g]
+        for i, s in ref(members).items():
+            expect[i] = (g, s, ntoks[i])
+    assert out == expect
+    # hard budget: per (grp, seq) totals never exceed 128 unless the
+    # sequence is a single oversized doc
+    totals = {}
+    for i, (g, s, n) in out.items():
+        totals.setdefault((g, s), []).append(n)
+    for ns in totals.values():
+        assert sum(ns) <= 128 or len(ns) == 1
