@@ -674,3 +674,107 @@ def bloom_pruned_revenue(spark, sf_dir):
             ).alias("revenue"),
         )
     )
+
+
+_PROFILE_NUM = {"c_custkey": 0, "c_nationkey": 0, "c_acctbal": 2}
+_PROFILE_STR = ["c_name", "c_mktsegment"]
+
+
+@register(
+    "profile_customer_columns",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        """
+    + ",\n".join(
+        f"""
+               CAST(count(*) - count({c}) AS BIGINT) AS nulls_{c},
+               CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{c},
+               round(CAST(min({c}) AS DOUBLE), {s}) AS mn_{c},
+               round(CAST(max({c}) AS DOUBLE), {s}) AS mx_{c}"""
+        for c, s in _PROFILE_NUM.items()
+    )
+    + ","
+    + ",\n".join(
+        f"""
+               CAST(count(*) - count({c}) AS BIGINT) AS nulls_{c},
+               CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{c},
+               min({c}) AS smn_{c},
+               max({c}) AS smx_{c}"""
+        for c in _PROFILE_STR
+    )
+    + """
+            FROM customer
+        )
+        """
+    + "\nUNION ALL\n".join(
+        [
+            f"""SELECT '{c}' AS col_name, n_rows, nulls_{c} AS n_nulls,
+                nd_{c} AS n_distinct, mn_{c} AS min_num, mx_{c} AS max_num,
+                NULL AS min_str, NULL AS max_str FROM m"""
+            for c in _PROFILE_NUM
+        ]
+        + [
+            f"""SELECT '{c}' AS col_name, n_rows, nulls_{c} AS n_nulls,
+                nd_{c} AS n_distinct, NULL AS min_num, NULL AS max_num,
+                smn_{c} AS min_str, smx_{c} AS max_str FROM m"""
+            for c in _PROFILE_STR
+        ]
+    ),
+    tags=("profiling", "dq"),
+)
+def profile_customer_columns(spark, sf_dir):
+    """One-pass data profiler (the DQ census every ingest pipeline runs
+    first): one output row per column with null count, exact distinct,
+    and typed min/max — numerics as rounded doubles, strings as
+    strings, never a float pushed through engine-specific string
+    formatting. ONE scan computes every metric (multi-distinct
+    aggregate), then a zero-input-width unpivot emits the per-column
+    rows; at 100 TB the cost is the single scan plus the distinct
+    shuffles, not columns x scans."""
+    c = t(spark, sf_dir, "customer")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for col, s in _PROFILE_NUM.items():
+        aggs += [
+            (F.count(F.lit(1)) - F.count(col)).cast("long").alias(f"nulls_{col}"),
+            F.countDistinct(col).cast("long").alias(f"nd_{col}"),
+            F.round(F.min(col).cast("double"), s).alias(f"mn_{col}"),
+            F.round(F.max(col).cast("double"), s).alias(f"mx_{col}"),
+        ]
+    for col in _PROFILE_STR:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(col)).cast("long").alias(f"nulls_{col}"),
+            F.countDistinct(col).cast("long").alias(f"nd_{col}"),
+            F.min(col).alias(f"smn_{col}"),
+            F.max(col).alias(f"smx_{col}"),
+        ]
+    m = c.agg(*aggs)
+    rows = []
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    for col in _PROFILE_NUM:
+        rows.append(
+            m.select(
+                F.lit(col).alias("col_name"), "n_rows",
+                F.col(f"nulls_{col}").alias("n_nulls"),
+                F.col(f"nd_{col}").alias("n_distinct"),
+                F.col(f"mn_{col}").alias("min_num"),
+                F.col(f"mx_{col}").alias("max_num"),
+                null_s.alias("min_str"), null_s.alias("max_str"),
+            )
+        )
+    for col in _PROFILE_STR:
+        rows.append(
+            m.select(
+                F.lit(col).alias("col_name"), "n_rows",
+                F.col(f"nulls_{col}").alias("n_nulls"),
+                F.col(f"nd_{col}").alias("n_distinct"),
+                null_d.alias("min_num"), null_d.alias("max_num"),
+                F.col(f"smn_{col}").alias("min_str"),
+                F.col(f"smx_{col}").alias("max_str"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

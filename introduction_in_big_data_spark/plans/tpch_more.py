@@ -657,3 +657,64 @@ def q20_bulk_suppliers(spark, sf_dir):
         .select("l_suppkey")
     )
     return s.join(bulk, s.s_suppkey == bulk.l_suppkey, "left_semi")
+
+
+@register(
+    "daily_revenue_anomalies",
+    oracle="""
+        WITH daily AS (
+            SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                       AS day_num,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY day_num
+        ),
+        scored AS (
+            SELECT day_num, revenue,
+                   avg(revenue) OVER w AS mu,
+                   stddev_samp(revenue) OVER w AS sd,
+                   count(*) OVER w AS n_hist
+            FROM daily
+            WINDOW w AS (ORDER BY day_num
+                         ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT day_num, revenue,
+               round((revenue - mu) / sd, 4) AS z
+        FROM scored
+        WHERE n_hist >= 14 AND sd > 0
+          AND abs((revenue - mu) / sd) > 2.0
+    """,
+    tags=("timeseries", "window", "anomaly"),
+)
+def daily_revenue_anomalies(spark, sf_dir):
+    """Trailing-window anomaly detection — the ops-analytics staple:
+    each day's revenue z-scored against its OWN trailing 28 days
+    (current day excluded, so the anomaly can't suppress itself), flag
+    |z| > 2 once 14 days of history exist. Day revenues are rounded
+    BEFORE the window so both engines feed identical doubles into
+    mean/stddev; the window runs over the daily rollup (bounded by
+    calendar days — the audited global-window allowlist class, same as
+    rolling_revenue_7d). At 100 TB the rollup is the only pass over
+    the fact table."""
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+            .alias("day_num")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("day_num").rowsBetween(-28, -1)
+    scored = daily.select(
+        "day_num",
+        "revenue",
+        F.avg("revenue").over(w).alias("mu"),
+        F.stddev_samp("revenue").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+    )
+    z = (F.col("revenue") - F.col("mu")) / F.col("sd")
+    return (
+        scored.filter(
+            (F.col("n_hist") >= 14) & (F.col("sd") > 0) & (F.abs(z) > 2.0)
+        )
+        .select("day_num", "revenue", F.round(z, 4).alias("z"))
+    )
