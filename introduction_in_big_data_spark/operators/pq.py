@@ -215,3 +215,92 @@ def pq_topk_refined(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim", "rn")
     )
+
+
+def ivfpq_topk_fixed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF x PQ — the production ANN composition (faiss IndexIVFPQ's
+    shape, minus residual encoding; codes here quantize the raw
+    vectors, which keeps both stages independently oracle-checkable):
+    the IVF stage prunes WHICH rows are scored (each query probes
+    `nprobe` cells -> candidate count ~ nprobe/|cells| of the corpus),
+    the PQ stage shrinks WHAT is scanned per row (4-byte codes).
+    At 100 TB those are the two independent levers: IO per row and
+    rows touched. Everything is a literal sequential fold, so cell
+    assignment, probing, ADC scores and ranks all value-hash match the
+    SQL twin."""
+    d_sub = len(codebooks[0][0])
+
+    def fixed_cells(df: DataFrame, keep: int, out_id: str) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        norm = F.sqrt(dot_fold(v, v))
+        structs = []
+        for ci, c in enumerate(centroids):
+            arr = F.array(*[F.lit(float(x)) for x in c])
+            cn = float(sum(x * x for x in c) ** 0.5) or 1.0
+            structs.append(
+                F.struct(
+                    F.lit(ci).alias("cell"),
+                    (dot_fold(v, arr) / (norm * F.lit(cn))).alias("csim"),
+                )
+            )
+        ranked = df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(vec_col),
+            F.explode(F.array(*structs)).alias("c"),
+        )
+        w = Window.partitionBy(out_id).orderBy(F.desc("c.csim"), F.asc("c.cell"))
+        return (
+            ranked.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= keep)
+            .select(out_id, F.col("c.cell").alias("cell"), vec_col)
+        )
+
+    enc = pq_encode_fixed(
+        fixed_cells(corpus, 1, "neighbor_id"), codebooks, vec_col
+    ).select(
+        "neighbor_id",
+        "cell",
+        *[f"code_{m}" for m in range(len(codebooks))],
+        "recon_norm",
+    )
+    qcells = fixed_cells(queries, nprobe, "query_id")
+    qv = F.col("qv")
+    q = qcells.select(
+        "query_id",
+        "cell",
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qnorm", F.sqrt(dot_fold(qv, qv)))
+    terms = [
+        dot_fold(
+            _sub(qv, m, d_sub),
+            F.element_at(
+                F.array(*[_lit_arr(c) for c in book]), F.col(f"code_{m}") + 1
+            ),
+        )
+        for m, book in enumerate(codebooks)
+    ]
+    ip = terms[0]
+    for term_col in terms[1:]:
+        ip = ip + term_col
+    scored = q.join(enc.filter(F.col("recon_norm") > 0), "cell").select(
+        "query_id",
+        "neighbor_id",
+        F.round(ip / (F.col("qnorm") * F.col("recon_norm")), SIM_SCALE).alias(
+            "sim_q"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim_q", "rn")
+    )

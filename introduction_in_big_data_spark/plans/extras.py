@@ -4,6 +4,7 @@ zero-cost in Spark), and a TPC-H-Q3-shaped 3-way join for the bench."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .registry import register, t
@@ -778,3 +779,53 @@ def profile_customer_columns(spark, sf_dir):
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "window_functions_acctbal",
+    oracle="""
+        SELECT c_custkey, c_nationkey,
+               row_number() OVER w AS rn,
+               rank() OVER w_ties AS rnk,
+               dense_rank() OVER w_ties AS drnk,
+               round(percent_rank() OVER w, 6) AS prank,
+               round(cume_dist() OVER w, 6) AS cdist,
+               ntile(4) OVER w AS quartile,
+               lag(c_custkey) OVER w AS prev_key,
+               lead(c_custkey) OVER w AS next_key
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey),
+               w_ties AS (PARTITION BY c_nationkey
+                          ORDER BY round(c_acctbal, 0) DESC)
+    """,
+    tags=("window", "sql-surface"),
+)
+def window_functions_acctbal(spark, sf_dir):
+    """The full ranking-window surface in one query (SURVEY.md §2.5
+    breadth): row_number / rank / dense_rank / percent_rank /
+    cume_dist / ntile / lag / lead per nation partition. The
+    row-addressed functions ride a TOTAL order (balance desc, key);
+    rank/dense_rank run over a coarsened key (rounded balance) so ties
+    actually exist and the tie semantics are exercised, not vacuously
+    equal to row_number. One hash partition by nation — no global
+    window."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    w_ties = Window.partitionBy("c_nationkey").orderBy(
+        F.desc(F.round(F.col("c_acctbal"), 0))
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("c_custkey").over(w).alias("prev_key"),
+        F.lead("c_custkey").over(w).alias("next_key"),
+    )

@@ -673,3 +673,132 @@ def ann_pq_refined_topk(spark, sf_dir):
     return pq.pq_topk_refined(
         emb, queries, TOPK, FIXED_PQ_CODEBOOKS, shortlist=PQ_SHORTLIST
     )
+
+
+def _ivfpq_fixed_oracle(k, nprobe, n_queries) -> str:
+    """DuckDB twin of the IVF x PQ composition: frozen IVF centroids
+    gate WHICH corpus rows are scored, frozen PQ codebooks supply the
+    ADC scores — both inlined literal folds."""
+    from .ivf_constants import FIXED_IVF_CENTROIDS
+    from .pq_constants import FIXED_PQ_CODEBOOKS
+
+    cent_rows = []
+    for ci, c in enumerate(FIXED_IVF_CENTROIDS):
+        cn = float(sum(x * x for x in c) ** 0.5) or 1.0
+        lits = ", ".join(repr(float(x)) for x in c)
+        cent_rows.append(f"({ci}, CAST([{lits}] AS DOUBLE[]), {cn!r})")
+    cent_values = ",\n                ".join(cent_rows)
+
+    d_sub = len(FIXED_PQ_CODEBOOKS[0][0])
+
+    def dlist(xs):
+        return "CAST([" + ", ".join(repr(float(x)) for x in xs) + "] AS DOUBLE[])"
+
+    code_cols, normsq_terms, ip_terms = [], [], []
+    for m, book in enumerate(FIXED_PQ_CODEBOOKS):
+        lo, hi = m * d_sub + 1, (m + 1) * d_sub
+        cb = "CAST([" + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in book
+        ) + "] AS DOUBLE[][])"
+        n2 = dlist([sum(x * x for x in c) for c in book])
+        scores = (
+            f"list_transform(range(0, {len(book)}), j -> "
+            f"-2.0 * list_inner_product(e[{lo}:{hi}], ({cb})[j + 1]) "
+            f"+ ({n2})[j + 1])"
+        )
+        code_cols.append(
+            f"CAST(list_position({scores}, list_min({scores})) - 1 AS INT)"
+            f" AS code_{m}"
+        )
+        normsq_terms.append(f"({n2})[code_{m} + 1]")
+        ip_terms.append(
+            f"list_inner_product(vq.e[{lo}:{hi}], ({cb})[ce.code_{m} + 1])"
+        )
+    codes_sql = ",\n                   ".join(code_cols)
+    norm_sq = " + ".join(normsq_terms)
+    ip = " + ".join(ip_terms)
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))) AS norm
+            FROM embeddings
+        ),
+        cents AS (
+            SELECT * FROM (VALUES
+                {cent_values}
+            ) t(cell, cent, cnorm)
+        ),
+        csims AS (
+            SELECT v.vec_id, cents.cell,
+                   list_inner_product(v.e, cents.cent) / (v.norm * cents.cnorm)
+                       AS csim
+            FROM v CROSS JOIN cents
+        ),
+        corpus_cells AS (
+            SELECT vec_id AS neighbor_id, cell FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+                FROM csims
+            ) WHERE rn = 1
+        ),
+        query_cells AS (
+            SELECT vec_id AS query_id, cell FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+                FROM csims WHERE vec_id < {n_queries}
+            ) WHERE rn <= {nprobe}
+        ),
+        enc0 AS (
+            SELECT vec_id,
+                   {codes_sql}
+            FROM v
+        ),
+        enc AS (
+            SELECT vec_id, {", ".join(f"code_{m}" for m in range(len(FIXED_PQ_CODEBOOKS)))},
+                   sqrt({norm_sq}) AS recon_norm
+            FROM enc0
+        ),
+        scored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   round(({ip})
+                         / (vq.norm * ce.recon_norm), 6) AS sim_q
+            FROM query_cells q
+            JOIN corpus_cells c USING (cell)
+            JOIN v vq ON vq.vec_id = q.query_id
+            JOIN enc ce ON ce.vec_id = c.neighbor_id
+            WHERE ce.recon_norm > 0
+        )
+        SELECT query_id, neighbor_id, sim_q, rn FROM (
+            SELECT query_id, neighbor_id, sim_q,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim_q DESC, neighbor_id) AS rn
+            FROM scored
+        ) WHERE rn <= {k}
+    """
+
+
+@register(
+    "ann_ivfpq_topk_fixed",
+    oracle=_ivfpq_fixed_oracle(TOPK, IVF_NPROBE, N_QUERIES),
+    tags=("similarity", "ann", "ivf", "pq", "quantize", "repro"),
+)
+def ann_ivfpq_topk_fixed(spark, sf_dir):
+    """IVF x PQ composed ANN (operators/pq.ivfpq_topk_fixed) — the two
+    independent 100 TB levers in one plan: frozen-centroid cells prune
+    WHICH rows get scored (nprobe/|cells| of the corpus per query) and
+    frozen-codebook PQ codes shrink WHAT each scored row costs (4
+    bytes + one norm). faiss IndexIVFPQ's shape minus residual
+    encoding, which keeps every stage an oracle-checkable literal
+    fold; assignment, probing, ADC scores and ranks all value-hash
+    match SQL."""
+    from ..operators import pq
+    from .ivf_constants import FIXED_IVF_CENTROIDS
+    from .pq_constants import FIXED_PQ_CODEBOOKS
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return pq.ivfpq_topk_fixed(
+        emb, queries, TOPK, FIXED_IVF_CENTROIDS, FIXED_PQ_CODEBOOKS,
+        nprobe=IVF_NPROBE,
+    )

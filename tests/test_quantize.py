@@ -133,3 +133,33 @@ def test_pq_codes_compact_and_deterministic(emb):
     b = sorted(map(tuple, pq.pq_encode_fixed(emb, FIXED_PQ_CODEBOOKS)
                    .select("vec_id", "code_0", "code_7").collect()))
     assert a == b
+
+
+def test_ivfpq_scores_consistent_with_full_adc(emb):
+    """IVF x PQ returns exactly the ADC scores of full PQ, restricted
+    to probed-cell candidates — the IVF stage may only PRUNE, never
+    change a score; every query still fills its k slots on this data."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from introduction_in_big_data_spark.operators import pq
+    from introduction_in_big_data_spark.plans.ivf_constants import (
+        FIXED_IVF_CENTROIDS,
+    )
+    from introduction_in_big_data_spark.plans.pq_constants import (
+        FIXED_PQ_CODEBOOKS,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    full_adc = {
+        (r.query_id, r.neighbor_id): r.sim_q
+        for r in pq.pq_topk_fixed(emb, queries, 500, FIXED_PQ_CODEBOOKS).collect()
+    }
+    out = pq.ivfpq_topk_fixed(
+        emb, queries, 5, FIXED_IVF_CENTROIDS, FIXED_PQ_CODEBOOKS, nprobe=2
+    ).collect()
+    assert Counter(r.query_id for r in out) == {q: 5 for q in range(10)}
+    for r in out:
+        assert (r.query_id, r.neighbor_id) in full_adc
+        assert abs(full_adc[(r.query_id, r.neighbor_id)] - r.sim_q) < 1e-9
