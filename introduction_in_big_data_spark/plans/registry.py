@@ -123,6 +123,22 @@ _R2_DRIVER_GREEN = frozenset(
 
 _DRIVER_GREEN = _R1_DRIVER_GREEN | _R2_DRIVER_GREEN
 
+# Queries added in the round-3 continuation sessions, AFTER the older
+# never-driver-checked backlog accumulated. The driver samples a ~50
+# prefix; the backlog (VERDICT r2 item 2) gets those slots FIRST, the
+# session-new queries take whatever remains (each is already
+# hash-verified by the session's driver-sim sweeps at two timezones
+# and two scale factors — SWEEP_r03_final.json).
+_R3_SESSION_NEW = {
+    "embedding_sq8_stats", "ann_sq8_topk", "ann_pq_topk_fixed",
+    "ann_pq_refined_topk", "ann_ivfpq_topk_fixed",
+    "stream_dedup_within_watermark", "stream_acid_user_state",
+    "cap_docs_per_source", "train_val_test_split", "acid_changes_feed",
+    "bloom_pruned_revenue", "triangle_count_copurchase",
+    "sequence_pack_stats", "profile_customer_columns",
+    "daily_revenue_anomalies", "window_functions_acctbal",
+}
+
 
 def _ordered_specs() -> list[QuerySpec]:
     """Never-driver-checked queries first (oracle-checked before
@@ -132,7 +148,11 @@ def _ordered_specs() -> list[QuerySpec]:
 
     def key(spec: QuerySpec):
         if spec.name not in _DRIVER_GREEN:
-            return (0 if spec.oracle else 1, spec.name)
+            return (
+                0 if spec.oracle else 1,
+                spec.name in _R3_SESSION_NEW,  # older backlog first
+                spec.name,
+            )
         digest = hashlib.md5(
             (_ROTATION_SALT + spec.name).encode()
         ).hexdigest()
