@@ -829,3 +829,83 @@ def window_functions_acctbal(spark, sf_dir):
         F.lag("c_custkey").over(w).alias("prev_key"),
         F.lead("c_custkey").over(w).alias("next_key"),
     )
+
+
+@register(
+    "regression_value_by_type",
+    oracle="""
+        SELECT event_type,
+               CAST(regr_count(value, epoch(ts) / 86400.0) AS BIGINT) AS n,
+               round(regr_slope(value, epoch(ts) / 86400.0), 6) AS slope,
+               round(regr_intercept(value, epoch(ts) / 86400.0), 4) AS intercept,
+               round(regr_r2(value, epoch(ts) / 86400.0), 6) AS r2
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("agg", "statistics", "regression"),
+)
+def regression_value_by_type(spark, sf_dir):
+    """Per-group OLS with the SQL-standard regr_* aggregate family —
+    the grouped trend-fit every metrics pipeline runs (is `value`
+    drifting per event type?), entirely JVM-side built-ins: one
+    hash-aggregate pass computing slope/intercept/R² from running
+    moments (map-side partial, no per-group collection). x = epoch
+    days (timezone-free); moments accumulate in different orders per
+    engine, so outputs round at 6/4dp — the drift is ~1e-12 relative,
+    far inside the grid."""
+    e = t(spark, sf_dir, "events")
+    x = (F.col("ts").cast("double") / 86400.0)
+    return e.groupBy("event_type").agg(
+        F.regr_count(F.col("value"), x).cast("long").alias("n"),
+        F.round(F.regr_slope(F.col("value"), x), 6).alias("slope"),
+        F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+    )
+
+
+@register(
+    "null_safe_join_counts",
+    oracle="""
+        WITH a AS (
+            SELECT c_custkey,
+                   CASE WHEN c_mktsegment = 'BUILDING' THEN NULL
+                        ELSE c_nationkey END AS nk
+            FROM customer
+        ),
+        b AS (
+            SELECT n_nationkey AS nk, n_name FROM nation
+            UNION ALL SELECT NULL, 'UNKNOWN'
+        )
+        SELECT b.n_name, CAST(count(*) AS BIGINT) AS cnt
+        FROM a JOIN b ON a.nk IS NOT DISTINCT FROM b.nk
+        GROUP BY b.n_name
+    """,
+    tags=("join", "sql-surface", "nulls"),
+)
+def null_safe_join_counts(spark, sf_dir):
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — the
+    dirty-dimension pattern: facts with UNKNOWN (NULL) keys still land
+    on a designated dimension row instead of silently dropping out of
+    an inner join. Spark plans eqNullSafe as a normal hash join on a
+    null-coalesced key, so it shuffles like any equi-join (a plain
+    `=` would degrade NULL matching to a nested loop or lose rows)."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == "BUILDING", F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+    )
+    n = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk_b"), "n_name"
+    ).unionByName(
+        t(spark, sf_dir, "nation")
+        .limit(1)
+        .select(
+            F.lit(None).cast("long").alias("nk_b"), F.lit("UNKNOWN").alias("n_name")
+        )
+    )
+    return (
+        c.join(n, F.col("nk").eqNullSafe(F.col("nk_b")))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
