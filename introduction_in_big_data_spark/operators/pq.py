@@ -304,3 +304,165 @@ def ivfpq_topk_fixed(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim_q", "rn")
     )
+
+
+def residual_tables(
+    centroids: list[list[float]], rcodebooks: list[list[list[float]]]
+) -> tuple[list[float], list[list[list[float]]], list[list[float]]]:
+    """Python-precomputed literal tables for residual IVF-PQ scoring —
+    computed ONCE here and inlined into BOTH engines' plans so the
+    floats are bit-identical by construction:
+      csq[cell]          = |centroid|²
+      xt[m][cell][code]  = dot(centroid_sub_m, rc[m][code])
+      rn[m][code]        = |rc[m][code]|²
+    giving |v̂|² = csq + 2·Σ_m xt + Σ_m rn exactly (v̂ = centroid + r̂;
+    subspaces are coordinate blocks, so the cross term decomposes
+    per subspace)."""
+    d_sub = len(rcodebooks[0][0])
+    csq = [float(sum(x * x for x in c)) for c in centroids]
+    xt = [
+        [
+            [
+                float(
+                    sum(
+                        c[m * d_sub + i] * rc[i]
+                        for i in range(d_sub)
+                    )
+                )
+                for rc in book
+            ]
+            for c in centroids
+        ]
+        for m, book in enumerate(rcodebooks)
+    ]
+    rn = [[float(sum(x * x for x in rc)) for rc in book] for book in rcodebooks]
+    return csq, xt, rn
+
+
+def ivfpq_residual_topk_fixed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: list[list[float]],
+    rcodebooks: list[list[list[float]]],
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TRUE IVF-PQ (faiss IndexIVFPQ): PQ codes quantize the RESIDUAL
+    v - centroid(cell), which is what makes PQ accurate inside IVF —
+    residuals are small and centered, so 4 bits/subspace go much
+    further than on raw vectors. Reconstruction v̂ = centroid + r̂;
+    cosine ADC decomposes exactly into literal-fold terms:
+      dot(q, v̂)  = dot(q, centroid) + Σ_m dot(q_m, rc[m][code_m])
+      |v̂|²       = |c|² + 2·Σ_m xt[m][cell][code_m] + Σ_m |rc|²
+    with every table Python-precomputed once (residual_tables) and
+    inlined into both engines — the whole pipeline value-hash checks
+    like its flat-PQ and IVF siblings."""
+    d_sub = len(rcodebooks[0][0])
+    m_count = len(rcodebooks)
+    csq, xt, rn = residual_tables(centroids, rcodebooks)
+    cents_arr = F.array(*[_lit_arr(c) for c in centroids])
+
+    def fixed_cells(df: DataFrame, keep: int, out_id: str) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        norm = F.sqrt(dot_fold(v, v))
+        structs = []
+        for ci, c in enumerate(centroids):
+            arr = _lit_arr(c)
+            cn = float(sum(x * x for x in c) ** 0.5) or 1.0
+            structs.append(
+                F.struct(
+                    F.lit(ci).alias("cell"),
+                    (dot_fold(v, arr) / (norm * F.lit(cn))).alias("csim"),
+                )
+            )
+        ranked = df.select(
+            F.col(out_id),
+            F.col(vec_col).alias(vec_col),
+            F.explode(F.array(*structs)).alias("c"),
+        )
+        w = Window.partitionBy(out_id).orderBy(F.desc("c.csim"), F.asc("c.cell"))
+        return (
+            ranked.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= keep)
+            .select(out_id, F.col("c.cell").alias("cell"), vec_col)
+        )
+
+    # --- corpus: cell, residual codes, exact recon norm -----------------
+    cor = fixed_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), 1, "neighbor_id"
+    )
+    v = F.col(vec_col).cast("array<double>")
+    cent = F.element_at(cents_arr, F.col("cell") + 1)
+    cor = cor.withColumn("_r", F.zip_with(v, cent, lambda x, y: x - y))
+    for m, book in enumerate(rcodebooks):
+        r_m = F.slice(F.col("_r"), m * d_sub + 1, d_sub)
+        scores = F.array(
+            *[
+                F.lit(-2.0) * dot_fold(r_m, _lit_arr(rc)) + F.lit(rn[m][j])
+                for j, rc in enumerate(book)
+            ]
+        )
+        cor = cor.withColumn(
+            f"code_{m}",
+            (F.array_position(scores, F.array_min(scores)) - 1).cast("int"),
+        )
+    xt_sum = None
+    rn_sum = None
+    for m in range(m_count):
+        xt_m = F.element_at(
+            F.element_at(
+                F.array(*[_lit_arr(row) for row in xt[m]]), F.col("cell") + 1
+            ),
+            F.col(f"code_{m}") + 1,
+        )
+        rn_m = F.element_at(_lit_arr(rn[m]), F.col(f"code_{m}") + 1)
+        xt_sum = xt_m if xt_sum is None else xt_sum + xt_m
+        rn_sum = rn_m if rn_sum is None else rn_sum + rn_m
+    recon_sq = (
+        F.element_at(_lit_arr(csq), F.col("cell") + 1)
+        + F.lit(2.0) * xt_sum
+        + rn_sum
+    )
+    enc = cor.select(
+        "neighbor_id",
+        "cell",
+        *[f"code_{m}" for m in range(m_count)],
+        F.sqrt(recon_sq).alias("recon_norm"),
+    )
+
+    # --- queries: probed cells, fp32 vector, dot(q, centroid) ------------
+    q = fixed_cells(
+        queries.select(F.col(id_col).alias("query_id"), vec_col), nprobe, "query_id"
+    )
+    qv = F.col(vec_col).cast("array<double>")
+    q = q.select(
+        "query_id",
+        "cell",
+        qv.alias("qv"),
+        F.sqrt(dot_fold(qv, qv)).alias("qnorm"),
+        dot_fold(qv, F.element_at(cents_arr, F.col("cell") + 1)).alias("qdotc"),
+    )
+
+    ip = F.col("qdotc")
+    for m, book in enumerate(rcodebooks):
+        ip = ip + dot_fold(
+            F.slice(F.col("qv"), m * d_sub + 1, d_sub),
+            F.element_at(
+                F.array(*[_lit_arr(rc) for rc in book]), F.col(f"code_{m}") + 1
+            ),
+        )
+    scored = q.join(enc.filter(F.col("recon_norm") > 0), "cell").select(
+        "query_id",
+        "neighbor_id",
+        F.round(ip / (F.col("qnorm") * F.col("recon_norm")), SIM_SCALE).alias(
+            "sim_q"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim_q", "rn")
+    )

@@ -802,3 +802,153 @@ def ann_ivfpq_topk_fixed(spark, sf_dir):
         emb, queries, TOPK, FIXED_IVF_CENTROIDS, FIXED_PQ_CODEBOOKS,
         nprobe=IVF_NPROBE,
     )
+
+
+def _ivfpq_residual_oracle(k, nprobe, n_queries) -> str:
+    """DuckDB twin of the TRUE (residual) IVF-PQ: centroids, residual
+    codebooks, and the precomputed cross-term tables (csq / xt / rn —
+    the SAME Python floats the Spark plan inlines, via
+    operators/pq.residual_tables) all as literals; every fold and the
+    exact sum ORDER mirror the Spark expressions."""
+    from ..operators.pq import residual_tables
+    from .ivf_constants import FIXED_IVF_CENTROIDS
+    from .pq_constants import FIXED_PQ_RESIDUAL_CODEBOOKS as RBOOKS
+
+    csq, xt, rn = residual_tables(FIXED_IVF_CENTROIDS, RBOOKS)
+    d_sub = len(RBOOKS[0][0])
+    dim = d_sub * len(RBOOKS)
+
+    def dlist(xs):
+        return "CAST([" + ", ".join(repr(float(x)) for x in xs) + "] AS DOUBLE[])"
+
+    def dlist2(xss):
+        return (
+            "CAST(["
+            + ", ".join("[" + ", ".join(repr(float(x)) for x in xs) + "]" for xs in xss)
+            + "] AS DOUBLE[][])"
+        )
+
+    cent_rows = []
+    for ci, c in enumerate(FIXED_IVF_CENTROIDS):
+        cn = float(sum(x * x for x in c) ** 0.5) or 1.0
+        cent_rows.append(f"({ci}, {dlist(c)}, {cn!r})")
+    cent_values = ",\n                ".join(cent_rows)
+
+    code_cols, xt_terms, rn_terms, ip_terms = [], [], [], []
+    for m, book in enumerate(RBOOKS):
+        lo, hi = m * d_sub + 1, (m + 1) * d_sub
+        cb = dlist2(book)
+        n2 = dlist(rn[m])
+        scores = (
+            f"list_transform(range(0, {len(book)}), j -> "
+            f"-2.0 * list_inner_product(r[{lo}:{hi}], ({cb})[j + 1]) "
+            f"+ ({n2})[j + 1])"
+        )
+        code_cols.append(
+            f"CAST(list_position({scores}, list_min({scores})) - 1 AS INT)"
+            f" AS code_{m}"
+        )
+        xt_terms.append(f"({dlist2(xt[m])})[cell + 1][code_{m} + 1]")
+        rn_terms.append(f"({n2})[code_{m} + 1]")
+        ip_terms.append(
+            f"list_inner_product(q.qv[{lo}:{hi}], ({cb})[ce.code_{m} + 1])"
+        )
+    codes_sql = ",\n                   ".join(code_cols)
+    recon_sq = (
+        f"({dlist(csq)})[cell + 1] + 2.0 * ({' + '.join(xt_terms)}) "
+        f"+ ({' + '.join(rn_terms)})"
+    )
+    ip = "q.qdotc + " + " + ".join(ip_terms)
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))) AS norm
+            FROM embeddings
+        ),
+        cents AS (
+            SELECT * FROM (VALUES
+                {cent_values}
+            ) t(cell, cent, cnorm)
+        ),
+        csims AS (
+            SELECT v.vec_id, cents.cell, cents.cent,
+                   list_inner_product(v.e, cents.cent) / (v.norm * cents.cnorm)
+                       AS csim
+            FROM v CROSS JOIN cents
+        ),
+        corpus_cells AS (
+            SELECT vec_id AS neighbor_id, cell, cent FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+                FROM csims
+            ) WHERE rn = 1
+        ),
+        resid AS (
+            SELECT c.neighbor_id, c.cell,
+                   list_transform(range(1, {dim + 1}),
+                                  i -> v.e[i] - c.cent[i]) AS r
+            FROM corpus_cells c JOIN v ON v.vec_id = c.neighbor_id
+        ),
+        enc0 AS (
+            SELECT neighbor_id, cell,
+                   {codes_sql}
+            FROM resid
+        ),
+        enc AS (
+            SELECT neighbor_id, cell,
+                   {", ".join(f"code_{m}" for m in range(len(RBOOKS)))},
+                   sqrt({recon_sq}) AS recon_norm
+            FROM enc0
+        ),
+        query_cells AS (
+            SELECT cs.vec_id AS query_id, cs.cell, v.e AS qv, v.norm AS qnorm,
+                   list_inner_product(v.e, cs.cent) AS qdotc
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+                FROM csims WHERE vec_id < {n_queries}
+            ) cs JOIN v ON v.vec_id = cs.vec_id
+            WHERE cs.rn <= {nprobe}
+        ),
+        scored AS (
+            SELECT q.query_id, ce.neighbor_id,
+                   round(({ip})
+                         / (q.qnorm * ce.recon_norm), 6) AS sim_q
+            FROM query_cells q
+            JOIN enc ce USING (cell)
+            WHERE ce.recon_norm > 0
+        )
+        SELECT query_id, neighbor_id, sim_q, rn FROM (
+            SELECT query_id, neighbor_id, sim_q,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim_q DESC, neighbor_id) AS rn
+            FROM scored
+        ) WHERE rn <= {k}
+    """
+
+
+@register(
+    "ann_ivfpq_residual_topk",
+    oracle=_ivfpq_residual_oracle(TOPK, IVF_NPROBE, N_QUERIES),
+    tags=("similarity", "ann", "ivf", "pq", "quantize", "repro"),
+)
+def ann_ivfpq_residual_topk(spark, sf_dir):
+    """TRUE residual IVF-PQ (operators/pq.ivfpq_residual_topk_fixed —
+    faiss IndexIVFPQ): codes quantize v - centroid(cell), the form
+    that makes 4-bit subspace codes accurate inside IVF, with the
+    reconstruction norm assembled EXACTLY from precomputed literal
+    tables (|c|², centroid x residual-code cross terms, |r̂|²) shared
+    verbatim by both engines. Cell assignment, residual encoding, and
+    the decomposed ADC cosine all value-hash match SQL — the deepest
+    oracle in the ANN family."""
+    from ..operators import pq
+    from .ivf_constants import FIXED_IVF_CENTROIDS
+    from .pq_constants import FIXED_PQ_RESIDUAL_CODEBOOKS
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return pq.ivfpq_residual_topk_fixed(
+        emb, queries, TOPK, FIXED_IVF_CENTROIDS, FIXED_PQ_RESIDUAL_CODEBOOKS,
+        nprobe=IVF_NPROBE,
+    )

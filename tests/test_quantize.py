@@ -163,3 +163,42 @@ def test_ivfpq_scores_consistent_with_full_adc(emb):
     for r in out:
         assert (r.query_id, r.neighbor_id) in full_adc
         assert abs(full_adc[(r.query_id, r.neighbor_id)] - r.sim_q) < 1e-9
+
+
+def test_residual_ivfpq_at_least_matches_flat_pq_recall(emb):
+    """Residual coding is IVF-PQ's point: quantizing v - centroid
+    keeps 4-bit subspace codes accurate where raw-vector codes lose
+    rank fidelity. On the fixed test corpus (deterministic), residual
+    recall@5 vs the fp32 exact ranking must be >= the flat composition
+    and both must return k rows per query."""
+    from pyspark.sql import functions as F
+
+    from introduction_in_big_data_spark.operators import pq, similarity
+    from introduction_in_big_data_spark.plans.ivf_constants import (
+        FIXED_IVF_CENTROIDS,
+    )
+    from introduction_in_big_data_spark.plans.pq_constants import (
+        FIXED_PQ_CODEBOOKS,
+        FIXED_PQ_RESIDUAL_CODEBOOKS,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, 5).collect()
+    }
+    flat = {
+        (r.query_id, r.neighbor_id)
+        for r in pq.ivfpq_topk_fixed(
+            emb, queries, 5, FIXED_IVF_CENTROIDS, FIXED_PQ_CODEBOOKS, nprobe=2
+        ).collect()
+    }
+    res = {
+        (r.query_id, r.neighbor_id)
+        for r in pq.ivfpq_residual_topk_fixed(
+            emb, queries, 5, FIXED_IVF_CENTROIDS, FIXED_PQ_RESIDUAL_CODEBOOKS,
+            nprobe=2,
+        ).collect()
+    }
+    assert len(flat) == 50 and len(res) == 50
+    assert len(exact & res) >= len(exact & flat)
