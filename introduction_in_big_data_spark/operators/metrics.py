@@ -11,6 +11,7 @@ metrics fall out of the one action the pipeline already runs.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
 
 
 def observed(df: DataFrame, **metrics: Column) -> tuple[DataFrame, Observation]:
@@ -36,3 +37,52 @@ def observed_rowcount(df: DataFrame) -> tuple[DataFrame, Observation]:
     from pyspark.sql import functions as F
 
     return observed(df, n_rows=F.count(F.lit(1)))
+
+
+def ranking_metrics(
+    truth: DataFrame, ranked: DataFrame, k: int, scale: int = 6
+) -> DataFrame:
+    """Retrieval evaluation — recall@k, MRR, nDCG@k per query, the
+    metrics every ANN/index change is judged by (so the engine can
+    evaluate its own indexes in-plan, no driver round trip):
+
+      recall@k = |ranked_k ∩ truth| / |truth|
+      MRR      = 1 / rank of the first hit (0 when none)
+      nDCG@k   = Σ_hits 1/log2(rank+1)  /  Σ_{i=1..|truth|} 1/log2(i+1)
+
+    `truth`: (query_id, neighbor_id) relevant pairs; `ranked`:
+    (query_id, neighbor_id, rn). One equi-join + per-query aggregate;
+    every query in `ranked` appears (zero metrics when nothing hits).
+    The ideal-DCG denominator is a Python-computed literal so both
+    engines divide by the identical double; per-query float sums span
+    <= k terms, far inside the rounding grid."""
+    import math
+
+    idcg = float(sum(1.0 / math.log2(i + 1) for i in range(1, k + 1)))
+    t = truth.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1))
+    n_truth = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("__n_truth")
+    )
+    joined = ranked.join(t, ["query_id", "neighbor_id"], "left")
+    per_q = (
+        joined.groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
+            F.min(F.when(F.col("__hit") == 1, F.col("rn"))).alias("first_hit"),
+            F.sum(
+                F.when(
+                    F.col("__hit") == 1, 1.0 / F.log2(F.col("rn") + F.lit(1.0))
+                ).otherwise(F.lit(0.0))
+            ).alias("dcg"),
+        )
+        .join(n_truth, "query_id")
+    )
+    return per_q.select(
+        "query_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round(F.col("n_hits") / F.col("__n_truth"), scale).alias("recall_at_k"),
+        F.round(
+            F.coalesce(1.0 / F.col("first_hit"), F.lit(0.0)), scale
+        ).alias("mrr"),
+        F.round(F.col("dcg") / F.lit(idcg), scale).alias("ndcg"),
+    )

@@ -138,7 +138,7 @@ _R3_SESSION_NEW = {
     "sequence_pack_stats", "profile_customer_columns",
     "daily_revenue_anomalies", "window_functions_acctbal",
     "regression_value_by_type", "null_safe_join_counts",
-    "ann_ivfpq_residual_topk",
+    "ann_ivfpq_residual_topk", "ann_eval_pq_vs_exact",
 }
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import similarity
-from .registry import register, t
+from .registry import REGISTRY, register, t
 
 TOPK = 5
 N_QUERIES = 10  # query set = vec_id < 10
@@ -952,3 +952,68 @@ def ann_ivfpq_residual_topk(spark, sf_dir):
         emb, queries, TOPK, FIXED_IVF_CENTROIDS, FIXED_PQ_RESIDUAL_CODEBOOKS,
         nprobe=IVF_NPROBE,
     )
+
+
+def _ann_eval_oracle(k, n_queries) -> str:
+    """Compose the exact-truth and PQ-ranking twins (each already a
+    verified full query) and replay the metric arithmetic with the
+    SAME Python-literal ideal-DCG denominator the Spark plan inlines."""
+    import math
+
+    idcg = float(sum(1.0 / math.log2(i + 1) for i in range(1, k + 1)))
+    truth_sql = REGISTRY["ann_bruteforce_topk"].oracle
+    ranked_sql = _pq_fixed_oracle(k, n_queries)
+    return f"""
+        WITH truth AS (
+            SELECT query_id, neighbor_id FROM ({truth_sql}) t
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, rn FROM ({ranked_sql}) r
+        ),
+        n_truth AS (
+            SELECT query_id, count(*) AS nt FROM truth GROUP BY query_id
+        ),
+        joined AS (
+            SELECT r.query_id, r.rn,
+                   CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+            FROM ranked r LEFT JOIN truth t
+              ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+        ),
+        per_q AS (
+            SELECT query_id,
+                   CAST(sum(hit) AS BIGINT) AS n_hits,
+                   min(CASE WHEN hit = 1 THEN rn END) AS first_hit,
+                   sum(CASE WHEN hit = 1 THEN 1.0 / log2(rn + 1.0)
+                            ELSE 0.0 END) AS dcg
+            FROM joined GROUP BY query_id
+        )
+        SELECT p.query_id, p.n_hits,
+               round(p.n_hits / nt.nt, 6) AS recall_at_k,
+               round(coalesce(1.0 / p.first_hit, 0.0), 6) AS mrr,
+               round(p.dcg / {idcg!r}, 6) AS ndcg
+        FROM per_q p JOIN n_truth nt USING (query_id)
+    """
+
+
+@register(
+    "ann_eval_pq_vs_exact",
+    oracle=_ann_eval_oracle(TOPK, N_QUERIES),
+    tags=("similarity", "ann", "metrics", "eval"),
+)
+def ann_eval_pq_vs_exact(spark, sf_dir):
+    """Index-quality evaluation IN-PLAN (operators/metrics.
+    ranking_metrics): per-query recall@5, MRR, and nDCG@5 of the PQ
+    ADC ranking against the fp32 exact top-5 as ground truth — the
+    report every ANN deployment watches when codebooks or probe
+    settings change, computed without any driver round trip. Both the
+    truth and the ranking are deterministic literal-fold plans, so
+    even the evaluation layer value-hash matches SQL."""
+    from ..operators import pq, similarity
+    from ..operators.metrics import ranking_metrics
+    from .pq_constants import FIXED_PQ_CODEBOOKS
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    truth = similarity.brute_force_topk(emb, queries, TOPK)
+    ranked = pq.pq_topk_fixed(emb, queries, TOPK, FIXED_PQ_CODEBOOKS)
+    return ranking_metrics(truth, ranked, TOPK)

@@ -60,6 +60,7 @@ CROSS_OK = {
                      # same deliberate baseline shape as ann_bruteforce_topk
     "ann_pq_topk_fixed",    # exhaustive ADC over 4-byte PQ codes — the
     "ann_pq_refined_topk",  # deliberate scan PQ exists to make cheap
+    "ann_eval_pq_vs_exact", # composes the exact-truth + ADC baselines
     "embedding_dup_clusters", "dedup_keep_representatives",
     "fuzzy_name_pairs", "cf_knn", "cf_ratings", "cf_predict_metrics",
     "cf_knn_pruned",
