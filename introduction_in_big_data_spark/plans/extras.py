@@ -788,8 +788,8 @@ def profile_customer_columns(spark, sf_dir):
                row_number() OVER w AS rn,
                rank() OVER w_ties AS rnk,
                dense_rank() OVER w_ties AS drnk,
-               round(percent_rank() OVER w, 6) AS prank,
-               round(cume_dist() OVER w, 6) AS cdist,
+               percent_rank() OVER w AS prank,
+               cume_dist() OVER w AS cdist,
                ntile(4) OVER w AS quartile,
                lag(c_custkey) OVER w AS prev_key,
                lead(c_custkey) OVER w AS next_key
@@ -797,7 +797,7 @@ def profile_customer_columns(spark, sf_dir):
         WINDOW w AS (PARTITION BY c_nationkey
                      ORDER BY c_acctbal DESC, c_custkey),
                w_ties AS (PARTITION BY c_nationkey
-                          ORDER BY round(c_acctbal, 0) DESC)
+                          ORDER BY floor(c_acctbal / 100.0) DESC)
     """,
     tags=("window", "sql-surface"),
 )
@@ -814,8 +814,13 @@ def window_functions_acctbal(spark, sf_dir):
     w = Window.partitionBy("c_nationkey").orderBy(
         F.desc("c_acctbal"), F.asc("c_custkey")
     )
+    # floor(x/100), not round(x, 0), as the tie key: Spark's round
+    # decimalizes via the double's SHORTEST repr (BigDecimal.valueOf)
+    # while DuckDB rounds the binary value — a single x.4999... vs
+    # "x.5" boundary case flips whole rank columns (observed at sf0.1).
+    # floor on the binary double is bit-identical on both engines.
     w_ties = Window.partitionBy("c_nationkey").orderBy(
-        F.desc(F.round(F.col("c_acctbal"), 0))
+        F.desc(F.floor(F.col("c_acctbal") / 100.0))
     )
     return c.select(
         "c_custkey",
@@ -823,8 +828,14 @@ def window_functions_acctbal(spark, sf_dir):
         F.row_number().over(w).alias("rn"),
         F.rank().over(w_ties).alias("rnk"),
         F.dense_rank().over(w_ties).alias("drnk"),
-        F.round(F.percent_rank().over(w), 6).alias("prank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        # UNROUNDED on purpose: these are single IEEE divisions of
+        # identical integers ((rank-1)/(n-1), rn/n) — bit-identical on
+        # both engines, while round(x, 6) itself can diverge when the
+        # quotient's shortest repr straddles a half-ulp boundary
+        # (Spark decimalizes the repr, DuckDB rounds the binary —
+        # observed on exactly one of 15000 rows at sf0.1)
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
         F.ntile(4).over(w).alias("quartile"),
         F.lag("c_custkey").over(w).alias("prev_key"),
         F.lead("c_custkey").over(w).alias("next_key"),
@@ -909,3 +920,58 @@ def null_safe_join_counts(spark, sf_dir):
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "acid_schema_evolution",
+    oracle="""
+        WITH building AS (
+            SELECT c_custkey, c_acctbal * 1.1 AS acctbal,
+                   'gold' AS tier
+            FROM customer WHERE c_mktsegment = 'BUILDING'
+        ),
+        newcomers AS (
+            SELECT c_custkey + 20000000 AS c_custkey,
+                   c_acctbal AS acctbal, 'new' AS tier
+            FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        )
+        SELECT c_custkey, c_acctbal AS acctbal, CAST(NULL AS VARCHAR) AS tier
+        FROM customer
+        WHERE c_mktsegment != 'BUILDING'
+        UNION ALL
+        SELECT c_custkey, acctbal, tier FROM building
+        UNION ALL
+        SELECT c_custkey, acctbal, tier FROM newcomers
+    """,
+    tags=("acid", "schema-evolution"),
+)
+def acid_schema_evolution(spark, sf_dir):
+    """Metadata-only schema evolution on the ACID table
+    (`AcidTable.add_column`): create the base (2 columns), ADD a
+    `tier` column — an O(1) commit, zero files rewritten — then MERGE
+    a batch that uses it (updates + inserts). The final snapshot reads
+    pre-evolution rows with tier NULL (old parquet projects the new
+    column as null — Delta's exact semantics for defaults-free adds)
+    and post-evolution rows with real values; history records the
+    add_column op with the file list carried by reference."""
+    import tempfile
+
+    from ..sources.acidtable import AcidTable
+
+    c = t(spark, sf_dir, "customer")
+    base = c.select("c_custkey", F.col("c_acctbal").alias("acctbal"))
+    path = tempfile.mkdtemp(prefix="acid_evo_") + "/t"
+    table = AcidTable.create(spark, path, base.repartitionByRange(4, "c_custkey"))
+    table.add_column("tier", "string")
+    updates = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey",
+        (F.col("c_acctbal") * 1.1).alias("acctbal"),
+        F.lit("gold").alias("tier"),
+    )
+    inserts = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        (F.col("c_custkey") + 20_000_000).alias("c_custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("new").alias("tier"),
+    )
+    table.merge(updates.unionByName(inserts), "c_custkey")
+    return table.read()

@@ -718,3 +718,59 @@ def daily_revenue_anomalies(spark, sf_dir):
         )
         .select("day_num", "revenue", F.round(z, 4).alias("z"))
     )
+
+
+@register(
+    "daily_revenue_gap_filled",
+    oracle="""
+        WITH daily AS (
+            SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                       AS day_num,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY day_num
+        ),
+        bounds AS (SELECT min(day_num) AS lo, max(day_num) AS hi FROM daily),
+        calendar AS (
+            SELECT CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS day_num
+            FROM bounds
+        )
+        SELECT c.day_num,
+               coalesce(d.revenue, 0.0) AS revenue_zero_filled,
+               last_value(d.revenue IGNORE NULLS) OVER (
+                   ORDER BY c.day_num
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS revenue_locf,
+               CAST(d.revenue IS NULL AS BOOLEAN) AS was_gap
+        FROM calendar c LEFT JOIN daily d USING (day_num)
+    """,
+    tags=("timeseries", "gapfill", "window"),
+)
+def daily_revenue_gap_filled(spark, sf_dir):
+    """Time-series resample / gap fill — the regularization every
+    downstream rolling computation silently assumes: build the FULL
+    day calendar from the observed bounds (`sequence` + explode — no
+    driver round trip), left-join the daily rollup, and repair gaps
+    two standard ways at once (zero-fill and last-observation-carried-
+    forward via `last(ignorenulls)`). The calendar and LOCF window
+    live on the daily rollup frame (bounded by calendar days — the
+    audited allowlist class); the fact table is scanned once."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day_num")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    bounds = daily.agg(
+        F.min("day_num").alias("lo"), F.max("day_num").alias("hi")
+    )
+    calendar = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day_num")
+    )
+    joined = calendar.join(daily, "day_num", "left")
+    w = Window.orderBy("day_num").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "day_num",
+        F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue_zero_filled"),
+        F.last("revenue", ignorenulls=True).over(w).alias("revenue_locf"),
+        F.col("revenue").isNull().alias("was_gap"),
+    )

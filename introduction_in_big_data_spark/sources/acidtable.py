@@ -163,6 +163,31 @@ class AcidTable:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
 
+    def add_column(self, name: str, dtype: str) -> int:
+        """Schema evolution, Delta-style: a METADATA-ONLY commit — no
+        data file is rewritten (the manifest's file list is carried
+        forward by reference, asserted in tests). Snapshot reads hand
+        Spark the widened schema; parquet files written before the
+        column existed simply project it as NULL (exactly Delta's
+        semantics for a new column without a default), while every
+        later append/merge carries real values. At 100 TB this is the
+        difference between an O(1) commit and rewriting the table."""
+        from pyspark.sql import types as T
+
+        v = self.latest_version()
+        m = self._manifest(v)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        if name in schema.fieldNames():
+            raise ValueError(f"column {name!r} already exists")
+        schema = schema.add(name, dtype, nullable=True)
+        return self._commit(
+            v + 1,
+            m["files"],
+            "add_column",
+            {"column": name, "dtype": dtype},
+            schema_json=schema.json(),
+        )
+
     def changes(self, key: str, v_from: int, v_to: int) -> DataFrame:
         """Change data feed between two snapshots (Delta CDF analog,
         computed from snapshots rather than logged): one row per key
@@ -238,9 +263,15 @@ class AcidTable:
         hit = self._hit_files(
             self._with_file(v).join(F.broadcast(keys), key, "left_semi")
         )
-        # survivors from hit files (matched keys removed) + all updates
+        # survivors from hit files (matched keys removed) + all updates.
+        # Read hit files through the MANIFEST schema, not file schemas:
+        # after add_column evolution, pre-evolution files project the
+        # new column as NULL instead of breaking the union.
         if hit:
-            hit_df = self.spark.read.parquet(*hit).join(
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromJson(json.loads(self._manifest(v)["schema"]))
+            hit_df = self.spark.read.schema(schema).parquet(*hit).join(
                 F.broadcast(keys), key, "left_anti"
             )
             rewritten = hit_df.unionByName(updates)

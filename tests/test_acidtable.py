@@ -219,3 +219,23 @@ def test_changes_feed_tags_and_excludes_unchanged(spark, tmp_path):
         3: (30.0, "c", "delete"),       # pre-image values
         4: (40.0, "d", "insert"),
     }
+
+
+def test_add_column_is_metadata_only(spark, tmp_path):
+    """Schema evolution: the add_column commit carries every data file
+    by reference (zero rewrites), pre-evolution rows read the new
+    column as NULL, and post-evolution merges fill it."""
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    t = AcidTable.create(spark, str(tmp_path / "evo"), base)
+    files_before = set(t._manifest(t.latest_version())["files"])
+    t.add_column("tag", "string")
+    m = t._manifest(t.latest_version())
+    assert m["op"] == "add_column"
+    assert set(m["files"]) == files_before  # nothing rewritten
+    rows = {r.k: r.tag for r in t.read().collect()}
+    assert rows == {1: None, 2: None}
+    upd = spark.createDataFrame([(2, 99.0, "x"), (3, 30.0, "y")],
+                                "k long, v double, tag string")
+    t.merge(upd, "k")
+    rows = {r.k: (r.v, r.tag) for r in t.read().collect()}
+    assert rows == {1: (10.0, None), 2: (99.0, "x"), 3: (30.0, "y")}

@@ -28,6 +28,7 @@ GLOBAL_WINDOW_OK = {
     "daily_revenue_momentum",   # same daily-rollup shape
     "q6_forecast_revenue",      # daily rollup
     "daily_revenue_anomalies",  # trailing-28d window over the daily rollup
+    "daily_revenue_gap_filled", # LOCF window over the day calendar
     "tfidf_top_terms",          # df(t) window over the tf AGGREGATE
     "text_winnow_fingerprints", # per-doc winnow windows over k-gram seq
     "acctbal_quartile_stats",   # partition-local ranks (audited plan);
