@@ -358,3 +358,33 @@ def test_xml_attributes_and_inference(spark, tmp_path):
         for r in df.collect()
     }
     assert got == {"A1": ("EUR", 9.5, 3), "B2": ("USD", 12.0, 7)}
+
+
+def test_csv_permissive_mode_captures_corrupt_records(spark, tmp_path):
+    """The third CSV malformed-row policy next to DROPMALFORMED and
+    FAILFAST: PERMISSIVE parks unparseable rows in _corrupt_record
+    instead of dropping them — the audit-trail ingest mode."""
+    p = tmp_path / "dirty.csv"
+    p.write_text("1;alpha;10\n2;beta;notanumber\n3;gamma;30\n")
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("qty", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("sep", ";")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+        .cache()  # SPARK-21610: corrupt-record column needs a materialized frame
+    )
+    rows = {r.id: (r.qty, r._corrupt_record) for r in df.collect()}
+    assert rows[1] == (10, None) and rows[3] == (30, None)
+    assert rows[2][0] is None and "notanumber" in rows[2][1]
+    df.unpersist(blocking=False)
