@@ -86,3 +86,24 @@ def test_udtf_sentence_split(spark):
         (1, 2, "Three?"),
         (3, 0, "no terminator"),
     ]
+
+
+def test_arrow_optimized_python_udf_matches_builtin(spark, sf_dir):
+    """Spark 4's Arrow-optimized Python UDF (useArrow=True — Arrow
+    batch transfer without the pandas layer) pinned to the built-in
+    expression twin, completing the §2.10 UDF-surface matrix."""
+    from pyspark.sql import functions as F
+    from introduction_in_big_data_spark.sources.tables import load_table
+
+    @F.udf("double", useArrow=True)
+    def margin(price: float, discount: float) -> float:
+        return price * (1.0 - discount)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_discount"
+    ).limit(500)
+    got = li.select(F.round(margin("l_extendedprice", "l_discount"), 2).alias("m"))
+    want = li.select(
+        F.round(F.col("l_extendedprice") * (1.0 - F.col("l_discount")), 2).alias("m")
+    )
+    assert sorted(r.m for r in got.collect()) == sorted(r.m for r in want.collect())
