@@ -88,6 +88,13 @@ PROBE_QUERIES = [
     "ann_pq_refined_topk",     # r3-cont2: shortlist stays |Q|x100, so
                                # ONLY the ADC stage should grow
     "cap_docs_per_source",     # r3-cont2: WindowGroupLimit map-side cap
+    "triangle_count_copurchase",  # r3-cont3: degree-ordered wedge join —
+                               # copies are key-disjoint so edges AND
+                               # wedges scale ~10x; super-linear would
+                               # mean the orientation bound failed
+    "sequence_pack_stats",     # r3-cont3: per-group applyInPandas packing
+    "daily_revenue_anomalies", # r3-cont3: trailing window on daily rollup
+    "acid_changes_feed",       # r3-cont3: snapshot full-outer diff
 ]
 
 
