@@ -233,3 +233,78 @@ def cf_knn_pruned(spark, sf_dir):
     ratings = _pipeline(spark, sf_dir)
     sims = cf.user_cosine_similarities_pruned(ratings, min_overlap=MIN_OVERLAP)
     return cf.knn_neighbors(sims, K_NEIGHBORS)
+
+
+_SPLIT_CTE = """
+    , keyed AS (
+        SELECT user_id, item_id, rating,
+               substr(md5(CAST(user_id AS VARCHAR) || ':' ||
+                          CAST(item_id AS VARCHAR)), 1, 2) AS h
+        FROM ratings
+    ),
+    test AS (
+        SELECT user_id, item_id, rating FROM keyed WHERE h < '1a'
+    ),
+    train AS (
+        SELECT user_id, item_id, rating FROM keyed WHERE h >= '1a'
+    )
+"""
+
+
+@register(
+    "cf_holdout_metrics",
+    oracle=_RATINGS_CTE
+    + _SPLIT_CTE
+    + _SIMS_PRUNED_CTE.replace("ratings", "train")
+    + f"""
+    , nr AS (
+        SELECT user_id AS neighbor_id, item_id, rating AS neighbor_rating
+        FROM train
+    ),
+    preds AS (
+        SELECT k.user_id, nr.item_id,
+               round(sum(k.sim * nr.neighbor_rating) / sum(k.sim),
+                     {cf.PRED_SCALE}) AS pred
+        FROM knn k JOIN nr ON k.neighbor_id = nr.neighbor_id
+        GROUP BY k.user_id, nr.item_id
+    )
+    SELECT round(avg(abs(pred - rating)), 4)             AS mae,
+           round(sqrt(avg((pred - rating) * (pred - rating))), 4) AS rmse,
+           count(*)                                      AS n_eval
+    FROM preds JOIN test USING (user_id, item_id)
+    """,
+    tags=("cf", "metrics", "holdout", "eval"),
+)
+def cf_holdout_metrics(spark, sf_dir):
+    """CF evaluated the HONEST way — on ratings the model never saw:
+    a ~10% hash holdout (md5 of (user, item): stable across engines,
+    runs, and cluster sizes — never a rand() split), similarities and
+    neighborhoods trained on the remaining 90%, predictions scored
+    ONLY on held-out cells. `cf_predict_metrics` (reference
+    semantics, train==eval) measures reconstruction; this measures
+    generalization — the number a recommender team actually tracks.
+    Same pruned pair-stream plan as cf_knn_pruned, so the scale story
+    carries over unchanged."""
+    from pyspark.sql import functions as F
+
+    ratings = _pipeline(spark, sf_dir)
+    h = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("user_id").cast("string"),
+                F.col("item_id").cast("string"),
+            )
+        ),
+        1,
+        2,
+    )
+    keyed = ratings.withColumn("__h", h)
+    test = keyed.filter(F.col("__h") < "1a").drop("__h")
+    train = keyed.filter(F.col("__h") >= "1a").drop("__h").localCheckpoint(
+        eager=False
+    )
+    sims = cf.user_cosine_similarities_pruned(train, min_overlap=MIN_OVERLAP)
+    neighbors = cf.knn_neighbors(sims, K_NEIGHBORS)
+    preds = cf.predict_ratings(neighbors, train)
+    return cf.evaluate(preds, test)
