@@ -140,7 +140,7 @@ _R3_SESSION_NEW = {
     "regression_value_by_type", "null_safe_join_counts",
     "ann_ivfpq_residual_topk", "ann_eval_pq_vs_exact",
     "daily_revenue_gap_filled", "acid_schema_evolution",
-    "cf_holdout_metrics",
+    "cf_holdout_metrics", "curation_pipeline_e2e",
 }
 
 
