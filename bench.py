@@ -47,15 +47,28 @@ def main() -> None:
         # from earlier queries can't skew later ones via GC/eviction
         # pressure
         best = float("inf")
+        best_build = float("inf")
         for _run in range(2):
             spark.catalog.clearCache()
             start = time.perf_counter()
             df = spec.fn(spark, sf_dir)
+            built = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
+            best_build = min(best_build, built - start)
         timings[spec.name] = round(best, 4)
+        # Builders that run eager sizing jobs (cf_knn_pruned's popular-
+        # items count, scalar gates) spend real seconds BEFORE the
+        # timed write; surface that split so the cold number is
+        # decomposable round-over-round (VERDICT r3 item 6). _sizing
+        # keys are informational — excluded from the headline total,
+        # already contained in the query's own entry.
+        if best_build >= 0.3:
+            timings[f"{spec.name}_sizing"] = round(best_build, 4)
 
-    total = round(sum(timings.values()), 4)
+    total = round(
+        sum(v for k, v in timings.items() if not k.endswith("_sizing")), 4
+    )
     print(
         json.dumps(
             {

@@ -77,7 +77,10 @@ def jaccard_pairs(
     # sides); checkpoint it so the tokenize+explode runs once, not 3x
     # (localCheckpoint blocks are GC-freed; cache() entries would pile
     # up in CacheManager across calls in a long session — ADVICE r2).
-    # At cluster scale this is the same call — MEMORY_AND_DISK spills.
+    # Trade-off: checkpointed blocks DROP lineage, so on a multi-
+    # executor cluster an executor loss fails the job instead of
+    # recomputing; a fault-tolerant deployment should swap this for
+    # cache()+unpersist() or reliable checkpoint() (ADVICE r3).
     sh = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
     if max_shingle_freq is not None:
         rare = (

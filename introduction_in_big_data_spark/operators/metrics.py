@@ -48,17 +48,24 @@ def ranking_metrics(
 
       recall@k = |ranked_k ∩ truth| / |truth|
       MRR      = 1 / rank of the first hit (0 when none)
-      nDCG@k   = Σ_hits 1/log2(rank+1)  /  Σ_{i=1..|truth|} 1/log2(i+1)
+      nDCG@k   = Σ_hits 1/log2(rank+1)  /  Σ_{i=1..min(k,|truth|)} 1/log2(i+1)
 
     `truth`: (query_id, neighbor_id) relevant pairs; `ranked`:
     (query_id, neighbor_id, rn). One equi-join + per-query aggregate;
-    every query in `ranked` appears (zero metrics when nothing hits).
-    The ideal-DCG denominator is a Python-computed literal so both
-    engines divide by the identical double; per-query float sums span
-    <= k terms, far inside the rounding grid."""
+    every query in `ranked` appears (zero metrics when it has no truth
+    or no hits). The ideal-DCG denominators are Python-computed
+    literals (a k+1 cumulative-sum array indexed by min(k, |truth|))
+    so a perfect ranking scores nDCG = 1 even when |truth| < k, and
+    both engines divide by identical doubles; per-query float sums
+    span <= k terms, far inside the rounding grid."""
     import math
 
-    idcg = float(sum(1.0 / math.log2(i + 1) for i in range(1, k + 1)))
+    # cumsum[j] = Σ_{i=1..j} 1/log2(i+1); idcg per query indexes this
+    # at min(k, n_truth) — element_at is 1-based, hence the +1.
+    cums = [0.0]
+    for i in range(1, k + 1):
+        cums.append(cums[-1] + 1.0 / math.log2(i + 1))
+    idcg_arr = F.array(*[F.lit(v) for v in cums])
     t = truth.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1))
     n_truth = truth.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("__n_truth")
@@ -75,14 +82,22 @@ def ranking_metrics(
                 ).otherwise(F.lit(0.0))
             ).alias("dcg"),
         )
-        .join(n_truth, "query_id")
+        .join(n_truth, "query_id", "left")
+    )
+    nt = F.coalesce(F.col("__n_truth"), F.lit(0))
+    idcg = F.element_at(
+        idcg_arr, (F.least(nt, F.lit(k)) + F.lit(1)).cast("int")
     )
     return per_q.select(
         "query_id",
         F.col("n_hits").cast("long").alias("n_hits"),
-        F.round(F.col("n_hits") / F.col("__n_truth"), scale).alias("recall_at_k"),
+        F.when(nt > 0, F.round(F.col("n_hits") / nt, scale))
+        .otherwise(F.lit(0.0))
+        .alias("recall_at_k"),
         F.round(
             F.coalesce(1.0 / F.col("first_hit"), F.lit(0.0)), scale
         ).alias("mrr"),
-        F.round(F.col("dcg") / F.lit(idcg), scale).alias("ndcg"),
+        F.when(nt > 0, F.round(F.col("dcg") / idcg, scale))
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
     )

@@ -137,6 +137,9 @@ def pq_topk_fixed(
             F.col(vec_col).cast("array<double>").alias("qv"),
         )
         .withColumn("qnorm", F.sqrt(dot_fold(qv, qv)))
+        # zero-norm queries: Spark's x/0 is NULL while DuckDB's IEEE
+        # division yields inf/nan — guard the query side like sq8_topk
+        .filter(F.col("qnorm") > 0)
     )
     terms = [
         dot_fold(
@@ -191,10 +194,15 @@ def pq_topk_refined(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     ).withColumn("cnorm", F.sqrt(dot_fold(F.col("cv"), F.col("cv"))))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv2"),
-    ).withColumn("qnorm2", F.sqrt(dot_fold(F.col("qv2"), F.col("qv2"))))
+    c = c.filter(F.col("cnorm") > 0)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv2"),
+        )
+        .withColumn("qnorm2", F.sqrt(dot_fold(F.col("qv2"), F.col("qv2"))))
+        .filter(F.col("qnorm2") > 0)
+    )
     rescored = (
         cand.select("query_id", "neighbor_id")
         .join(c, "neighbor_id")
@@ -274,11 +282,15 @@ def ivfpq_topk_fixed(
     )
     qcells = fixed_cells(queries, nprobe, "query_id")
     qv = F.col("qv")
-    q = qcells.select(
-        "query_id",
-        "cell",
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("qnorm", F.sqrt(dot_fold(qv, qv)))
+    q = (
+        qcells.select(
+            "query_id",
+            "cell",
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .withColumn("qnorm", F.sqrt(dot_fold(qv, qv)))
+        .filter(F.col("qnorm") > 0)  # zero-norm guard, see pq_topk_fixed
+    )
     terms = [
         dot_fold(
             _sub(qv, m, d_sub),
@@ -443,7 +455,7 @@ def ivfpq_residual_topk_fixed(
         qv.alias("qv"),
         F.sqrt(dot_fold(qv, qv)).alias("qnorm"),
         dot_fold(qv, F.element_at(cents_arr, F.col("cell") + 1)).alias("qdotc"),
-    )
+    ).filter(F.col("qnorm") > 0)  # zero-norm guard, see pq_topk_fixed
 
     ip = F.col("qdotc")
     for m, book in enumerate(rcodebooks):

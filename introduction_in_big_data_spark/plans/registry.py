@@ -67,7 +67,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # queries each round (regression coverage under prefix sampling). Local
 # verification is unaffected — tests/test_oracle.py and the sweep
 # artifacts always run every query.
-_ROTATION_SALT = "r3"
+_ROTATION_SALT = "r4"
 
 _R1_DRIVER_GREEN = frozenset(
     {
@@ -121,7 +121,32 @@ _R2_DRIVER_GREEN = frozenset(
     }
 )
 
-_DRIVER_GREEN = _R1_DRIVER_GREEN | _R2_DRIVER_GREEN
+_R3_DRIVER_GREEN = frozenset(
+    {
+        "acid_changes_feed", "acid_merge_customers", "acid_schema_evolution",
+        "ann_eval_pq_vs_exact", "ann_ivfpq_residual_topk",
+        "ann_ivfpq_topk_fixed", "ann_pq_refined_topk", "ann_pq_topk_fixed",
+        "ann_sq8_topk", "asof_last_signup", "bloom_pruned_revenue",
+        "cap_docs_per_source", "cf_holdout_metrics", "cube_status_priority",
+        "curation_funnel", "curation_pipeline_e2e", "daily_revenue_anomalies",
+        "daily_revenue_gap_filled", "decontam_overlap", "dedup_incremental",
+        "doc_chunks", "domain_stats", "events_zorder_buckets",
+        "funnel_view_click_purchase", "grouping_sets_flag_line",
+        "interval_event_counts", "multimodal_features_arrow",
+        "multimodal_jpeg_stats", "multimodal_png_stats",
+        "pagerank_trade_graph", "q16_supplier_variety",
+        "q19_disjunctive_revenue", "q20_bulk_suppliers",
+        "q21_sole_blame_suppliers", "q2_min_cost_supplier",
+        "q9_nation_profit", "redact_pii_stats", "rolling_revenue_7d",
+        "scd2_customer_history", "session_stats_by_user",
+        "sketch_hll_vs_exact", "sketch_quantiles_vs_exact",
+        "skew_join_salted", "skew_join_unsalted", "stream_session_stats",
+        "stream_stream_view_click", "substring_dup_stats",
+        "text_char_lm_quality", "unpivot_balances",
+    }
+)
+
+_DRIVER_GREEN = _R1_DRIVER_GREEN | _R2_DRIVER_GREEN | _R3_DRIVER_GREEN
 
 # Queries added in the round-3 continuation sessions, AFTER the older
 # never-driver-checked backlog accumulated. The driver samples a ~50

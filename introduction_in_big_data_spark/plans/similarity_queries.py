@@ -586,7 +586,7 @@ def _pq_fixed_oracle(k, n_queries) -> str:
                    round(({ip})
                          / (q.norm * c.recon_norm), 6) AS sim_q
             FROM v q JOIN enc c ON q.vec_id < {n_queries}
-            WHERE c.recon_norm > 0
+            WHERE c.recon_norm > 0 AND q.norm > 0
         )
         SELECT query_id, neighbor_id, sim_q, rn FROM (
             SELECT query_id, neighbor_id, sim_q,
@@ -642,6 +642,7 @@ def _pq_refined_oracle(k, shortlist, n_queries) -> str:
             FROM shortlist s
             JOIN v q ON q.vec_id = s.query_id
             JOIN v c ON c.vec_id = s.neighbor_id
+            WHERE q.norm > 0 AND c.norm > 0
         )
         SELECT query_id, neighbor_id, sim, rn FROM (
             SELECT query_id, neighbor_id, sim,
@@ -767,7 +768,7 @@ def _ivfpq_fixed_oracle(k, nprobe, n_queries) -> str:
             JOIN corpus_cells c USING (cell)
             JOIN v vq ON vq.vec_id = q.query_id
             JOIN enc ce ON ce.vec_id = c.neighbor_id
-            WHERE ce.recon_norm > 0
+            WHERE ce.recon_norm > 0 AND vq.norm > 0
         )
         SELECT query_id, neighbor_id, sim_q, rn FROM (
             SELECT query_id, neighbor_id, sim_q,
@@ -917,7 +918,7 @@ def _ivfpq_residual_oracle(k, nprobe, n_queries) -> str:
                          / (q.qnorm * ce.recon_norm), 6) AS sim_q
             FROM query_cells q
             JOIN enc ce USING (cell)
-            WHERE ce.recon_norm > 0
+            WHERE ce.recon_norm > 0 AND q.qnorm > 0
         )
         SELECT query_id, neighbor_id, sim_q, rn FROM (
             SELECT query_id, neighbor_id, sim_q,

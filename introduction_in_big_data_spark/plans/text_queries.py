@@ -386,9 +386,18 @@ def tfidf_top_terms_q(spark, sf_dir):
     """Top-3 TF-IDF terms per document. See
     operators/text.tfidf_top_terms for the scale shape (shared explode,
     broadcast vocabulary, per-doc window)."""
+    from ..functions.partitioning import spread_if_narrow
     from ..operators.text import tfidf_top_terms
 
-    return tfidf_top_terms(t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+    # 0.25x spread: measured best of {1-partition scan 0.91s, 0.25x
+    # 0.81s, 0.5x 0.83s, 2x 1.03s} at sf0.1 — same shuffle-stage
+    # granularity trade as text_char_lm_quality
+    return tfidf_top_terms(
+        spread_if_narrow(t(spark, sf_dir, "documents"), multiplier=0.25),
+        "doc_id",
+        "text",
+        k=3,
+    )
 
 
 @register(
@@ -439,12 +448,19 @@ def doc_sentences(spark, sf_dir):
             FROM documents, unnest(range(1, length(text) - 1)) AS i(v)
             WHERE length(text) >= 3
         ),
-        counts AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+        dg AS (
+            SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
+            FROM grams GROUP BY doc_id, g
+        ),
+        counts AS (
+            SELECT g, CAST(sum(cnt) AS BIGINT) AS c FROM dg GROUP BY g
+        ),
         scal AS (SELECT CAST(sum(c) AS BIGINT) AS N, count(*) AS V FROM counts)
         SELECT doc_id,
-               CAST(count(*) AS BIGINT) AS n_grams,
-               round(avg(-ln((c + 1.0) / (N + V))), 6) AS avg_nll
-        FROM grams JOIN counts USING (g), scal
+               CAST(sum(cnt) AS BIGINT) AS n_grams,
+               round(sum(cnt * -ln((c + 1.0) / (N + V)))
+                     / CAST(sum(cnt) AS DOUBLE), 6) AS avg_nll
+        FROM dg JOIN counts USING (g), scal
         GROUP BY doc_id
     """,
     tags=("text", "quality", "lm"),
@@ -460,8 +476,13 @@ def text_char_lm_quality(spark, sf_dir):
     analysis mandate."""
     from ..functions.partitioning import spread_if_narrow
 
+    # 0.5x parallelism: this plan is three shuffle stages over the
+    # gram stream — at 2x the per-task machinery dominates (1.7s vs
+    # 1.2s at sf0.1, see spread_if_narrow's docstring)
     return textops.char_lm_scores(
-        spread_if_narrow(t(spark, sf_dir, "documents")), "doc_id", "text"
+        spread_if_narrow(t(spark, sf_dir, "documents"), multiplier=0.5),
+        "doc_id",
+        "text",
     )
 
 

@@ -173,10 +173,10 @@ def q9_nation_profit(spark, sf_dir):
     "q12_late_shipment_priority",
     oracle="""
         SELECT l_linestatus AS ship_group,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_line_count
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         WHERE datediff('day', CAST(o_orderdate AS DATE),
                        CAST(l_shipdate AS DATE)) > 90

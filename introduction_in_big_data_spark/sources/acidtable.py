@@ -201,6 +201,15 @@ class AcidTable:
         before = self.read(v_from)
         after = self.read(v_to)
         cols = after.columns
+        # Columns added by schema evolution between the two snapshots
+        # don't exist in `before`; project them as typed NULLs (from
+        # the v_to manifest schema) so CDF composes with add_column —
+        # a pre-evolution row then reads as NULL in that column,
+        # exactly what a v_from snapshot read reports.
+        after_types = {f.name: f.dataType for f in after.schema.fields}
+        missing = [c for c in cols if c not in before.columns]
+        for c in missing:
+            before = before.withColumn(c, F.lit(None).cast(after_types[c]))
         b = before.select(
             F.col(key).alias("__k"),
             F.struct(*[F.col(c) for c in cols]).alias("__before"),
@@ -291,7 +300,17 @@ class AcidTable:
         hit = self._hit_files(self._with_file(v).filter(condition))
         if not hit:
             return self._commit(v + 1, self._manifest(v)["files"], "delete")
-        survivors = self.spark.read.parquet(*hit).filter(f"NOT ({condition})")
+        # Read hit files through the MANIFEST schema (same as merge):
+        # after add_column evolution a hit set mixing pre- and post-
+        # evolution files must not infer the narrower pre-evolution
+        # schema and silently drop the new column from survivors.
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(self._manifest(v)["schema"]))
+        survivors = (
+            self.spark.read.schema(schema).parquet(*hit)
+            .filter(f"NOT ({condition})")
+        )
         carried = [f for f in self._manifest(v)["files"] if f not in set(hit)]
         new_files = self._write_data_files(survivors)
         return self._commit(

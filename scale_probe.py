@@ -95,6 +95,15 @@ PROBE_QUERIES = [
     "sequence_pack_stats",     # r3-cont3: per-group applyInPandas packing
     "daily_revenue_anomalies", # r3-cont3: trailing window on daily rollup
     "acid_changes_feed",       # r3-cont3: snapshot full-outer diff
+    "ann_ivf_topk",            # r4 (VERDICT r3 item 7): the PRODUCTION
+                               # IVF kernel — trained centroids broadcast
+                               # + vectorized pandas_udf scoring; the
+                               # frozen-literal twin pays ~8s constant
+                               # codegen and exists for hash-checking,
+                               # THIS is the path whose scaling matters
+    "ann_lsh_topk",            # r4: production LSH kernel — one Arrow
+                               # numpy matmul for signatures, bucket
+                               # equi-join, verify candidates only
 ]
 
 

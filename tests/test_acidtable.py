@@ -239,3 +239,47 @@ def test_add_column_is_metadata_only(spark, tmp_path):
     t.merge(upd, "k")
     rows = {r.k: (r.v, r.tag) for r in t.read().collect()}
     assert rows == {1: (10.0, None), 2: (99.0, "x"), 3: (30.0, "y")}
+
+
+def test_delete_after_evolution_keeps_new_column(spark, tmp_path):
+    """ADVICE r3 (medium): delete() must read hit files through the
+    MANIFEST schema — after add_column, rewriting survivors from a
+    mixed pre-/post-evolution hit set must not drop the new column's
+    values (schema inference from a pre-evolution file would)."""
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    t = AcidTable.create(spark, str(tmp_path / "evodel"), base)
+    t.add_column("tag", "string")
+    # post-evolution rows with real tag values land in NEW files
+    t.merge(
+        spark.createDataFrame([(3, 30.0, "x"), (4, 40.0, "y")],
+                              "k long, v double, tag string"),
+        "k",
+    )
+    # condition hits BOTH a pre-evolution file (k=1) and a
+    # post-evolution file (k=3) -> both get rewritten
+    t.delete("k IN (1, 3)")
+    rows = {r.k: (r.v, r.tag) for r in t.read().collect()}
+    assert rows == {2: (20.0, None), 4: (40.0, "y")}
+
+
+def test_changes_composes_with_add_column(spark, tmp_path):
+    """ADVICE r3: CDF across an add_column boundary — the before
+    snapshot lacks the evolved column; changes() projects it as typed
+    NULL so a pre-evolution row that only gained a tag value reads as
+    NULL -> value = update."""
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    t = AcidTable.create(spark, str(tmp_path / "evocdf"), base)
+    t.add_column("tag", "string")
+    t.merge(
+        spark.createDataFrame([(2, 20.0, "x"), (3, 30.0, "y")],
+                              "k long, v double, tag string"),
+        "k",
+    )
+    feed = {r.k: (r.v, r.tag, r._change_type)
+            for r in t.changes("k", 0, t.latest_version()).collect()}
+    # k=1 unchanged (NULL tag on both sides), k=2 gained a tag value,
+    # k=3 inserted
+    assert feed == {
+        2: (20.0, "x", "update_postimage"),
+        3: (30.0, "y", "insert"),
+    }

@@ -1,0 +1,227 @@
+"""Delta transaction-log reader interop tests.
+
+No delta-spark jar exists in this image, so these tests construct
+tables that conform to the PUBLISHED protocol (delta-io PROTOCOL.md:
+JSON commits of protocol/metaData/add/remove actions, string-encoded
+partitionValues, classic parquet checkpoints + _last_checkpoint) and
+assert the reader replays them exactly — log reconciliation order,
+partition-column materialization, time travel, checkpoint handoff, and
+unsupported-feature refusal.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from introduction_in_big_data_spark.sources.deltalog import (
+    DeltaLogReader,
+    UnsupportedDeltaFeature,
+)
+
+SCHEMA_JSON = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+
+def _meta(schema_json=SCHEMA_JSON, partition_cols=()):
+    return {
+        "metaData": {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_json,
+            "partitionColumns": list(partition_cols),
+            "configuration": {},
+            "createdTime": 0,
+        }
+    }
+
+
+def _protocol(reader=1, writer=2):
+    return {"protocol": {"minReaderVersion": reader, "minWriterVersion": writer}}
+
+
+def _write_data(spark, table_dir, rows, schema="k long, v double", sub="part-0"):
+    """Write one parquet data file; return its table-relative path."""
+    tmp = os.path.join(table_dir, "__stage", uuid.uuid4().hex)
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp)
+    fname = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    rel = f"{sub}-{uuid.uuid4().hex}.parquet"
+    os.renames(os.path.join(tmp, fname), os.path.join(table_dir, rel))
+    return rel
+
+
+def _commit(table_dir, version, actions):
+    log = os.path.join(table_dir, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, f"{version:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def _add(path, partition_values=None):
+    return {
+        "add": {
+            "path": path,
+            "partitionValues": partition_values or {},
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+    }
+
+
+def _remove(path):
+    return {"remove": {"path": path, "deletionTimestamp": 0, "dataChange": True}}
+
+
+def test_read_latest_and_time_travel(spark, tmp_path):
+    d = str(tmp_path / "t1")
+    os.makedirs(d)
+    f0 = _write_data(spark, d, [(1, 1.0), (2, 2.0)])
+    _commit(d, 0, [_protocol(), _meta(), _add(f0)])
+    f1 = _write_data(spark, d, [(3, 3.0)])
+    _commit(d, 1, [_add(f1)])
+    # v2 rewrites f0 (e.g. a DELETE of k=1): remove + add survivor file
+    f2 = _write_data(spark, d, [(2, 2.0)])
+    _commit(d, 2, [_remove(f0), _add(f2)])
+
+    t = DeltaLogReader(spark, d)
+    assert t.latest_version() == 2
+    assert {r.k for r in t.read().collect()} == {2, 3}
+    assert {r.k for r in t.read(version=1).collect()} == {1, 2, 3}
+    assert {r.k for r in t.read(version=0).collect()} == {1, 2}
+    ops = t.history()
+    assert [h["version"] for h in ops] == [0, 1, 2]
+    assert ops[2]["n_remove"] == 1 and ops[2]["n_add"] == 1
+
+
+def test_partition_columns_come_from_the_log(spark, tmp_path):
+    """Delta data files do NOT contain partition columns — the reader
+    must materialize them from partitionValues with schema types."""
+    schema_json = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+                {"name": "p", "type": "integer", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    d = str(tmp_path / "t2")
+    os.makedirs(d)
+    fa = _write_data(spark, d, [(1, 1.0)], sub="p=1/part")
+    fb = _write_data(spark, d, [(2, 2.0)], sub="p=2/part")
+    _commit(
+        d,
+        0,
+        [
+            _protocol(),
+            _meta(schema_json, partition_cols=["p"]),
+            _add(fa, {"p": "1"}),
+            _add(fb, {"p": "2"}),
+        ],
+    )
+    out = DeltaLogReader(spark, d).read()
+    assert dict(out.dtypes)["p"] == "int"  # cast from the log's string
+    assert {(r.k, r.p) for r in out.collect()} == {(1, 1), (2, 2)}
+
+
+def test_checkpoint_replay_and_vacuumed_commits(spark, tmp_path):
+    """A classic checkpoint parquet stands in for all commits <= N:
+    reading must work even when those JSON commits are deleted."""
+    d = str(tmp_path / "t3")
+    os.makedirs(d)
+    f0 = _write_data(spark, d, [(1, 1.0)])
+    f1 = _write_data(spark, d, [(2, 2.0)])
+    log = os.path.join(d, "_delta_log")
+    os.makedirs(log)
+
+    meta = _meta()["metaData"]
+    cp_rows = [
+        {"protocol": _protocol()["protocol"], "metaData": None, "add": None,
+         "remove": None},
+        {"protocol": None, "metaData": meta, "add": None, "remove": None},
+        {"protocol": None, "metaData": None, "add": _add(f0)["add"],
+         "remove": None},
+        {"protocol": None, "metaData": None, "add": _add(f1)["add"],
+         "remove": None},
+    ]
+    cp_schema = (
+        "protocol struct<minReaderVersion:int,minWriterVersion:int>, "
+        "metaData struct<id:string,schemaString:string,"
+        "partitionColumns:array<string>>, "
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:long,dataChange:boolean>, "
+        "remove struct<path:string,dataChange:boolean>"
+    )
+    tmp_cp = os.path.join(d, "__cp")
+    spark.createDataFrame(
+        [tuple(
+            None if r[c] is None else {
+                k: v for k, v in r[c].items()
+                if k in {"minReaderVersion", "minWriterVersion", "id",
+                         "schemaString", "partitionColumns", "path",
+                         "partitionValues", "size", "dataChange"}
+            }
+            for c in ("protocol", "metaData", "add", "remove")
+        ) for r in cp_rows],
+        cp_schema,
+    ).coalesce(1).write.parquet(tmp_cp)
+    cp_file = next(f for f in os.listdir(tmp_cp) if f.endswith(".parquet"))
+    os.renames(
+        os.path.join(tmp_cp, cp_file),
+        os.path.join(log, f"{1:020d}.checkpoint.parquet"),
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 1, "size": len(cp_rows)}, fh)
+    # commits 0 and 1 were vacuumed; commit 2 removes f0
+    _commit(d, 2, [_remove(f0)])
+
+    t = DeltaLogReader(spark, d)
+    assert t.latest_version() == 2
+    assert {r.k for r in t.read().collect()} == {2}
+    # time travel INTO the checkpoint
+    assert {r.k for r in t.read(version=1).collect()} == {1, 2}
+
+
+def test_unsupported_reader_features_refused(spark, tmp_path):
+    d = str(tmp_path / "t4")
+    os.makedirs(d)
+    f0 = _write_data(spark, d, [(1, 1.0)])
+    _commit(
+        d, 0,
+        [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                       "readerFeatures": ["deletionVectors"]}},
+         _meta(), _add(f0)],
+    )
+    with pytest.raises(UnsupportedDeltaFeature):
+        DeltaLogReader(spark, d).read()
+
+
+def test_not_a_delta_table(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        DeltaLogReader(spark, str(tmp_path / "nope"))
+
+
+def test_add_replaced_by_later_add_of_same_path(spark, tmp_path):
+    """Protocol reconciliation: a later add of the same path replaces
+    the earlier one (not a duplicate scan)."""
+    d = str(tmp_path / "t5")
+    os.makedirs(d)
+    f0 = _write_data(spark, d, [(1, 1.0)])
+    _commit(d, 0, [_protocol(), _meta(), _add(f0)])
+    _commit(d, 1, [_add(f0)])  # metadata-only re-add (stats recompute)
+    out = DeltaLogReader(spark, d).read()
+    assert [r.k for r in out.collect()] == [1]

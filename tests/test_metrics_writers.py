@@ -96,3 +96,26 @@ def test_expect_report_counts_violations(spark):
     ).first()
     assert (r["n_rows"], r["name_not_null"], r["bal_in_band"]) == (4, 1, 3)
     assert duplicate_key_count(df, "k").first()["n_duplicate_rows"] == 1
+
+
+def test_ranking_metrics_general_contract(spark):
+    """ADVICE r3: (a) a PERFECT ranking with |truth| < k scores
+    nDCG = 1 (ideal-DCG spans min(k, |truth|) terms, not k); (b) a
+    ranked query with no truth rows still appears, with zero metrics."""
+    from introduction_in_big_data_spark.operators.metrics import ranking_metrics
+
+    truth = spark.createDataFrame(
+        [(1, 101), (1, 102)], "query_id long, neighbor_id long"
+    )  # |truth| = 2 < k = 5
+    ranked = spark.createDataFrame(
+        [(1, 101, 1), (1, 102, 2), (1, 999, 3), (1, 998, 4), (1, 997, 5),
+         (2, 101, 1), (2, 102, 2)],  # query 2 has NO truth
+        "query_id long, neighbor_id long, rn long",
+    )
+    out = {r.query_id: r for r in ranking_metrics(truth, ranked, 5).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].ndcg == 1.0          # perfect ranking, short truth
+    assert out[1].recall_at_k == 1.0
+    assert out[1].mrr == 1.0
+    assert out[2].n_hits == 0 and out[2].ndcg == 0.0
+    assert out[2].recall_at_k == 0.0 and out[2].mrr == 0.0

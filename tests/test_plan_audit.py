@@ -24,15 +24,13 @@ from introduction_in_big_data_spark import plans
 # VERDICT r2 anti-pattern audit), or ties-ranking over one group's
 # aggregate output.
 GLOBAL_WINDOW_OK = {
+    # MINIMAL set (VERDICT r3 item 8): exactly the queries whose plans
+    # contain a partition-less window at sf0.001 AND sf0.1 (both
+    # probed); every entry carries its bounded-size argument.
     "rolling_revenue_7d",       # daily rollup frame <= calendar days
     "daily_revenue_momentum",   # same daily-rollup shape
-    "q6_forecast_revenue",      # daily rollup
     "daily_revenue_anomalies",  # trailing-28d window over the daily rollup
     "daily_revenue_gap_filled", # LOCF window over the day calendar
-    "tfidf_top_terms",          # df(t) window over the tf AGGREGATE
-    "text_winnow_fingerprints", # per-doc winnow windows over k-gram seq
-    "acctbal_quartile_stats",   # partition-local ranks (audited plan);
-                                # matches only via its offsets subtree
     "token_shard_stats",        # distributed prefix sum: the global
                                 # window runs over P partition SUMMARIES
                                 # (P rows), not the data
@@ -41,32 +39,31 @@ GLOBAL_WINDOW_OK = {
 # Cross-join allowlist: 1-row broadcast scalar gates (a cross join
 # against a single aggregate row is a broadcast nested loop over ONE
 # row) and the labeled O(n^2) oracle baselines whose registered scale
-# twins are the defaults.
+# twins are the defaults. MINIMAL set (VERDICT r3 item 8): exactly the
+# queries that flag at sf0.001 AND sf0.1.
 CROSS_OK = {
-    # 1-row scalar gates
-    "zscore_outlier_counts", "sigma_band_orders", "mad_outlier_counts",
-    "q11_valuable_parts", "q15_top_suppliers", "q22_idle_customer_balance",
-    "tfidf_top_terms", "corpus_composition", "sample_mix_by_source",
-    "q14_promo_revenue_share", "q17_below_avg_qty_revenue",
-    "q13_order_count_distribution", "q16_supplier_variety",
-    "dq_customer_report", "sketch_hll_vs_exact",
-    "sketch_quantiles_vs_exact", "sketch_approx_distinct_users",
-    "text_quality", "text_repetition_ratio", "curation_funnel",
-    "text_char_lm_quality",  # 1-row (N, V) scalar gate into the scorer
-
-    "decontam_overlap", "redact_pii_stats", "domain_stats",
+    # 1-row scalar gates (each crossJoins a single-row aggregate)
+    "zscore_outlier_counts",    # 1-row (mean, std) gate
+    "sigma_band_orders",        # 1-row (mean, std) band gate
+    "mad_outlier_counts",       # 1-row (median, MAD) gate
+    "q11_valuable_parts",       # 1-row global-value threshold (TPC-H Q11)
+    "q22_idle_customer_balance",  # 1-row avg-balance gate (TPC-H Q22)
+    "tfidf_top_terms",          # 1-row corpus doc-count N into idf
+    "sketch_hll_vs_exact",      # 1-row exact-distinct vs estimate gate
+    "sketch_quantiles_vs_exact",  # 1-row rank-contract bound gate
+    "sketch_approx_distinct_users",  # 1-row rsd-bound gate
+    "text_char_lm_quality",     # 1-row (N, V) scalar gate into the scorer
+    "fk_orphan_counts",         # three 1-row scalar counts crossed into one row
+    "triangle_count_copurchase",  # 1-row edge stats x 1-row wedge stats
     # labeled quadratic oracle baselines (scale twins are the defaults)
-    "embedding_near_dup", "ann_bruteforce_topk", "ann_nn_join",
+    "embedding_near_dup",       # exact O(n^2) near-dup; LSH twin is default
+    "ann_bruteforce_topk",      # exact top-k truth baseline
+    "ann_nn_join",              # exact NN join baseline
     "ann_sq8_topk",  # broadcast-queries brute force over int8 codes —
                      # same deliberate baseline shape as ann_bruteforce_topk
     "ann_pq_topk_fixed",    # exhaustive ADC over 4-byte PQ codes — the
     "ann_pq_refined_topk",  # deliberate scan PQ exists to make cheap
     "ann_eval_pq_vs_exact", # composes the exact-truth + ADC baselines
-    "embedding_dup_clusters", "dedup_keep_representatives",
-    "fuzzy_name_pairs", "cf_knn", "cf_ratings", "cf_predict_metrics",
-    "cf_knn_pruned",
-    "fk_orphan_counts",  # three 1-row scalar counts crossed into one row
-    "triangle_count_copurchase",  # 1-row edge stats x 1-row wedge stats
 }
 
 

@@ -35,6 +35,7 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 import __spark_entry__ as e  # noqa: E402
+from introduction_in_big_data_spark.plans import typeaudit  # noqa: E402
 
 
 def canon(cols, rows):
@@ -65,16 +66,30 @@ for name, fn in qs.items():
             nrows += 1
             continue
         o = con.sql(os_[name])
-        ocols, orows = list(o.columns), o.fetchall()
+        ocols, otypes = list(o.columns), list(o.types)
+        orows = o.fetchall()
         ok_rows = len(srows) == len(orows)
         ok_schema = sorted(scols) == sorted(ocols)
-        ok_hash = ok_rows and ok_schema and canon(scols, srows) == canon(ocols, orows)
-        res[name] = {"rows_match": ok_rows, "schema_match": ok_schema, "hash_match": ok_hash, "rows": len(srows)}
+        # Declared-type audit: the real driver's hash is type-sensitive
+        # (HUGEINT vs LONG diverges on identical values — r3's q12);
+        # stringified-value comparison alone is blind to that class.
+        s_sig = typeaudit.schema_signature_spark(sdf.schema)
+        d_sig = typeaudit.schema_signature_duck(ocols, otypes)
+        type_mism = typeaudit.signature_mismatches(s_sig, d_sig)
+        ok_types = not type_mism
+        ok_hash = (
+            ok_rows and ok_schema and ok_types
+            and canon(scols, srows) == canon(ocols, orows)
+        )
+        res[name] = {"rows_match": ok_rows, "schema_match": ok_schema,
+                     "types_match": ok_types, "hash_match": ok_hash,
+                     "rows": len(srows)}
         if ok_hash:
             npass += 1
         else:
             nfail += 1
-            print(f"FAIL {name}: rows={ok_rows} schema={ok_schema}", flush=True)
+            print(f"FAIL {name}: rows={ok_rows} schema={ok_schema} "
+                  f"types={type_mism or 'ok'}", flush=True)
     except Exception as ex:  # noqa: BLE001
         nfail += 1
         res[name] = {"err": repr(ex)[:300]}
