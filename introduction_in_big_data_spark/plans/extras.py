@@ -276,6 +276,45 @@ def acid_merge_customers(spark, sf_dir):
 
 
 @register(
+    "acid_optimize_compaction",
+    oracle="""
+        SELECT c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer
+        GROUP BY segment
+    """,
+    tags=("acid", "optimize", "layout", "maintenance"),
+)
+def acid_optimize_compaction(spark, sf_dir):
+    """OPTIMIZE as an ACID commit (sources/acidtable.AcidTable.optimize,
+    round 4): persist customer as 16 deliberately-small data files,
+    bin-pack them through a compaction commit (untouched files carry
+    by reference; content is a pure layout change), and aggregate the
+    post-optimize snapshot. The oracle recomputes from the raw
+    parquet, so create → optimize → snapshot-read is value-hash
+    checked end to end; the file-count reduction and old-snapshot
+    readability are pinned by tests/test_acidtable.py. The analog of
+    Delta's OPTIMIZE — the maintenance verb any streamed-into 100 TB
+    table needs on a schedule."""
+    import tempfile
+
+    from ..sources.acidtable import AcidTable
+
+    base = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    path = tempfile.mkdtemp(prefix="acid_opt_") + "/t"
+    table = AcidTable.create(spark, path, base.repartition(16))
+    table.optimize(target_bytes=1 << 30)
+    snap = table.read()
+    return snap.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
     "delta_interop_read",
     oracle="""
         SELECT c_mktsegment AS segment,

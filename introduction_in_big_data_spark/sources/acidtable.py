@@ -320,6 +320,76 @@ class AcidTable:
 
     # -- maintenance --------------------------------------------------------
 
+    def optimize(
+        self,
+        target_bytes: int = 128 << 20,
+        zorder_by: tuple[str, str] | None = None,
+    ) -> int:
+        """OPTIMIZE (Delta's compaction verb as an ACID commit):
+        rewrite data files into ~target_bytes bins so a snapshot scan
+        schedules a few right-sized splits instead of thousands of
+        small-file tasks — at 100 TB the dominant metadata/scheduling
+        tax of any long-lived streamed-into table. Content is
+        byte-for-byte preserved (pure layout change; asserted in
+        tests), the swap is one manifest commit, and concurrent
+        readers keep their pinned snapshots.
+
+        Plain mode bin-packs only files under target_bytes/2 through a
+        shuffle-free coalesce (same mechanism as layout.compact_files);
+        files already at target carry forward by reference.
+
+        `zorder_by=(x, y)` additionally CLUSTERS the rewritten rows on
+        the z-curve of two columns (functions/zorder) — Delta's
+        `OPTIMIZE ... ZORDER BY` — which rewrites ALL files (clustering
+        is global by nature) via a range partition on the z-key so each
+        output file covers a tight (x, y) bounding box and two-sided
+        predicates prune files via footer stats
+        (layout.file_bounding_boxes / events_zorder_buckets measure the
+        effect)."""
+        import math
+
+        from pyspark.sql import types as T
+
+        v = self.latest_version()
+        files = self._manifest(v)["files"]
+        sizes = {f: os.path.getsize(f) for f in files}
+        if zorder_by is None:
+            small = [f for f in files if sizes[f] < target_bytes // 2]
+            if len(small) <= 1:
+                return v  # already compact: no-op, no empty commit
+            rewrite, carried = small, [f for f in files if f not in set(small)]
+        else:
+            rewrite, carried = list(files), []
+        schema = T.StructType.fromJson(json.loads(self._manifest(v)["schema"]))
+        df = self.spark.read.schema(schema).parquet(*rewrite)
+        n_out = max(
+            1, math.ceil(sum(sizes[f] for f in rewrite) / target_bytes)
+        )
+        if zorder_by is None:
+            packed = df.coalesce(n_out)
+        else:
+            from ..functions.zorder import zorder_key2
+
+            x, y = zorder_by
+            packed = (
+                df.withColumn("__zkey", zorder_key2(F.col(x), F.col(y)))
+                .repartitionByRange(n_out, "__zkey")
+                .sortWithinPartitions("__zkey")
+                .drop("__zkey")
+            )
+        new_files = self._write_data_files(packed)
+        return self._commit(
+            v + 1,
+            carried + new_files,
+            "optimize",
+            {
+                "rewrote_files": len(rewrite),
+                "carried_files": len(carried),
+                "new_files": len(new_files),
+                "zorder_by": list(zorder_by) if zorder_by else None,
+            },
+        )
+
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Delete data files referenced ONLY by snapshots older than
         the last `keep_last` versions. Time travel beyond the horizon

@@ -17,7 +17,12 @@ yield the same corpus, on any worker, in any partition order.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 _WORDS = (
     "data spark shuffle partition columnar vector query join scan "
@@ -73,9 +78,55 @@ class SyntheticDocsReader(DataSourceReader):
             yield doc_for(doc_id, partition.seed)
 
 
+class SyntheticDocsStreamReader(DataSourceStreamReader):
+    """Spark 4 STREAMING Python DataSource (§2.9 × §2.10): the same
+    deterministic corpus arriving `docs_per_batch` docs per micro-batch
+    until `n_docs` — a bounded, replayable rate-style source whose
+    content is a pure function of (doc_id, seed).
+
+    Offset contract (exactly-once): an offset is the count of docs
+    emitted so far ({"pos": n}); `latestOffset` advances the cap one
+    batch at a time, `partitions(start, end)` splits [start, end) into
+    range tasks, and replaying any (start, end) yields identical rows —
+    so recovery from a checkpoint re-reads the SAME batch (the property
+    checkpoint tests rely on). `commit` is a no-op: nothing upstream to
+    acknowledge; determinism makes re-reads safe instead."""
+
+    def __init__(self, options):
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.per_batch = int(options.get("docs_per_batch", 100))
+        self.n_parts = int(options.get("n_partitions", 2))
+        self.seed = int(options.get("seed", 42))
+        self._cap = 0
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def latestOffset(self):
+        self._cap = min(self._cap + self.per_batch, self.n_docs)
+        return {"pos": self._cap}
+
+    def partitions(self, start, end):
+        s, e = int(start["pos"]), int(end["pos"])
+        n = max(1, self.n_parts)
+        per = max(1, (e - s + n - 1) // n)
+        return [
+            _RangePartition(p, min(p + per, e), self.seed)
+            for p in range(s, e, per)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for doc_id in range(partition.start, partition.end):
+            yield doc_for(doc_id, partition.seed)
+
+    def commit(self, end):
+        pass
+
+
 class SyntheticDocsDataSource(DataSource):
     """spark.read.format("synthetic_docs") — register with
-    spark.dataSource.register(SyntheticDocsDataSource)."""
+    spark.dataSource.register(SyntheticDocsDataSource). Also a
+    streaming source: spark.readStream.format("synthetic_docs")."""
 
     @classmethod
     def name(cls) -> str:
@@ -86,3 +137,6 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticDocsReader:
         return SyntheticDocsReader(self.options)
+
+    def streamReader(self, schema) -> SyntheticDocsStreamReader:
+        return SyntheticDocsStreamReader(self.options)

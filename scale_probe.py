@@ -160,12 +160,15 @@ def time_query(spark, name: str, sf_dir: str) -> float:
 
 
 def main() -> None:
+    only = set(sys.argv[1:])  # optional subset: scale_probe.py q1 q2 ...
     spark = get_spark("ibd-scale-probe")
     build_sf1(spark)
     # warmup
     plans.REGISTRY[PROBE_QUERIES[0]].fn(spark, BASE).count()
     results = {}
     for name in PROBE_QUERIES:
+        if only and name not in only:
+            continue
         t1 = time_query(spark, name, BASE)
         t10 = time_query(spark, name, OUT)
         results[name] = {

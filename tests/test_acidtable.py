@@ -283,3 +283,63 @@ def test_changes_composes_with_add_column(spark, tmp_path):
         2: (20.0, "x", "update_postimage"),
         3: (30.0, "y", "insert"),
     }
+
+
+def test_optimize_binpacks_small_files(spark, sf_dir, tmp_path):
+    """OPTIMIZE: many small files collapse into ~target-size bins with
+    content byte-identical; already-right-sized files carry forward by
+    reference; a second optimize is a no-op (no empty commit)."""
+    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    t = AcidTable.create(spark, str(tmp_path / "opt"), base.repartition(16))
+    v0 = t.latest_version()
+    files_before = t._manifest(v0)["files"]
+    assert len(files_before) == 16
+    before = sorted((r.c_custkey, r.c_acctbal) for r in t.read().collect())
+
+    v1 = t.optimize(target_bytes=1 << 30)  # everything fits one bin
+    m = t._manifest(v1)
+    assert m["op"] == "optimize"
+    assert len(m["files"]) < len(files_before)
+    after = sorted((r.c_custkey, r.c_acctbal) for r in t.read().collect())
+    assert after == before
+    # old snapshot still readable (copy-on-write)
+    assert t.read(v0).count() == len(before)
+    # idempotent: nothing small left -> same version back, no commit
+    assert t.optimize(target_bytes=1 << 30) == v1
+
+
+def test_optimize_zorder_clusters_files(spark, sf_dir, tmp_path):
+    """OPTIMIZE ZORDER BY: rewritten files carry tight 2-D bounding
+    boxes — a two-sided predicate must prune most files via footer
+    stats, and content is preserved exactly."""
+    import pyarrow.parquet as pq_meta
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    t = AcidTable.create(spark, str(tmp_path / "optz"), base.repartition(8))
+    before = sorted(
+        (r.c_custkey, r.c_nationkey, r.c_acctbal) for r in t.read().collect()
+    )
+    v = t.optimize(target_bytes=2 << 10, zorder_by=("c_custkey", "c_nationkey"))
+    m = t._manifest(v)
+    assert m["zorder_by"] == ["c_custkey", "c_nationkey"]
+    assert len(m["files"]) > 1  # small target forces multiple z-files
+    after = sorted(
+        (r.c_custkey, r.c_nationkey, r.c_acctbal) for r in t.read().collect()
+    )
+    assert after == before
+    # footer-stats pruning: count files whose c_custkey range intersects
+    # a narrow band; z-ordering should leave most files prunable
+    n_hit = 0
+    lo, hi = 100, 200
+    for f in m["files"]:
+        md = pq_meta.ParquetFile(f).metadata
+        st = md.row_group(0).column(0).statistics
+        fmin, fmax = st.min, st.max
+        for g in range(1, md.num_row_groups):
+            s = md.row_group(g).column(0).statistics
+            fmin, fmax = min(fmin, s.min), max(fmax, s.max)
+        if fmax >= lo and fmin <= hi:
+            n_hit += 1
+    assert n_hit < len(m["files"])  # at least one file prunes away

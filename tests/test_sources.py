@@ -388,3 +388,51 @@ def test_csv_permissive_mode_captures_corrupt_records(spark, tmp_path):
     assert rows[1] == (10, None) and rows[3] == (30, None)
     assert rows[2][0] is None and "notanumber" in rows[2][1]
     df.unpersist(blocking=False)
+
+
+def test_python_streaming_datasource_synthetic_docs(spark, tmp_path):
+    """Spark 4 STREAMING Python DataSource: the synthetic corpus
+    arrives docs_per_batch per micro-batch; the completed stream must
+    equal the batch read of the same options exactly (content is a
+    pure function of (doc_id, seed)), and batches must respect the
+    offset arithmetic (ceil(n_docs / per_batch) non-empty batches)."""
+    import time as _t
+
+    from introduction_in_big_data_spark.sources.synthetic import (
+        SyntheticDocsDataSource,
+        doc_for,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticDocsDataSource)
+    except Exception:
+        pass  # already registered by the batch test in this session
+    n_docs, per_batch = 57, 20
+    batches = []
+
+    def sink(df, epoch_id):
+        rows = df.collect()
+        if rows:
+            batches.append([tuple(r) for r in rows])
+
+    q = (
+        spark.readStream.format("synthetic_docs")
+        .option("n_docs", n_docs).option("docs_per_batch", per_batch)
+        .option("n_partitions", 2).option("seed", 11)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = _t.time() + 120
+    while _t.time() < deadline:
+        if sum(len(b) for b in batches) >= n_docs:
+            break
+        _t.sleep(0.5)
+    q.stop()
+    got = sorted(r for b in batches for r in b)
+    assert got == [doc_for(i, 11) for i in range(n_docs)]
+    # offset arithmetic: 20+20+17 -> exactly 3 non-empty batches
+    assert len(batches) == 3
+    assert [len(b) for b in batches] == [20, 20, 17]
