@@ -343,3 +343,71 @@ def test_optimize_zorder_clusters_files(spark, sf_dir, tmp_path):
         if fmax >= lo and fmin <= hi:
             n_hit += 1
     assert n_hit < len(m["files"])  # at least one file prunes away
+
+
+def test_acid_table_streaming_source(spark, tmp_path):
+    """Streaming FROM the ACID table (sources/acidstream.py):
+    startingVersion=0 replays the whole commit history as
+    micro-batches; commits made while the stream runs become new
+    batches of exactly the appended rows; an optimize commit
+    contributes nothing; a merge commit is refused unless
+    ignoreChanges (Delta's documented semantics)."""
+    import time as _t
+
+    from introduction_in_big_data_spark.sources.acidstream import (
+        AcidTableStreamDataSource,
+        AcidTableStreamReader,
+    )
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    t = AcidTable.create(spark, str(tmp_path / "srctab"), base)
+    t.append(spark.createDataFrame([(3, 30.0)], "k long, v double"))
+    try:
+        spark.dataSource.register(AcidTableStreamDataSource)
+    except Exception:
+        pass
+    batches = []
+
+    def sink(df, epoch_id):
+        rows = [tuple(r) for r in df.collect()]
+        if rows:
+            batches.append(sorted(rows))
+
+    q = (
+        spark.readStream.format("acid_table_stream")
+        .option("path", str(tmp_path / "srctab"))
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        # batch 1 replays commits 0..1 (whatever latestOffset first saw)
+        deadline = _t.time() + 90
+        while _t.time() < deadline and sum(len(b) for b in batches) < 3:
+            _t.sleep(0.3)
+        t.optimize(target_bytes=1 << 30)  # layout-only: must emit nothing
+        t.append(spark.createDataFrame([(4, 40.0)], "k long, v double"))
+        deadline = _t.time() + 90
+        while _t.time() < deadline and sum(len(b) for b in batches) < 4:
+            _t.sleep(0.3)
+    finally:
+        q.stop()
+    got = sorted(r for b in batches for r in b)
+    assert got == [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)]
+    # the post-optimize append arrived alone, in its own later batch
+    assert batches[-1] == [(4, 40.0)]
+
+    # a rewriting commit must fail the stream unless ignoreChanges
+    t.merge(spark.createDataFrame([(1, 99.0)], "k long, v double"), "k")
+    r = AcidTableStreamReader({"path": str(tmp_path / "srctab")})
+    with pytest.raises(ValueError, match="ignoreChanges"):
+        r.partitions({"version": t.latest_version() - 1},
+                     {"version": t.latest_version()})
+    r2 = AcidTableStreamReader(
+        {"path": str(tmp_path / "srctab"), "ignoreChanges": "true"}
+    )
+    assert r2.partitions({"version": t.latest_version() - 1},
+                         {"version": t.latest_version()}) == []
