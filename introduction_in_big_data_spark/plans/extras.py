@@ -276,6 +276,83 @@ def acid_merge_customers(spark, sf_dir):
 
 
 @register(
+    "iceberg_interop_read",
+    oracle="""
+        SELECT c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY segment
+    """,
+    tags=("iceberg", "lakehouse", "interop", "source"),
+)
+def iceberg_interop_read(spark, sf_dir):
+    """Iceberg metadata-walk interop (sources/iceberg.py, round 4):
+    stage two customer segments as a format-v1 Iceberg table —
+    parquet data files + Avro manifest + Avro manifest list (written
+    with the spec-pinned pure-Python Avro codec) + vN.metadata.json —
+    then read the snapshot back through the pointer walk
+    (version-hint → metadata → manifest list → manifests → live data
+    files) and aggregate. The oracle recomputes from raw parquet, so
+    metadata staging → Avro decode → snapshot scan is value-hash
+    checked with no Iceberg jar anywhere."""
+    import tempfile
+
+    from ..sources.iceberg import IcebergTableReader, create_minimal_table
+
+    base = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_io_") + "/t"
+    create_minimal_table(spark, path, base.repartition(3))
+    snap = IcebergTableReader(spark, path).read()
+    return snap.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
+    "avro_roundtrip_stats",
+    oracle="""
+        SELECT c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer
+        GROUP BY segment
+    """,
+    tags=("avro", "source", "sink", "interop"),
+)
+def avro_roundtrip_stats(spark, sf_dir):
+    """Avro source/sink through the pure-Python container codec
+    (functions/avrocodec.py + sources/avro_io.py, round 4 — the
+    'Avro connector untestable' gap closed with the published spec
+    instead of the absent jar): write customer as 4 deflate container
+    files from the executors, read them back at one-task-per-file
+    parallelism, aggregate. The oracle recomputes from the raw
+    parquet, so the full encode → container framing → decode cycle is
+    value-hash checked; the wire format itself is pinned to the spec's
+    golden bytes in tests/test_avro.py."""
+    import tempfile
+
+    from ..sources.avro_io import read_avro_dir, write_avro_dir
+
+    base = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    path = tempfile.mkdtemp(prefix="avro_io_") + "/customer"
+    write_avro_dir(base.repartition(4), path, codec="deflate")
+    back = read_avro_dir(spark, path)
+    return back.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
     "acid_optimize_compaction",
     oracle="""
         SELECT c_mktsegment AS segment,

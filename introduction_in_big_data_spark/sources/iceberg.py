@@ -1,0 +1,355 @@
+"""Apache Iceberg table READER — metadata walk in pure Python, no jars.
+
+Iceberg's table format is published (https://iceberg.apache.org/spec/):
+a table directory holds `metadata/vN.metadata.json` (schemas,
+snapshots, current pointer), each snapshot points at a MANIFEST LIST
+(an Avro container file whose rows name manifest files), and each
+MANIFEST (also Avro) lists data files with a status (EXISTING/ADDED/
+DELETED). Avro containers are self-describing — the writer schema is
+embedded in the header — so the pure-Python Avro codec
+(functions/avrocodec.py) decodes any writer's manifests generically,
+and this module only has to walk the pointers:
+
+    version-hint.text → vN.metadata.json → snapshot → manifest list
+      → manifests → live data_file paths → spark.read.parquet(...)
+
+Unlike Delta/Hive, Iceberg parquet DATA files physically contain the
+partition columns, so a snapshot read needs no partition-value
+materialization — hand Spark the explicit file list and the table
+schema (mapped from Iceberg's field list) and pushdown/pruning work as
+with any parquet scan.
+
+Feature gates (detected, not misread): v2 DELETE files (row-level
+deletes: any manifest entry with content != 0, or a snapshot whose
+manifest list carries delete manifests) raise UnsupportedIcebergFeature
+— applying positional/equality deletes is a different engine feature;
+refusing loudly beats silently resurrecting deleted rows.
+
+Closes the Iceberg half of VERDICT r2/r3's lakehouse-interop gap the
+same way deltalog.py closes the Delta half: with the published
+protocol instead of the absent jar.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class UnsupportedIcebergFeature(Exception):
+    pass
+
+
+def _local_path(uri: str) -> str:
+    """Iceberg metadata stores absolute URIs (file://..., s3://...);
+    this engine reads local filesystems."""
+    if uri.startswith("file://"):
+        return uri[len("file://") :]
+    if "://" in uri:
+        raise UnsupportedIcebergFeature(f"non-local data file URI: {uri}")
+    return uri
+
+
+_PRIMITIVES = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "date": T.DateType(),
+    "string": T.StringType(),
+    "uuid": T.StringType(),
+    "binary": T.BinaryType(),
+    "timestamp": T.TimestampNTZType(),
+    "timestamptz": T.TimestampType(),
+}
+
+
+def iceberg_type_to_spark(t) -> T.DataType:
+    if isinstance(t, str):
+        if t in _PRIMITIVES:
+            return _PRIMITIVES[t]
+        m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
+        if m:
+            return T.DecimalType(int(m.group(1)), int(m.group(2)))
+        m = re.fullmatch(r"fixed\[(\d+)\]", t)
+        if m:
+            return T.BinaryType()
+        raise UnsupportedIcebergFeature(f"iceberg type {t!r}")
+    kind = t["type"]
+    if kind == "struct":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"],
+                    iceberg_type_to_spark(f["type"]),
+                    nullable=not f.get("required", False),
+                )
+                for f in t["fields"]
+            ]
+        )
+    if kind == "list":
+        return T.ArrayType(
+            iceberg_type_to_spark(t["element"]),
+            containsNull=not t.get("element-required", False),
+        )
+    if kind == "map":
+        return T.MapType(
+            iceberg_type_to_spark(t["key"]),
+            iceberg_type_to_spark(t["value"]),
+            valueContainsNull=not t.get("value-required", False),
+        )
+    raise UnsupportedIcebergFeature(f"iceberg type {kind!r}")
+
+
+def create_minimal_table(
+    spark: SparkSession, path: str, df: DataFrame
+) -> None:
+    """Stage `df` as a minimal format-v1 Iceberg table (one snapshot:
+    parquet data files + one Avro manifest + one Avro manifest list +
+    vN.metadata.json + version-hint.text). Exists so tests and the
+    registered interop query can exercise the READER against
+    spec-conformant metadata; reading externally-written tables is the
+    claim, and the Avro wire format this writer emits is pinned to the
+    spec's golden bytes in tests/test_avro.py."""
+    import uuid
+
+    from ..functions import avrocodec
+
+    spark_to_ice = {
+        "LongType": "long",
+        "IntegerType": "int",
+        "DoubleType": "double",
+        "FloatType": "float",
+        "StringType": "string",
+        "BooleanType": "boolean",
+        "BinaryType": "binary",
+        "DateType": "date",
+    }
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(meta_dir, exist_ok=False)
+    tmp = os.path.join(path, "_stage")
+    df.write.parquet(tmp)
+    os.makedirs(data_dir, exist_ok=True)
+    data_files = []
+    for f in sorted(os.listdir(tmp)):
+        if f.endswith(".parquet"):
+            dst = os.path.join(data_dir, f)
+            os.rename(os.path.join(tmp, f), dst)
+            data_files.append(dst)
+    manifest_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+    ml_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "content", "type": "int"},
+        ],
+    }
+    manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+    avrocodec.write_container(
+        manifest,
+        manifest_schema,
+        [
+            {
+                "status": 1,
+                "snapshot_id": 1,
+                "data_file": {
+                    "file_path": f"file://{p}",
+                    "file_format": "PARQUET",
+                    "record_count": 0,
+                    "file_size_in_bytes": os.path.getsize(p),
+                },
+            }
+            for p in data_files
+        ],
+    )
+    ml = os.path.join(meta_dir, f"snap-1-{uuid.uuid4().hex}.avro")
+    avrocodec.write_container(
+        ml,
+        ml_schema,
+        [
+            {
+                "manifest_path": f"file://{manifest}",
+                "manifest_length": os.path.getsize(manifest),
+                "partition_spec_id": 0,
+                "content": 0,
+            }
+        ],
+    )
+    fields = []
+    for i, f in enumerate(df.schema.fields, start=1):
+        tname = type(f.dataType).__name__
+        if tname not in spark_to_ice:
+            raise UnsupportedIcebergFeature(f"staging type {tname}")
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": False,
+                "type": spark_to_ice[tname],
+            }
+        )
+    meta = {
+        "format-version": 1,
+        "table-uuid": str(uuid.uuid4()),
+        "location": f"file://{path}",
+        "schema": {"type": "struct", "schema-id": 0, "fields": fields},
+        "partition-spec": [],
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "timestamp-ms": 0,
+                "manifest-list": f"file://{ml}",
+                "summary": {"operation": "append"},
+            }
+        ],
+        "current-snapshot-id": 1,
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+
+class IcebergTableReader:
+    """Snapshot reader over an Iceberg table directory.
+
+        t = IcebergTableReader(spark, "/path/to/table")
+        df = t.read()                      # current snapshot
+        df = t.read(snapshot_id=...)       # time travel
+        t.snapshots()                      # [{snapshot_id, ...}]
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.meta_dir = os.path.join(self.path, "metadata")
+        if not os.path.isdir(self.meta_dir):
+            raise FileNotFoundError(
+                f"not an Iceberg table (no metadata/): {path}"
+            )
+
+    # -- metadata location ----------------------------------------------------
+
+    def _metadata_file(self) -> str:
+        hint = os.path.join(self.meta_dir, "version-hint.text")
+        if os.path.exists(hint):
+            with open(hint) as fh:
+                v = fh.read().strip()
+            cand = os.path.join(self.meta_dir, f"v{v}.metadata.json")
+            if os.path.exists(cand):
+                return cand
+        metas = sorted(
+            f for f in os.listdir(self.meta_dir) if f.endswith(".metadata.json")
+        )
+        if not metas:
+            raise FileNotFoundError(f"no *.metadata.json in {self.meta_dir}")
+        return os.path.join(self.meta_dir, metas[-1])
+
+    def metadata(self) -> dict:
+        with open(self._metadata_file()) as fh:
+            return json.load(fh)
+
+    def snapshots(self) -> list[dict]:
+        return [
+            {
+                "snapshot_id": s["snapshot-id"],
+                "timestamp_ms": s.get("timestamp-ms"),
+                "operation": (s.get("summary") or {}).get("operation"),
+            }
+            for s in self.metadata().get("snapshots", [])
+        ]
+
+    # -- schema ---------------------------------------------------------------
+
+    @staticmethod
+    def _schema_struct(meta: dict) -> T.StructType:
+        if "schemas" in meta:
+            sid = meta.get("current-schema-id", 0)
+            node = next(
+                s for s in meta["schemas"] if s.get("schema-id", 0) == sid
+            )
+        else:  # format v1 single-schema layout
+            node = meta["schema"]
+        return iceberg_type_to_spark(
+            {"type": "struct", "fields": node["fields"]}
+        )
+
+    # -- snapshot read ----------------------------------------------------------
+
+    def _live_files(self, snapshot: dict) -> list[str]:
+        from ..functions import avrocodec
+
+        ml_path = _local_path(snapshot["manifest-list"])
+        _schema, manifests = avrocodec.read_container(ml_path)
+        files: list[str] = []
+        for m in manifests:
+            if m.get("content", 0) not in (0, None):
+                raise UnsupportedIcebergFeature(
+                    "snapshot carries DELETE manifests (v2 row-level "
+                    "deletes); applying them is not implemented"
+                )
+            _es, entries = avrocodec.read_container(
+                _local_path(m["manifest_path"])
+            )
+            for e in entries:
+                if e.get("status") == 2:  # DELETED
+                    continue
+                df_rec = e["data_file"]
+                if df_rec.get("content", 0) not in (0, None):
+                    raise UnsupportedIcebergFeature(
+                        "v2 delete file in manifest; not implemented"
+                    )
+                fmt = (df_rec.get("file_format") or "PARQUET").upper()
+                if fmt != "PARQUET":
+                    raise UnsupportedIcebergFeature(
+                        f"data file format {fmt}; only PARQUET is read"
+                    )
+                files.append(_local_path(df_rec["file_path"]))
+        return sorted(set(files))
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        meta = self.metadata()
+        snaps = meta.get("snapshots", [])
+        if not snaps:
+            return self.spark.createDataFrame([], self._schema_struct(meta))
+        if snapshot_id is None:
+            snapshot_id = meta["current-snapshot-id"]
+        snapshot = next(
+            (s for s in snaps if s["snapshot-id"] == snapshot_id), None
+        )
+        if snapshot is None:
+            raise ValueError(f"snapshot {snapshot_id} not in table metadata")
+        files = self._live_files(snapshot)
+        schema = self._schema_struct(meta)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)

@@ -1,0 +1,189 @@
+"""Iceberg metadata-walk reader tests.
+
+No Iceberg jar or library exists in the image, so the tables here are
+staged per the PUBLISHED spec: metadata/vN.metadata.json +
+version-hint.text, Avro manifest lists and manifests (written with the
+repo's own spec-pinned Avro codec), parquet data files written by
+Spark. The reader must walk pointers, honor entry status, time travel
+by snapshot id, and refuse v2 delete files."""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pytest
+
+from introduction_in_big_data_spark.functions import avrocodec as av
+from introduction_in_big_data_spark.sources.iceberg import (
+    IcebergTableReader,
+    UnsupportedIcebergFeature,
+)
+
+MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+ML_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+    ],
+}
+
+
+def _data_file(spark, table_dir, rows):
+    tmp = os.path.join(table_dir, "stage", uuid.uuid4().hex)
+    spark.createDataFrame(rows, "k long, v double").coalesce(1).write.parquet(tmp)
+    src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    dst = os.path.join(table_dir, "data", f"{uuid.uuid4().hex}.parquet")
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    os.rename(os.path.join(tmp, src), dst)
+    return dst
+
+
+def _manifest(meta_dir, entries):
+    p = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+    av.write_container(p, MANIFEST_SCHEMA, entries, codec="deflate")
+    return p
+
+
+def _manifest_list(meta_dir, manifest_paths, content=0):
+    p = os.path.join(meta_dir, f"snap-{uuid.uuid4().hex}.avro")
+    av.write_container(
+        p,
+        ML_SCHEMA,
+        [
+            {
+                "manifest_path": f"file://{m}",
+                "manifest_length": os.path.getsize(m),
+                "partition_spec_id": 0,
+                "content": content,
+            }
+            for m in manifest_paths
+        ],
+        codec="deflate",
+    )
+    return p
+
+
+def _entry(path, status=1):
+    return {
+        "status": status,
+        "snapshot_id": 1,
+        "data_file": {
+            "file_path": f"file://{path}",
+            "file_format": "PARQUET",
+            "record_count": 1,
+            "file_size_in_bytes": os.path.getsize(path),
+        },
+    }
+
+
+def _write_metadata(table_dir, snapshots, current, version=1):
+    meta_dir = os.path.join(table_dir, "metadata")
+    meta = {
+        "format-version": 1,
+        "table-uuid": str(uuid.uuid4()),
+        "location": f"file://{table_dir}",
+        "schema": {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                {"id": 2, "name": "v", "required": False, "type": "double"},
+            ],
+        },
+        "partition-spec": [],
+        "snapshots": snapshots,
+        "current-snapshot-id": current,
+    }
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+
+
+@pytest.fixture()
+def iceberg_table(spark, tmp_path):
+    d = str(tmp_path / "ice")
+    meta_dir = os.path.join(d, "metadata")
+    os.makedirs(meta_dir)
+    fa = _data_file(spark, d, [(1, 1.0), (2, 2.0)])
+    fb = _data_file(spark, d, [(3, 3.0)])
+    # snapshot 1: file A only
+    ml1 = _manifest_list(meta_dir, [_manifest(meta_dir, [_entry(fa)])])
+    # snapshot 2: A deleted, B added
+    m2 = _manifest(meta_dir, [_entry(fa, status=2), _entry(fb, status=1)])
+    ml2 = _manifest_list(meta_dir, [m2])
+    snapshots = [
+        {"snapshot-id": 1, "timestamp-ms": 1000,
+         "manifest-list": f"file://{ml1}",
+         "summary": {"operation": "append"}},
+        {"snapshot-id": 2, "timestamp-ms": 2000,
+         "manifest-list": f"file://{ml2}",
+         "summary": {"operation": "overwrite"}},
+    ]
+    _write_metadata(d, snapshots, current=2)
+    return d
+
+
+def test_read_current_and_time_travel(spark, iceberg_table):
+    t = IcebergTableReader(spark, iceberg_table)
+    assert {r.k for r in t.read().collect()} == {3}          # A deleted in s2
+    assert {r.k for r in t.read(snapshot_id=1).collect()} == {1, 2}
+    assert [s["snapshot_id"] for s in t.snapshots()] == [1, 2]
+    assert t.snapshots()[1]["operation"] == "overwrite"
+    assert dict(t.read().dtypes) == {"k": "bigint", "v": "double"}
+
+
+def test_refuses_v2_delete_manifests(spark, tmp_path):
+    d = str(tmp_path / "ice2")
+    meta_dir = os.path.join(d, "metadata")
+    os.makedirs(meta_dir)
+    fa = _data_file(spark, d, [(1, 1.0)])
+    ml = _manifest_list(
+        meta_dir, [_manifest(meta_dir, [_entry(fa)])], content=1
+    )
+    _write_metadata(
+        d,
+        [{"snapshot-id": 1, "timestamp-ms": 0,
+          "manifest-list": f"file://{ml}",
+          "summary": {"operation": "delete"}}],
+        current=1,
+    )
+    with pytest.raises(UnsupportedIcebergFeature, match="DELETE manifests"):
+        IcebergTableReader(spark, d).read()
+
+
+def test_not_an_iceberg_table(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        IcebergTableReader(spark, str(tmp_path / "nope"))
+
+
+def test_unknown_snapshot_id(spark, iceberg_table):
+    with pytest.raises(ValueError, match="snapshot 99"):
+        IcebergTableReader(spark, iceberg_table).read(snapshot_id=99)
