@@ -542,3 +542,68 @@ def sequence_pack_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("ntok").alias("seq_tokens"),
     )
+
+
+BPE_MERGES = 6
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled-CTE replay of BPE training: round r computes weighted
+    adjacent-pair counts over the round r-1 dictionary, picks the
+    (cnt DESC, a, b) argmax, and applies it with the same
+    space-delimited replace() the Spark operator uses (probed
+    identical non-overlap semantics in both engines)."""
+    parts = [r"""
+        WITH tok AS (
+            SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
+        ),
+        words0 AS (
+            SELECT ' ' || array_to_string(
+                       list_transform(range(1, length(w) + 1), i -> w[i:i]),
+                       ' ') AS s,
+                   CAST(count(*) AS BIGINT) AS freq
+            FROM tok GROUP BY w
+        )"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""
+        , pairs{r} AS (
+            SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM (SELECT string_split(trim(s), ' ') AS l, freq
+                  FROM words{r - 1}) t,
+                 unnest(range(1, len(l))) AS u(i)
+            GROUP BY a, b
+        ),
+        best{r} AS (
+            SELECT a, b, cnt FROM pairs{r} ORDER BY cnt DESC, a, b LIMIT 1
+        ),
+        words{r} AS (
+            SELECT replace(s, ' ' || a || ' ' || b, ' ' || a || b) AS s, freq
+            FROM words{r - 1}, best{r}
+        )""")
+    selects = [
+        f"SELECT CAST({r} AS INTEGER) AS merge_round, a AS merge_left,"
+        f" b AS merge_right, cnt AS pair_count FROM best{r}"
+        for r in range(1, n_merges + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_oracle(BPE_MERGES),
+    tags=("text", "tokenizer", "bpe", "llm", "iterative"),
+)
+def bpe_train_merges(spark, sf_dir):
+    """BPE tokenizer training on the corpus (operators/text.bpe_train,
+    round 4) — the tokenizer-learning step of an LLM pipeline as an
+    engine op. The corpus is scanned ONCE into the word-frequency
+    dictionary; each of the 6 merge rounds runs over the dictionary
+    (vocabulary-bounded, sub-linear in corpus growth), so training
+    cost is decoupled from corpus size — the property that makes
+    in-engine tokenizer training viable at 100 TB. Every learned
+    merge (round, pair, count) is value-hash checked against a DuckDB
+    unrolled-CTE replay, argmax tiebreak (cnt DESC, left, right) on
+    exact integers."""
+    from ..operators.text import bpe_train
+
+    return bpe_train(t(spark, sf_dir, "documents"), "text", n_merges=BPE_MERGES)
