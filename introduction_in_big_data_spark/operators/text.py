@@ -513,3 +513,47 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "merge_round int, merge_left string, merge_right string, pair_count long"
     )
+
+
+def bpe_apply_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply learned BPE merges and count tokens per document — the
+    encode half of bpe_train, in the dictionary-join shape: merges are
+    applied to the DISTINCT-WORD dictionary (vocabulary-bounded — the
+    corpus-scale token stream never touches a replace), the resulting
+    word → symbol-count map broadcasts, and each document's BPE token
+    count is one join + grouped sum. Returns
+    (id, n_words, n_bpe_tokens).
+
+    `merges`: ordered (left, right) pairs from bpe_train — applied in
+    training order, same space-delimited replace() semantics."""
+    from ..functions.partitioning import spread_if_narrow
+
+    toks = spread_if_narrow(df, multiplier=0.5).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    chars = F.expr("transform(sequence(1, char_length(w)), i -> substring(w, i, 1))")
+    s = F.concat(F.lit(" "), F.array_join(chars, " "))
+    for a, b in merges:
+        s = F.replace(
+            s,
+            F.concat(F.lit(" "), F.lit(a), F.lit(" "), F.lit(b)),
+            F.concat(F.lit(" "), F.lit(a), F.lit(b)),
+        )
+    dic = (
+        toks.select("w")
+        .distinct()
+        .select("w", F.size(F.split(F.trim(s), " ")).alias("n_sym"))
+    )
+    return (
+        toks.join(F.broadcast(dic), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+    )

@@ -607,3 +607,79 @@ def bpe_train_merges(spark, sf_dir):
     from ..operators.text import bpe_train
 
     return bpe_train(t(spark, sf_dir, "documents"), "text", n_merges=BPE_MERGES)
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Same unrolled training chain as _bpe_oracle but CARRYING the
+    original word through the rounds, so the final dictionary maps
+    word -> merged symbol count; per-doc counts are then one join +
+    grouped sum over the per-occurrence token stream."""
+    parts = [r"""
+        WITH tok AS (
+            SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
+        ),
+        words0 AS (
+            SELECT w,
+                   ' ' || array_to_string(
+                       list_transform(range(1, length(w) + 1), i -> w[i:i]),
+                       ' ') AS s,
+                   CAST(count(*) AS BIGINT) AS freq
+            FROM tok GROUP BY w
+        )"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""
+        , pairs{r} AS (
+            SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM (SELECT string_split(trim(s), ' ') AS l, freq
+                  FROM words{r - 1}) t,
+                 unnest(range(1, len(l))) AS u(i)
+            GROUP BY a, b
+        ),
+        best{r} AS (
+            SELECT a, b FROM pairs{r} ORDER BY cnt DESC, a, b LIMIT 1
+        ),
+        words{r} AS (
+            SELECT w, replace(s, ' ' || a || ' ' || b, ' ' || a || b) AS s,
+                   freq
+            FROM words{r - 1}, best{r}
+        )""")
+    parts.append(f"""
+        , dict AS (
+            SELECT w, len(string_split(trim(s), ' ')) AS n_sym
+            FROM words{n_merges}
+        ),
+        doc_tok AS (
+            SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+        FROM doc_tok JOIN dict USING (w)
+        GROUP BY doc_id""")
+    return "".join(parts)
+
+
+@register(
+    "bpe_encode_stats",
+    oracle=_bpe_encode_oracle(BPE_MERGES),
+    tags=("text", "tokenizer", "bpe", "llm"),
+)
+def bpe_encode_stats(spark, sf_dir):
+    """BPE ENCODING with the corpus-trained merges
+    (operators/text.bpe_apply_token_counts, round 4): train the 6
+    merges (bpe_train), then count each document's BPE tokens via the
+    dictionary-join shape — merges apply to the DISTINCT-WORD
+    dictionary only (vocabulary-bounded), the word → symbol-count map
+    broadcasts, and per-doc counts are one join + grouped sum; the
+    corpus-scale token stream never runs a replace. Both the training
+    rounds and the encode join are value-hash checked against one
+    DuckDB chain."""
+    from ..operators.text import bpe_apply_token_counts, bpe_train
+
+    docs = t(spark, sf_dir, "documents")
+    merges = [
+        (r.merge_left, r.merge_right)
+        for r in bpe_train(docs, "text", n_merges=BPE_MERGES).collect()
+    ]
+    return bpe_apply_token_counts(docs, merges, "doc_id", "text")
