@@ -183,3 +183,48 @@ def test_spark_avro_null_codec_and_nulls(spark, tmp_path):
     write_avro_dir(df.coalesce(1), out, codec="null")
     back = read_avro_dir(spark, out)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_avro_roundtrip_property():
+    """Property: arbitrary (long, double, optional-string, bytes,
+    string-list) rows survive the full container round trip bit-exact
+    (floats excluded from NaN since NaN != NaN)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    schema = {
+        "type": "record",
+        "name": "p",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "double"},
+            {"name": "c", "type": ["null", "string"]},
+            {"name": "d", "type": "bytes"},
+            {"name": "e", "type": {"type": "array", "items": "string"}},
+        ],
+    }
+    row_st = st.fixed_dictionaries(
+        {
+            "a": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            "b": st.floats(allow_nan=False),
+            "c": st.none() | st.text(max_size=20),
+            "d": st.binary(max_size=20),
+            "e": st.lists(st.text(max_size=8), max_size=5),
+        }
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(row_st, max_size=20))
+    def check(rows):
+        import io as _io
+
+        buf = _io.BytesIO()
+        named = {}
+        for r in rows:
+            av.encode_value(buf, schema, r, named)
+        buf.seek(0)
+        got = [av.decode_value(buf, schema, named) for _ in rows]
+        assert got == rows
+        assert buf.read() == b""  # every byte consumed
+
+    check()
