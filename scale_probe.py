@@ -104,6 +104,21 @@ PROBE_QUERIES = [
     "ann_lsh_topk",            # r4: production LSH kernel — one Arrow
                                # numpy matmul for signatures, bucket
                                # equi-join, verify candidates only
+    "bpe_train_merges",        # r4: rounds run over the word-frequency
+                               # dictionary — only the one corpus scan
+                               # should grow (the text-disjoint build
+                               # grows vocab 10x too via ~i suffixes,
+                               # still dictionary-bounded)
+    "avro_roundtrip_stats",    # r4: executor-side container writes +
+                               # one-task-per-file Python decode —
+                               # embarrassingly parallel both ways
+    "delta_interop_read",      # r4: driver-side log replay is O(files);
+                               # the data plan is pruned parquet scans
+    "iceberg_interop_read",    # r4: metadata walk is O(manifests);
+                               # data plan = explicit-file parquet scan
+    "acid_optimize_compaction",  # r4: rewrite cost ∝ bytes compacted
+    "bpe_encode_stats",        # r4: encode = vocab-bounded dictionary
+                               # fold + broadcast join on token stream
 ]
 
 
