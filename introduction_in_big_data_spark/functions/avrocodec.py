@@ -85,9 +85,16 @@ def read_bytes(buf) -> bytes:
     n = read_long(buf)
     if n < 0:
         raise AvroError("negative byte length")
+    return _read_exact(buf, n, "bytes")
+
+
+def _read_exact(buf, n: int, what: str) -> bytes:
+    """Read exactly n bytes or raise AvroError — truncated/corrupt
+    files must surface as the module's promised EOF error, not as a
+    silently short `fixed` value or an opaque struct.error."""
     data = buf.read(n)
     if len(data) != n:
-        raise AvroError("EOF inside bytes")
+        raise AvroError(f"EOF inside {what}")
     return data
 
 
@@ -223,15 +230,15 @@ def decode_value(buf, schema, named: dict):
     if t in ("int", "long"):
         return read_long(buf)
     if t == "float":
-        return struct.unpack("<f", buf.read(4))[0]
+        return struct.unpack("<f", _read_exact(buf, 4, "float"))[0]
     if t == "double":
-        return struct.unpack("<d", buf.read(8))[0]
+        return struct.unpack("<d", _read_exact(buf, 8, "double"))[0]
     if t == "bytes":
         return read_bytes(buf)
     if t == "string":
         return read_bytes(buf).decode("utf-8")
     if t == "fixed":
-        return buf.read(schema["size"])
+        return _read_exact(buf, schema["size"], "fixed")
     if t == "enum":
         return schema["symbols"][read_long(buf)]
     if t == "array":

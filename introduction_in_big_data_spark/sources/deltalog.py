@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -293,6 +294,12 @@ class DeltaLogReader:
             return self.spark.createDataFrame([], schema)
 
         def abspath(p: str) -> str:
+            # PROTOCOL.md: add.path is a URL-encoded path RELATIVE to
+            # the table root (external writers encode spaces, '=', '%',
+            # non-ASCII in file and partition-directory names). Decode
+            # when resolving to the filesystem; the encoded form stays
+            # the live-set dict key for add/remove reconciliation.
+            p = unquote(p)
             return p if p.startswith("/") else os.path.join(self.path, p)
 
         if not part_cols:
@@ -307,7 +314,13 @@ class DeltaLogReader:
             key = tuple(pv.get(c) for c in part_cols)
             groups.setdefault(key, []).append(abspath(a["path"]))
         out: DataFrame | None = None
-        for key, files in sorted(groups.items()):
+        # keys mix None (null partition) and str — plain sorted() would
+        # raise TypeError comparing them; order only stabilizes the
+        # union, so sort None-safe (nulls first per column)
+        for key, files in sorted(
+            groups.items(),
+            key=lambda kv: tuple((v is not None, v or "") for v in kv[0]),
+        ):
             part = self.spark.read.schema(data_schema).parquet(*sorted(files))
             for c, raw in zip(part_cols, key):
                 # protocol: partitionValues serializes a NULL as the

@@ -267,12 +267,35 @@ class IcebergTableReader:
             cand = os.path.join(self.meta_dir, f"v{v}.metadata.json")
             if os.path.exists(cand):
                 return cand
-        metas = sorted(
+        metas = [
             f for f in os.listdir(self.meta_dir) if f.endswith(".metadata.json")
-        )
+        ]
         if not metas:
             raise FileNotFoundError(f"no *.metadata.json in {self.meta_dir}")
-        return os.path.join(self.meta_dir, metas[-1])
+
+        # pick the NUMERIC max, not the lexicographic one —
+        # HadoopCatalog names (v2... v10) sort lexicographically with
+        # v9 > v10; the 00000-uuid form carries a zero-padded sequence
+        # prefix. Fall back to mtime when no name carries a number.
+        def version_of(name: str) -> int | None:
+            m = re.match(r"v(\d+)\.metadata\.json$", name)
+            if m:
+                return int(m.group(1))
+            m = re.match(r"(\d+)-", name)
+            if m:
+                return int(m.group(1))
+            return None
+
+        numbered = [(version_of(f), f) for f in metas]
+        numbered = [(v, f) for v, f in numbered if v is not None]
+        if numbered:
+            best = max(numbered)[1]
+        else:
+            best = max(
+                metas,
+                key=lambda f: os.path.getmtime(os.path.join(self.meta_dir, f)),
+            )
+        return os.path.join(self.meta_dir, best)
 
     def metadata(self) -> dict:
         with open(self._metadata_file()) as fh:

@@ -228,3 +228,24 @@ def test_avro_roundtrip_property():
         assert buf.read() == b""  # every byte consumed
 
     check()
+
+
+def test_truncated_fixed_and_double_raise_avro_error():
+    """ADVICE r4: short reads inside fixed/float/double must raise the
+    promised AvroError, not return silently-short bytes or struct.error."""
+    import io
+
+    import pytest
+
+    from introduction_in_big_data_spark.functions import avrocodec as av
+
+    with pytest.raises(av.AvroError, match="EOF inside fixed"):
+        av.decode_value(
+            io.BytesIO(b"\x01\x02"),
+            {"type": "fixed", "name": "f8", "size": 8},
+            {},
+        )
+    with pytest.raises(av.AvroError, match="EOF inside double"):
+        av.decode_value(io.BytesIO(b"\x01\x02\x03"), "double", {})
+    with pytest.raises(av.AvroError, match="EOF inside float"):
+        av.decode_value(io.BytesIO(b"\x01"), "float", {})

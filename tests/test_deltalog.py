@@ -215,6 +215,58 @@ def test_not_a_delta_table(spark, tmp_path):
         DeltaLogReader(spark, str(tmp_path / "nope"))
 
 
+def test_mixed_null_and_string_partition_values(spark, tmp_path):
+    """ADVICE r4: a partition column with BOTH null and non-null values
+    must not crash the None-vs-str group-key sort (protocol serializes
+    NULL partitions as a missing key / JSON null)."""
+    schema_json = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+                {"name": "p", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    d = str(tmp_path / "t6")
+    os.makedirs(d)
+    fa = _write_data(spark, d, [(1, 1.0)], sub="p=a/part")
+    fb = _write_data(spark, d, [(2, 2.0)], sub="p=null/part")
+    fc = _write_data(spark, d, [(3, 3.0)], sub="p=b/part")
+    _commit(
+        d,
+        0,
+        [
+            _protocol(),
+            _meta(schema_json, partition_cols=["p"]),
+            _add(fa, {"p": "a"}),
+            _add(fb, {"p": None}),
+            _add(fc, {"p": "b"}),
+        ],
+    )
+    out = DeltaLogReader(spark, d).read()
+    assert {(r.k, r.p) for r in out.collect()} == {
+        (1, "a"), (2, None), (3, "b")
+    }
+
+
+def test_url_encoded_add_paths_resolve(spark, tmp_path):
+    """ADVICE r4: add.path is URL-encoded per PROTOCOL.md — files whose
+    names contain spaces / '=' / '%' / non-ASCII must resolve via
+    unquote, or external tables fail with file-not-found."""
+    from urllib.parse import quote
+
+    d = str(tmp_path / "t7")
+    os.makedirs(d)
+    f0 = _write_data(spark, d, [(1, 1.0)])
+    odd = "dir with space/part 100%=ok-é.parquet"
+    os.renames(os.path.join(d, f0), os.path.join(d, odd))
+    _commit(d, 0, [_protocol(), _meta(), _add(quote(odd))])
+    out = DeltaLogReader(spark, d).read()
+    assert [r.k for r in out.collect()] == [1]
+
+
 def test_add_replaced_by_later_add_of_same_path(spark, tmp_path):
     """Protocol reconciliation: a later add of the same path replaces
     the earlier one (not a duplicate scan)."""

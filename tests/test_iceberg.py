@@ -187,3 +187,27 @@ def test_not_an_iceberg_table(spark, tmp_path):
 def test_unknown_snapshot_id(spark, iceberg_table):
     with pytest.raises(ValueError, match="snapshot 99"):
         IcebergTableReader(spark, iceberg_table).read(snapshot_id=99)
+
+
+def test_metadata_file_numeric_version_pick(spark, tmp_path):
+    """ADVICE r4: with version-hint missing, v10 must beat v9 (numeric
+    max, not lexicographic — 'v10...' < 'v9...' as strings)."""
+    d = str(tmp_path / "ice3")
+    meta_dir = os.path.join(d, "metadata")
+    os.makedirs(meta_dir)
+    fa = _data_file(spark, d, [(1, 1.0)])
+    fb = _data_file(spark, d, [(2, 2.0)])
+    ml1 = _manifest_list(meta_dir, [_manifest(meta_dir, [_entry(fa)])])
+    ml2 = _manifest_list(meta_dir, [_manifest(meta_dir, [_entry(fb)])])
+    s1 = [{"snapshot-id": 1, "timestamp-ms": 0,
+           "manifest-list": f"file://{ml1}",
+           "summary": {"operation": "append"}}]
+    s2 = [{"snapshot-id": 2, "timestamp-ms": 0,
+           "manifest-list": f"file://{ml2}",
+           "summary": {"operation": "overwrite"}}]
+    _write_metadata(d, s1, current=1, version=9)
+    _write_metadata(d, s2, current=2, version=10)
+    os.unlink(os.path.join(meta_dir, "version-hint.text"))
+    t = IcebergTableReader(spark, d)
+    assert t._metadata_file().endswith("v10.metadata.json")
+    assert {r.k for r in t.read().collect()} == {2}
