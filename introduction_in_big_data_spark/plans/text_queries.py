@@ -551,8 +551,10 @@ def _bpe_oracle(n_merges: int) -> str:
     """Unrolled-CTE replay of BPE training: round r computes weighted
     adjacent-pair counts over the round r-1 dictionary, picks the
     (cnt DESC, a, b) argmax, and applies it with the same
-    space-delimited replace() the Spark operator uses (probed
-    identical non-overlap semantics in both engines)."""
+    wrapped-symbol replace() the Spark operator uses (' a  b ' ->
+    ' ab ': delimiter-bounded on BOTH sides, so a merge can't fire on
+    a neighboring symbol that merely starts with b — ADVICE r4;
+    identical single-pass semantics in both engines)."""
     parts = [r"""
         WITH tok AS (
             SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
@@ -560,7 +562,7 @@ def _bpe_oracle(n_merges: int) -> str:
         words0 AS (
             SELECT ' ' || array_to_string(
                        list_transform(range(1, length(w) + 1), i -> w[i:i]),
-                       ' ') AS s,
+                       '  ') || ' ' AS s,
                    CAST(count(*) AS BIGINT) AS freq
             FROM tok GROUP BY w
         )"""]
@@ -568,7 +570,7 @@ def _bpe_oracle(n_merges: int) -> str:
         parts.append(f"""
         , pairs{r} AS (
             SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
-            FROM (SELECT string_split(trim(s), ' ') AS l, freq
+            FROM (SELECT string_split(trim(s), '  ') AS l, freq
                   FROM words{r - 1}) t,
                  unnest(range(1, len(l))) AS u(i)
             GROUP BY a, b
@@ -577,7 +579,8 @@ def _bpe_oracle(n_merges: int) -> str:
             SELECT a, b, cnt FROM pairs{r} ORDER BY cnt DESC, a, b LIMIT 1
         ),
         words{r} AS (
-            SELECT replace(s, ' ' || a || ' ' || b, ' ' || a || b) AS s, freq
+            SELECT replace(s, ' ' || a || '  ' || b || ' ',
+                           ' ' || a || b || ' ') AS s, freq
             FROM words{r - 1}, best{r}
         )""")
     selects = [
@@ -609,6 +612,30 @@ def bpe_train_merges(spark, sf_dir):
     return bpe_train(t(spark, sf_dir, "documents"), "text", n_merges=BPE_MERGES)
 
 
+@register(
+    "bpe_train_local_merges",
+    oracle=_bpe_oracle(BPE_MERGES),
+    tags=("text", "tokenizer", "bpe", "llm", "iterative"),
+)
+def bpe_train_local_merges(spark, sf_dir):
+    """BPE training via the DRIVER-LOCAL merge-round path
+    (operators/text.bpe_train_local, round 5 — VERDICT r4 #3): the
+    corpus scan stays distributed (tokenize → groupBy(word), one
+    shuffle), the vocabulary-bounded word-frequency dictionary is
+    collected once, and the merge rounds run in pure Python with
+    incremental pair statistics + a lazy-deletion heap — the shape
+    that makes 32k–100k-merge vocabularies affordable (no per-round
+    Spark job scheduling; measured rate in SCALE.md r5). Shares
+    bpe_train_merges' DuckDB oracle because the two paths are
+    merge-for-merge identical on the same corpus (pinned by
+    tests/test_bpe.py parity)."""
+    from ..operators.text import bpe_train_local
+
+    return bpe_train_local(
+        t(spark, sf_dir, "documents"), "text", n_merges=BPE_MERGES
+    )
+
+
 def _bpe_encode_oracle(n_merges: int) -> str:
     """Same unrolled training chain as _bpe_oracle but CARRYING the
     original word through the rounds, so the final dictionary maps
@@ -622,7 +649,7 @@ def _bpe_encode_oracle(n_merges: int) -> str:
             SELECT w,
                    ' ' || array_to_string(
                        list_transform(range(1, length(w) + 1), i -> w[i:i]),
-                       ' ') AS s,
+                       '  ') || ' ' AS s,
                    CAST(count(*) AS BIGINT) AS freq
             FROM tok GROUP BY w
         )"""]
@@ -630,7 +657,7 @@ def _bpe_encode_oracle(n_merges: int) -> str:
         parts.append(f"""
         , pairs{r} AS (
             SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
-            FROM (SELECT string_split(trim(s), ' ') AS l, freq
+            FROM (SELECT string_split(trim(s), '  ') AS l, freq
                   FROM words{r - 1}) t,
                  unnest(range(1, len(l))) AS u(i)
             GROUP BY a, b
@@ -639,13 +666,14 @@ def _bpe_encode_oracle(n_merges: int) -> str:
             SELECT a, b FROM pairs{r} ORDER BY cnt DESC, a, b LIMIT 1
         ),
         words{r} AS (
-            SELECT w, replace(s, ' ' || a || ' ' || b, ' ' || a || b) AS s,
+            SELECT w, replace(s, ' ' || a || '  ' || b || ' ',
+                              ' ' || a || b || ' ') AS s,
                    freq
             FROM words{r - 1}, best{r}
         )""")
     parts.append(f"""
         , dict AS (
-            SELECT w, len(string_split(trim(s), ' ')) AS n_sym
+            SELECT w, len(string_split(trim(s), '  ')) AS n_sym
             FROM words{n_merges}
         ),
         doc_tok AS (
