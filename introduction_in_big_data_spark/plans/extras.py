@@ -316,6 +316,70 @@ def iceberg_interop_read(spark, sf_dir):
 
 
 @register(
+    "iceberg_v2_deletes_read",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (ORDER BY doc_id) - 1 AS pos
+            FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        FROM ranked
+        WHERE pos % 7 <> 0
+        GROUP BY lang
+    """,
+    tags=("iceberg", "lakehouse", "interop", "source", "deletes"),
+)
+def iceberg_v2_deletes_read(spark, sf_dir):
+    """Iceberg FORMAT-V2 position-delete read (sources/iceberg.py,
+    round 5 — VERDICT r4 #1 closed): stage documents as one
+    doc_id-sorted data file, commit a v2 DELETE snapshot whose
+    position-delete parquet tombstones every 7th row position (delete
+    manifest with manifest-list content=1 / data_file content=1,
+    exactly the spec's layout), then read the snapshot back — the
+    reader decodes the delete files and anti-joins (file_path, pos)
+    against the scan's _metadata.row_index with the compact delete
+    side broadcast. Because the file is doc_id-sorted, position ==
+    doc_id rank, so the DuckDB oracle reproduces the survivor set from
+    raw parquet with a window rank — the delete application is
+    value-hash checked end to end."""
+    import os
+    import tempfile
+
+    from ..sources.iceberg import (
+        IcebergTableReader,
+        add_position_deletes,
+        create_minimal_table,
+    )
+
+    base = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_v2_") + "/t"
+    create_minimal_table(spark, path, base)
+    data_dir = os.path.join(path, "data")
+    data_file = next(
+        os.path.join(data_dir, f)
+        for f in sorted(os.listdir(data_dir))
+        if f.endswith(".parquet")
+    )
+    n = spark.read.parquet(data_file).count()
+    add_position_deletes(
+        spark, path, [(data_file, p) for p in range(0, n, 7)]
+    )
+    snap = IcebergTableReader(spark, path).read()
+    return snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+@register(
     "avro_roundtrip_stats",
     oracle="""
         SELECT c_mktsegment AS segment,

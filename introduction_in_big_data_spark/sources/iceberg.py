@@ -19,11 +19,16 @@ materialization — hand Spark the explicit file list and the table
 schema (mapped from Iceberg's field list) and pushdown/pruning work as
 with any parquet scan.
 
-Feature gates (detected, not misread): v2 DELETE files (row-level
-deletes: any manifest entry with content != 0, or a snapshot whose
-manifest list carries delete manifests) raise UnsupportedIcebergFeature
-— applying positional/equality deletes is a different engine feature;
-refusing loudly beats silently resurrecting deleted rows.
+Format-v2 row-level deletes (round 5 — VERDICT r4 #1): POSITION
+deletes are APPLIED — delete manifests (manifest-list content=1) are
+walked like data manifests, their position-delete files (parquet or
+Avro, spec columns `file_path` string / `pos` long) decode into a
+(file_path, pos) set, and the snapshot read anti-joins it against the
+data scan's `_metadata.row_index` (the parquet row position — exactly
+the spec's `pos`) with the compact delete side broadcast. EQUALITY
+deletes (content=2) raise UnsupportedIcebergFeature — their
+sequence-point semantics are a different feature, and refusing loudly
+beats silently resurrecting deleted rows.
 
 Closes the Iceberg half of VERDICT r2/r3's lakehouse-interop gap the
 same way deltalog.py closes the Delta half: with the published
@@ -37,6 +42,7 @@ import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -239,6 +245,132 @@ def create_minimal_table(
         fh.write("1")
 
 
+def add_position_deletes(
+    spark: SparkSession, path: str, deletes: list[tuple[str, int]]
+) -> None:
+    """Stage a format-v2 DELETE snapshot on a table created by
+    create_minimal_table: write the given (data_file_path, pos) rows
+    as a parquet position-delete file, wrap it in an Avro delete
+    manifest (manifest-list content=1, data_file content=1 — the
+    spec's v2 layout), append that manifest to the current snapshot's
+    manifest list, and publish a new metadata version + version-hint.
+    Exists so tests and the registered v2 query can exercise the
+    reader's delete application against spec-shaped metadata."""
+    import uuid
+
+    from ..functions import avrocodec
+
+    t = IcebergTableReader(spark, path)
+    meta = t.metadata()
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    ml_schema, old_manifests = avrocodec.read_container(
+        _local_path(cur["manifest-list"])
+    )
+
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    # 1. the position-delete parquet file (spec: file_path, pos)
+    tmp = os.path.join(path, "_stage_del")
+    spark.createDataFrame(
+        [
+            (p if p.startswith("file:") else f"file://{p}", int(pos))
+            for p, pos in deletes
+        ],
+        "file_path string, pos long",
+    ).coalesce(1).write.parquet(tmp)
+    src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    del_file = os.path.join(data_dir, f"delete-{uuid.uuid4().hex}.parquet")
+    os.rename(os.path.join(tmp, src), del_file)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    # 2. the delete manifest (data_file.content = 1)
+    del_manifest_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+    new_snap_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-d0.avro")
+    avrocodec.write_container(
+        manifest,
+        del_manifest_schema,
+        [
+            {
+                "status": 1,
+                "snapshot_id": new_snap_id,
+                "data_file": {
+                    "content": 1,
+                    "file_path": f"file://{del_file}",
+                    "file_format": "PARQUET",
+                    "record_count": len(deletes),
+                    "file_size_in_bytes": os.path.getsize(del_file),
+                },
+            }
+        ],
+    )
+
+    # 3. new manifest list: previous manifests + the delete manifest
+    ml = os.path.join(meta_dir, f"snap-{new_snap_id}-{uuid.uuid4().hex}.avro")
+    avrocodec.write_container(
+        ml,
+        ml_schema,
+        old_manifests
+        + [
+            {
+                "manifest_path": f"file://{manifest}",
+                "manifest_length": os.path.getsize(manifest),
+                "partition_spec_id": 0,
+                "content": 1,
+            }
+        ],
+    )
+
+    # 4. new metadata version + hint
+    meta = dict(meta)
+    meta["format-version"] = 2
+    meta["snapshots"] = meta["snapshots"] + [
+        {
+            "snapshot-id": new_snap_id,
+            "timestamp-ms": 0,
+            "manifest-list": f"file://{ml}",
+            "summary": {"operation": "delete"},
+        }
+    ]
+    meta["current-snapshot-id"] = new_snap_id
+    hint = os.path.join(meta_dir, "version-hint.text")
+    with open(hint) as fh:
+        version = int(fh.read().strip())
+    with open(
+        os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w"
+    ) as fh:
+        json.dump(meta, fh)
+    with open(hint, "w") as fh:
+        fh.write(str(version + 1))
+
+
 class IcebergTableReader:
     """Snapshot reader over an Iceberg table directory.
 
@@ -328,36 +460,84 @@ class IcebergTableReader:
 
     # -- snapshot read ----------------------------------------------------------
 
-    def _live_files(self, snapshot: dict) -> list[str]:
+    def _live_files(self, snapshot: dict) -> tuple[list[str], list[tuple[str, str]]]:
+        """Walk the snapshot's manifest list. Returns
+        (data_files, delete_files) where delete_files is a list of
+        (path, format) POSITION-delete files (format-v2 row-level
+        deletes; manifest-list content=1, data_file content=1).
+        Equality deletes (content=2) are refused — their apply
+        semantics (delete by column values at a sequence point) are a
+        different feature; refusing loudly beats silently resurrecting
+        deleted rows."""
         from ..functions import avrocodec
 
         ml_path = _local_path(snapshot["manifest-list"])
         _schema, manifests = avrocodec.read_container(ml_path)
-        files: list[str] = []
+        data_files: list[str] = []
+        delete_files: list[tuple[str, str]] = []
         for m in manifests:
-            if m.get("content", 0) not in (0, None):
+            m_content = m.get("content") or 0
+            if m_content not in (0, 1):
                 raise UnsupportedIcebergFeature(
-                    "snapshot carries DELETE manifests (v2 row-level "
-                    "deletes); applying them is not implemented"
+                    f"manifest-list content {m_content}; only data (0) "
+                    "and delete (1) manifests are understood"
                 )
             _es, entries = avrocodec.read_container(
                 _local_path(m["manifest_path"])
             )
             for e in entries:
-                if e.get("status") == 2:  # DELETED
+                if e.get("status") == 2:  # DELETED entry
                     continue
                 df_rec = e["data_file"]
-                if df_rec.get("content", 0) not in (0, None):
-                    raise UnsupportedIcebergFeature(
-                        "v2 delete file in manifest; not implemented"
-                    )
+                content = df_rec.get("content") or 0
                 fmt = (df_rec.get("file_format") or "PARQUET").upper()
-                if fmt != "PARQUET":
+                path = _local_path(df_rec["file_path"])
+                if m_content == 0 and content == 0:
+                    if fmt != "PARQUET":
+                        raise UnsupportedIcebergFeature(
+                            f"data file format {fmt}; only PARQUET is read"
+                        )
+                    data_files.append(path)
+                elif content == 2:
                     raise UnsupportedIcebergFeature(
-                        f"data file format {fmt}; only PARQUET is read"
+                        "equality delete file in snapshot; only position "
+                        "deletes (content=1) are applied"
                     )
-                files.append(_local_path(df_rec["file_path"]))
-        return sorted(set(files))
+                else:  # position delete (delete manifest or content=1)
+                    if fmt not in ("PARQUET", "AVRO"):
+                        raise UnsupportedIcebergFeature(
+                            f"position-delete file format {fmt}"
+                        )
+                    delete_files.append((path, fmt))
+        return sorted(set(data_files)), sorted(set(delete_files))
+
+    def _position_deletes(self, delete_files: list[tuple[str, str]]) -> DataFrame:
+        """Decode position-delete files into one (file_path, pos)
+        DataFrame. Parquet deletes scan natively; Avro deletes decode
+        through the in-repo codec (spec: columns `file_path` string,
+        `pos` long)."""
+        from ..functions import avrocodec
+
+        parts: list[DataFrame] = []
+        pq = [p for p, fmt in delete_files if fmt == "PARQUET"]
+        if pq:
+            parts.append(
+                self.spark.read.schema("file_path string, pos long").parquet(*pq)
+            )
+        for p, fmt in delete_files:
+            if fmt != "AVRO":
+                continue
+            _s, rows = avrocodec.read_container(p)
+            parts.append(
+                self.spark.createDataFrame(
+                    [(r["file_path"], r["pos"]) for r in rows],
+                    "file_path string, pos long",
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         meta = self.metadata()
@@ -371,8 +551,37 @@ class IcebergTableReader:
         )
         if snapshot is None:
             raise ValueError(f"snapshot {snapshot_id} not in table metadata")
-        files = self._live_files(snapshot)
+        files, deletes = self._live_files(snapshot)
         schema = self._schema_struct(meta)
         if not files:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*files)
+        df = self.spark.read.schema(schema).parquet(*files)
+        if not deletes:
+            return df
+
+        # v2 position deletes: (file_path, pos) anti-join against the
+        # scan's per-file row index (_metadata.row_index — parquet row
+        # position, exactly the spec's `pos`). URIs normalize to local
+        # paths on both sides. The delete side broadcasts: position
+        # deletes are compact by construction (they exist to AVOID
+        # rewriting data files), so no shuffle of the data scan.
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        pos_df = self._position_deletes(deletes).select(
+            norm(F.col("file_path")).alias("__del_path"),
+            F.col("pos").alias("__del_pos"),
+        )
+        cols = df.columns
+        return (
+            df.select(
+                "*",
+                norm(F.col("_metadata.file_path")).alias("__path"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+            .join(
+                F.broadcast(pos_df),
+                (F.col("__path") == F.col("__del_path"))
+                & (F.col("__pos") == F.col("__del_pos")),
+                "left_anti",
+            )
+            .select(*cols)
+        )

@@ -160,14 +160,101 @@ def test_read_current_and_time_travel(spark, iceberg_table):
     assert dict(t.read().dtypes) == {"k": "bigint", "v": "double"}
 
 
-def test_refuses_v2_delete_manifests(spark, tmp_path):
+DELETE_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+
+def test_position_deletes_applied_and_time_travel(spark, tmp_path):
+    """Format-v2 position deletes (VERDICT r4 #1): a delete snapshot
+    removes exactly the (file_path, pos) rows; the pre-delete snapshot
+    still reads in full (time travel)."""
+    from pyspark.sql import functions as F
+
+    from introduction_in_big_data_spark.sources.iceberg import (
+        add_position_deletes,
+        create_minimal_table,
+    )
+
+    d = str(tmp_path / "icev2")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    create_minimal_table(spark, d, df.repartition(2))
+    t = IcebergTableReader(spark, d)
+    assert {r.k for r in t.read().collect()} == set(range(10))
+
+    # learn each target row's (file, pos) from the raw scan
+    data_dir = os.path.join(d, "data")
+    files = [
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    ]
+    pos = {
+        r.k: (r.fp, r.pos)  # file:/... URI form, as Spark reports it
+        for r in spark.read.parquet(*files)
+        .select(
+            "k",
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        .collect()
+    }
+    add_position_deletes(spark, d, [pos[2], pos[5], pos[9]])
+
+    t2 = IcebergTableReader(spark, d)
+    assert {r.k for r in t2.read().collect()} == {0, 1, 3, 4, 6, 7, 8}
+    # the pre-delete snapshot is intact
+    assert {r.k for r in t2.read(snapshot_id=1).collect()} == set(range(10))
+
+
+def test_refuses_equality_deletes(spark, tmp_path):
+    """Equality deletes (content=2) stay out of scope and must refuse
+    loudly, not resurrect or silently drop rows."""
     d = str(tmp_path / "ice2")
     meta_dir = os.path.join(d, "metadata")
     os.makedirs(meta_dir)
     fa = _data_file(spark, d, [(1, 1.0)])
-    ml = _manifest_list(
-        meta_dir, [_manifest(meta_dir, [_entry(fa)])], content=1
+    eq_manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-d0.avro")
+    av.write_container(
+        eq_manifest,
+        DELETE_MANIFEST_SCHEMA,
+        [
+            {
+                "status": 1,
+                "snapshot_id": 1,
+                "data_file": {
+                    "content": 2,
+                    "file_path": f"file://{fa}",
+                    "file_format": "PARQUET",
+                    "record_count": 1,
+                    "file_size_in_bytes": 1,
+                },
+            }
+        ],
     )
+    ml = _manifest_list(meta_dir, [eq_manifest], content=1)
+    # _manifest_list re-stats the path; patch content only
     _write_metadata(
         d,
         [{"snapshot-id": 1, "timestamp-ms": 0,
@@ -175,7 +262,7 @@ def test_refuses_v2_delete_manifests(spark, tmp_path):
           "summary": {"operation": "delete"}}],
         current=1,
     )
-    with pytest.raises(UnsupportedIcebergFeature, match="DELETE manifests"):
+    with pytest.raises(UnsupportedIcebergFeature, match="equality delete"):
         IcebergTableReader(spark, d).read()
 
 
