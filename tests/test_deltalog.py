@@ -277,3 +277,115 @@ def test_add_replaced_by_later_add_of_same_path(spark, tmp_path):
     _commit(d, 1, [_add(f0)])  # metadata-only re-add (stats recompute)
     out = DeltaLogReader(spark, d).read()
     assert [r.k for r in out.collect()] == [1]
+
+
+def test_column_mapping_name_mode_roundtrip(spark, tmp_path):
+    """VERDICT r4 #2: minReaderVersion-2 tables with
+    delta.columnMapping.mode = name (physical column names in the data
+    files, logical names only in the schema metadata) must read with
+    logical names and values intact."""
+    from introduction_in_big_data_spark.sources.deltalog import (
+        create_column_mapped_table,
+    )
+
+    d = str(tmp_path / "cm1")
+    df = spark.createDataFrame(
+        [(1, 1.5, "a"), (2, 2.5, "b")], "k long, v double, s string"
+    )
+    create_column_mapped_table(spark, d, df)
+    # the staged data files really carry physical names
+    raw = spark.read.parquet(
+        *[os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
+    )
+    assert all(c.startswith("col_") for c in raw.columns)
+    out = DeltaLogReader(spark, d).read()
+    assert set(out.columns) == {"k", "v", "s"}
+    assert {(r.k, r.v, r.s) for r in out.collect()} == {
+        (1, 1.5, "a"), (2, 2.5, "b")
+    }
+
+
+def test_column_mapping_partitioned_and_nested(spark, tmp_path):
+    """Column mapping renames at EVERY level: partitionValues keys use
+    physical names, and struct fields inside data files are physically
+    named too — the reader restores logical names throughout."""
+    schema_json = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "k", "type": "long", "nullable": True,
+                    "metadata": {"delta.columnMapping.id": 1,
+                                 "delta.columnMapping.physicalName": "c1"},
+                },
+                {
+                    "name": "u",
+                    "type": {
+                        "type": "struct",
+                        "fields": [
+                            {"name": "x", "type": "long", "nullable": True,
+                             "metadata": {
+                                 "delta.columnMapping.id": 3,
+                                 "delta.columnMapping.physicalName": "c3"}},
+                        ],
+                    },
+                    "nullable": True,
+                    "metadata": {"delta.columnMapping.id": 2,
+                                 "delta.columnMapping.physicalName": "c2"},
+                },
+                {
+                    "name": "p", "type": "integer", "nullable": True,
+                    "metadata": {"delta.columnMapping.id": 4,
+                                 "delta.columnMapping.physicalName": "c4"},
+                },
+            ],
+        }
+    )
+    d = str(tmp_path / "cm2")
+    os.makedirs(d)
+    # data file with PHYSICAL names (c1, c2.c3), partition col absent
+    tmp = os.path.join(d, "__stage")
+    spark.createDataFrame(
+        [(7, (70,))], "c1 long, c2 struct<c3: long>"
+    ).coalesce(1).write.parquet(tmp)
+    fname = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    rel = "part-cm2.parquet"
+    os.renames(os.path.join(tmp, fname), os.path.join(d, rel))
+    meta = _meta(schema_json, partition_cols=["p"])
+    meta["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+    _commit(
+        d, 0,
+        [_protocol(reader=2, writer=5), meta,
+         _add(rel, {"c4": "9"})],  # physical partition key
+    )
+    out = DeltaLogReader(spark, d).read()
+    assert set(out.columns) == {"k", "u", "p"}
+    r = out.collect()[0]
+    assert (r.k, r.u.x, r.p) == (7, 70, 9)
+
+
+def test_column_mapping_id_mode_refused(spark, tmp_path):
+    d = str(tmp_path / "cm3")
+    os.makedirs(d)
+    f0 = _write_data(spark, d, [(1, 1.0)])
+    meta = _meta()
+    meta["metaData"]["configuration"] = {"delta.columnMapping.mode": "id"}
+    _commit(d, 0, [_protocol(reader=2, writer=5), meta, _add(f0)])
+    with pytest.raises(UnsupportedDeltaFeature, match="columnMapping.mode"):
+        DeltaLogReader(spark, d).read()
+
+
+def test_reader_v3_columnmapping_feature_allowed(spark, tmp_path):
+    """A v3 protocol whose readerFeatures need nothing beyond
+    columnMapping replays; anything more still refuses (covered by
+    test_unsupported_reader_features_refused)."""
+    d = str(tmp_path / "cm4")
+    os.makedirs(d)
+    f0 = _write_data(spark, d, [(1, 1.0)])
+    _commit(
+        d, 0,
+        [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                       "readerFeatures": ["columnMapping"]}},
+         _meta(), _add(f0)],
+    )
+    assert [r.k for r in DeltaLogReader(spark, d).read().collect()] == [1]
