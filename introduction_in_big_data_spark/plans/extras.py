@@ -539,6 +539,44 @@ def delta_column_mapping_read(spark, sf_dir):
 
 
 @register(
+    "delta_export_roundtrip",
+    oracle="""
+        SELECT s_nationkey,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               round(sum(s_acctbal), 2) AS total_bal
+        FROM supplier
+        GROUP BY s_nationkey
+    """,
+    tags=("delta", "acid", "lakehouse", "interop", "sink"),
+)
+def delta_export_roundtrip(spark, sf_dir):
+    """Delta log WRITER interop (sources/deltalog.export_acid_table,
+    round 5 — VERDICT r4 #5): persist supplier in an engine AcidTable,
+    export its snapshot as a Delta transaction log in place (protocol
+    + metaData + URL-encoded relative adds with per-file
+    numRecords/min/max/nullCount stats — no data copied), then read it
+    back through the independent protocol replay and aggregate. The
+    oracle recomputes from raw parquet, so engine-write → Delta-log
+    export → protocol read is value-hash checked end to end."""
+    import tempfile
+
+    from ..sources.acidtable import AcidTable
+    from ..sources.deltalog import DeltaLogReader, export_acid_table
+
+    base = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    path = tempfile.mkdtemp(prefix="delta_export_") + "/t"
+    AcidTable.create(spark, path, base.repartition(4))
+    export_acid_table(spark, path)
+    snap = DeltaLogReader(spark, path).read()
+    return snap.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
     "full_outer_nation_balance",
     oracle="""
         SELECT coalesce(cs.n_nationkey, ss.n_nationkey) AS n_nationkey,

@@ -222,6 +222,175 @@ def commit_remove_partition(
     return v + 1
 
 
+def export_acid_table(
+    spark: SparkSession, acid_path: str, version: int | None = None
+) -> int:
+    """Export an AcidTable snapshot as a Delta transaction log IN the
+    table's own directory (VERDICT r4 #5 — the write half of
+    lakehouse interop): engine-written tables become consumable by any
+    Delta reader without copying a byte of data. The AcidTable's
+    manifest (`_log/*.json`, absolute file paths) maps onto one Delta
+    commit in `_delta_log/`: protocol (1, 2) + metaData (the
+    snapshot's schemaString, unpartitioned — AcidTable data files
+    physically contain every column) + one URL-encoded relative `add`
+    per live data file, each carrying protocol-shaped `stats`
+    (numRecords / minValues / maxValues / nullCount, computed in ONE
+    grouped scan over _metadata.file_path). Re-exporting after new
+    AcidTable commits appends a single-commit overwrite (remove all
+    previously-live adds + add the new snapshot). Returns the Delta
+    version written. Round-trip pinned by tests/test_deltalog.py and
+    the delta_export_roundtrip registered query."""
+    from urllib.parse import quote
+
+    from .acidtable import AcidTable
+
+    table = AcidTable(spark, acid_path)
+    v = table.latest_version() if version is None else version
+    manifest = table._manifest(v)
+    files = manifest["files"]
+    schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+
+    # per-file stats in one scan: count + min/max/nullCount for the
+    # JSON-representable primitive columns
+    stat_fields = [
+        f
+        for f in schema.fields
+        if isinstance(
+            f.dataType,
+            (
+                T.LongType,
+                T.IntegerType,
+                T.ShortType,
+                T.ByteType,
+                T.DoubleType,
+                T.FloatType,
+                T.StringType,
+                T.BooleanType,
+            ),
+        )
+    ]
+    stats_by_file: dict[str, dict] = {}
+    if files:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for f in stat_fields:
+            aggs.append(F.min(f.name).alias(f"__min__{f.name}"))
+            aggs.append(F.max(f.name).alias(f"__max__{f.name}"))
+            aggs.append(
+                F.sum(F.isnull(f.name).cast("long")).alias(f"__nul__{f.name}")
+            )
+        rows = (
+            spark.read.schema(schema)
+            .parquet(*files)
+            .groupBy(F.col("_metadata.file_path").alias("__fp"))
+            .agg(*aggs)
+            .collect()
+        )
+        for r in rows:
+            d = r.asDict()
+            stats_by_file[d["__fp"].removeprefix("file:")] = {
+                "numRecords": d["__n"],
+                "minValues": {
+                    f.name: d[f"__min__{f.name}"]
+                    for f in stat_fields
+                    if d[f"__min__{f.name}"] is not None
+                },
+                "maxValues": {
+                    f.name: d[f"__max__{f.name}"]
+                    for f in stat_fields
+                    if d[f"__max__{f.name}"] is not None
+                },
+                "nullCount": {
+                    f.name: d[f"__nul__{f.name}"] for f in stat_fields
+                },
+            }
+
+    def rel(p: str) -> str:
+        r = os.path.relpath(p, acid_path)
+        return quote(r.replace(os.sep, "/"))
+
+    adds = [
+        {
+            "add": {
+                "path": rel(p),
+                "partitionValues": {},
+                "size": os.path.getsize(p),
+                "modificationTime": 0,
+                "dataChange": True,
+                "stats": json.dumps(
+                    stats_by_file.get(p, {"numRecords": 0})
+                ),
+            }
+        }
+        for p in sorted(files)
+    ]
+
+    log_dir = os.path.join(acid_path, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    existing = sorted(
+        int(os.path.splitext(f)[0])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and os.path.splitext(f)[0].isdigit()
+    )
+    actions: list[dict]
+    if not existing:
+        delta_v = 0
+        actions = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": "00000000-0000-0000-0000-00000000acid",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema.jsonValue()),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": 0,
+                }
+            },
+            *adds,
+            {"commitInfo": {"operation": "WRITE", "acidVersion": v}},
+        ]
+    else:
+        # single-commit overwrite of the previously-exported snapshot
+        delta_v = existing[-1] + 1
+        reader = DeltaLogReader(spark, acid_path)
+        _meta, live = reader._replay(existing[-1])
+        new_paths = {a["add"]["path"] for a in adds}
+        removes = [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                }
+            }
+            for p in sorted(live)
+            if p not in new_paths
+        ]
+        actions = [
+            {
+                "metaData": {
+                    "id": "00000000-0000-0000-0000-00000000acid",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema.jsonValue()),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": 0,
+                }
+            },
+            *removes,
+            *adds,
+            {"commitInfo": {"operation": "WRITE", "acidVersion": v}},
+        ]
+    target = os.path.join(log_dir, f"{delta_v:020d}.json")
+    tmp = target + ".tmp"
+    with open(tmp, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    os.link(tmp, target)  # exclusive publish, as in acidtable._commit
+    os.unlink(tmp)
+    return delta_v
+
+
 class DeltaLogReader:
     """Snapshot reader over a Delta table directory.
 

@@ -389,3 +389,48 @@ def test_reader_v3_columnmapping_feature_allowed(spark, tmp_path):
          _meta(), _add(f0)],
     )
     assert [r.k for r in DeltaLogReader(spark, d).read().collect()] == [1]
+
+
+def test_export_acid_table_roundtrip(spark, tmp_path):
+    """VERDICT r4 #5 (write-side interop): an AcidTable snapshot
+    exported as a Delta log must read back identically through the
+    independent protocol replay, carry per-file stats, and support a
+    single-commit overwrite on re-export after table mutations."""
+    from introduction_in_big_data_spark.sources.acidtable import AcidTable
+    from introduction_in_big_data_spark.sources.deltalog import (
+        export_acid_table,
+    )
+
+    d = str(tmp_path / "acid_exp")
+    df = spark.createDataFrame(
+        [(1, 1.5, "a"), (2, 2.5, "b"), (3, None, None)],
+        "k long, v double, s string",
+    )
+    table = AcidTable.create(spark, d, df.repartition(2))
+    assert export_acid_table(spark, d) == 0
+
+    out = DeltaLogReader(spark, d).read()
+    assert {(r.k, r.v, r.s) for r in out.collect()} == {
+        (1, 1.5, "a"), (2, 2.5, "b"), (3, None, None)
+    }
+
+    # stats are protocol-shaped and sum to the row count
+    log = os.path.join(d, "_delta_log", f"{0:020d}.json")
+    stats = []
+    with open(log) as fh:
+        for line in fh:
+            a = json.loads(line)
+            if "add" in a:
+                stats.append(json.loads(a["add"]["stats"]))
+    assert sum(s["numRecords"] for s in stats) == 3
+    assert min(s["minValues"]["k"] for s in stats if "k" in s["minValues"]) == 1
+    assert sum(s["nullCount"]["s"] for s in stats) == 1
+
+    # mutate the AcidTable, re-export: single-commit overwrite
+    table.overwrite(df.filter("k <> 2"))
+    assert export_acid_table(spark, d) == 1
+    out2 = DeltaLogReader(spark, d).read()
+    assert {r.k for r in out2.collect()} == {1, 3}
+    # time travel to the first export still sees all rows
+    assert {r.k for r in DeltaLogReader(spark, d).read(version=0).collect()} \
+        == {1, 2, 3}
