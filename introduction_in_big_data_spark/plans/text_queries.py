@@ -595,6 +595,8 @@ def _bpe_oracle(n_merges: int) -> str:
     "bpe_train_merges",
     oracle=_bpe_oracle(BPE_MERGES),
     tags=("text", "tokenizer", "bpe", "llm", "iterative"),
+    bench=True,  # VERDICT r4 #4: the iterative-training shape carries
+    # a headline number (dictionary-bounded rounds over one corpus scan)
 )
 def bpe_train_merges(spark, sf_dir):
     """BPE tokenizer training on the corpus (operators/text.bpe_train,
@@ -692,6 +694,8 @@ def _bpe_encode_oracle(n_merges: int) -> str:
     "bpe_encode_stats",
     oracle=_bpe_encode_oracle(BPE_MERGES),
     tags=("text", "tokenizer", "bpe", "llm"),
+    bench=True,  # VERDICT r4 #4: broadcast-dictionary encode over the
+    # token stream — the shape that runs at corpus scale
 )
 def bpe_encode_stats(spark, sf_dir):
     """BPE ENCODING with the corpus-trained merges
