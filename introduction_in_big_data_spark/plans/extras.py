@@ -539,6 +539,65 @@ def delta_column_mapping_read(spark, sf_dir):
 
 
 @register(
+    "delta_deletion_vectors_read",
+    oracle="""
+        WITH ranked AS (
+            SELECT c_custkey, c_mktsegment,
+                   row_number() OVER (ORDER BY c_custkey) - 1 AS pos
+            FROM customer
+        )
+        SELECT c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(c_custkey) AS BIGINT) AS sum_key
+        FROM ranked
+        WHERE pos % 5 <> 2
+        GROUP BY segment
+    """,
+    tags=("delta", "lakehouse", "interop", "source", "deletion-vectors"),
+)
+def delta_deletion_vectors_read(spark, sf_dir):
+    """Delta DELETION-VECTOR read (sources/deltalog.py +
+    functions/roaring.py, round 5): stage customer as one
+    c_custkey-sorted data file, commit a reader-v3 deletion vector
+    ('u' storage: RoaringBitmapArray payload in a uuid-named .bin
+    with Z85 path encoding — the layout real writers produce)
+    tombstoning every 5th position, then read the snapshot back — the
+    reader decodes the bitmap EXECUTOR-SIDE and anti-joins
+    (file_path, pos) against _metadata.row_index. Because the file is
+    key-sorted, position == key rank, so the DuckDB oracle reproduces
+    the survivor set from raw parquet with a window rank — the DV
+    apply is value-hash checked end to end. No data file was
+    rewritten: the protocol's cheap row-level delete."""
+    import tempfile
+
+    from ..sources.deltalog import (
+        DeltaLogReader,
+        commit_deletion_vector,
+        create_minimal_table,
+    )
+
+    base = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .repartition(1)
+        .sortWithinPartitions("c_custkey")
+    )
+    path = tempfile.mkdtemp(prefix="delta_dv_") + "/t"
+    create_minimal_table(spark, path, base)
+    reader = DeltaLogReader(spark, path)
+    rel = next(iter(reader._replay(0)[1]))
+    n = spark.read.parquet(f"{path}/{rel}").count()
+    commit_deletion_vector(
+        spark, path, rel, list(range(2, n, 5)), storage="u"
+    )
+    snap = DeltaLogReader(spark, path).read()
+    return snap.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("c_custkey").alias("sum_key"),
+    )
+
+
+@register(
     "delta_export_roundtrip",
     oracle="""
         SELECT s_nationkey,

@@ -24,9 +24,13 @@ Column mapping (`delta.columnMapping.mode = name`, reader protocol
 v2 — common on tables written by modern writers; round 5) is replayed:
 data files and partitionValues keys carry physical names from the
 schema metadata, and the reader restores logical names at every
-nesting level. Remaining unsupported protocol features are DETECTED,
-not silently misread: deletion vectors, v2 checkpoints, id-mode
-mapping etc. raise UnsupportedDeltaFeature.
+nesting level. Deletion vectors (reader v3 feature; round 5) are
+APPLIED: RoaringBitmapArray payloads (functions/roaring.py — Z85 +
+the published roaring portable format) decode executor-side and
+remove their row positions via a broadcast anti-join on
+`_metadata.row_index`. Remaining unsupported protocol features are
+DETECTED, not silently misread: v2 checkpoints, id-mode mapping,
+type widening etc. raise UnsupportedDeltaFeature.
 
 Reference parity note: the reference repo has no lakehouse surface at
 all; this closes VERDICT r3's "tables written by real Delta writers
@@ -212,6 +216,78 @@ def commit_remove_partition(
         if (a.get("partitionValues") or {}).get(column) == value
     ]
     actions.append({"commitInfo": {"operation": "DELETE"}})
+    target = os.path.join(t.log_dir, f"{v + 1:020d}.json")
+    tmp = target + ".tmp"
+    with open(tmp, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    os.link(tmp, target)
+    os.unlink(tmp)
+    return v + 1
+
+
+def commit_deletion_vector(
+    spark: SparkSession,
+    path: str,
+    rel_path: str,
+    positions: list[int],
+    storage: str = "u",
+) -> int:
+    """Stage a deletion-vector DELETE commit against `rel_path` (the
+    add action's table-relative path): serialize `positions` as a
+    RoaringBitmapArray (functions/roaring), store it per `storage`
+    ('u' = uuid-named .bin file with Z85 path encoding — what real
+    writers produce; 'i' = inline Z85), and append a commit that
+    upgrades the protocol to reader v3 {deletionVectors} and re-adds
+    the file with the descriptor. No data file is rewritten — the
+    protocol's cheap row-level delete. Exists to exercise the READER
+    (tests + the registered query)."""
+    import uuid as _uuid
+
+    from ..functions import roaring
+
+    t = DeltaLogReader(spark, path)
+    v = t.latest_version()
+    _meta, live = t._replay(v)
+    if rel_path not in live:
+        raise FileNotFoundError(f"{rel_path} not live in version {v}")
+    payload = roaring.serialize_bitmap_array(sorted(set(positions)))
+    if storage == "i":
+        # Z85 needs 4-byte alignment: zero-pad; sizeInBytes keeps the
+        # true length for the decoder
+        padded = payload + b"\x00" * (-len(payload) % 4)
+        dv = {
+            "storageType": "i",
+            "pathOrInlineDv": roaring.z85_encode(padded),
+            "sizeInBytes": len(payload),
+            "cardinality": len(set(positions)),
+        }
+    elif storage == "u":
+        u = _uuid.uuid4()
+        offsets = roaring.write_dv_file(
+            os.path.join(path, f"deletion_vector_{u}.bin"), [payload]
+        )
+        dv = {
+            "storageType": "u",
+            "pathOrInlineDv": roaring.z85_encode(u.bytes),
+            "offset": offsets[0],
+            "sizeInBytes": len(payload),
+            "cardinality": len(set(positions)),
+        }
+    else:
+        raise ValueError(f"storage {storage!r} (use 'u' or 'i')")
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {"add": {**live[rel_path], "deletionVector": dv, "dataChange": True}},
+        {"commitInfo": {"operation": "DELETE"}},
+    ]
     target = os.path.join(t.log_dir, f"{v + 1:020d}.json")
     tmp = target + ".tmp"
     with open(tmp, "w") as fh:
@@ -454,17 +530,21 @@ class DeltaLogReader:
     @staticmethod
     def _check_protocol(action: dict) -> None:
         """Reader v1 (plain add/remove/metaData) and v2 (column
-        mapping) replay; v3 tables replay only when their
-        readerFeatures need nothing beyond columnMapping — deletion
-        vectors, v2 checkpoints etc. refuse loudly."""
+        mapping) replay; v3 tables replay when their readerFeatures
+        need nothing beyond columnMapping + deletionVectors — v2
+        checkpoints, timestampNtz, type widening etc. refuse loudly."""
         p = action["protocol"]
         mrv = p.get("minReaderVersion", 1)
         feats = set(p.get("readerFeatures") or [])
-        if (mrv <= 2 and not feats) or feats <= {"columnMapping"}:
+        if (mrv <= 2 and not feats) or feats <= {
+            "columnMapping",
+            "deletionVectors",
+        }:
             return
         raise UnsupportedDeltaFeature(
             f"requires reader features {p}; this replay implements "
-            "reader protocol v1/v2 (+ the columnMapping v3 feature)"
+            "reader protocol v1/v2 + the columnMapping and "
+            "deletionVectors v3 features"
         )
 
     def _replay(self, version: int) -> tuple[dict, dict[str, dict]]:
@@ -584,7 +664,15 @@ class DeltaLogReader:
         partitionValues keys carry PHYSICAL names from the schema
         fields' `delta.columnMapping.physicalName` metadata; the scan
         uses the physical schema and restores logical names with a
-        positional struct cast (renames at every nesting level)."""
+        positional struct cast (renames at every nesting level).
+
+        Deletion vectors (reader v3 feature, round 5): add actions
+        carrying a `deletionVector` descriptor have their tombstoned
+        row indexes decoded EXECUTOR-SIDE (mapInPandas over the
+        descriptor list; RoaringBitmapArray + Z85 per
+        functions/roaring.py) and removed with a broadcast
+        (file_path, pos) anti-join against `_metadata.row_index` —
+        the same shape as the Iceberg v2 position-delete apply."""
         v = self.latest_version() if version is None else version
         meta, live = self._replay(v)
         schema = self._schema_from_meta(meta)
@@ -616,19 +704,54 @@ class DeltaLogReader:
             p = unquote(p)
             return p if p.startswith("/") else os.path.join(self.path, p)
 
+        dv_rows = [
+            self._dv_descriptor(a, abspath)
+            for a in live.values()
+            if a.get("deletionVector")
+        ]
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+
         def logical(scanned: DataFrame) -> DataFrame:
-            if not mapped:
-                return scanned
-            return scanned.select(
-                *[
+            cols = (
+                [
                     F.col(phys(f)).cast(f.dataType).alias(f.name)
                     for f in data_fields
                 ]
+                if mapped
+                else [F.col(f.name) for f in data_fields]
+            )
+            if dv_rows:
+                # _metadata is only resolvable on the scan-rooted
+                # frame, so the position columns ride along from the
+                # first projection until the anti-join strips them
+                cols += [
+                    norm(F.col("_metadata.file_path")).alias("__path"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                ]
+            return scanned.select(*cols)
+
+        def apply_dvs(df: DataFrame) -> DataFrame:
+            if not dv_rows:
+                return df
+            pos_df = self._dv_positions_df(dv_rows).select(
+                norm(F.col("file_path")).alias("__del_path"),
+                F.col("pos").alias("__del_pos"),
+            )
+            return (
+                df.join(
+                    F.broadcast(pos_df),
+                    (F.col("__path") == F.col("__del_path"))
+                    & (F.col("__pos") == F.col("__del_pos")),
+                    "left_anti",
+                )
+                .drop("__path", "__pos")
             )
 
         if not part_cols:
             files = sorted(abspath(a["path"]) for a in live.values())
-            return logical(self.spark.read.schema(data_schema).parquet(*files))
+            return apply_dvs(
+                logical(self.spark.read.schema(data_schema).parquet(*files))
+            )
 
         # group files by their partition-value tuple; one scan per
         # group with the partition columns attached as typed literals.
@@ -659,9 +782,92 @@ class DeltaLogReader:
                     else F.lit(None).cast(dt)
                 )
                 part = part.withColumn(c, lit)
-            part = part.select(*[f.name for f in schema.fields])
+            keep = [f.name for f in schema.fields] + (
+                ["__path", "__pos"] if dv_rows else []
+            )
+            part = part.select(*keep)
             out = part if out is None else out.unionByName(part)
-        return out
+        return apply_dvs(out)
+
+    def _dv_descriptor(self, a: dict, abspath) -> tuple:
+        """Resolve one add action's deletionVector into a flat
+        descriptor row (data_path, storage, payload, bin_path, offset).
+        Path resolution is driver logic; executors only read bytes."""
+        from ..functions import roaring
+
+        dv = a["deletionVector"]
+        st = dv.get("storageType")
+        data_path = abspath(a["path"])
+        size = int(dv.get("sizeInBytes") or 0)
+        if st == "i":
+            return (data_path, "i", dv["pathOrInlineDv"], "", 0, size)
+        offset = int(dv.get("offset") or 1)
+        if st == "p":
+            p = unquote(dv["pathOrInlineDv"])
+            bin_path = p if p.startswith("/") else os.path.join(self.path, p)
+            return (data_path, "p", "", bin_path, offset, size)
+        if st == "u":
+            import uuid as _uuid
+
+            s = dv["pathOrInlineDv"]
+            if len(s) < 20:
+                raise UnsupportedDeltaFeature(
+                    f"malformed uuid deletion vector path {s!r}"
+                )
+            prefix, z = s[:-20], s[-20:]
+            u = _uuid.UUID(bytes=roaring.z85_decode(z))
+            base = os.path.join(self.path, prefix) if prefix else self.path
+            return (
+                data_path,
+                "u",
+                "",
+                os.path.join(base, f"deletion_vector_{u}.bin"),
+                offset,
+                size,
+            )
+        raise UnsupportedDeltaFeature(f"deletionVector storageType {st!r}")
+
+    def _dv_positions_df(self, dv_rows: list[tuple]) -> DataFrame:
+        """Decode deletion vectors into a (file_path, pos) DataFrame,
+        executor-side: one mapInPandas over the descriptor list, the
+        roaring module shipped by value so external-driver workers
+        need no repo import (see operators/multimodal)."""
+        from pyspark import cloudpickle  # the instance pyspark pickles with
+
+        from ..functions import roaring
+
+        try:
+            cloudpickle.register_pickle_by_value(roaring)
+        except Exception:  # pragma: no cover — same-cwd runs work anyway
+            pass
+        decode_one = roaring.positions_from_descriptor
+        desc = self.spark.createDataFrame(
+            dv_rows,
+            "data_path string, storage string, payload string, "
+            "bin_path string, offset long, size long",
+        )
+
+        def decode(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                paths: list = []
+                poss: list = []
+                for r in pdf.itertuples(index=False):
+                    for p in decode_one(
+                        r.storage,
+                        r.payload,
+                        r.bin_path,
+                        int(r.offset),
+                        int(r.size),
+                    ):
+                        paths.append(r.data_path)
+                        poss.append(p)
+                yield pd.DataFrame({"file_path": paths, "pos": poss})
+
+        return desc.repartition(min(len(dv_rows), 32)).mapInPandas(
+            decode, "file_path string, pos long"
+        )
 
     def history(self) -> list[dict]:
         """Per-commit summary from the JSON log (checkpointed-away

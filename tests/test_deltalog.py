@@ -197,13 +197,16 @@ def test_checkpoint_replay_and_vacuumed_commits(spark, tmp_path):
 
 
 def test_unsupported_reader_features_refused(spark, tmp_path):
+    """columnMapping and deletionVectors are implemented; anything
+    beyond them (v2 checkpoints, type widening, ...) must refuse."""
     d = str(tmp_path / "t4")
     os.makedirs(d)
     f0 = _write_data(spark, d, [(1, 1.0)])
     _commit(
         d, 0,
         [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                       "readerFeatures": ["deletionVectors"]}},
+                       "readerFeatures": ["deletionVectors",
+                                          "v2Checkpoint"]}},
          _meta(), _add(f0)],
     )
     with pytest.raises(UnsupportedDeltaFeature):
@@ -434,3 +437,85 @@ def test_export_acid_table_roundtrip(spark, tmp_path):
     # time travel to the first export still sees all rows
     assert {r.k for r in DeltaLogReader(spark, d).read(version=0).collect()} \
         == {1, 2, 3}
+
+
+def test_deletion_vectors_uuid_storage(spark, tmp_path):
+    """Reader v3 deletionVectors feature: a DV commit ('u' storage —
+    uuid-named .bin, Z85 path encoding) tombstones exactly its row
+    positions; the pre-DV version still reads in full."""
+    from introduction_in_big_data_spark.sources.deltalog import (
+        commit_deletion_vector,
+        create_minimal_table,
+    )
+
+    d = str(tmp_path / "dv1")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    create_minimal_table(spark, d, df.coalesce(1))
+    t = DeltaLogReader(spark, d)
+    rel = next(iter(t._replay(0)[1]))
+    # learn which k sits at each position in the single file
+    order = [
+        r.k
+        for r in spark.read.parquet(os.path.join(d, rel))
+        .select("k", F.col("_metadata.row_index").alias("pos"))
+        .orderBy("pos")
+        .collect()
+    ]
+    commit_deletion_vector(spark, d, rel, [0, 3, 7], storage="u")
+    survivors = {r.k for r in DeltaLogReader(spark, d).read().collect()}
+    assert survivors == set(order) - {order[0], order[3], order[7]}
+    # time travel: version 0 unaffected
+    assert {r.k for r in DeltaLogReader(spark, d).read(version=0).collect()} \
+        == set(range(10))
+
+
+def test_deletion_vectors_inline_and_partitioned(spark, tmp_path):
+    """Inline ('i') DV storage, applied through the PARTITIONED read
+    path (position columns must survive the partition-literal union
+    until the anti-join)."""
+    from introduction_in_big_data_spark.sources.deltalog import (
+        commit_deletion_vector,
+        create_minimal_table,
+    )
+
+    d = str(tmp_path / "dv2")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b")], "k long, p string"
+    )
+    create_minimal_table(spark, d, df.coalesce(1), partition_by=["p"])
+    t = DeltaLogReader(spark, d)
+    live = t._replay(0)[1]
+    rel_a = next(p for p, a in live.items() if a["partitionValues"]["p"] == "a")
+    fa = os.path.join(d, rel_a)
+    pos_of_k1 = next(
+        r.pos
+        for r in spark.read.parquet(fa)
+        .select("k", F.col("_metadata.row_index").alias("pos"))
+        .collect()
+        if r.k == 1
+    )
+    commit_deletion_vector(spark, d, rel_a, [pos_of_k1], storage="i")
+    out = {(r.k, r.p) for r in DeltaLogReader(spark, d).read().collect()}
+    assert out == {(2, "a"), (3, "b"), (4, "b")}
+
+
+def test_deletion_vectors_large_bitmap(spark, tmp_path):
+    """>4096 positions forces a bitmap container through the full
+    engine path (serialize -> .bin -> executor decode -> anti-join)."""
+    from introduction_in_big_data_spark.sources.deltalog import (
+        commit_deletion_vector,
+        create_minimal_table,
+    )
+
+    d = str(tmp_path / "dv3")
+    df = spark.range(6000).select(F.col("id").alias("k"))
+    create_minimal_table(spark, d, df.coalesce(1))
+    t = DeltaLogReader(spark, d)
+    rel = next(iter(t._replay(0)[1]))
+    # single-file range write preserves order: pos == k
+    commit_deletion_vector(spark, d, rel, list(range(5000)), storage="u")
+    out = DeltaLogReader(spark, d).read()
+    assert out.count() == 1000
+    assert out.agg(F.min("k")).collect()[0][0] == 5000
