@@ -380,6 +380,46 @@ def iceberg_v2_deletes_read(spark, sf_dir):
 
 
 @register(
+    "iceberg_export_roundtrip",
+    oracle="""
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               round(sum(p_retailprice), 2) AS total_price
+        FROM part
+        GROUP BY p_brand
+    """,
+    tags=("iceberg", "acid", "lakehouse", "interop", "sink"),
+)
+def iceberg_export_roundtrip(spark, sf_dir):
+    """Iceberg metadata WRITER interop (sources/iceberg.
+    export_acid_table, round 5 — symmetric to the Delta export):
+    persist part in an engine AcidTable, export its snapshot as
+    format-v1 Iceberg metadata in place (Avro manifest + manifest
+    list via the spec-pinned codec, vN.metadata.json, real per-file
+    record counts from one grouped _metadata scan — no data copied),
+    then read it back through the independent pointer walk and
+    aggregate. The oracle recomputes from raw parquet, so
+    engine-write → Iceberg-metadata export → snapshot read is
+    value-hash checked end to end."""
+    import tempfile
+
+    from ..sources.acidtable import AcidTable
+    from ..sources.iceberg import IcebergTableReader, export_acid_table
+
+    base = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_export_") + "/t"
+    AcidTable.create(spark, path, base.repartition(4))
+    export_acid_table(spark, path)
+    snap = IcebergTableReader(spark, path).read()
+    return snap.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+    )
+
+
+@register(
     "avro_roundtrip_stats",
     oracle="""
         SELECT c_mktsegment AS segment,

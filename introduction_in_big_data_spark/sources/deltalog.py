@@ -557,6 +557,7 @@ class DeltaLogReader:
         rewrites)."""
         meta: dict | None = None
         live: dict[str, dict] = {}
+        protocol: dict | None = None
 
         cp_version = self._checkpoint_version_at_or_below(version)
         start = 0
@@ -567,8 +568,11 @@ class DeltaLogReader:
                 .collect()
             ):
                 d = row.asDict(recursive=True)
-                if d.get("protocol"):
+                if d.get("protocol") and d["protocol"].get(
+                    "minReaderVersion"
+                ) is not None:
                     self._check_protocol({"protocol": d["protocol"]})
+                    protocol = d["protocol"]
                 if d.get("metaData") and d["metaData"].get("id"):
                     meta = d["metaData"]
                 if d.get("add") and d["add"].get("path"):
@@ -591,6 +595,7 @@ class DeltaLogReader:
                     action = json.loads(line)
                     if "protocol" in action:
                         self._check_protocol(action)
+                        protocol = action["protocol"]
                     elif "metaData" in action:
                         meta = action["metaData"]
                     elif "add" in action:
@@ -599,6 +604,12 @@ class DeltaLogReader:
                         live.pop(action["remove"]["path"], None)
         if meta is None:
             raise ValueError(f"no metaData action found in {self.log_dir}")
+        # stashed (not returned) so write_checkpoint can carry the
+        # protocol forward without changing the replay signature
+        self._last_protocol = protocol or {
+            "minReaderVersion": 1,
+            "minWriterVersion": 2,
+        }
         return meta, live
 
     # -- reads --------------------------------------------------------------
@@ -788,6 +799,102 @@ class DeltaLogReader:
             part = part.select(*keep)
             out = part if out is None else out.unionByName(part)
         return apply_dvs(out)
+
+    _CHECKPOINT_SCHEMA = (
+        "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+        "readerFeatures:array<string>,writerFeatures:array<string>>, "
+        "metaData struct<id:string,format:struct<provider:string>,"
+        "schemaString:string,partitionColumns:array<string>,"
+        "configuration:map<string,string>,createdTime:long>, "
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:long,modificationTime:long,dataChange:boolean,stats:string,"
+        "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
+        "offset:long,sizeInBytes:long,cardinality:long>>, "
+        "remove struct<path:string,deletionTimestamp:long,dataChange:boolean>"
+    )
+
+    def write_checkpoint(self, version: int | None = None) -> int:
+        """Write a classic single-file checkpoint
+        (`_delta_log/N.checkpoint.parquet` + `_last_checkpoint`) that
+        compacts all actions up to `version` — what keeps log replay
+        O(recent commits) instead of O(table lifetime) once exported
+        engine tables accumulate commits. One row per action
+        (protocol, metaData, each live add — deletionVector column
+        included so DV tables checkpoint losslessly); JSON commits
+        <= N can then be vacuumed and snapshots still replay (the
+        reader's checkpoint handoff, tested both ways). Returns the
+        checkpointed version."""
+        v = self.latest_version() if version is None else version
+        meta, live = self._replay(v)
+        protocol = dict(self._last_protocol)
+
+        def row(protocol_=None, meta_=None, add_=None):
+            return {
+                "protocol": protocol_,
+                "metaData": meta_,
+                "add": add_,
+                "remove": None,
+            }
+
+        rows = [
+            row(
+                protocol_={
+                    "minReaderVersion": protocol.get("minReaderVersion", 1),
+                    "minWriterVersion": protocol.get("minWriterVersion", 2),
+                    "readerFeatures": protocol.get("readerFeatures"),
+                    "writerFeatures": protocol.get("writerFeatures"),
+                }
+            ),
+            row(
+                meta_={
+                    "id": meta.get("id"),
+                    "format": {"provider": "parquet"},
+                    "schemaString": meta["schemaString"],
+                    "partitionColumns": meta.get("partitionColumns") or [],
+                    "configuration": meta.get("configuration") or {},
+                    "createdTime": meta.get("createdTime") or 0,
+                }
+            ),
+        ]
+        for path in sorted(live):
+            a = live[path]
+            dv = a.get("deletionVector")
+            rows.append(
+                row(
+                    add_={
+                        "path": a["path"],
+                        "partitionValues": a.get("partitionValues") or {},
+                        "size": a.get("size") or 0,
+                        "modificationTime": a.get("modificationTime") or 0,
+                        "dataChange": bool(a.get("dataChange", True)),
+                        "stats": a.get("stats"),
+                        "deletionVector": (
+                            {
+                                "storageType": dv.get("storageType"),
+                                "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                                "offset": dv.get("offset"),
+                                "sizeInBytes": dv.get("sizeInBytes"),
+                                "cardinality": dv.get("cardinality"),
+                            }
+                            if dv
+                            else None
+                        ),
+                    }
+                )
+            )
+        tmp = os.path.join(self.path, "__checkpoint_stage")
+        self.spark.createDataFrame(rows, self._CHECKPOINT_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        target = os.path.join(self.log_dir, f"{v:020d}.checkpoint.parquet")
+        os.replace(os.path.join(tmp, src), target)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        with open(os.path.join(self.log_dir, "_last_checkpoint"), "w") as fh:
+            json.dump({"version": v, "size": len(rows)}, fh)
+        return v
 
     def _dv_descriptor(self, a: dict, abspath) -> tuple:
         """Resolve one add action's deletionVector into a flat

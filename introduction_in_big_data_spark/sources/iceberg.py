@@ -126,16 +126,7 @@ def create_minimal_table(
 
     from ..functions import avrocodec
 
-    spark_to_ice = {
-        "LongType": "long",
-        "IntegerType": "int",
-        "DoubleType": "double",
-        "FloatType": "float",
-        "StringType": "string",
-        "BooleanType": "boolean",
-        "BinaryType": "binary",
-        "DateType": "date",
-    }
+    spark_to_ice = _SPARK_TO_ICE
     meta_dir = os.path.join(path, "metadata")
     data_dir = os.path.join(path, "data")
     os.makedirs(meta_dir, exist_ok=False)
@@ -243,6 +234,176 @@ def create_minimal_table(
         json.dump(meta, fh)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write("1")
+
+
+_SPARK_TO_ICE = {
+    "LongType": "long",
+    "IntegerType": "int",
+    "DoubleType": "double",
+    "FloatType": "float",
+    "StringType": "string",
+    "BooleanType": "boolean",
+    "BinaryType": "binary",
+    "DateType": "date",
+}
+
+
+def export_acid_table(spark: SparkSession, acid_path: str) -> int:
+    """Export the current AcidTable snapshot as Iceberg format-v1
+    metadata IN the table's own directory (round 5 — the Iceberg half
+    of write-side lakehouse interop, symmetric to
+    deltalog.export_acid_table): a `metadata/` dir with an Avro
+    manifest naming the snapshot's live parquet files (absolute
+    file:// URIs — Iceberg's native addressing, so nothing is
+    copied), an Avro manifest list, vN.metadata.json and
+    version-hint.text. Per-file record counts come from ONE grouped
+    scan over _metadata.file_path (real readers use them for scan
+    planning). Re-exporting after new AcidTable commits appends a new
+    snapshot + metadata version. Returns the metadata version
+    written. Round-trip pinned by tests/test_iceberg.py and the
+    iceberg_export_roundtrip registered query."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..functions import avrocodec
+    from .acidtable import AcidTable
+
+    table = AcidTable(spark, acid_path)
+    v = table.latest_version()
+    manifest_src = table._manifest(v)
+    files = sorted(manifest_src["files"])
+    schema = T.StructType.fromJson(json.loads(manifest_src["schema"]))
+
+    counts: dict[str, int] = {}
+    if files:
+        for r in (
+            spark.read.schema(schema)
+            .parquet(*files)
+            .groupBy(F.col("_metadata.file_path").alias("__fp"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        ):
+            counts[r["__fp"].removeprefix("file:")] = r["__n"]
+
+    meta_dir = os.path.join(acid_path, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    versions = sorted(
+        int(m.group(1))
+        for f in os.listdir(meta_dir)
+        if (m := re.match(r"v(\d+)\.metadata\.json$", f))
+    )
+    next_meta_v = (versions[-1] + 1) if versions else 1
+    prev: dict = {}
+    if versions:
+        with open(
+            os.path.join(meta_dir, f"v{versions[-1]}.metadata.json")
+        ) as fh:
+            prev = json.load(fh)
+    snap_id = (
+        max((s["snapshot-id"] for s in prev.get("snapshots", [])), default=0)
+        + 1
+    )
+
+    manifest_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+    manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+    avrocodec.write_container(
+        manifest,
+        manifest_schema,
+        [
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "file_path": f"file://{p}",
+                    "file_format": "PARQUET",
+                    "record_count": counts.get(p, 0),
+                    "file_size_in_bytes": os.path.getsize(p),
+                },
+            }
+            for p in files
+        ],
+    )
+    ml_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "content", "type": "int"},
+        ],
+    }
+    ml = os.path.join(meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro")
+    avrocodec.write_container(
+        ml,
+        ml_schema,
+        [
+            {
+                "manifest_path": f"file://{manifest}",
+                "manifest_length": os.path.getsize(manifest),
+                "partition_spec_id": 0,
+                "content": 0,
+            }
+        ],
+    )
+    fields = []
+    for i, f in enumerate(schema.fields, start=1):
+        tname = type(f.dataType).__name__
+        if tname not in _SPARK_TO_ICE:
+            raise UnsupportedIcebergFeature(f"export type {tname}")
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": False,
+                "type": _SPARK_TO_ICE[tname],
+            }
+        )
+    meta = {
+        "format-version": 1,
+        "table-uuid": prev.get("table-uuid", str(uuid.uuid4())),
+        "location": f"file://{acid_path}",
+        "schema": {"type": "struct", "schema-id": 0, "fields": fields},
+        "partition-spec": [],
+        "snapshots": prev.get("snapshots", [])
+        + [
+            {
+                "snapshot-id": snap_id,
+                "timestamp-ms": 0,
+                "manifest-list": f"file://{ml}",
+                "summary": {"operation": "append" if not prev else "overwrite"},
+            }
+        ],
+        "current-snapshot-id": snap_id,
+    }
+    with open(
+        os.path.join(meta_dir, f"v{next_meta_v}.metadata.json"), "w"
+    ) as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(next_meta_v))
+    return next_meta_v
 
 
 def add_position_deletes(

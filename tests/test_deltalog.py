@@ -519,3 +519,41 @@ def test_deletion_vectors_large_bitmap(spark, tmp_path):
     out = DeltaLogReader(spark, d).read()
     assert out.count() == 1000
     assert out.agg(F.min("k")).collect()[0][0] == 5000
+
+
+def test_write_checkpoint_and_vacuum(spark, tmp_path):
+    """The checkpoint WRITER: after write_checkpoint(N), JSON commits
+    <= N can be vacuumed and replay still reconstructs the snapshot —
+    including deletion vectors, which must checkpoint losslessly."""
+    from introduction_in_big_data_spark.sources.deltalog import (
+        commit_deletion_vector,
+        create_minimal_table,
+    )
+
+    d = str(tmp_path / "cpw")
+    df = spark.range(8).select(F.col("id").alias("k"))
+    create_minimal_table(spark, d, df.coalesce(1))
+    rel = next(iter(DeltaLogReader(spark, d)._replay(0)[1]))
+    commit_deletion_vector(spark, d, rel, [1, 4], storage="u")  # v1
+
+    t = DeltaLogReader(spark, d)
+    assert t.write_checkpoint() == 1
+    # vacuum every JSON commit the checkpoint covers
+    log = os.path.join(d, "_delta_log")
+    for v in (0, 1):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+
+    t2 = DeltaLogReader(spark, d)
+    assert t2.latest_version() == 1
+    # single-file range write preserves order: pos == k
+    assert {r.k for r in t2.read().collect()} == {0, 2, 3, 5, 6, 7}
+    # a later JSON commit on top of the checkpoint still replays
+    tmp = os.path.join(d, "__stage2")
+    spark.createDataFrame([(100,)], "k long").coalesce(1).write.parquet(tmp)
+    fname = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    rel2 = f"part-extra-{uuid.uuid4().hex}.parquet"
+    os.renames(os.path.join(tmp, fname), os.path.join(d, rel2))
+    _commit(d, 2, [_add(rel2)])
+    assert {r.k for r in DeltaLogReader(spark, d).read().collect()} == {
+        0, 2, 3, 5, 6, 7, 100
+    }
