@@ -20,17 +20,19 @@ matters for an analytics engine pointed at a lakehouse someone else
 writes; writing through the full protocol (invariants, deletion
 vectors, column mapping) stays out of scope and raises clearly.
 
-Column mapping (`delta.columnMapping.mode = name`, reader protocol
-v2 — common on tables written by modern writers; round 5) is replayed:
-data files and partitionValues keys carry physical names from the
-schema metadata, and the reader restores logical names at every
-nesting level. Deletion vectors (reader v3 feature; round 5) are
+Column mapping (reader protocol v2 — common on tables written by
+modern writers; round 5) is replayed in BOTH modes: `name` mode scans
+with the physical schema from the fields'
+`delta.columnMapping.physicalName` metadata and restores logical
+names at every nesting level; `id` mode attaches `parquet.field.id`
+metadata and lets Spark's field-id parquet path match columns by id
+(no rename needed). Deletion vectors (reader v3 feature; round 5) are
 APPLIED: RoaringBitmapArray payloads (functions/roaring.py — Z85 +
 the published roaring portable format) decode executor-side and
 remove their row positions via a broadcast anti-join on
 `_metadata.row_index`. Remaining unsupported protocol features are
-DETECTED, not silently misread: v2 checkpoints, id-mode mapping,
-type widening etc. raise UnsupportedDeltaFeature.
+DETECTED, not silently misread: v2 checkpoints, type widening etc.
+raise UnsupportedDeltaFeature.
 
 Reference parity note: the reference repo has no lakehouse surface at
 all; this closes VERDICT r3's "tables written by real Delta writers
@@ -623,12 +625,10 @@ class DeltaLogReader:
         mode = (meta.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         )
-        if mode not in ("none", "name"):
-            # 'id' mode matches by parquet field id, which a plain
-            # schema-on-read scan can't express
+        if mode not in ("none", "name", "id"):
             raise UnsupportedDeltaFeature(
                 f"delta.columnMapping.mode = {mode!r}; supported: "
-                "'none' and 'name'"
+                "'none', 'name' and 'id'"
             )
         return mode
 
@@ -637,6 +637,39 @@ class DeltaLogReader:
         return (f.metadata or {}).get(
             "delta.columnMapping.physicalName", f.name
         )
+
+    @classmethod
+    def _id_field(cls, f: T.StructField) -> T.StructField:
+        """id-mode rendering of a field: keep the LOGICAL name, attach
+        `parquet.field.id` from the columnMapping metadata — Spark's
+        parquet reader then matches columns by field id
+        (spark.sql.parquet.fieldId.read.enabled), no rename needed."""
+        fid = (f.metadata or {}).get("delta.columnMapping.id")
+        if fid is None:
+            raise UnsupportedDeltaFeature(
+                f"columnMapping.mode=id but field {f.name!r} carries no "
+                "delta.columnMapping.id"
+            )
+        return T.StructField(
+            f.name,
+            cls._id_type(f.dataType),
+            f.nullable,
+            {"parquet.field.id": int(fid)},
+        )
+
+    @classmethod
+    def _id_type(cls, dt: T.DataType) -> T.DataType:
+        if isinstance(dt, T.StructType):
+            return T.StructType([cls._id_field(f) for f in dt.fields])
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(cls._id_type(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                cls._id_type(dt.keyType),
+                cls._id_type(dt.valueType),
+                dt.valueContainsNull,
+            )
+        return dt
 
     @classmethod
     def _phys_type(cls, dt: T.DataType) -> T.DataType:
@@ -687,21 +720,37 @@ class DeltaLogReader:
         v = self.latest_version() if version is None else version
         meta, live = self._replay(v)
         schema = self._schema_from_meta(meta)
-        mapped = self._mapping_mode(meta) == "name"
-        phys = (lambda f: self._phys_name(f)) if mapped else (lambda f: f.name)
+        mode = self._mapping_mode(meta)
+        mapped = mode == "name"
+        # both mapping modes: partitionValues keys use physical names
+        phys = (
+            (lambda f: self._phys_name(f))
+            if mode != "none"
+            else (lambda f: f.name)
+        )
         part_cols = list(meta.get("partitionColumns") or [])
         fields_by_name = {f.name: f for f in schema.fields}
         data_fields = [f for f in schema.fields if f.name not in part_cols]
-        data_schema = T.StructType(
-            [
-                T.StructField(
-                    phys(f),
-                    self._phys_type(f.dataType) if mapped else f.dataType,
-                    f.nullable,
-                )
-                for f in data_fields
-            ]
-        )
+        if mode == "id":
+            # logical names + parquet.field.id metadata; Spark matches
+            # data-file columns by field id, so no rename is needed
+            data_schema = T.StructType(
+                [self._id_field(f) for f in data_fields]
+            )
+            self.spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
+        else:
+            data_schema = T.StructType(
+                [
+                    T.StructField(
+                        phys(f),
+                        self._phys_type(f.dataType) if mapped else f.dataType,
+                        f.nullable,
+                    )
+                    for f in data_fields
+                ]
+            )
 
         if not live:
             return self.spark.createDataFrame([], schema)

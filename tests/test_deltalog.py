@@ -367,14 +367,53 @@ def test_column_mapping_partitioned_and_nested(spark, tmp_path):
     assert (r.k, r.u.x, r.p) == (7, 70, 9)
 
 
-def test_column_mapping_id_mode_refused(spark, tmp_path):
+def test_column_mapping_id_mode_reads_by_field_id(spark, tmp_path):
+    """id-mode column mapping: data-file columns match by parquet
+    field id (names in the files are arbitrary), via Spark's
+    fieldId.read path — logical names come straight from the schema."""
+    schema_json = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName": "c1"}},
+                {"name": "s", "type": "string", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 2,
+                              "delta.columnMapping.physicalName": "c2"}},
+            ],
+        }
+    )
     d = str(tmp_path / "cm3")
+    os.makedirs(d)
+    # physical parquet: arbitrary names, field ids 1/2
+    tmp = os.path.join(d, "__stage")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    df.select(
+        F.col("k").alias("whatever_x", metadata={"parquet.field.id": 1}),
+        F.col("s").alias("whatever_y", metadata={"parquet.field.id": 2}),
+    ).coalesce(1).write.parquet(tmp)
+    fname = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    rel = "part-id-mode.parquet"
+    os.renames(os.path.join(tmp, fname), os.path.join(d, rel))
+    meta = _meta(schema_json)
+    meta["metaData"]["configuration"] = {"delta.columnMapping.mode": "id"}
+    _commit(d, 0, [_protocol(reader=2, writer=5), meta, _add(rel)])
+    out = DeltaLogReader(spark, d).read()
+    assert set(out.columns) == {"k", "s"}
+    assert {(r.k, r.s) for r in out.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_column_mapping_id_mode_without_ids_refused(spark, tmp_path):
+    """A mode=id table whose schema carries no columnMapping ids is
+    malformed — refuse, don't guess."""
+    d = str(tmp_path / "cm3b")
     os.makedirs(d)
     f0 = _write_data(spark, d, [(1, 1.0)])
     meta = _meta()
     meta["metaData"]["configuration"] = {"delta.columnMapping.mode": "id"}
     _commit(d, 0, [_protocol(reader=2, writer=5), meta, _add(f0)])
-    with pytest.raises(UnsupportedDeltaFeature, match="columnMapping.mode"):
+    with pytest.raises(UnsupportedDeltaFeature, match="columnMapping"):
         DeltaLogReader(spark, d).read()
 
 
