@@ -427,6 +427,32 @@ def pack_sequences(
     )
 
 
+def extract_html_text(
+    df: DataFrame, html_col: str = "html", out_col: str = "text"
+) -> DataFrame:
+    """Visible-text extraction from HTML (functions/htmltext: stdlib
+    parser; script/style dropped, charrefs resolved, whitespace
+    collapsed) as an Arrow-batched pandas_udf — the decode step
+    between a WARC scan (sources/warc) and the text-curation
+    operators. Embarrassingly parallel, zero shuffles."""
+    from pyspark import cloudpickle
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions import htmltext
+
+    try:
+        cloudpickle.register_pickle_by_value(htmltext)
+    except Exception:  # pragma: no cover — same-cwd runs work anyway
+        pass
+    h2t = htmltext.html_to_text
+
+    @pandas_udf("string")
+    def _extract(s):
+        return s.map(lambda x: h2t(x) if x is not None else None)
+
+    return df.withColumn(out_col, _extract(F.col(html_col)))
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",

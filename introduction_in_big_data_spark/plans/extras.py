@@ -380,6 +380,79 @@ def iceberg_v2_deletes_read(spark, sf_dir):
 
 
 @register(
+    "warc_ingest_stats",
+    oracle=r"""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(sum(length(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                    AS BIGINT) AS n_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("warc", "source", "html", "llm", "ingest"),
+)
+def warc_ingest_stats(spark, sf_dir):
+    """WARC ingestion front-end (sources/warc.py +
+    operators/text.extract_html_text, round 5) — the Common Crawl
+    entry point of an LLM data pipeline, ISO 28500 from the published
+    spec with zero jars: render each document as an escaped HTML page,
+    stage gzip-member-per-record web archives FROM THE EXECUTORS
+    (write_warc_dir), scan them back at one-task-per-file parallelism
+    (read_warc: header parse, HTTP payload split), recover the visible
+    text with the stdlib HTML extractor (script dropped, charrefs
+    resolved, whitespace collapsed), and aggregate per language parsed
+    from the URL. Escape→extract round-trips the text exactly modulo
+    whitespace collapse, so the DuckDB oracle recomputes the same
+    counts from raw parquet with one regexp — archive framing, gzip
+    members, HTTP split and HTML extraction are all value-hash
+    checked."""
+    import tempfile
+
+    from ..operators.text import extract_html_text
+    from ..sources.warc import read_warc, write_warc_dir
+
+    docs = t(spark, sf_dir, "documents")
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    staged = docs.select(
+        F.concat(
+            F.lit("http://corpus.example/"),
+            F.col("lang"),
+            F.lit("/"),
+            F.col("doc_id"),
+        ).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>doc</title>"
+                      "<style>p{margin:0}</style></head><body><p>"),
+                esc,
+                F.lit("</p><script>var tracked = true;</script>"
+                      "</body></html>"),
+            ),
+            "UTF-8",
+        ).alias("body"),
+    )
+    path = tempfile.mkdtemp(prefix="warc_ingest_") + "/archives"
+    write_warc_dir(staged.repartition(4), path)
+    pages = read_warc(spark, path).select(
+        F.regexp_extract("url", r"corpus\.example/([a-z]+)/", 1).alias("lang"),
+        F.decode(F.col("body"), "UTF-8").alias("html"),
+    )
+    text = extract_html_text(pages, "html", "text")
+    return text.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+
+
+@register(
     "iceberg_export_roundtrip",
     oracle="""
         SELECT p_brand,
