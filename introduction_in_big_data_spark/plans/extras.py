@@ -380,6 +380,64 @@ def iceberg_v2_deletes_read(spark, sf_dir):
 
 
 @register(
+    "iceberg_eq_deletes_read",
+    oracle="""
+        WITH readd AS (
+            SELECT doc_id FROM documents
+            WHERE doc_id % 11 = 0 ORDER BY doc_id LIMIT 3
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE doc_id % 11 <> 0 OR doc_id IN (SELECT doc_id FROM readd)
+        GROUP BY lang
+    """,
+    tags=("iceberg", "lakehouse", "interop", "source", "deletes"),
+)
+def iceberg_eq_deletes_read(spark, sf_dir):
+    """Iceberg format-v2 EQUALITY-delete read with the sequence gate
+    (sources/iceberg.py, round 5): stage documents at sequence 0,
+    commit an equality delete (content=2, equality_ids=[doc_id]) at
+    sequence 1 tombstoning every doc_id divisible by 11, then
+    RE-APPEND the three smallest deleted docs at sequence 2 — the
+    seq-1 delete must NOT touch them (rows from data files with
+    sequence >= the delete's survive; naive apply-to-everything gets
+    this wrong). The reader joins per-file sequence numbers onto the
+    scan and anti-joins the broadcast delete values with a
+    null-safe-equality + sequence condition. The DuckDB oracle
+    reproduces the survivor set from raw parquet."""
+    import tempfile
+
+    from ..sources.iceberg import (
+        IcebergTableReader,
+        add_equality_deletes,
+        append_data_snapshot,
+        create_minimal_table,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="iceberg_eq_") + "/t"
+    create_minimal_table(spark, path, docs.coalesce(1))
+    deleted = docs.filter(F.col("doc_id") % 11 == 0)
+    del_ids = sorted(r.doc_id for r in deleted.select("doc_id").collect())
+    add_equality_deletes(
+        spark, path, [(i,) for i in del_ids], ["doc_id"], sequence=1
+    )
+    append_data_snapshot(
+        spark,
+        path,
+        docs.filter(F.col("doc_id").isin(del_ids[:3])),
+        sequence=2,
+    )
+    snap = IcebergTableReader(spark, path).read()
+    return snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
     "warc_ingest_stats",
     oracle=r"""
         SELECT lang,

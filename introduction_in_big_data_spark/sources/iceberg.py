@@ -19,16 +19,21 @@ materialization — hand Spark the explicit file list and the table
 schema (mapped from Iceberg's field list) and pushdown/pruning work as
 with any parquet scan.
 
-Format-v2 row-level deletes (round 5 — VERDICT r4 #1): POSITION
-deletes are APPLIED — delete manifests (manifest-list content=1) are
-walked like data manifests, their position-delete files (parquet or
-Avro, spec columns `file_path` string / `pos` long) decode into a
-(file_path, pos) set, and the snapshot read anti-joins it against the
-data scan's `_metadata.row_index` (the parquet row position — exactly
-the spec's `pos`) with the compact delete side broadcast. EQUALITY
-deletes (content=2) raise UnsupportedIcebergFeature — their
-sequence-point semantics are a different feature, and refusing loudly
-beats silently resurrecting deleted rows.
+Format-v2 row-level deletes (round 5 — VERDICT r4 #1 and beyond):
+BOTH delete kinds are APPLIED. POSITION deletes — delete manifests
+(manifest-list content=1) are walked like data manifests, their
+position-delete files (parquet or Avro, spec columns `file_path`
+string / `pos` long) decode into a (file_path, pos) set, and the
+snapshot read anti-joins it against the data scan's
+`_metadata.row_index` (the parquet row position — exactly the spec's
+`pos`) with the compact delete side broadcast. EQUALITY deletes
+(content=2) — the delete file's rows match on the `equality_ids`
+columns (null-safe) and remove rows ONLY from data files with a
+strictly smaller data sequence number, so a matching row re-inserted
+after the delete survives (the spec's sequence gate); per-file
+sequence numbers ride a broadcast join on the scan path. Malformed
+delete metadata (missing equality_ids, unknown field ids, non-parquet
+equality files) refuses loudly.
 
 Closes the Iceberg half of VERDICT r2/r3's lakehouse-interop gap the
 same way deltalog.py closes the Delta half: with the published
@@ -406,6 +411,198 @@ def export_acid_table(spark: SparkSession, acid_path: str) -> int:
     return next_meta_v
 
 
+_MANIFEST_V2_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                    },
+                ],
+            },
+        },
+    ],
+}
+
+
+def _stage_parquet(spark: SparkSession, path: str, df) -> str:
+    """Write df as ONE parquet file under <table>/data; return its path."""
+    import shutil
+    import uuid
+
+    tmp = os.path.join(path, "_stage_one")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    dst = os.path.join(path, "data", f"{uuid.uuid4().hex}.parquet")
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    os.rename(os.path.join(tmp, src), dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return dst
+
+
+def _commit_snapshot(
+    spark: SparkSession,
+    path: str,
+    new_manifests: list[tuple[str, int]],
+    operation: str,
+) -> int:
+    """Append a snapshot whose manifest list = the current snapshot's
+    manifests + `new_manifests` [(path, content)], publish a new
+    metadata version + version-hint; returns the new snapshot id."""
+    from ..functions import avrocodec
+
+    t = IcebergTableReader(spark, path)
+    meta = t.metadata()
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    ml_schema, old_manifests = avrocodec.read_container(
+        _local_path(cur["manifest-list"])
+    )
+    meta_dir = os.path.join(path, "metadata")
+    new_snap_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    import uuid
+
+    ml = os.path.join(meta_dir, f"snap-{new_snap_id}-{uuid.uuid4().hex}.avro")
+    avrocodec.write_container(
+        ml,
+        ml_schema,
+        old_manifests
+        + [
+            {
+                "manifest_path": f"file://{m}",
+                "manifest_length": os.path.getsize(m),
+                "partition_spec_id": 0,
+                "content": content,
+            }
+            for m, content in new_manifests
+        ],
+    )
+    meta = dict(meta)
+    meta["format-version"] = 2
+    meta["snapshots"] = meta["snapshots"] + [
+        {
+            "snapshot-id": new_snap_id,
+            "timestamp-ms": 0,
+            "manifest-list": f"file://{ml}",
+            "summary": {"operation": operation},
+        }
+    ]
+    meta["current-snapshot-id"] = new_snap_id
+    hint = os.path.join(meta_dir, "version-hint.text")
+    with open(hint) as fh:
+        version = int(fh.read().strip())
+    with open(
+        os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w"
+    ) as fh:
+        json.dump(meta, fh)
+    with open(hint, "w") as fh:
+        fh.write(str(version + 1))
+    return new_snap_id
+
+
+def append_data_snapshot(
+    spark: SparkSession, path: str, df, sequence: int
+) -> None:
+    """Stage an APPEND snapshot whose manifest entries carry an
+    explicit data sequence number — the gate equality deletes test
+    against (rows appended at sequence >= a delete's survive it)."""
+    import uuid
+
+    from ..functions import avrocodec
+
+    p = _stage_parquet(spark, path, df)
+    meta_dir = os.path.join(path, "metadata")
+    manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-a0.avro")
+    avrocodec.write_container(
+        manifest,
+        _MANIFEST_V2_SCHEMA,
+        [
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "sequence_number": int(sequence),
+                "data_file": {
+                    "content": 0,
+                    "file_path": f"file://{p}",
+                    "file_format": "PARQUET",
+                    "record_count": 0,
+                    "file_size_in_bytes": os.path.getsize(p),
+                    "equality_ids": None,
+                },
+            }
+        ],
+    )
+    _commit_snapshot(spark, path, [(manifest, 0)], "append")
+
+
+def add_equality_deletes(
+    spark: SparkSession,
+    path: str,
+    rows: list[tuple],
+    columns: list[str],
+    sequence: int,
+) -> None:
+    """Stage a v2 EQUALITY-DELETE snapshot: the delete parquet holds
+    `rows` over `columns`, the delete manifest entry carries
+    content=2, the columns' Iceberg field ids as equality_ids, and the
+    given data sequence number."""
+    import uuid
+
+    from ..functions import avrocodec
+
+    t = IcebergTableReader(spark, path)
+    fields = {f["name"]: f for f in t._schema_fields(t.metadata())}
+    try:
+        ids = [fields[c]["id"] for c in columns]
+    except KeyError as exc:
+        raise UnsupportedIcebergFeature(
+            f"equality-delete column missing from schema: {exc}"
+        ) from exc
+    schema = t._schema_struct(t.metadata())
+    sub = T.StructType([schema[c] for c in columns])  # caller's order
+    p = _stage_parquet(spark, path, spark.createDataFrame(rows, sub))
+    meta_dir = os.path.join(path, "metadata")
+    manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-e0.avro")
+    avrocodec.write_container(
+        manifest,
+        _MANIFEST_V2_SCHEMA,
+        [
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "sequence_number": int(sequence),
+                "data_file": {
+                    "content": 2,
+                    "file_path": f"file://{p}",
+                    "file_format": "PARQUET",
+                    "record_count": len(rows),
+                    "file_size_in_bytes": os.path.getsize(p),
+                    "equality_ids": ids,
+                },
+            }
+        ],
+    )
+    _commit_snapshot(spark, path, [(manifest, 1)], "delete")
+
+
 def add_position_deletes(
     spark: SparkSession, path: str, deletes: list[tuple[str, int]]
 ) -> None:
@@ -621,21 +818,33 @@ class IcebergTableReader:
 
     # -- snapshot read ----------------------------------------------------------
 
-    def _live_files(self, snapshot: dict) -> tuple[list[str], list[tuple[str, str]]]:
+    def _live_files(
+        self, snapshot: dict
+    ) -> tuple[
+        list[tuple[str, int]],
+        list[tuple[str, str]],
+        list[tuple[str, str, int, tuple[int, ...]]],
+    ]:
         """Walk the snapshot's manifest list. Returns
-        (data_files, delete_files) where delete_files is a list of
-        (path, format) POSITION-delete files (format-v2 row-level
-        deletes; manifest-list content=1, data_file content=1).
-        Equality deletes (content=2) are refused — their apply
-        semantics (delete by column values at a sequence point) are a
-        different feature; refusing loudly beats silently resurrecting
-        deleted rows."""
+        (data_files, position_deletes, equality_deletes):
+        - data_files: (path, data_sequence_number) — the sequence
+          number gates equality-delete application,
+        - position_deletes: (path, format) (content=1),
+        - equality_deletes: (path, format, sequence, equality_ids)
+          (content=2) — applied to data files with STRICTLY SMALLER
+          sequence numbers (spec: a row re-inserted after the delete
+          survives it).
+        Sequence resolution: the manifest entry's sequence_number /
+        data_sequence_number, else the manifest-list entry's, else 0
+        (v1 metadata has no sequences — everything predates any
+        delete)."""
         from ..functions import avrocodec
 
         ml_path = _local_path(snapshot["manifest-list"])
         _schema, manifests = avrocodec.read_container(ml_path)
-        data_files: list[str] = []
-        delete_files: list[tuple[str, str]] = []
+        data_files: dict[str, int] = {}
+        pos_deletes: list[tuple[str, str]] = []
+        eq_deletes: list[tuple[str, str, int, tuple[int, ...]]] = []
         for m in manifests:
             m_content = m.get("content") or 0
             if m_content not in (0, 1):
@@ -653,24 +862,40 @@ class IcebergTableReader:
                 content = df_rec.get("content") or 0
                 fmt = (df_rec.get("file_format") or "PARQUET").upper()
                 path = _local_path(df_rec["file_path"])
+                seq = (
+                    e.get("sequence_number")
+                    or e.get("data_sequence_number")
+                    or m.get("sequence_number")
+                    or 0
+                )
                 if m_content == 0 and content == 0:
                     if fmt != "PARQUET":
                         raise UnsupportedIcebergFeature(
                             f"data file format {fmt}; only PARQUET is read"
                         )
-                    data_files.append(path)
+                    data_files[path] = int(seq)
                 elif content == 2:
-                    raise UnsupportedIcebergFeature(
-                        "equality delete file in snapshot; only position "
-                        "deletes (content=1) are applied"
-                    )
+                    ids = tuple(df_rec.get("equality_ids") or ())
+                    if not ids:
+                        raise UnsupportedIcebergFeature(
+                            "equality delete file without equality_ids"
+                        )
+                    if fmt != "PARQUET":
+                        raise UnsupportedIcebergFeature(
+                            f"equality-delete file format {fmt}"
+                        )
+                    eq_deletes.append((path, fmt, int(seq), ids))
                 else:  # position delete (delete manifest or content=1)
                     if fmt not in ("PARQUET", "AVRO"):
                         raise UnsupportedIcebergFeature(
                             f"position-delete file format {fmt}"
                         )
-                    delete_files.append((path, fmt))
-        return sorted(set(data_files)), sorted(set(delete_files))
+                    pos_deletes.append((path, fmt))
+        return (
+            sorted(data_files.items()),
+            sorted(set(pos_deletes)),
+            sorted(set(eq_deletes)),
+        )
 
     def _position_deletes(self, delete_files: list[tuple[str, str]]) -> DataFrame:
         """Decode position-delete files into one (file_path, pos)
@@ -712,37 +937,105 @@ class IcebergTableReader:
         )
         if snapshot is None:
             raise ValueError(f"snapshot {snapshot_id} not in table metadata")
-        files, deletes = self._live_files(snapshot)
+        data, pos_deletes, eq_deletes = self._live_files(snapshot)
         schema = self._schema_struct(meta)
-        if not files:
+        if not data:
             return self.spark.createDataFrame([], schema)
+        files = [p for p, _seq in data]
         df = self.spark.read.schema(schema).parquet(*files)
-        if not deletes:
+        if not pos_deletes and not eq_deletes:
             return df
 
-        # v2 position deletes: (file_path, pos) anti-join against the
-        # scan's per-file row index (_metadata.row_index — parquet row
-        # position, exactly the spec's `pos`). URIs normalize to local
-        # paths on both sides. The delete side broadcasts: position
-        # deletes are compact by construction (they exist to AVOID
-        # rewriting data files), so no shuffle of the data scan.
+        # v2 row-level deletes. URIs normalize to local paths on both
+        # sides; every delete side broadcasts (delete files are compact
+        # by construction — they exist to AVOID rewriting data files),
+        # so the data scan never shuffles.
         norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
-        pos_df = self._position_deletes(deletes).select(
-            norm(F.col("file_path")).alias("__del_path"),
-            F.col("pos").alias("__del_pos"),
-        )
         cols = df.columns
-        return (
-            df.select(
-                "*",
-                norm(F.col("_metadata.file_path")).alias("__path"),
-                F.col("_metadata.row_index").alias("__pos"),
+        df = df.select(
+            "*",
+            norm(F.col("_metadata.file_path")).alias("__path"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+
+        if pos_deletes:
+            # (file_path, pos) anti-join against the scan's per-file
+            # row index (_metadata.row_index — exactly the spec's pos)
+            pos_df = self._position_deletes(pos_deletes).select(
+                norm(F.col("file_path")).alias("__del_path"),
+                F.col("pos").alias("__del_pos"),
             )
-            .join(
+            df = df.join(
                 F.broadcast(pos_df),
                 (F.col("__path") == F.col("__del_path"))
                 & (F.col("__pos") == F.col("__del_pos")),
                 "left_anti",
             )
-            .select(*cols)
-        )
+
+        if eq_deletes:
+            # equality deletes remove rows whose listed columns match
+            # a delete row, but ONLY from data files with a strictly
+            # smaller data sequence number — a matching row
+            # re-inserted after the delete survives. Per-file sequence
+            # numbers attach via a broadcast join on the scan path.
+            field_ids = {
+                f["id"]: f["name"] for f in self._schema_fields(meta)
+            }
+            seq_df = self.spark.createDataFrame(
+                [(p, s) for p, s in data], "file_path string, seq long"
+            ).select(
+                norm(F.col("file_path")).alias("__path"),
+                F.col("seq").alias("__seq"),
+            )
+            df = df.join(F.broadcast(seq_df), "__path", "left")
+            by_ids: dict[tuple[int, ...], list[tuple[str, int]]] = {}
+            for p, _fmt, seq, ids in eq_deletes:
+                by_ids.setdefault(ids, []).append((p, seq))
+            for ids, dels in sorted(by_ids.items()):
+                try:
+                    names = [field_ids[i] for i in ids]
+                except KeyError as exc:
+                    raise UnsupportedIcebergFeature(
+                        f"equality_ids {ids} reference fields missing from "
+                        "the top-level schema"
+                    ) from exc
+                parts = [
+                    self.spark.read.schema(
+                        T.StructType(
+                            [
+                                f
+                                for f in schema.fields
+                                if f.name in set(names)
+                            ]
+                        )
+                    )
+                    .parquet(p)
+                    .select(
+                        *[F.col(c).alias(f"__del_{c}") for c in names],
+                        F.lit(seq).alias("__del_seq"),
+                    )
+                    for p, seq in dels
+                ]
+                del_df = parts[0]
+                for extra in parts[1:]:
+                    del_df = del_df.unionByName(extra)
+                cond = F.col("__seq") < F.col("__del_seq")
+                for c in names:
+                    cond = cond & F.col(c).eqNullSafe(F.col(f"__del_{c}"))
+                df = df.join(F.broadcast(del_df), cond, "left_anti")
+            df = df.drop("__seq")
+
+        return df.select(*cols)
+
+    @staticmethod
+    def _schema_fields(meta: dict) -> list[dict]:
+        """Raw top-level field dicts (with Iceberg field ids) of the
+        current schema."""
+        if "schemas" in meta:
+            sid = meta.get("current-schema-id", 0)
+            node = next(
+                s for s in meta["schemas"] if s.get("schema-id", 0) == sid
+            )
+        else:
+            node = meta["schema"]
+        return node["fields"]

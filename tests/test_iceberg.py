@@ -228,9 +228,9 @@ def test_position_deletes_applied_and_time_travel(spark, tmp_path):
     assert {r.k for r in t2.read(snapshot_id=1).collect()} == set(range(10))
 
 
-def test_refuses_equality_deletes(spark, tmp_path):
-    """Equality deletes (content=2) stay out of scope and must refuse
-    loudly, not resurrect or silently drop rows."""
+def test_refuses_malformed_equality_deletes(spark, tmp_path):
+    """An equality-delete entry WITHOUT equality_ids is malformed —
+    refuse loudly, don't guess which columns to match."""
     d = str(tmp_path / "ice2")
     meta_dir = os.path.join(d, "metadata")
     os.makedirs(meta_dir)
@@ -337,3 +337,59 @@ def test_export_acid_table_roundtrip(spark, tmp_path):
     t2 = IcebergTableReader(spark, d)
     assert {r.k for r in t2.read().collect()} == {0, 1, 2}
     assert {r.k for r in t2.read(snapshot_id=1).collect()} == set(range(10))
+
+
+def test_equality_deletes_with_sequence_gate(spark, tmp_path):
+    """v2 equality deletes: rows matching the delete columns vanish
+    from data files with smaller sequence numbers, but a matching row
+    RE-APPENDED at a sequence >= the delete's survives (the spec's
+    sequence gate — the case naive apply-to-everything gets wrong)."""
+    from pyspark.sql import functions as F
+
+    from introduction_in_big_data_spark.sources.iceberg import (
+        add_equality_deletes,
+        append_data_snapshot,
+        create_minimal_table,
+    )
+
+    d = str(tmp_path / "ice_eq")
+    df = spark.range(6).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    create_minimal_table(spark, d, df.coalesce(1))  # data at sequence 0
+    add_equality_deletes(spark, d, [(1,), (4,)], ["k"], sequence=1)
+    t = IcebergTableReader(spark, d)
+    assert {r.k for r in t.read().collect()} == {0, 2, 3, 5}
+
+    # re-insert k=4 at sequence 2: the seq-1 delete must NOT touch it
+    append_data_snapshot(
+        spark, d,
+        spark.createDataFrame([(4, 40.0)], "k long, v double"),
+        sequence=2,
+    )
+    assert {(r.k, r.v) for r in IcebergTableReader(spark, d).read().collect()} \
+        == {(0, 0.0), (2, 2.0), (3, 3.0), (5, 5.0), (4, 40.0)}
+
+    # a second delete at sequence 3 kills the re-inserted row too
+    add_equality_deletes(spark, d, [(4,)], ["k"], sequence=3)
+    assert {r.k for r in IcebergTableReader(spark, d).read().collect()} \
+        == {0, 2, 3, 5}
+
+
+def test_equality_deletes_multi_column(spark, tmp_path):
+    """Multi-column equality_ids: BOTH columns must match (null-safe)."""
+    from pyspark.sql import functions as F
+
+    from introduction_in_big_data_spark.sources.iceberg import (
+        add_equality_deletes,
+        create_minimal_table,
+    )
+
+    d = str(tmp_path / "ice_eq2")
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 1.0)], "k long, v double"
+    )
+    create_minimal_table(spark, d, df.coalesce(1))
+    add_equality_deletes(spark, d, [(1, 1.0)], ["k", "v"], sequence=1)
+    out = {(r.k, r.v) for r in IcebergTableReader(spark, d).read().collect()}
+    assert out == {(1, 2.0), (2, 1.0)}
