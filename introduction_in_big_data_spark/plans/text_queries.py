@@ -706,12 +706,18 @@ def bpe_encode_stats(spark, sf_dir):
     broadcasts, and per-doc counts are one join + grouped sum; the
     corpus-scale token stream never runs a replace. Both the training
     rounds and the encode join are value-hash checked against one
-    DuckDB chain."""
-    from ..operators.text import bpe_apply_token_counts, bpe_train
+    DuckDB chain.
+
+    r5: the merges come from bpe_train_local — merge-for-merge
+    identical to the in-engine rounds (tests/test_bpe.py parity, and
+    bpe_train_merges/bpe_train_local_merges share one oracle) at one
+    Spark job instead of six, so the encode query's builder cost is
+    the corpus scan, not per-round scheduling."""
+    from ..operators.text import bpe_apply_token_counts, bpe_train_local
 
     docs = t(spark, sf_dir, "documents")
     merges = [
         (r.merge_left, r.merge_right)
-        for r in bpe_train(docs, "text", n_merges=BPE_MERGES).collect()
+        for r in bpe_train_local(docs, "text", n_merges=BPE_MERGES).collect()
     ]
     return bpe_apply_token_counts(docs, merges, "doc_id", "text")
