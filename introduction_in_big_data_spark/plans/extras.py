@@ -1506,3 +1506,150 @@ def acid_schema_evolution(spark, sf_dir):
     )
     table.merge(updates.unionByName(inserts), "c_custkey")
     return table.read()
+
+
+@register(
+    "delta_stats_skipping_read",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '2000-01-01'
+          AND o_totalprice > 1000.0
+        GROUP BY o_orderpriority
+    """,
+    tags=("delta", "lakehouse", "skipping", "source"),
+)
+def delta_stats_skipping_read(spark, sf_dir):
+    """Delta FILE SKIPPING from per-add `stats` (sources/skipping.py +
+    deltalog.read(predicates=...), round 5): stage orders as a Delta
+    table range-clustered on order date into 8 files with per-file
+    minValues/maxValues/nullCount stats (PROTOCOL.md "Per-file
+    Statistics"), then read with a conjunctive predicate — the reader
+    prunes files DRIVER-SIDE from the log stats (no data IO for
+    skipped files; at 100 TB this is what makes a selective query
+    touch 1/100th of the files before Spark even lists them) and
+    re-applies the predicate as a real filter, so the result is exact.
+    The DuckDB oracle recomputes from raw parquet with the same WHERE,
+    value-hash checking prune + residual end to end. The reference has
+    no metadata layer at all (whole-CSV reads, Part_A_Q1.py:21)."""
+    import datetime
+    import tempfile
+
+    from ..sources.deltalog import DeltaLogReader, create_minimal_table
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_date"),
+            "o_totalprice",
+            "o_orderpriority",
+        )
+        .repartitionByRange(8, "o_date")
+    )
+    path = tempfile.mkdtemp(prefix="delta_skip_") + "/t"
+    create_minimal_table(spark, path, base, stats=True)
+    reader = DeltaLogReader(spark, path)
+    snap = reader.read(
+        predicates=[
+            ("o_date", ">=", datetime.date(2000, 1, 1)),
+            ("o_totalprice", ">", 1000.0),
+        ]
+    )
+    return snap.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "delta_partition_pruning_read",
+    oracle="""
+        SELECT c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer
+        WHERE c_nationkey IN (1, 3, 5, 7) AND c_acctbal > 0.0
+        GROUP BY c_nationkey
+    """,
+    tags=("delta", "lakehouse", "skipping", "source"),
+)
+def delta_partition_pruning_read(spark, sf_dir):
+    """Delta PARTITION PRUNING composed with stats skipping (round 5):
+    stage customer hive-partitioned by nation key (25 partition
+    directories, partition values live ONLY in the log), read with an
+    IN-list on the partition column plus a stats predicate on account
+    balance — partition values evaluate EXACTLY (a file's partition
+    value is constant), so 21 of 25 partition groups never reach the
+    scan, and the balance predicate prunes further on per-file stats.
+    Typed partition comparison (int) is exercised on the pruning path;
+    the oracle recomputes from raw parquet with the same WHERE."""
+    import tempfile
+
+    from ..sources.deltalog import DeltaLogReader, create_minimal_table
+
+    base = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_nationkey"
+    )
+    path = tempfile.mkdtemp(prefix="delta_prune_") + "/t"
+    create_minimal_table(
+        spark, path, base, partition_by=["c_nationkey"], stats=True
+    )
+    reader = DeltaLogReader(spark, path)
+    snap = reader.read(
+        predicates=[
+            ("c_nationkey", "in", [1, 3, 5, 7]),
+            ("c_acctbal", ">", 0.0),
+        ]
+    )
+    return snap.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
+    "iceberg_bounds_skipping_read",
+    oracle="""
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               round(sum(p_retailprice), 2) AS total_retail
+        FROM part
+        WHERE p_partkey <= 100 AND p_size >= 10
+        GROUP BY p_brand
+    """,
+    tags=("iceberg", "lakehouse", "skipping", "source"),
+)
+def iceberg_bounds_skipping_read(spark, sf_dir):
+    """Iceberg FILE SKIPPING from manifest column bounds
+    (sources/skipping.py + iceberg.read(predicates=...), round 5):
+    stage part range-clustered on part key into 6 files whose manifest
+    entries carry lower_bounds / upper_bounds / null_value_counts —
+    field-id keyed maps of the spec's Appendix-D binary single-value
+    serialization, written AND decoded by this repo's own codecs — and
+    read with a conjunctive predicate. Files provably outside the
+    bounds never reach the parquet scan (driver-side manifest math,
+    the spec's own scan-planning design); the residual filter keeps
+    the result exact, value-hash checked against DuckDB on raw
+    parquet."""
+    import tempfile
+
+    from ..sources.iceberg import IcebergTableReader, create_minimal_table
+
+    base = (
+        t(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+        .repartitionByRange(6, "p_partkey")
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_skip_") + "/t"
+    create_minimal_table(spark, path, base, bounds=True)
+    reader = IcebergTableReader(spark, path)
+    snap = reader.read(
+        predicates=[("p_partkey", "<=", 100), ("p_size", ">=", 10)]
+    )
+    return snap.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("p_retailprice"), 2).alias("total_retail"),
+    )

@@ -56,8 +56,71 @@ class UnsupportedDeltaFeature(Exception):
     not implement (minReaderVersion > 1 / readerFeatures present)."""
 
 
+#: primitive types whose min/max serialize losslessly into the stats
+#: JSON (dates as ISO strings — value-ordered lexicographically, the
+#: form skipping._norm compares against; timestamps excluded: their
+#: protocol serialization differs from Python's and ordering claims
+#: would be fragile)
+_STATS_TYPES = (
+    T.LongType,
+    T.IntegerType,
+    T.ShortType,
+    T.ByteType,
+    T.DoubleType,
+    T.FloatType,
+    T.StringType,
+    T.BooleanType,
+    T.DateType,
+)
+
+
+def _per_file_stats(scan: DataFrame, fields: list[T.StructField]) -> dict:
+    """Protocol-shaped per-file statistics (numRecords / minValues /
+    maxValues / nullCount — PROTOCOL.md "Per-file Statistics") in ONE
+    grouped scan over `_metadata.file_path`. `scan` is any DataFrame
+    rooted at the parquet scan; `fields` the columns to profile
+    (filtered to _STATS_TYPES here). Returns {local_path: stats}."""
+    import datetime as _dt
+
+    fields = [f for f in fields if isinstance(f.dataType, _STATS_TYPES)]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in fields:
+        aggs.append(F.min(f.name).alias(f"__min__{f.name}"))
+        aggs.append(F.max(f.name).alias(f"__max__{f.name}"))
+        aggs.append(
+            F.sum(F.isnull(f.name).cast("long")).alias(f"__nul__{f.name}")
+        )
+    j = lambda v: v.isoformat() if isinstance(v, _dt.date) else v  # noqa: E731
+    out: dict[str, dict] = {}
+    for r in (
+        scan.groupBy(F.col("_metadata.file_path").alias("__fp"))
+        .agg(*aggs)
+        .collect()
+    ):
+        d = r.asDict()
+        out[d["__fp"].removeprefix("file:")] = {
+            "numRecords": d["__n"],
+            "minValues": {
+                f.name: j(d[f"__min__{f.name}"])
+                for f in fields
+                if d[f"__min__{f.name}"] is not None
+            },
+            "maxValues": {
+                f.name: j(d[f"__max__{f.name}"])
+                for f in fields
+                if d[f"__max__{f.name}"] is not None
+            },
+            "nullCount": {f.name: d[f"__nul__{f.name}"] for f in fields},
+        }
+    return out
+
+
 def create_minimal_table(
-    spark: SparkSession, path: str, df: DataFrame, partition_by: list[str] = ()
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    partition_by: list[str] = (),
+    stats: bool = False,
 ) -> None:
     """Write `df` as a minimal protocol-v1 Delta table: hive-laid-out
     parquet data files (partition columns in directory names, NOT in
@@ -75,12 +138,22 @@ def create_minimal_table(
     if partition_by:
         w = w.partitionBy(*list(partition_by))
     w.parquet(path)
+    stats_by: dict[str, dict] = {}
+    if stats:
+        # per-file stats for the DATA columns (partition columns live
+        # in directory names, not in the files — the protocol keys
+        # stats by data column only)
+        data_fields = [
+            f for f in df.schema.fields if f.name not in set(partition_by)
+        ]
+        stats_by = _per_file_stats(spark.read.parquet(path), data_fields)
     adds = []
     for root, _dirs, files in os.walk(path):
         for f in files:
             if not f.endswith(".parquet"):
                 continue
-            rel = os.path.relpath(os.path.join(root, f), path)
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, path)
             pv = {}
             for seg in rel.split(os.sep)[:-1]:
                 if "=" in seg:
@@ -88,17 +161,16 @@ def create_minimal_table(
                     pv[k] = (
                         None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
                     )
-            adds.append(
-                {
-                    "add": {
-                        "path": rel.replace(os.sep, "/"),
-                        "partitionValues": pv,
-                        "size": os.path.getsize(os.path.join(root, f)),
-                        "modificationTime": 0,
-                        "dataChange": True,
-                    }
-                }
-            )
+            add = {
+                "path": rel.replace(os.sep, "/"),
+                "partitionValues": pv,
+                "size": os.path.getsize(full),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+            if full in stats_by:
+                add["stats"] = json.dumps(stats_by[full])
+            adds.append({"add": add})
     log_dir = os.path.join(path, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)
     actions = [
@@ -328,59 +400,14 @@ def export_acid_table(
     files = manifest["files"]
     schema = T.StructType.fromJson(json.loads(manifest["schema"]))
 
-    # per-file stats in one scan: count + min/max/nullCount for the
-    # JSON-representable primitive columns
-    stat_fields = [
-        f
-        for f in schema.fields
-        if isinstance(
-            f.dataType,
-            (
-                T.LongType,
-                T.IntegerType,
-                T.ShortType,
-                T.ByteType,
-                T.DoubleType,
-                T.FloatType,
-                T.StringType,
-                T.BooleanType,
-            ),
-        )
-    ]
+    # per-file stats in one grouped scan (shared helper — also used by
+    # create_minimal_table(stats=True) and read(predicates=...) skips
+    # on exactly these)
     stats_by_file: dict[str, dict] = {}
     if files:
-        aggs = [F.count(F.lit(1)).alias("__n")]
-        for f in stat_fields:
-            aggs.append(F.min(f.name).alias(f"__min__{f.name}"))
-            aggs.append(F.max(f.name).alias(f"__max__{f.name}"))
-            aggs.append(
-                F.sum(F.isnull(f.name).cast("long")).alias(f"__nul__{f.name}")
-            )
-        rows = (
-            spark.read.schema(schema)
-            .parquet(*files)
-            .groupBy(F.col("_metadata.file_path").alias("__fp"))
-            .agg(*aggs)
-            .collect()
+        stats_by_file = _per_file_stats(
+            spark.read.schema(schema).parquet(*files), list(schema.fields)
         )
-        for r in rows:
-            d = r.asDict()
-            stats_by_file[d["__fp"].removeprefix("file:")] = {
-                "numRecords": d["__n"],
-                "minValues": {
-                    f.name: d[f"__min__{f.name}"]
-                    for f in stat_fields
-                    if d[f"__min__{f.name}"] is not None
-                },
-                "maxValues": {
-                    f.name: d[f"__max__{f.name}"]
-                    for f in stat_fields
-                    if d[f"__max__{f.name}"] is not None
-                },
-                "nullCount": {
-                    f.name: d[f"__nul__{f.name}"] for f in stat_fields
-                },
-            }
 
     def rel(p: str) -> str:
         r = os.path.relpath(p, acid_path)
@@ -485,6 +512,9 @@ class DeltaLogReader:
         self.log_dir = os.path.join(path, "_delta_log")
         if not os.path.isdir(self.log_dir):
             raise FileNotFoundError(f"not a Delta table (no _delta_log): {path}")
+        # filled by read(): candidate/scanned/skipped file counts of
+        # the most recent snapshot read (file-skipping introspection)
+        self.last_scan: dict[str, int] = {}
 
     # -- log inventory ------------------------------------------------------
 
@@ -695,7 +725,30 @@ class DeltaLogReader:
             )
         return dt
 
-    def read(self, version: int | None = None) -> DataFrame:
+    @staticmethod
+    def _py_partition_value(raw: str | None, dt: T.DataType):
+        """A partitionValue string as a Python value the skipping
+        evaluator can compare exactly (protocol: values serialize as
+        strings; absence / JSON null = NULL). Date/timestamp stay ISO
+        strings — value-ordered lexicographically, matching
+        skipping._norm's literal normalization."""
+        if raw is None:
+            return None
+        if isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            return int(raw)
+        if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+            return float(raw)
+        if isinstance(dt, T.BooleanType):
+            return raw == "true"
+        return raw
+
+    def read(
+        self,
+        version: int | None = None,
+        predicates: list | None = None,
+    ) -> DataFrame:
         """Snapshot read with Delta semantics: data files carry the
         non-partition columns; partition columns come from each add
         action's partitionValues (string-encoded in the log, cast to
@@ -716,7 +769,19 @@ class DeltaLogReader:
         descriptor list; RoaringBitmapArray + Z85 per
         functions/roaring.py) and removed with a broadcast
         (file_path, pos) anti-join against `_metadata.row_index` —
-        the same shape as the Iceberg v2 position-delete apply."""
+        the same shape as the Iceberg v2 position-delete apply.
+
+        File skipping (round 5, sources/skipping.py): `predicates` is
+        a conjunctive list of (column, op, literal). Partition columns
+        evaluate EXACTLY against each add's partitionValues; data
+        columns evaluate CONSERVATIVELY against the add's `stats`
+        JSON (minValues/maxValues/nullCount/numRecords per
+        PROTOCOL.md "Per-file Statistics") — a file is dropped from
+        the scan only when provably no row can match, driver-side,
+        with zero data IO. The same predicates then apply as a real
+        `.filter()` on the result, so pruning never changes
+        semantics; `self.last_scan` records candidate/scanned/skipped
+        file counts for introspection."""
         v = self.latest_version() if version is None else version
         meta, live = self._replay(v)
         schema = self._schema_from_meta(meta)
@@ -731,6 +796,59 @@ class DeltaLogReader:
         part_cols = list(meta.get("partitionColumns") or [])
         fields_by_name = {f.name: f for f in schema.fields}
         data_fields = [f for f in schema.fields if f.name not in part_cols]
+
+        self.last_scan = {
+            "candidate_files": len(live),
+            "scanned_files": len(live),
+            "skipped_files": 0,
+        }
+        if predicates:
+            from . import skipping
+
+            skipping.validate(predicates, [f.name for f in schema.fields])
+            # stats and partitionValues keys use PHYSICAL names under
+            # column mapping (PROTOCOL.md); predicates use logical
+            to_logical = {phys(f): f.name for f in data_fields}
+            relabel = lambda d: {  # noqa: E731
+                to_logical[k]: val
+                for k, val in d.items()
+                if k in to_logical
+            }
+            kept: dict[str, dict] = {}
+            for key, a in live.items():
+                pv = a.get("partitionValues") or {}
+                part = {
+                    c: self._py_partition_value(
+                        pv.get(phys(fields_by_name[c])),
+                        fields_by_name[c].dataType,
+                    )
+                    for c in part_cols
+                }
+                minv, maxv, nullc, rows = skipping.parse_delta_stats(
+                    a.get("stats")
+                )
+                if skipping.file_may_match(
+                    predicates,
+                    part,
+                    relabel(minv),
+                    relabel(maxv),
+                    relabel(nullc),
+                    rows,
+                ):
+                    kept[key] = a
+            self.last_scan = {
+                "candidate_files": len(live),
+                "scanned_files": len(kept),
+                "skipped_files": len(live) - len(kept),
+            }
+            live = kept
+
+        def residual(df: DataFrame) -> DataFrame:
+            if not predicates:
+                return df
+            from . import skipping
+
+            return df.filter(skipping.residual_filter(predicates))
         if mode == "id":
             # logical names + parquet.field.id metadata; Spark matches
             # data-file columns by field id, so no rename is needed
@@ -809,8 +927,12 @@ class DeltaLogReader:
 
         if not part_cols:
             files = sorted(abspath(a["path"]) for a in live.values())
-            return apply_dvs(
-                logical(self.spark.read.schema(data_schema).parquet(*files))
+            return residual(
+                apply_dvs(
+                    logical(
+                        self.spark.read.schema(data_schema).parquet(*files)
+                    )
+                )
             )
 
         # group files by their partition-value tuple; one scan per
@@ -847,7 +969,7 @@ class DeltaLogReader:
             )
             part = part.select(*keep)
             out = part if out is None else out.unionByName(part)
-        return apply_dvs(out)
+        return residual(apply_dvs(out))
 
     _CHECKPOINT_SCHEMA = (
         "protocol struct<minReaderVersion:int,minWriterVersion:int,"

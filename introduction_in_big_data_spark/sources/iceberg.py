@@ -118,7 +118,7 @@ def iceberg_type_to_spark(t) -> T.DataType:
 
 
 def create_minimal_table(
-    spark: SparkSession, path: str, df: DataFrame
+    spark: SparkSession, path: str, df: DataFrame, bounds: bool = False
 ) -> None:
     """Stage `df` as a minimal format-v1 Iceberg table (one snapshot:
     parquet data files + one Avro manifest + one Avro manifest list +
@@ -144,6 +144,76 @@ def create_minimal_table(
             dst = os.path.join(data_dir, f)
             os.rename(os.path.join(tmp, f), dst)
             data_files.append(dst)
+    # per-file column bounds (bounds=True): ONE grouped scan computes
+    # min/max/nullCount/count per data file; bounds serialize per the
+    # spec's Appendix-D single-value format into field-id keyed maps
+    # (stored as arrays of {key, value} records — the spec's Avro
+    # representation of map<int, _>)
+    ice_by_id: dict[int, tuple[str, str | None]] = {
+        i: (f.name, _SPARK_TO_ICE.get(type(f.dataType).__name__))
+        for i, f in enumerate(df.schema.fields, start=1)
+    }
+    stats_rows: dict[str, dict] = {}
+    if bounds and data_files:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, (name, it) in ice_by_id.items():
+            if it is None:
+                continue
+            aggs.append(F.min(name).alias(f"__min__{i}"))
+            aggs.append(F.max(name).alias(f"__max__{i}"))
+            aggs.append(
+                F.sum(F.isnull(name).cast("long")).alias(f"__nul__{i}")
+            )
+        for r in (
+            spark.read.parquet(*data_files)
+            .groupBy(F.col("_metadata.file_path").alias("__fp"))
+            .agg(*aggs)
+            .collect()
+        ):
+            d = r.asDict()
+            stats_rows[d["__fp"].removeprefix("file:")] = d
+
+    def _entry_stats(p: str) -> dict:
+        if p not in stats_rows:
+            return {
+                "record_count": 0,
+                "null_value_counts": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
+            }
+        d = stats_rows[p]
+        nvc, lbs, ubs = [], [], []
+        for i, (_name, it) in ice_by_id.items():
+            if it is None:
+                continue
+            nvc.append({"key": i, "value": int(d[f"__nul__{i}"])})
+            lo = _encode_bound(d[f"__min__{i}"], it)
+            hi = _encode_bound(d[f"__max__{i}"], it)
+            if lo is not None:
+                lbs.append({"key": i, "value": lo})
+            if hi is not None:
+                ubs.append({"key": i, "value": hi})
+        return {
+            "record_count": int(d["__n"]),
+            "null_value_counts": nvc,
+            "lower_bounds": lbs,
+            "upper_bounds": ubs,
+        }
+
+    _kv = lambda rec, key_t, val_t: [  # noqa: E731  kv-array map schema
+        "null",
+        {
+            "type": "array",
+            "items": {
+                "type": "record",
+                "name": rec,
+                "fields": [
+                    {"name": "key", "type": key_t},
+                    {"name": "value", "type": val_t},
+                ],
+            },
+        },
+    ]
     manifest_schema = {
         "type": "record",
         "name": "manifest_entry",
@@ -160,6 +230,18 @@ def create_minimal_table(
                         {"name": "file_format", "type": "string"},
                         {"name": "record_count", "type": "long"},
                         {"name": "file_size_in_bytes", "type": "long"},
+                        {
+                            "name": "null_value_counts",
+                            "type": _kv("k121_v122", "int", "long"),
+                        },
+                        {
+                            "name": "lower_bounds",
+                            "type": _kv("k126_v127", "int", "bytes"),
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "type": _kv("k128_v129", "int", "bytes"),
+                        },
                     ],
                 },
             },
@@ -186,8 +268,8 @@ def create_minimal_table(
                 "data_file": {
                     "file_path": f"file://{p}",
                     "file_format": "PARQUET",
-                    "record_count": 0,
                     "file_size_in_bytes": os.path.getsize(p),
+                    **_entry_stats(p),
                 },
             }
             for p in data_files
@@ -251,6 +333,88 @@ _SPARK_TO_ICE = {
     "BinaryType": "binary",
     "DateType": "date",
 }
+
+
+# -- column bounds (spec Appendix D, "Binary single-value serialization") ---
+#
+# Manifest entries carry per-file lower_bounds / upper_bounds as
+# field-id -> binary maps; values use the spec's single-value
+# serialization: little-endian fixed-width integers/floats, UTF-8
+# strings, date = int days from epoch. Bounds MAY be truncated
+# (lower rounded down, upper rounded up), which keeps them valid as
+# conservative min/max for file skipping.
+
+_EPOCH = None  # lazy datetime.date(1970, 1, 1)
+
+
+def _encode_bound(v, ice_type: str) -> bytes | None:
+    """Spec single-value serialization of `v` for bound maps; None for
+    types this writer doesn't bound (binary, timestamps, ...)."""
+    import datetime
+    import struct
+
+    if v is None:
+        return None
+    if ice_type == "boolean":
+        return b"\x01" if v else b"\x00"
+    if ice_type in ("int",):
+        return struct.pack("<i", int(v))
+    if ice_type == "long":
+        return struct.pack("<q", int(v))
+    if ice_type == "float":
+        return struct.pack("<f", float(v))
+    if ice_type == "double":
+        return struct.pack("<d", float(v))
+    if ice_type == "date":
+        days = (v - datetime.date(1970, 1, 1)).days
+        return struct.pack("<i", days)
+    if ice_type == "string":
+        return str(v).encode("utf-8")
+    return None
+
+
+def _decode_bound(raw: bytes | None, ice_type: str):
+    """Inverse of _encode_bound; None (= no pruning on this column)
+    for missing values, unsupported types, or malformed lengths —
+    the skipping evaluator treats unknown as always-keep."""
+    import datetime
+    import struct
+
+    if raw is None:
+        return None
+    raw = bytes(raw)
+    try:
+        if ice_type == "boolean" and len(raw) == 1:
+            return raw != b"\x00"
+        if ice_type == "int" and len(raw) == 4:
+            return struct.unpack("<i", raw)[0]
+        if ice_type == "long" and len(raw) == 8:
+            return struct.unpack("<q", raw)[0]
+        if ice_type == "float" and len(raw) == 4:
+            return struct.unpack("<f", raw)[0]
+        if ice_type == "double" and len(raw) == 8:
+            return struct.unpack("<d", raw)[0]
+        if ice_type == "date" and len(raw) == 4:
+            return datetime.date(1970, 1, 1) + datetime.timedelta(
+                days=struct.unpack("<i", raw)[0]
+            )
+        if ice_type == "string":
+            return raw.decode("utf-8")
+    except (struct.error, UnicodeDecodeError):
+        return None
+    return None
+
+
+def _kv_map(raw) -> dict[int, object]:
+    """Normalize an Avro-decoded bounds/counts map: the spec's Avro
+    schema stores map<int, _> as an ARRAY of {key, value} records
+    (Avro maps only key by string), but string-keyed map decodings
+    appear too — accept both."""
+    if not raw:
+        return {}
+    if isinstance(raw, dict):
+        return {int(k): v for k, v in raw.items()}
+    return {int(e["key"]): e["value"] for e in raw}
 
 
 def export_acid_table(spark: SparkSession, acid_path: str) -> int:
@@ -742,6 +906,9 @@ class IcebergTableReader:
         self.spark = spark
         self.path = path.rstrip("/")
         self.meta_dir = os.path.join(self.path, "metadata")
+        # filled by read(): candidate/scanned/skipped data-file counts
+        # of the most recent snapshot read (file-skipping introspection)
+        self.last_scan: dict[str, int] = {}
         if not os.path.isdir(self.meta_dir):
             raise FileNotFoundError(
                 f"not an Iceberg table (no metadata/): {path}"
@@ -821,14 +988,16 @@ class IcebergTableReader:
     def _live_files(
         self, snapshot: dict
     ) -> tuple[
-        list[tuple[str, int]],
+        list[tuple[str, tuple[int, dict]]],
         list[tuple[str, str]],
         list[tuple[str, str, int, tuple[int, ...]]],
     ]:
         """Walk the snapshot's manifest list. Returns
         (data_files, position_deletes, equality_deletes):
-        - data_files: (path, data_sequence_number) — the sequence
-          number gates equality-delete application,
+        - data_files: (path, (data_sequence_number, stats)) — the
+          sequence number gates equality-delete application; stats is
+          the entry's raw record_count / bounds / null-count metadata
+          (file skipping prunes on it in read),
         - position_deletes: (path, format) (content=1),
         - equality_deletes: (path, format, sequence, equality_ids)
           (content=2) — applied to data files with STRICTLY SMALLER
@@ -842,7 +1011,7 @@ class IcebergTableReader:
 
         ml_path = _local_path(snapshot["manifest-list"])
         _schema, manifests = avrocodec.read_container(ml_path)
-        data_files: dict[str, int] = {}
+        data_files: dict[str, tuple[int, dict]] = {}
         pos_deletes: list[tuple[str, str]] = []
         eq_deletes: list[tuple[str, str, int, tuple[int, ...]]] = []
         for m in manifests:
@@ -873,7 +1042,17 @@ class IcebergTableReader:
                         raise UnsupportedIcebergFeature(
                             f"data file format {fmt}; only PARQUET is read"
                         )
-                    data_files[path] = int(seq)
+                    data_files[path] = (
+                        int(seq),
+                        {
+                            "record_count": df_rec.get("record_count"),
+                            "lower_bounds": df_rec.get("lower_bounds"),
+                            "upper_bounds": df_rec.get("upper_bounds"),
+                            "null_value_counts": df_rec.get(
+                                "null_value_counts"
+                            ),
+                        },
+                    )
                 elif content == 2:
                     ids = tuple(df_rec.get("equality_ids") or ())
                     if not ids:
@@ -925,7 +1104,21 @@ class IcebergTableReader:
             out = out.unionByName(p)
         return out
 
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        predicates: list | None = None,
+    ) -> DataFrame:
+        """Snapshot read; `predicates` (conjunctive (column, op,
+        literal) tuples — sources/skipping.py) prune data files
+        driver-side from the manifest entries' lower_bounds /
+        upper_bounds / null_value_counts / record_count (spec
+        "Manifests"; bounds decode per Appendix D single-value
+        serialization — truncated bounds stay valid conservative
+        min/max). Files lacking bounds always scan; the predicates
+        re-apply as a real `.filter()`, so pruning never changes
+        semantics. `self.last_scan` records candidate/scanned/skipped
+        counts."""
         meta = self.metadata()
         snaps = meta.get("snapshots", [])
         if not snaps:
@@ -939,12 +1132,67 @@ class IcebergTableReader:
             raise ValueError(f"snapshot {snapshot_id} not in table metadata")
         data, pos_deletes, eq_deletes = self._live_files(snapshot)
         schema = self._schema_struct(meta)
+        self.last_scan = {
+            "candidate_files": len(data),
+            "scanned_files": len(data),
+            "skipped_files": 0,
+        }
+        if predicates:
+            from . import skipping
+
+            skipping.validate(predicates, [f.name for f in schema.fields])
+            by_id = {
+                f["id"]: f
+                for f in self._schema_fields(meta)
+                if isinstance(f.get("type"), str)  # primitives only
+            }
+            kept = []
+            for path, (seq, st) in data:
+                minv, maxv, nullc = {}, {}, {}
+                rc = st.get("record_count")
+                rows = int(rc) if rc else None  # 0/None = stats absent
+                for fid, raw in _kv_map(st.get("lower_bounds")).items():
+                    f = by_id.get(fid)
+                    if f is not None:
+                        v = _decode_bound(raw, f["type"])
+                        if v is not None:
+                            minv[f["name"]] = v
+                for fid, raw in _kv_map(st.get("upper_bounds")).items():
+                    f = by_id.get(fid)
+                    if f is not None:
+                        v = _decode_bound(raw, f["type"])
+                        if v is not None:
+                            maxv[f["name"]] = v
+                for fid, n in _kv_map(
+                    st.get("null_value_counts")
+                ).items():
+                    f = by_id.get(fid)
+                    if f is not None and n is not None:
+                        nullc[f["name"]] = int(n)
+                if skipping.file_may_match(
+                    predicates, {}, minv, maxv, nullc, rows
+                ):
+                    kept.append((path, (seq, st)))
+            self.last_scan = {
+                "candidate_files": len(data),
+                "scanned_files": len(kept),
+                "skipped_files": len(data) - len(kept),
+            }
+            data = kept
+
+        def residual(df: DataFrame) -> DataFrame:
+            if not predicates:
+                return df
+            from . import skipping
+
+            return df.filter(skipping.residual_filter(predicates))
+
         if not data:
             return self.spark.createDataFrame([], schema)
         files = [p for p, _seq in data]
         df = self.spark.read.schema(schema).parquet(*files)
         if not pos_deletes and not eq_deletes:
-            return df
+            return residual(df)
 
         # v2 row-level deletes. URIs normalize to local paths on both
         # sides; every delete side broadcasts (delete files are compact
@@ -982,7 +1230,8 @@ class IcebergTableReader:
                 f["id"]: f["name"] for f in self._schema_fields(meta)
             }
             seq_df = self.spark.createDataFrame(
-                [(p, s) for p, s in data], "file_path string, seq long"
+                [(p, s) for p, (s, _st) in data],
+                "file_path string, seq long",
             ).select(
                 norm(F.col("file_path")).alias("__path"),
                 F.col("seq").alias("__seq"),
@@ -1025,7 +1274,7 @@ class IcebergTableReader:
                 df = df.join(F.broadcast(del_df), cond, "left_anti")
             df = df.drop("__seq")
 
-        return df.select(*cols)
+        return residual(df.select(*cols))
 
     @staticmethod
     def _schema_fields(meta: dict) -> list[dict]:
