@@ -1653,3 +1653,91 @@ def iceberg_bounds_skipping_read(spark, sf_dir):
         F.count(F.lit(1)).alias("n_parts"),
         F.round(F.sum("p_retailprice"), 2).alias("total_retail"),
     )
+
+
+@register(
+    "delta_incremental_append_read",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders
+        WHERE o_orderkey % 3 <> 0
+        GROUP BY o_orderpriority
+    """,
+    tags=("delta", "lakehouse", "incremental", "source"),
+)
+def delta_incremental_append_read(spark, sf_dir):
+    """Delta INCREMENTAL (append-diff) read
+    (DeltaLogReader.incremental, round 5) — the continuous-ingest
+    primitive: stage orders thirds as version 0 plus two append
+    commits, then read ONLY what versions 1-2 added. The reader walks
+    just the in-range JSON commits and scans their dataChange=true
+    add actions; at 100 TB a pipeline re-run touches the appended
+    files, never the table, and the commit walk itself is driver-side
+    metadata. Data-removing commits refuse loudly on this path
+    (tests/test_incremental.py); OPTIMIZE-shaped dataChange=false
+    reorganizations are invisible. The oracle recomputes the appended
+    subset from raw parquet."""
+    import tempfile
+
+    from ..sources.deltalog import (
+        DeltaLogReader,
+        commit_append,
+        create_minimal_table,
+    )
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    path = tempfile.mkdtemp(prefix="delta_inc_") + "/t"
+    create_minimal_table(spark, path, base.filter("o_orderkey % 3 = 0"))
+    commit_append(spark, path, base.filter("o_orderkey % 3 = 1"))
+    commit_append(spark, path, base.filter("o_orderkey % 3 = 2"))
+    inc = DeltaLogReader(spark, path).incremental(0)
+    return inc.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
+@register(
+    "iceberg_incremental_read",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE doc_id % 2 = 1
+        GROUP BY lang
+    """,
+    tags=("iceberg", "lakehouse", "incremental", "source"),
+)
+def iceberg_incremental_read(spark, sf_dir):
+    """Iceberg INCREMENTAL append scan
+    (IcebergTableReader.incremental, round 5): stage even documents as
+    the first snapshot, append the odd ones as a second, then read the
+    snapshot DIFF — driver-side manifest math selects exactly the
+    appended data files (Iceberg's own incremental-scan design).
+    Ranges that are not append-only (new delete files, removed data
+    files) refuse loudly (tests/test_incremental.py). The oracle
+    recomputes the appended subset from raw parquet."""
+    import tempfile
+
+    from ..sources.iceberg import (
+        IcebergTableReader,
+        append_data_snapshot,
+        create_minimal_table,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="iceberg_inc_") + "/t"
+    create_minimal_table(spark, path, docs.filter("doc_id % 2 = 0"))
+    reader = IcebergTableReader(spark, path)
+    first = reader.metadata()["current-snapshot-id"]
+    append_data_snapshot(spark, path, docs.filter("doc_id % 2 = 1"), sequence=1)
+    inc = IcebergTableReader(spark, path).incremental(first)
+    return inc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

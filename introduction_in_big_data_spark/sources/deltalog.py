@@ -269,6 +269,83 @@ def create_column_mapped_table(
     os.unlink(tmp)
 
 
+def commit_append(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    partition_by: list[str] = (),
+    stats: bool = False,
+) -> int:
+    """Stage an APPEND commit on an existing minimal Delta table: new
+    parquet files move into the table tree (hive layout when
+    partitioned) and one commit with only `add` actions
+    (dataChange=true) publishes them. Returns the version written.
+    Exists so tests and the incremental-read query can stage
+    append-only histories; the same exclusive-create publication as
+    create_minimal_table."""
+    import shutil
+
+    tmp = os.path.join(path, "_append_stage")
+    w = df.write.mode("errorifexists")
+    if partition_by:
+        w = w.partitionBy(*list(partition_by))
+    w.parquet(tmp)
+    moved: list[str] = []
+    for root, _dirs, files in os.walk(tmp):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            src = os.path.join(root, f)
+            dst = os.path.join(path, os.path.relpath(src, tmp))
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+            moved.append(dst)
+    shutil.rmtree(tmp)
+    stats_by: dict[str, dict] = {}
+    if stats and moved:
+        data_fields = [
+            f for f in df.schema.fields if f.name not in set(partition_by)
+        ]
+        stats_by = _per_file_stats(spark.read.parquet(*moved), data_fields)
+    from urllib.parse import unquote as _unq
+
+    adds = []
+    for full in sorted(moved):
+        rel = os.path.relpath(full, path)
+        pv = {}
+        for seg in rel.split(os.sep)[:-1]:
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                pv[k] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__" else _unq(v)
+                )
+        add = {
+            "path": rel.replace(os.sep, "/"),
+            "partitionValues": pv,
+            "size": os.path.getsize(full),
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+        if full in stats_by:
+            add["stats"] = json.dumps(stats_by[full])
+        adds.append({"add": add})
+    log_dir = os.path.join(path, "_delta_log")
+    existing = sorted(
+        int(os.path.splitext(f)[0])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and os.path.splitext(f)[0].isdigit()
+    )
+    v = (existing[-1] if existing else -1) + 1
+    target = os.path.join(log_dir, f"{v:020d}.json")
+    tmpf = target + ".tmp"
+    with open(tmpf, "w") as fh:
+        for a in adds:
+            fh.write(json.dumps(a) + "\n")
+    os.link(tmpf, target)
+    os.unlink(tmpf)
+    return v
+
+
 def commit_remove_partition(
     spark: SparkSession, path: str, column: str, value: str
 ) -> int:
@@ -970,6 +1047,95 @@ class DeltaLogReader:
             part = part.select(*keep)
             out = part if out is None else out.unionByName(part)
         return residual(apply_dvs(out))
+
+    def _commit_actions(self, version: int) -> list[dict]:
+        commit = os.path.join(self.log_dir, f"{version:020d}.json")
+        if not os.path.exists(commit):
+            raise FileNotFoundError(
+                f"missing commit {version} of {self.path} (vacuumed?)"
+            )
+        with open(commit) as fh:
+            return [json.loads(ln) for ln in fh if ln.strip()]
+
+    def incremental(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Rows APPENDED between two versions — the continuous-ingest
+        primitive: a 100 TB pipeline re-run reads only the files new
+        commits added, not the table. Walks the JSON commits in
+        (from_version, to_version] and scans the `add` actions with
+        dataChange=true (partition values materialize from the log as
+        in read()). Reorganizations (OPTIMIZE/Z-ORDER: dataChange=
+        false adds+removes) are correctly invisible — they move rows,
+        they don't change them. Commits that REMOVE data
+        (dataChange=true removes: DELETE/overwrite) have no
+        insert-only rendering without the Change Data Feed's
+        _change_data files, so they refuse loudly rather than return
+        wrong rows; so do column-mapped tables and deletion-vector
+        adds on this path."""
+        to_v = self.latest_version() if to_version is None else to_version
+        meta, _live = self._replay(to_v)
+        if self._mapping_mode(meta) != "none":
+            raise UnsupportedDeltaFeature(
+                "incremental read of a column-mapped table"
+            )
+        schema = self._schema_from_meta(meta)
+        part_cols = list(meta.get("partitionColumns") or [])
+        fields_by_name = {f.name: f for f in schema.fields}
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
+        data_schema = T.StructType(data_fields)
+
+        new_adds: dict[str, dict] = {}
+        for v in range(from_version + 1, to_v + 1):
+            for action in self._commit_actions(v):
+                if "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    raise UnsupportedDeltaFeature(
+                        f"commit {v} removes data (dataChange=true); "
+                        "append-only incremental cannot render it — "
+                        "re-read the snapshot instead"
+                    )
+                add = action.get("add")
+                if add and add.get("dataChange", True):
+                    if add.get("deletionVector"):
+                        raise UnsupportedDeltaFeature(
+                            "incremental read of a deletion-vector add"
+                        )
+                    new_adds[add["path"]] = add
+
+        if not new_adds:
+            return self.spark.createDataFrame([], schema)
+
+        def abspath(p: str) -> str:
+            p = unquote(p)
+            return p if p.startswith("/") else os.path.join(self.path, p)
+
+        if not part_cols:
+            files = sorted(abspath(a["path"]) for a in new_adds.values())
+            return self.spark.read.schema(data_schema).parquet(*files)
+        groups: dict[tuple, list[str]] = {}
+        for a in new_adds.values():
+            pv = a.get("partitionValues") or {}
+            key = tuple(pv.get(c) for c in part_cols)
+            groups.setdefault(key, []).append(abspath(a["path"]))
+        out: DataFrame | None = None
+        for key, files in sorted(
+            groups.items(),
+            key=lambda kv: tuple((v is not None, v or "") for v in kv[0]),
+        ):
+            part = self.spark.read.schema(data_schema).parquet(*sorted(files))
+            for c, raw in zip(part_cols, key):
+                dt = fields_by_name[c].dataType
+                lit = (
+                    F.lit(raw).cast(dt)
+                    if raw is not None
+                    else F.lit(None).cast(dt)
+                )
+                part = part.withColumn(c, lit)
+            part = part.select(*[f.name for f in schema.fields])
+            out = part if out is None else out.unionByName(part)
+        return out
 
     _CHECKPOINT_SCHEMA = (
         "protocol struct<minReaderVersion:int,minWriterVersion:int,"

@@ -1,0 +1,176 @@
+"""Incremental (append-diff) reads of external lakehouse tables
+(DeltaLogReader.incremental / IcebergTableReader.incremental).
+
+Contract: between two versions/snapshots, return EXACTLY the rows the
+appended files carry; anything that is not append-only (data-removing
+commits, row-level deletes, file rewrites) refuses loudly instead of
+returning wrong rows; reorganizations (dataChange=false) are invisible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from introduction_in_big_data_spark.sources.deltalog import (
+    DeltaLogReader,
+    UnsupportedDeltaFeature,
+    commit_append,
+    commit_remove_partition,
+    create_minimal_table as delta_create,
+)
+from introduction_in_big_data_spark.sources.iceberg import (
+    IcebergTableReader,
+    UnsupportedIcebergFeature,
+    add_position_deletes,
+    append_data_snapshot,
+    create_minimal_table as ice_create,
+)
+
+
+def _df(spark):
+    return spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("int").alias("p")
+    )
+
+
+def test_delta_incremental_returns_only_appended_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _df(spark)
+    delta_create(spark, path, df.filter("k % 2 = 0"))
+    v = commit_append(spark, path, df.filter("k % 2 = 1"), stats=True)
+    assert v == 1
+    r = DeltaLogReader(spark, path)
+    inc = r.incremental(0)
+    assert sorted(x.k for x in inc.collect()) == list(range(1, 300, 2))
+    # full snapshot has both halves
+    assert r.read().count() == 300
+    # empty range
+    assert r.incremental(1).count() == 0
+
+
+def test_delta_incremental_partitioned_attaches_partition_values(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t")
+    df = _df(spark)
+    delta_create(spark, path, df.filter("k < 100"), partition_by=["p"])
+    commit_append(spark, path, df.filter("k >= 100"), partition_by=["p"])
+    r = DeltaLogReader(spark, path)
+    inc = r.incremental(0)
+    got = {(x.k, x.p) for x in inc.collect()}
+    want = {(k, k % 3) for k in range(100, 300)}
+    assert got == want
+
+
+def test_delta_incremental_refuses_data_removal(spark, tmp_path):
+    path = str(tmp_path / "t")
+    delta_create(spark, path, _df(spark), partition_by=["p"])
+    commit_remove_partition(spark, path, "p", "1")
+    with pytest.raises(UnsupportedDeltaFeature, match="removes data"):
+        DeltaLogReader(spark, path).incremental(0)
+    # but a range that stops before the removal is fine
+    assert DeltaLogReader(spark, path).incremental(0, to_version=0).count() == 0
+
+
+def test_delta_incremental_ignores_compaction_commits(spark, tmp_path):
+    """OPTIMIZE-shaped commits (dataChange=false adds+removes) move
+    rows without changing them — incremental must not re-emit them."""
+    path = str(tmp_path / "t")
+    df = _df(spark)
+    delta_create(spark, path, df.filter("k < 200"))
+    commit_append(spark, path, df.filter("k >= 200"))
+    # fake a compaction at v2: tombstone + re-add the appended file
+    # with dataChange=false (the protocol's reorganization marker)
+    r = DeltaLogReader(spark, path)
+    _meta, live = r._replay(1)
+    some_path = sorted(live)[0]
+    log_dir = os.path.join(path, "_delta_log")
+    with open(os.path.join(log_dir, f"{2:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {"remove": {"path": some_path, "dataChange": False}}
+            )
+            + "\n"
+        )
+        fh.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": some_path,
+                        "partitionValues": {},
+                        "size": 1,
+                        "modificationTime": 0,
+                        "dataChange": False,
+                    }
+                }
+            )
+            + "\n"
+        )
+    inc = DeltaLogReader(spark, path).incremental(0)
+    assert sorted(x.k for x in inc.collect()) == list(range(200, 300))
+
+
+def test_delta_incremental_missing_commit_raises(spark, tmp_path):
+    path = str(tmp_path / "t")
+    delta_create(spark, path, _df(spark))
+    commit_append(spark, path, _df(spark).select(
+        (F.col("k") + 1000).alias("k"), "p"))
+    os.remove(os.path.join(path, "_delta_log", f"{1:020d}.json"))
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        DeltaLogReader(spark, path).incremental(0, to_version=1)
+
+
+def test_delta_append_stats_prune_across_commits(spark, tmp_path):
+    """Files appended with stats=True participate in file skipping
+    alongside the original commit's files."""
+    path = str(tmp_path / "t")
+    df = _df(spark)
+    delta_create(
+        spark, path, df.filter("k < 150").repartitionByRange(3, "k"),
+        stats=True,
+    )
+    commit_append(
+        spark, path, df.filter("k >= 150").repartitionByRange(3, "k"),
+        stats=True,
+    )
+    r = DeltaLogReader(spark, path)
+    out = r.read(predicates=[("k", ">=", 290)])
+    assert r.last_scan["candidate_files"] == 6
+    assert r.last_scan["scanned_files"] == 1
+    assert out.count() == 10
+
+
+def test_iceberg_incremental_returns_only_appended_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _df(spark)
+    ice_create(spark, path, df.filter("k % 2 = 0"))
+    append_data_snapshot(spark, path, df.filter("k % 2 = 1"), sequence=1)
+    t = IcebergTableReader(spark, path)
+    snaps = sorted(s["snapshot-id"] for s in t.metadata()["snapshots"])
+    inc = t.incremental(snaps[0])
+    assert sorted(x.k for x in inc.collect()) == list(range(1, 300, 2))
+    # same-snapshot diff is empty
+    assert t.incremental(snaps[-1]).count() == 0
+    with pytest.raises(ValueError, match="not in table metadata"):
+        t.incremental(99999)
+
+
+def test_iceberg_incremental_refuses_new_deletes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _df(spark)
+    ice_create(spark, path, df)
+    t0 = IcebergTableReader(spark, path)
+    first = t0.metadata()["current-snapshot-id"]
+    data_dir = os.path.join(path, "data")
+    a_file = next(
+        os.path.join(data_dir, f)
+        for f in sorted(os.listdir(data_dir))
+        if f.endswith(".parquet")
+    )
+    add_position_deletes(spark, path, [(a_file, 0)])
+    with pytest.raises(UnsupportedIcebergFeature, match="delete files"):
+        IcebergTableReader(spark, path).incremental(first)
