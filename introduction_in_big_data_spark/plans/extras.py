@@ -1741,3 +1741,51 @@ def iceberg_incremental_read(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "acid_stats_skipping_read",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(l_extendedprice), 2) AS total_price
+        FROM lineitem
+        WHERE l_partkey <= 200 AND l_suppkey <= 25
+        GROUP BY l_returnflag
+    """,
+    tags=("acid", "lakehouse", "skipping", "zorder"),
+)
+def acid_stats_skipping_read(spark, sf_dir):
+    """AcidTable NATIVE file skipping composed with OPTIMIZE ZORDER
+    (sources/acidtable.py, round 5): create the engine's own ACID
+    table with stats maintenance on (every commit keeps per-file
+    min/max/nullCount in the manifest — carried files keep their
+    entry, only new files pay one profiling scan), Z-ORDER it on
+    (l_partkey, l_suppkey) so each rewritten file covers a tight
+    2-D bounding box, then read with a two-sided box predicate — the
+    manifest stats prune files driver-side, which is the Z-order
+    payoff made metadata-visible (parquet footers prune row groups
+    only AFTER scheduling a task per file). The residual filter keeps
+    the result exact; the oracle recomputes from raw parquet with the
+    same WHERE."""
+    import tempfile
+
+    from ..sources.acidtable import AcidTable
+
+    base = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_returnflag"
+    )
+    path = tempfile.mkdtemp(prefix="acid_skip_") + "/t"
+    table = AcidTable.create(
+        spark, path, base.repartitionByRange(8, "l_partkey"), stats=True
+    )
+    table.optimize(
+        target_bytes=128 << 10, zorder_by=("l_partkey", "l_suppkey")
+    )
+    snap = table.read(
+        predicates=[("l_partkey", "<=", 200), ("l_suppkey", "<=", 25)]
+    )
+    return snap.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )

@@ -55,6 +55,9 @@ class AcidTable:
         self.path = path.rstrip("/")
         self.log_dir = os.path.join(self.path, "_log")
         self.data_dir = os.path.join(self.path, "data")
+        # filled by read(): candidate/scanned/skipped file counts of
+        # the most recent snapshot read (file-skipping introspection)
+        self.last_scan: dict[str, int] = {}
 
     # -- log primitives -----------------------------------------------------
 
@@ -82,12 +85,29 @@ class AcidTable:
         op: str,
         meta: dict | None = None,
         schema_json: str | None = None,
+        collect_stats: bool | None = None,
     ) -> int:
         """Atomically publish snapshot `version`. Exclusive-create of
         the manifest is the whole concurrency story: exactly one
-        writer can create `_log/<version>.json`."""
+        writer can create `_log/<version>.json`.
+
+        Stats maintenance (round 5): when the table was created with
+        `stats=True` (manifest flag `collect_stats`), EVERY write path
+        keeps per-file min/max/nullCount/numRecords in the manifest —
+        carried files keep their existing entry (stats are immutable
+        like the files), only newly-written files pay one grouped
+        profiling scan. read(predicates=...) prunes on these; after
+        OPTIMIZE ZORDER the rewritten files cover tight bounding
+        boxes, so two-sided predicates prune hard (the Z-order payoff
+        made metadata-visible)."""
+        prev = self._manifest(version - 1) if version > 0 else {}
         if schema_json is None:
-            schema_json = self._manifest(version - 1)["schema"]
+            schema_json = prev["schema"]
+        collect = (
+            prev.get("collect_stats", False)
+            if collect_stats is None
+            else collect_stats
+        )
         manifest = {
             "version": version,
             "files": sorted(files),
@@ -96,6 +116,24 @@ class AcidTable:
             "schema": schema_json,
             **(meta or {}),
         }
+        if collect:
+            from pyspark.sql import types as T
+
+            from .deltalog import _per_file_stats
+
+            prev_stats = prev.get("stats") or {}
+            stats = {f: prev_stats[f] for f in files if f in prev_stats}
+            new_files = sorted(set(files) - set(stats))
+            if new_files:
+                schema = T.StructType.fromJson(json.loads(schema_json))
+                stats.update(
+                    _per_file_stats(
+                        self.spark.read.schema(schema).parquet(*new_files),
+                        list(schema.fields),
+                    )
+                )
+            manifest["collect_stats"] = True
+            manifest["stats"] = stats
         target = os.path.join(self.log_dir, f"{version:08d}.json")
         tmp = target + f".{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as fh:
@@ -126,11 +164,26 @@ class AcidTable:
         ]
 
     @classmethod
-    def create(cls, spark: SparkSession, path: str, df: DataFrame) -> "AcidTable":
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        stats: bool = False,
+    ) -> "AcidTable":
+        """`stats=True` turns on per-file statistics maintenance for
+        the table's whole lifetime (every later commit inherits the
+        manifest flag) — see _commit and read(predicates=...)."""
         t = cls(spark, path)
         os.makedirs(t.log_dir, exist_ok=False)
         os.makedirs(t.data_dir, exist_ok=True)
-        t._commit(0, t._write_data_files(df), "create", schema_json=df.schema.json())
+        t._commit(
+            0,
+            t._write_data_files(df),
+            "create",
+            schema_json=df.schema.json(),
+            collect_stats=stats,
+        )
         return t
 
     def append(self, df: DataFrame) -> int:
@@ -144,24 +197,68 @@ class AcidTable:
 
     # -- reads --------------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        predicates: list | None = None,
+    ) -> DataFrame:
         """Snapshot read (time travel with `version`). Hands Spark the
         manifest's explicit file list — a normal parquet scan with
-        pushdown/pruning; no log files are ever scanned as data."""
+        pushdown/pruning; no log files are ever scanned as data.
+
+        `predicates` (conjunctive (column, op, literal) —
+        sources/skipping.py) prunes files driver-side on the
+        manifest's per-file stats when the table maintains them
+        (create(stats=True)); files without stats always scan, and the
+        predicates re-apply as a real filter, so results are exact.
+        `self.last_scan` records candidate/scanned/skipped counts."""
+        from pyspark.sql import types as T
+
         v = self.latest_version() if version is None else version
         m = self._manifest(v)
         files = m["files"]
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        self.last_scan = {
+            "candidate_files": len(files),
+            "scanned_files": len(files),
+            "skipped_files": 0,
+        }
+        if predicates:
+            from . import skipping
+
+            skipping.validate(predicates, [f.name for f in schema.fields])
+            stats = m.get("stats") or {}
+            kept = []
+            for f in files:
+                st = stats.get(f)
+                if st is None or skipping.file_may_match(
+                    predicates,
+                    {},
+                    st.get("minValues") or {},
+                    st.get("maxValues") or {},
+                    st.get("nullCount") or {},
+                    st.get("numRecords"),
+                ):
+                    kept.append(f)
+            self.last_scan = {
+                "candidate_files": len(files),
+                "scanned_files": len(kept),
+                "skipped_files": len(files) - len(kept),
+            }
+            files = kept
         missing = [f for f in files if not os.path.exists(f)]
         if missing:
             raise FileNotFoundError(
                 f"snapshot {v} references vacuumed files, e.g. {missing[0]}"
             )
-        from pyspark.sql import types as T
-
-        schema = T.StructType.fromJson(json.loads(m["schema"]))
         if not files:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*files)
+        df = self.spark.read.schema(schema).parquet(*files)
+        if predicates:
+            from . import skipping
+
+            df = df.filter(skipping.residual_filter(predicates))
+        return df
 
     def add_column(self, name: str, dtype: str) -> int:
         """Schema evolution, Delta-style: a METADATA-ONLY commit — no

@@ -286,3 +286,90 @@ def test_iceberg_skipping_composes_with_position_deletes(spark, tmp_path):
     )
     # deletes apply inside the surviving files too
     assert pruned.count() < 100 or full.count() == pruned.count()
+
+
+# -- AcidTable native stats -------------------------------------------------
+
+
+def test_acid_stats_maintained_across_commits(spark, tmp_path):
+    from introduction_in_big_data_spark.sources.acidtable import AcidTable
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 37) % 4000).alias("y"),
+        (F.col("id") % 7).alias("g"),
+    )
+    path = str(tmp_path / "t")
+    t = AcidTable.create(
+        spark, path, df.filter("x < 2000").repartitionByRange(4, "x"),
+        stats=True,
+    )
+    t.append(df.filter("x >= 2000").repartitionByRange(4, "x"))
+    out = t.read(predicates=[("x", ">=", 3500)])
+    assert t.last_scan == {
+        "candidate_files": 8,
+        "scanned_files": 1,
+        "skipped_files": 7,
+    }
+    assert out.count() == 500
+    # merge rewrites some files; stats must cover the whole new set
+    ups = df.filter("x % 100 = 0").select(
+        "x", (F.col("y") + 1).alias("y"), "g"
+    )
+    t.merge(ups, "x")
+    m = t._manifest(t.latest_version())
+    assert set(m["files"]) == set(m["stats"])
+    # and reads stay exact after the merge
+    got = t.read(predicates=[("x", "<", 300)])
+    want = t.read().filter("x < 300")
+    assert sorted((r.x, r.y) for r in got.collect()) == sorted(
+        (r.x, r.y) for r in want.collect()
+    )
+
+
+def test_acid_zorder_makes_box_predicates_prune(spark, tmp_path):
+    from introduction_in_big_data_spark.sources.acidtable import AcidTable
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("x"), ((F.col("id") * 37) % 4000).alias("y")
+    )
+    path = str(tmp_path / "t")
+    t = AcidTable.create(
+        spark, path, df.repartitionByRange(8, "x"), stats=True
+    )
+    t.optimize(target_bytes=12 << 10, zorder_by=("x", "y"))
+    out = t.read(predicates=[("x", "<", 500), ("y", "<", 500)])
+    info = t.last_scan
+    full = t.read().filter("x < 500 AND y < 500")
+    assert sorted((r.x, r.y) for r in out.collect()) == sorted(
+        (r.x, r.y) for r in full.collect()
+    )
+    # the z-curve bounds both dimensions per file -> the box predicate
+    # must prune (x-only clustering could never skip on y)
+    assert info["skipped_files"] > 0
+
+
+def test_acid_default_table_has_no_stats_but_exact_reads(spark, tmp_path):
+    from introduction_in_big_data_spark.sources.acidtable import AcidTable
+
+    df = spark.range(0, 100).select(F.col("id").alias("x"))
+    path = str(tmp_path / "t")
+    t = AcidTable.create(spark, path, df.repartition(4))
+    assert "stats" not in t._manifest(0)
+    out = t.read(predicates=[("x", "<", 10)])
+    assert t.last_scan["skipped_files"] == 0
+    assert out.count() == 10
+
+
+def test_acid_add_column_keeps_old_stats_conservative(spark, tmp_path):
+    from introduction_in_big_data_spark.sources.acidtable import AcidTable
+
+    df = spark.range(0, 100).select(F.col("id").alias("x"))
+    path = str(tmp_path / "t")
+    t = AcidTable.create(spark, path, df.repartitionByRange(4, "x"), stats=True)
+    t.add_column("tag", "string")
+    # predicate on the evolved column: old files lack stats for it ->
+    # every file scans, rows project typed NULLs, result exact
+    out = t.read(predicates=[("tag", "isnull", None)])
+    assert out.count() == 100
+    assert t.last_scan["skipped_files"] == 0
