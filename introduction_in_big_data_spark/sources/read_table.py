@@ -77,8 +77,9 @@ def read_table(
     if fmt == "acid":
         from .acidtable import AcidTable
 
-        df = AcidTable(spark, path).read()
-        return _residual(df, predicates)
+        # native path: manifest stats prune when the table maintains
+        # them (create(stats=True)); exact either way
+        return AcidTable(spark, path).read(predicates=predicates)
     if fmt == "parquet":
         return _residual(spark.read.parquet(path), predicates)
     if fmt == "csv":
