@@ -421,3 +421,56 @@ def stream_acid_user_state(spark, sf_dir):
     return table.read().select(
         "user_id", "n_events", "last_epoch_us", "last_event_type"
     )
+
+
+@register(
+    "stream_delta_source_counts",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders
+        WHERE o_totalprice > 500.0
+        GROUP BY o_orderpriority
+    """,
+    tags=("streaming", "delta", "lakehouse", "interop", "source"),
+)
+def stream_delta_source_counts(spark, sf_dir):
+    """Streaming FROM an externally-written Delta table
+    (sources/deltastream.py, round 5 — the interop twin of
+    stream_acid_user_state's engine-table source): stage orders as a
+    Delta log of one create + two append commits, then tail it with
+    the Spark-4 Python DataSource whose offsets are DELTA VERSIONS —
+    micro-batch (start, end] emits exactly the files those commits
+    added (one input partition per file, pyarrow worker reads,
+    startingVersion=0 replays the whole history). The cumulative
+    aggregate over the drained stream must hash-match batch SQL over
+    the same rows — stream-batch parity end to end through the log
+    walk, the offset contract, and the worker-side reads. Non-append
+    commits refuse per Delta's documented option semantics
+    (tests/test_deltastream.py)."""
+    import tempfile
+
+    from ..sources.deltalog import commit_append, create_minimal_table
+    from ..sources.deltastream import register_delta_stream
+    from .registry import t
+
+    base = t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 500.0
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+    path = tempfile.mkdtemp(prefix="delta_stream_") + "/t"
+    create_minimal_table(spark, path, base.filter("o_orderkey % 3 = 0"))
+    commit_append(spark, path, base.filter("o_orderkey % 3 = 1"))
+    commit_append(spark, path, base.filter("o_orderkey % 3 = 2"))
+    register_delta_stream(spark)
+    s = (
+        spark.readStream.format("delta_stream")
+        .option("path", path)
+        .option("startingVersion", "0")
+        .load()
+    )
+    agg = s.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+    return st.run_to_memory(agg, "complete", state_partitions=8)

@@ -1,0 +1,122 @@
+"""Streaming FROM an externally-written Delta table
+(sources/deltastream.py — Spark 4 Python DataSource, offsets = Delta
+versions, one partition per added file, pyarrow worker reads with
+typed partition-value reconstruction)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from introduction_in_big_data_spark.sources.deltalog import (
+    commit_append,
+    commit_remove_partition,
+    create_minimal_table,
+)
+from introduction_in_big_data_spark.sources.deltastream import (
+    register_delta_stream,
+)
+from introduction_in_big_data_spark.streaming import stream as st
+
+
+@pytest.fixture()
+def df(spark):
+    return spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("int").alias("p")
+    )
+
+
+def _load(spark, path, **opts):
+    register_delta_stream(spark)
+    r = spark.readStream.format("delta_stream").option("path", path)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_full_replay_matches_batch(spark, tmp_path, df):
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, df.filter("k < 100"))
+    commit_append(spark, path, df.filter("k >= 100 AND k < 200"))
+    commit_append(spark, path, df.filter("k >= 200"))
+    s = _load(spark, path, startingVersion="0")
+    agg = s.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("k").alias("ksum")
+    )
+    out = st.run_to_memory(agg, "complete", state_partitions=4)
+    got = {(r.p, r.n, r.ksum) for r in out.collect()}
+    want = {
+        (r.p, r.n, r.ksum)
+        for r in df.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("ksum"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_partition_values_reconstruct_typed(spark, tmp_path, df):
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, df.filter("k < 150"), partition_by=["p"])
+    commit_append(spark, path, df.filter("k >= 150"), partition_by=["p"])
+    s = _load(spark, path, startingVersion="0")
+    out = st.run_to_memory(s.groupBy("p").count(), "complete", state_partitions=4)
+    assert sorted((r.p, r["count"]) for r in out.collect()) == [
+        (0, 100),
+        (1, 100),
+        (2, 100),
+    ]
+    # the partition column is a real int on the stream schema
+    assert dict(s.dtypes)["p"] == "int"
+
+
+def test_default_starts_after_current_snapshot(spark, tmp_path, df):
+    """Without startingVersion the initial offset resolves to the
+    LATEST version at query start (new-commits-only tailing — Delta's
+    default), so a bounded run over a quiescent table emits nothing;
+    replaying the same table WITH startingVersion=0 emits everything."""
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, df.filter("k < 100"))
+    commit_append(spark, path, df.filter("k >= 100 AND k < 130"))
+    s = _load(spark, path)
+    out = st.run_to_memory(s.groupBy().count(), "complete", state_partitions=2)
+    assert [r["count"] for r in out.collect()] == [0]
+    s2 = _load(spark, path, startingVersion="0")
+    out2 = st.run_to_memory(s2.groupBy().count(), "complete", state_partitions=2)
+    assert [r["count"] for r in out2.collect()] == [130]
+
+
+def test_data_removal_refuses_without_options(spark, tmp_path, df):
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, df, partition_by=["p"])
+    commit_remove_partition(spark, path, "p", "1")
+    s = _load(spark, path, startingVersion="0")
+    with pytest.raises(Exception, match="ignoreDeletes|removes data"):
+        st.run_to_memory(s.groupBy().count(), "complete", state_partitions=2)
+
+
+def test_ignore_deletes_skips_delete_only_commits(spark, tmp_path, df):
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, df, partition_by=["p"])
+    commit_remove_partition(spark, path, "p", "1")
+    commit_append(spark, path, df.filter("p = 0").select(
+        (F.col("k") + 1000).alias("k"), "p"), partition_by=["p"])
+    s = _load(spark, path, startingVersion="0", ignoreDeletes="true")
+    out = st.run_to_memory(s.groupBy().count(), "complete", state_partitions=2)
+    # create (300) + append (100); the delete-only commit emits nothing
+    assert [r["count"] for r in out.collect()] == [400]
+
+
+def test_protocol_v2_refused(spark, tmp_path, df):
+    from introduction_in_big_data_spark.sources.deltalog import (
+        create_column_mapped_table,
+    )
+
+    path = str(tmp_path / "t")
+    create_column_mapped_table(spark, path, df)
+    register_delta_stream(spark)
+    with pytest.raises(Exception, match="reader version 1"):
+        (
+            spark.readStream.format("delta_stream")
+            .option("path", path)
+            .load()
+        )
