@@ -1048,6 +1048,35 @@ class DeltaLogReader:
             out = part if out is None else out.unionByName(part)
         return residual(apply_dvs(out))
 
+    def version_at(self, timestamp_ms: int) -> int:
+        """Greatest version whose commit time is <= `timestamp_ms` —
+        Delta's timestamp time travel (`TIMESTAMP AS OF`). The commit
+        time is the commitInfo action's `timestamp` when the writer
+        recorded one (delta-spark always does), else the commit file's
+        mtime (the protocol's own fallback for commit ordering).
+        Raises when every known commit is newer than the ask."""
+        best: int | None = None
+        for v in self._commit_versions():
+            ts = None
+            for a in self._commit_actions(v):
+                if "commitInfo" in a and a["commitInfo"].get("timestamp"):
+                    ts = int(a["commitInfo"]["timestamp"])
+                    break
+            if ts is None:
+                ts = int(
+                    os.path.getmtime(
+                        os.path.join(self.log_dir, f"{v:020d}.json")
+                    )
+                    * 1000
+                )
+            if ts <= timestamp_ms:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no commit of {self.path} at or before {timestamp_ms} ms"
+            )
+        return best
+
     def _commit_actions(self, version: int) -> list[dict]:
         commit = os.path.join(self.log_dir, f"{version:020d}.json")
         if not os.path.exists(commit):

@@ -1276,6 +1276,23 @@ class IcebergTableReader:
 
         return residual(df.select(*cols))
 
+    def snapshot_at(self, timestamp_ms: int) -> int:
+        """Snapshot id current as of `timestamp_ms` — Iceberg's
+        timestamp time travel (each snapshot records its commit
+        `timestamp-ms`; the spec's snapshot-log is the same data).
+        Raises when every snapshot is newer than the ask."""
+        best = None
+        best_ts = None
+        for s in self.metadata().get("snapshots", []):
+            ts = int(s.get("timestamp-ms", 0))
+            if ts <= timestamp_ms and (best_ts is None or ts >= best_ts):
+                best, best_ts = s["snapshot-id"], ts
+        if best is None:
+            raise ValueError(
+                f"no snapshot of {self.path} at or before {timestamp_ms} ms"
+            )
+        return best
+
     def incremental(
         self,
         from_snapshot_id: int,

@@ -174,3 +174,64 @@ def test_iceberg_incremental_refuses_new_deletes(spark, tmp_path):
     add_position_deletes(spark, path, [(a_file, 0)])
     with pytest.raises(UnsupportedIcebergFeature, match="delete files"):
         IcebergTableReader(spark, path).incremental(first)
+
+
+# -- timestamp time travel --------------------------------------------------
+
+
+def test_delta_version_at_timestamp(spark, tmp_path):
+    """commitInfo timestamps win; commits without one fall back to the
+    commit file's mtime (the protocol's ordering fallback)."""
+    path = str(tmp_path / "t")
+    df = _df(spark)
+    delta_create(spark, path, df.filter("k < 100"))
+    commit_append(spark, path, df.filter("k >= 100 AND k < 200"))
+    commit_append(spark, path, df.filter("k >= 200"))
+    log = os.path.join(path, "_delta_log")
+    # stamp explicit commitInfo times: v0=1000ms, v1=2000ms, v2=3000ms
+    for v, ts in [(0, 1000), (1, 2000), (2, 3000)]:
+        p = os.path.join(log, f"{v:020d}.json")
+        with open(p) as fh:
+            lines = fh.read()
+        with open(p, "w") as fh:
+            fh.write(json.dumps({"commitInfo": {"timestamp": ts}}) + "\n")
+            fh.write(lines)
+    r = DeltaLogReader(spark, path)
+    with pytest.raises(ValueError, match="at or before"):
+        r.version_at(999)
+    assert r.version_at(1000) == 0
+    assert r.version_at(2500) == 1
+    assert r.version_at(99999) == 2
+    assert r.read(version=r.version_at(2500)).count() == 200
+
+
+def test_delta_version_at_mtime_fallback(spark, tmp_path):
+    path = str(tmp_path / "t")
+    delta_create(spark, path, _df(spark))
+    r = DeltaLogReader(spark, path)
+    import time
+
+    assert r.version_at(int(time.time() * 1000) + 60_000) == 0
+
+
+def test_iceberg_snapshot_at_timestamp(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _df(spark)
+    ice_create(spark, path, df.filter("k < 100"))
+    append_data_snapshot(spark, path, df.filter("k >= 100"), sequence=1)
+    t = IcebergTableReader(spark, path)
+    meta_file = t._metadata_file()
+    with open(meta_file) as fh:
+        meta = json.load(fh)
+    for i, s in enumerate(
+        sorted(meta["snapshots"], key=lambda s: s["snapshot-id"])
+    ):
+        s["timestamp-ms"] = (i + 1) * 1000
+    with open(meta_file, "w") as fh:
+        json.dump(meta, fh)
+    t = IcebergTableReader(spark, path)
+    with pytest.raises(ValueError, match="at or before"):
+        t.snapshot_at(999)
+    first = t.snapshot_at(1500)
+    assert t.read(snapshot_id=first).count() == 100
+    assert t.read(snapshot_id=t.snapshot_at(99999)).count() == 300
