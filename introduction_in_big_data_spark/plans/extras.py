@@ -1789,3 +1789,53 @@ def acid_stats_skipping_read(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "delta_dml_delete_read",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        GROUP BY o_orderpriority
+    """,
+    tags=("delta", "lakehouse", "dml", "skipping"),
+)
+def delta_dml_delete_read(spark, sf_dir):
+    """DELETE WHERE on an externally-written Delta table
+    (DeltaLogReader.delete_where, round 5 — the write half of DML
+    interop): stage orders range-clustered on order date with
+    per-file stats, DELETE the pre-1997 rows as ONE Delta commit —
+    file skipping drives the WRITE side exactly as it drives reads:
+    files provably past the cutoff carry by reference (zero IO), only
+    the boundary files rewrite their survivors (with fresh stats
+    attached), fully-deleted files become remove actions — then read
+    the snapshot back and aggregate. The DuckDB oracle recomputes the
+    surviving set from raw parquet, so the prune/rewrite/commit/replay
+    cycle is value-hash checked end to end."""
+    import datetime
+    import tempfile
+
+    from ..sources.deltalog import DeltaLogReader, create_minimal_table
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_date"),
+            "o_totalprice",
+            "o_orderpriority",
+        )
+        .repartitionByRange(8, "o_date")
+    )
+    path = tempfile.mkdtemp(prefix="delta_dml_") + "/t"
+    create_minimal_table(spark, path, base, stats=True)
+    reader = DeltaLogReader(spark, path)
+    reader.delete_where([("o_date", "<", datetime.date(1997, 1, 1))])
+    snap = reader.read()
+    return snap.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

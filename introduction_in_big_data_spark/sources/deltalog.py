@@ -44,7 +44,8 @@ from __future__ import annotations
 
 import json
 import os
-from urllib.parse import unquote
+from urllib.parse import quote, unquote
+from uuid import uuid4
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1165,6 +1166,311 @@ class DeltaLogReader:
             part = part.select(*[f.name for f in schema.fields])
             out = part if out is None else out.unionByName(part)
         return out
+
+    # -- DML / maintenance on external tables (round 5) ---------------------
+    #
+    # The engine is not just a reader of externally-written Delta
+    # tables: delete_where / optimize / vacuum make it a full
+    # read-write-maintain citizen. All three refuse column-mapped and
+    # deletion-vector tables loudly (render paths differ), publish via
+    # the same exclusive-create commit as every writer in this repo,
+    # and keep per-file stats flowing (rewrites are profiled, carried
+    # files keep their immutable entries).
+
+    def _next_version(self) -> int:
+        return self.latest_version() + 1
+
+    def _publish(self, version: int, actions: list[dict]) -> int:
+        target = os.path.join(self.log_dir, f"{version:020d}.json")
+        tmp = target + ".tmp"
+        with open(tmp, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        os.link(tmp, target)  # exclusive publish
+        os.unlink(tmp)
+        return version
+
+    def _guard_plain_table(self, meta: dict, live: dict, what: str) -> None:
+        if self._mapping_mode(meta) != "none":
+            raise UnsupportedDeltaFeature(
+                f"{what} on a column-mapped table"
+            )
+        if any(a.get("deletionVector") for a in live.values()):
+            raise UnsupportedDeltaFeature(
+                f"{what} on a table with deletion-vector adds"
+            )
+
+    def delete_where(self, predicates: list) -> int:
+        """DELETE WHERE (conjunctive (column, op, literal) predicates
+        — sources/skipping.py) as ONE Delta commit on an
+        externally-written table. File skipping drives the write side
+        exactly as it drives reads: files that provably contain no
+        matching row carry by reference (zero IO), predicates that
+        only touch partition columns delete whole partitions
+        METADATA-ONLY (remove actions, no files rewritten — Delta's
+        cheap partition-delete), and only genuinely mixed files are
+        rewritten with the survivors (stats attached when the table
+        carries them). Returns the committed version."""
+        from . import skipping
+
+        v = self.latest_version()
+        meta, live = self._replay(v)
+        self._guard_plain_table(meta, live, "delete_where")
+        schema = self._schema_from_meta(meta)
+        skipping.validate(predicates, [f.name for f in schema.fields])
+        part_cols = list(meta.get("partitionColumns") or [])
+        fields_by_name = {f.name: f for f in schema.fields}
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
+        data_schema = T.StructType(data_fields)
+        part_preds = [p for p in predicates if p[0] in part_cols]
+        data_preds = [p for p in predicates if p[0] not in part_cols]
+
+        def abspath(p: str) -> str:
+            p = unquote(p)
+            return p if p.startswith("/") else os.path.join(self.path, p)
+
+        carried: list[str] = []  # add paths untouched
+        removes: list[str] = []  # metadata-only deletes
+        rewrite: dict[str, dict] = {}  # path -> add, needs survivors
+        for key, a in live.items():
+            pv = a.get("partitionValues") or {}
+            part = {
+                c: self._py_partition_value(
+                    pv.get(c), fields_by_name[c].dataType
+                )
+                for c in part_cols
+            }
+            # partition conjuncts false for this file -> no row matches
+            if not all(
+                skipping._exact_may_match(part[c], op, lit)
+                for c, op, lit in part_preds
+            ):
+                carried.append(key)
+                continue
+            if not data_preds:
+                # predicate fully resolved by partition values: every
+                # row of this file matches -> metadata-only delete
+                removes.append(key)
+                continue
+            minv, maxv, nullc, rows = skipping.parse_delta_stats(
+                a.get("stats")
+            )
+            if not skipping.file_may_match(
+                data_preds, {}, minv, maxv, nullc, rows
+            ):
+                carried.append(key)  # provably no matching row
+            else:
+                rewrite[key] = a
+
+        if not removes and not rewrite:
+            return v  # provably nothing to delete: no empty commit
+
+        carries_stats = any("stats" in a for a in live.values())
+        actions: list[dict] = [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                }
+            }
+            for p in sorted(list(removes) + list(rewrite))
+        ]
+        # group rewrites by partition tuple; survivors of each group
+        # rewrite into fresh files whose add actions carry the group's
+        # partitionValues (the log, not the directory name, is
+        # authoritative per PROTOCOL.md)
+        groups: dict[tuple, list[str]] = {}
+        group_pv: dict[tuple, dict] = {}
+        for key, a in rewrite.items():
+            pv = a.get("partitionValues") or {}
+            k = tuple(pv.get(c) for c in part_cols)
+            groups.setdefault(k, []).append(abspath(a["path"]))
+            group_pv[k] = pv
+        not_matching = ~skipping.residual_filter(data_preds)
+        for k in sorted(
+            groups,
+            key=lambda kv: tuple((x is not None, x or "") for x in kv),
+        ):
+            survivors = (
+                self.spark.read.schema(data_schema)
+                .parquet(*sorted(groups[k]))
+                .filter(not_matching)
+            )
+            out_dir = os.path.join(
+                self.path, f"_rewrite_{uuid4().hex}"
+            )
+            # no coalesce: survivors keep the scan's parallelism, so a
+            # large partition group rewrites as many right-sized files
+            # in parallel (compaction is optimize()'s job, not DELETE's)
+            survivors.write.mode("errorifexists").parquet(out_dir)
+            # a fully-deleted group leaves 0-row part files: referencing
+            # them would be protocol-legal but pointless (and statless,
+            # so they would scan forever) — drop them via the parquet
+            # footer, a driver-side metadata read
+            import pyarrow.parquet as pq
+
+            new_files = []
+            for f in sorted(os.listdir(out_dir)):
+                full = os.path.join(out_dir, f)
+                if not f.endswith(".parquet"):
+                    continue
+                if pq.ParquetFile(full).metadata.num_rows == 0:
+                    os.remove(full)
+                else:
+                    new_files.append(full)
+            stats_by = (
+                _per_file_stats(
+                    self.spark.read.schema(data_schema).parquet(*new_files),
+                    data_fields,
+                )
+                if carries_stats and new_files
+                else {}
+            )
+            for f in new_files:
+                add = {
+                    "path": quote(os.path.relpath(f, self.path)),
+                    "partitionValues": group_pv[k],
+                    "size": os.path.getsize(f),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+                if f in stats_by:
+                    add["stats"] = json.dumps(stats_by[f])
+                actions.append({"add": add})
+        return self._publish(self._next_version(), actions)
+
+    def optimize(self, target_bytes: int = 128 << 20) -> int:
+        """OPTIMIZE (bin-packing compaction) as one dataChange=false
+        commit on an externally-written table — the operational
+        maintenance a long-lived streamed-into table needs, expressed
+        in the other ecosystem's protocol. Per partition group, files
+        under target_bytes/2 coalesce into ~target-sized rewrites;
+        right-sized files carry by reference. Streaming tails and
+        incremental readers correctly see nothing (dataChange=false).
+        Returns the committed version, or the current one when
+        already compact."""
+        v = self.latest_version()
+        meta, live = self._replay(v)
+        self._guard_plain_table(meta, live, "optimize")
+        schema = self._schema_from_meta(meta)
+        part_cols = list(meta.get("partitionColumns") or [])
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
+        data_schema = T.StructType(data_fields)
+
+        def abspath(p: str) -> str:
+            p = unquote(p)
+            return p if p.startswith("/") else os.path.join(self.path, p)
+
+        carries_stats = any("stats" in a for a in live.values())
+        groups: dict[tuple, list[tuple[str, dict]]] = {}
+        for key, a in live.items():
+            pv = a.get("partitionValues") or {}
+            groups.setdefault(
+                tuple(pv.get(c) for c in part_cols), []
+            ).append((key, a))
+        actions: list[dict] = []
+        import math
+
+        for k in sorted(
+            groups,
+            key=lambda kv: tuple((x is not None, x or "") for x in kv),
+        ):
+            small = [
+                (key, a)
+                for key, a in groups[k]
+                if a.get("size", 0) < target_bytes // 2
+            ]
+            if len(small) <= 1:
+                continue
+            files = sorted(abspath(a["path"]) for _k, a in small)
+            n_out = max(
+                1,
+                math.ceil(
+                    sum(a.get("size", 0) for _k, a in small) / target_bytes
+                ),
+            )
+            packed = (
+                self.spark.read.schema(data_schema)
+                .parquet(*files)
+                .coalesce(n_out)
+            )
+            out_dir = os.path.join(self.path, f"_optimize_{uuid4().hex}")
+            packed.write.mode("errorifexists").parquet(out_dir)
+            new_files = sorted(
+                os.path.join(out_dir, f)
+                for f in os.listdir(out_dir)
+                if f.endswith(".parquet")
+            )
+            stats_by = (
+                _per_file_stats(
+                    self.spark.read.schema(data_schema).parquet(*new_files),
+                    data_fields,
+                )
+                if carries_stats and new_files
+                else {}
+            )
+            pv = dict(small[0][1].get("partitionValues") or {})
+            for key, _a in small:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": key,
+                            "deletionTimestamp": 0,
+                            "dataChange": False,
+                        }
+                    }
+                )
+            for f in new_files:
+                add = {
+                    "path": quote(os.path.relpath(f, self.path)),
+                    "partitionValues": pv,
+                    "size": os.path.getsize(f),
+                    "modificationTime": 0,
+                    "dataChange": False,
+                }
+                if f in stats_by:
+                    add["stats"] = json.dumps(stats_by[f])
+                actions.append({"add": add})
+        if not actions:
+            return v
+        return self._publish(self._next_version(), actions)
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Physically delete data files referenced ONLY by snapshots
+        older than the last `keep_last` versions (time travel beyond
+        the horizon then raises on read, same contract as
+        AcidTable.vacuum). The JSON commits stay — pair with
+        write_checkpoint to also bound log replay. Returns the
+        deleted paths."""
+        latest = self.latest_version()
+        keep_versions = range(
+            max(0, latest - keep_last + 1), latest + 1
+        )
+        keep: set[str] = set()
+        for v in keep_versions:
+            _m, live = self._replay(v)
+            keep.update(
+                os.path.realpath(self._abs(a["path"]))
+                for a in live.values()
+            )
+        # every path any replayable commit ever added
+        seen: set[str] = set()
+        for v in self._commit_versions():
+            for action in self._commit_actions(v):
+                add = action.get("add")
+                if add:
+                    seen.add(os.path.realpath(self._abs(add["path"])))
+        deleted = []
+        for p in sorted(seen - keep):
+            if os.path.exists(p):
+                os.remove(p)
+                deleted.append(p)
+        return deleted
+
+    def _abs(self, p: str) -> str:
+        p = unquote(p)
+        return p if p.startswith("/") else os.path.join(self.path, p)
 
     _CHECKPOINT_SCHEMA = (
         "protocol struct<minReaderVersion:int,minWriterVersion:int,"
