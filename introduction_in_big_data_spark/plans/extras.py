@@ -1839,3 +1839,47 @@ def delta_dml_delete_read(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "iceberg_dml_delete_read",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE NOT (n_chars < 200)
+        GROUP BY lang
+    """,
+    tags=("iceberg", "lakehouse", "dml", "deletes", "skipping"),
+)
+def iceberg_dml_delete_read(spark, sf_dir):
+    """MERGE-ON-READ DELETE on an Iceberg table
+    (IcebergTableReader.delete_where, round 5 — the write twin of
+    Delta's copy-on-write delete_where): stage documents with manifest
+    bounds, DELETE the short documents by writing a format-v2
+    POSITION-DELETE file (the spec's cheap-delete design: matching
+    (file, row) positions, computed DISTRIBUTED with the scan's
+    `_metadata.row_index` and never materialized on the driver) and
+    committing a delete snapshot — zero data files rewritten. The
+    write side prunes candidate files with the same manifest-bounds
+    math as reads, already-tombstoned rows never re-delete
+    (idempotence), and the snapshot read back applies the engine's
+    own delete file through the standard v2 path. Oracle recomputes
+    the survivors from raw parquet."""
+    import tempfile
+
+    from ..sources.iceberg import IcebergTableReader, create_minimal_table
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="iceberg_dml_") + "/t"
+    create_minimal_table(
+        spark, path, docs.repartitionByRange(4, "doc_id"), bounds=True
+    )
+    reader = IcebergTableReader(spark, path)
+    reader.delete_where([("n_chars", "<", 200)])
+    snap = IcebergTableReader(spark, path).read()
+    return snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -780,22 +780,8 @@ def add_position_deletes(
     reader's delete application against spec-shaped metadata."""
     import uuid
 
-    from ..functions import avrocodec
-
-    t = IcebergTableReader(spark, path)
-    meta = t.metadata()
-    cur = next(
-        s
-        for s in meta["snapshots"]
-        if s["snapshot-id"] == meta["current-snapshot-id"]
-    )
-    ml_schema, old_manifests = avrocodec.read_container(
-        _local_path(cur["manifest-list"])
-    )
-
-    meta_dir = os.path.join(path, "metadata")
     data_dir = os.path.join(path, "data")
-    # 1. the position-delete parquet file (spec: file_path, pos)
+    # the position-delete parquet file (spec: file_path, pos)
     tmp = os.path.join(path, "_stage_del")
     spark.createDataFrame(
         [
@@ -810,8 +796,35 @@ def add_position_deletes(
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
+    _commit_position_delete_file(spark, path, del_file, len(deletes))
 
-    # 2. the delete manifest (data_file.content = 1)
+
+def _commit_position_delete_file(
+    spark: SparkSession, path: str, del_file: str, record_count: int
+) -> int:
+    """Publish an already-written position-delete parquet as a new
+    DELETE snapshot (delete manifest with manifest-list content=1,
+    format-version 2 metadata, version-hint bump). Shared by the
+    driver-side staging writer (add_position_deletes) and the
+    distributed DML path (IcebergTableReader.delete_where). Returns
+    the new snapshot id."""
+    import uuid
+
+    from ..functions import avrocodec
+
+    t = IcebergTableReader(spark, path)
+    meta = t.metadata()
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    ml_schema, old_manifests = avrocodec.read_container(
+        _local_path(cur["manifest-list"])
+    )
+    meta_dir = os.path.join(path, "metadata")
+
+    # the delete manifest (data_file.content = 1)
     del_manifest_schema = {
         "type": "record",
         "name": "manifest_entry",
@@ -847,7 +860,7 @@ def add_position_deletes(
                     "content": 1,
                     "file_path": f"file://{del_file}",
                     "file_format": "PARQUET",
-                    "record_count": len(deletes),
+                    "record_count": int(record_count),
                     "file_size_in_bytes": os.path.getsize(del_file),
                 },
             }
@@ -891,6 +904,7 @@ def add_position_deletes(
         json.dump(meta, fh)
     with open(hint, "w") as fh:
         fh.write(str(version + 1))
+    return new_snap_id
 
 
 class IcebergTableReader:
@@ -1141,38 +1155,7 @@ class IcebergTableReader:
             from . import skipping
 
             skipping.validate(predicates, [f.name for f in schema.fields])
-            by_id = {
-                f["id"]: f
-                for f in self._schema_fields(meta)
-                if isinstance(f.get("type"), str)  # primitives only
-            }
-            kept = []
-            for path, (seq, st) in data:
-                minv, maxv, nullc = {}, {}, {}
-                rc = st.get("record_count")
-                rows = int(rc) if rc else None  # 0/None = stats absent
-                for fid, raw in _kv_map(st.get("lower_bounds")).items():
-                    f = by_id.get(fid)
-                    if f is not None:
-                        v = _decode_bound(raw, f["type"])
-                        if v is not None:
-                            minv[f["name"]] = v
-                for fid, raw in _kv_map(st.get("upper_bounds")).items():
-                    f = by_id.get(fid)
-                    if f is not None:
-                        v = _decode_bound(raw, f["type"])
-                        if v is not None:
-                            maxv[f["name"]] = v
-                for fid, n in _kv_map(
-                    st.get("null_value_counts")
-                ).items():
-                    f = by_id.get(fid)
-                    if f is not None and n is not None:
-                        nullc[f["name"]] = int(n)
-                if skipping.file_may_match(
-                    predicates, {}, minv, maxv, nullc, rows
-                ):
-                    kept.append((path, (seq, st)))
+            kept = self._prune_data_files(data, predicates, meta)
             self.last_scan = {
                 "candidate_files": len(data),
                 "scanned_files": len(kept),
@@ -1275,6 +1258,134 @@ class IcebergTableReader:
             df = df.drop("__seq")
 
         return residual(df.select(*cols))
+
+    def _prune_data_files(
+        self, data: list, predicates: list, meta: dict
+    ) -> list:
+        """The subset of (path, (seq, stats)) entries that MAY contain
+        a matching row, judged from manifest bounds/null-counts
+        (conservative — unknown stats keep the file). Shared by
+        read(predicates=) and delete_where (the write side prunes with
+        the same math as the read side)."""
+        from . import skipping
+
+        by_id = {
+            f["id"]: f
+            for f in self._schema_fields(meta)
+            if isinstance(f.get("type"), str)  # primitives only
+        }
+        kept = []
+        for path, (seq, st) in data:
+            minv, maxv, nullc = {}, {}, {}
+            rc = st.get("record_count")
+            rows = int(rc) if rc else None  # 0/None = stats absent
+            for fid, raw in _kv_map(st.get("lower_bounds")).items():
+                f = by_id.get(fid)
+                if f is not None:
+                    v = _decode_bound(raw, f["type"])
+                    if v is not None:
+                        minv[f["name"]] = v
+            for fid, raw in _kv_map(st.get("upper_bounds")).items():
+                f = by_id.get(fid)
+                if f is not None:
+                    v = _decode_bound(raw, f["type"])
+                    if v is not None:
+                        maxv[f["name"]] = v
+            for fid, n in _kv_map(st.get("null_value_counts")).items():
+                f = by_id.get(fid)
+                if f is not None and n is not None:
+                    nullc[f["name"]] = int(n)
+            if skipping.file_may_match(
+                predicates, {}, minv, maxv, nullc, rows
+            ):
+                kept.append((path, (seq, st)))
+        return kept
+
+    def delete_where(self, predicates: list) -> int:
+        """DELETE WHERE as a MERGE-ON-READ commit: instead of
+        rewriting data files (Delta's copy-on-write delete_where),
+        write a format-v2 POSITION-DELETE file naming the matching
+        (file, row) positions and commit a delete snapshot — the
+        spec's cheap-delete design, and the exact artifact this
+        reader (and any v2 reader) already applies on scan. The
+        write side prunes with the same manifest-bounds math as
+        reads: files provably without matches are never scanned, and
+        the delete file is written DISTRIBUTED (the matching
+        positions never materialize on the driver). Tables with
+        existing equality deletes refuse (sequence interplay);
+        returns the new snapshot id, or the current one when
+        provably nothing matches."""
+        import uuid as _uuidmod
+
+        from . import skipping
+
+        meta = self.metadata()
+        snap_id = meta["current-snapshot-id"]
+        snapshot = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == snap_id
+        )
+        data, pos_deletes, eq = self._live_files(snapshot)
+        if eq:
+            raise UnsupportedIcebergFeature(
+                "delete_where on a table with equality deletes"
+            )
+        schema = self._schema_struct(meta)
+        skipping.validate(predicates, [f.name for f in schema.fields])
+        candidates = self._prune_data_files(data, predicates, meta)
+        if not candidates:
+            return snap_id  # provably nothing to delete
+        files = [p for p, _ in candidates]
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        scan = (
+            self.spark.read.schema(schema)
+            .parquet(*files)
+            .select(
+                "*",
+                norm(F.col("_metadata.file_path")).alias("__p"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+        )
+        if pos_deletes:
+            # rows already tombstoned must not re-delete (idempotence:
+            # re-running the same predicate commits nothing)
+            dels = self._position_deletes(pos_deletes).select(
+                norm(F.col("file_path")).alias("__dp"),
+                F.col("pos").alias("__dpos"),
+            )
+            scan = scan.join(
+                F.broadcast(dels),
+                (F.col("__p") == F.col("__dp"))
+                & (F.col("__pos") == F.col("__dpos")),
+                "left_anti",
+            )
+        hits = scan.filter(skipping.residual_filter(predicates)).select(
+            F.concat(F.lit("file://"), F.col("__p")).alias("file_path"),
+            F.col("__pos").alias("pos"),
+        )
+        tmp = os.path.join(self.path, f"_stage_del_{_uuidmod.uuid4().hex}")
+        # spec: position deletes sort by file_path then pos; one output
+        # file is fine (delete files are compact by design — they exist
+        # to avoid rewriting data files)
+        hits.repartition(1).sortWithinPartitions(
+            "file_path", "pos"
+        ).write.parquet(tmp)
+        import pyarrow.parquet as pq
+        import shutil
+
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        n_rows = pq.ParquetFile(os.path.join(tmp, src)).metadata.num_rows
+        if n_rows == 0:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return snap_id  # predicate matched no row: no empty commit
+        data_dir = os.path.join(self.path, "data")
+        del_file = os.path.join(
+            data_dir, f"delete-{_uuidmod.uuid4().hex}.parquet"
+        )
+        os.rename(os.path.join(tmp, src), del_file)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return _commit_position_delete_file(
+            self.spark, self.path, del_file, n_rows
+        )
 
     def snapshot_at(self, timestamp_ms: int) -> int:
         """Snapshot id current as of `timestamp_ms` — Iceberg's

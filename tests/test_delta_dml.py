@@ -152,3 +152,77 @@ def test_dml_refuses_column_mapped_tables(spark, tmp_path):
         r.delete_where([("k", "=", 1)])
     with pytest.raises(UnsupportedDeltaFeature, match="column-mapped"):
         r.optimize()
+
+
+# -- Iceberg merge-on-read DELETE -------------------------------------------
+
+
+def test_iceberg_delete_where_writes_position_deletes(spark, tmp_path):
+    from introduction_in_big_data_spark.sources.iceberg import (
+        IcebergTableReader,
+        create_minimal_table as ice_create,
+    )
+
+    path = str(tmp_path / "t")
+    ice_create(
+        spark, path,
+        _df(spark).select("k", F.col("p").alias("g"))
+        .repartitionByRange(6, "k"),
+        bounds=True,
+    )
+    t = IcebergTableReader(spark, path)
+    before_data = {
+        f for f in os.listdir(os.path.join(path, "data"))
+        if not f.startswith("delete-")
+    }
+    sid = t.delete_where([("k", ">=", 1000)])
+    after_data = {
+        f for f in os.listdir(os.path.join(path, "data"))
+        if not f.startswith("delete-")
+    }
+    assert before_data == after_data  # merge-on-read: no data rewrite
+    t2 = IcebergTableReader(spark, path)
+    assert sorted(x.k for x in t2.read().collect()) == list(range(1000))
+    # idempotent: already-tombstoned rows never re-delete
+    assert t2.delete_where([("k", ">=", 1000)]) == sid
+    # provably-out-of-bounds predicate is a driver-side no-op
+    assert t2.delete_where([("k", ">=", 10_000)]) == sid
+
+
+def test_iceberg_delete_where_mixed_predicate_and_time_travel(
+    spark, tmp_path
+):
+    from introduction_in_big_data_spark.sources.iceberg import (
+        IcebergTableReader,
+        create_minimal_table as ice_create,
+    )
+
+    path = str(tmp_path / "t")
+    ice_create(
+        spark, path,
+        _df(spark).select("k", F.col("p").alias("g")), bounds=True,
+    )
+    t = IcebergTableReader(spark, path)
+    first = t.metadata()["current-snapshot-id"]
+    t.delete_where([("g", "=", 1), ("k", "<", 30)])
+    t2 = IcebergTableReader(spark, path)
+    out = t2.read()
+    assert out.count() == 1190
+    assert out.filter("g = 1 AND k < 30").count() == 0
+    # the pre-delete snapshot still reads in full (time travel)
+    assert t2.read(snapshot_id=first).count() == 1200
+
+
+def test_iceberg_delete_where_refuses_equality_deletes(spark, tmp_path):
+    from introduction_in_big_data_spark.sources.iceberg import (
+        IcebergTableReader,
+        UnsupportedIcebergFeature,
+        add_equality_deletes,
+        create_minimal_table as ice_create,
+    )
+
+    path = str(tmp_path / "t")
+    ice_create(spark, path, _df(spark).select("k"))
+    add_equality_deletes(spark, path, [(5,)], ["k"], 1)
+    with pytest.raises(UnsupportedIcebergFeature, match="equality"):
+        IcebergTableReader(spark, path).delete_where([("k", "=", 1)])
