@@ -1883,3 +1883,203 @@ def iceberg_dml_delete_read(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "delta_dml_update_read",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(CASE WHEN CAST(o_orderdate AS DATE)
+                                   >= DATE '1997-01-01'
+                              THEN o_totalprice * 2
+                              ELSE o_totalprice END), 2) AS total_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("delta", "lakehouse", "dml", "skipping"),
+)
+def delta_dml_update_read(spark, sf_dir):
+    """UPDATE ... SET ... WHERE on an externally-written Delta table
+    (DeltaLogReader.update_where, round 5): stage orders
+    range-clustered on order date with per-file stats, double the
+    price of every 1997+ order as ONE Delta commit — the same file
+    skipping that drives delete_where drives the write side: files
+    provably before the cutoff carry by reference (zero IO), only
+    may-match files rewrite, applying the assignment as
+    CASE WHEN matching THEN expr ELSE col END so non-matching rows in
+    boundary files pass through byte-identical (doubling is an exact
+    power-of-two scale, so the cross-engine float contract holds).
+    The oracle recomputes the update from raw parquet."""
+    import datetime
+    import tempfile
+
+    from ..sources.deltalog import DeltaLogReader, create_minimal_table
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_date"),
+            "o_totalprice",
+            "o_orderpriority",
+        )
+        .repartitionByRange(8, "o_date")
+    )
+    path = tempfile.mkdtemp(prefix="delta_upd_") + "/t"
+    create_minimal_table(spark, path, base, stats=True)
+    reader = DeltaLogReader(spark, path)
+    reader.update_where(
+        [("o_date", ">=", datetime.date(1997, 1, 1))],
+        {"o_totalprice": "o_totalprice * 2"},
+    )
+    snap = reader.read()
+    return snap.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "delta_dml_merge_read",
+    oracle="""
+        WITH src AS (
+            SELECT o_orderkey,
+                   '0-MERGED' AS o_orderpriority,
+                   o_totalprice * 2 AS o_totalprice
+            FROM orders WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, '9-NEW', o_totalprice
+            FROM orders WHERE o_orderkey % 101 = 0
+        ),
+        merged AS (
+            SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+            UNION ALL
+            SELECT * FROM src
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM merged
+        GROUP BY o_orderpriority
+    """,
+    tags=("delta", "lakehouse", "dml", "merge"),
+)
+def delta_dml_merge_read(spark, sf_dir):
+    """MERGE INTO an externally-written Delta table
+    (DeltaLogReader.merge, round 5 — completing the external-DML
+    matrix: INSERT/DELETE/UPDATE/MERGE/OPTIMIZE/VACUUM): stage orders
+    range-clustered on order key with stats, merge a CDC-shaped batch
+    (every-97th order re-priced, every-101st re-keyed as an insert).
+    The write side is file-pruned like delete_where: the source key
+    range prunes candidates driver-side via stats, an exact
+    distributed semi-join on `_metadata.file_path` finds truly-hit
+    files, ONLY those rewrite (survivors anti-joined against the
+    broadcast key set), everything else carries by reference. The
+    oracle replays the merge semantics (anti-join + union) from raw
+    parquet."""
+    import tempfile
+
+    from ..sources.deltalog import DeltaLogReader, create_minimal_table
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartitionByRange(8, "o_orderkey")
+    )
+    path = tempfile.mkdtemp(prefix="delta_mrg_") + "/t"
+    create_minimal_table(spark, path, base, stats=True)
+    orders = t(spark, sf_dir, "orders")
+    source = (
+        orders.filter("o_orderkey % 97 = 0")
+        .select(
+            "o_orderkey",
+            F.lit("0-MERGED").alias("o_orderpriority"),
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.filter("o_orderkey % 101 = 0").select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit("9-NEW").alias("o_orderpriority"),
+                "o_totalprice",
+            )
+        )
+    )
+    reader = DeltaLogReader(spark, path)
+    reader.merge(source, "o_orderkey")
+    snap = reader.read()
+    return snap.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "iceberg_dml_upsert_read",
+    oracle="""
+        WITH src AS (
+            SELECT doc_id, 'xx' AS lang, n_chars + 1000000 AS n_chars
+            FROM documents WHERE doc_id % 13 = 0
+            UNION ALL
+            SELECT doc_id + 10000000, 'new', n_chars
+            FROM documents WHERE doc_id % 17 = 0
+        ),
+        merged AS (
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM src)
+            UNION ALL
+            SELECT * FROM src
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM merged
+        GROUP BY lang
+    """,
+    tags=("iceberg", "lakehouse", "dml", "merge", "deletes"),
+)
+def iceberg_dml_upsert_read(spark, sf_dir):
+    """MERGE-ON-READ UPSERT into an Iceberg table
+    (IcebergTableReader.upsert, round 5 — the Flink-on-Iceberg write
+    shape): stage documents, upsert a CDC-shaped batch (every-13th
+    document re-labeled, every-17th re-keyed as an insert) as ONE
+    snapshot committing an EQUALITY-DELETE file on doc_id plus a data
+    file with the source rows, both at the same new sequence number —
+    the spec's strictly-smaller sequence gate (which this reader
+    already enforces on scan) deletes old matched rows while the
+    appended rows survive their own delete. Zero data files
+    rewritten, zero files scanned: upsert cost ∝ batch size, not
+    table size. The oracle replays the merge semantics from raw
+    parquet."""
+    import tempfile
+
+    from ..sources.iceberg import IcebergTableReader, create_minimal_table
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="iceberg_ups_") + "/t"
+    create_minimal_table(
+        spark, path, docs.repartitionByRange(4, "doc_id"), bounds=True
+    )
+    source = (
+        docs.filter("doc_id % 13 = 0")
+        .select(
+            "doc_id",
+            F.lit("xx").alias("lang"),
+            (F.col("n_chars") + 1000000).alias("n_chars"),
+        )
+        .unionByName(
+            docs.filter("doc_id % 17 = 0").select(
+                (F.col("doc_id") + 10000000).alias("doc_id"),
+                F.lit("new").alias("lang"),
+                "n_chars",
+            )
+        )
+    )
+    reader = IcebergTableReader(spark, path)
+    reader.upsert(source, "doc_id")
+    snap = IcebergTableReader(spark, path).read()
+    return snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -1340,6 +1340,322 @@ class DeltaLogReader:
                 actions.append({"add": add})
         return self._publish(self._next_version(), actions)
 
+    def update_where(
+        self, predicates: list, set_exprs: dict[str, str]
+    ) -> int:
+        """UPDATE ... SET col = expr WHERE (conjunctive (column, op,
+        literal) predicates — sources/skipping.py) as ONE Delta commit
+        on an externally-written table. The same file skipping that
+        drives delete_where drives the write side: files that provably
+        contain no matching row carry by reference (zero IO); only
+        files that MAY match rewrite, applying each assignment as
+        CASE WHEN <matching> THEN expr ELSE col END so non-matching
+        rows in a mixed file pass through byte-identical. Assignments
+        are SQL expression strings over the data columns; partition
+        columns cannot be assigned (rows never move between partition
+        directories on UPDATE — that is MERGE's job). Returns the
+        committed version (the current one when provably no row
+        matches: no empty commit)."""
+        from . import skipping
+
+        v = self.latest_version()
+        meta, live = self._replay(v)
+        self._guard_plain_table(meta, live, "update_where")
+        schema = self._schema_from_meta(meta)
+        skipping.validate(predicates, [f.name for f in schema.fields])
+        part_cols = list(meta.get("partitionColumns") or [])
+        bad = sorted(set(set_exprs) & set(part_cols))
+        if bad:
+            raise ValueError(
+                f"update_where cannot assign partition columns: {bad}"
+            )
+        fields_by_name = {f.name: f for f in schema.fields}
+        unknown = sorted(set(set_exprs) - set(fields_by_name))
+        if unknown:
+            raise ValueError(f"update_where: unknown columns {unknown}")
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
+        data_schema = T.StructType(data_fields)
+        part_preds = [p for p in predicates if p[0] in part_cols]
+        data_preds = [p for p in predicates if p[0] not in part_cols]
+
+        def abspath(p: str) -> str:
+            p = unquote(p)
+            return p if p.startswith("/") else os.path.join(self.path, p)
+
+        rewrite: dict[str, dict] = {}
+        for key, a in live.items():
+            pv = a.get("partitionValues") or {}
+            part = {
+                c: self._py_partition_value(
+                    pv.get(c), fields_by_name[c].dataType
+                )
+                for c in part_cols
+            }
+            if not all(
+                skipping._exact_may_match(part[c], op, lit)
+                for c, op, lit in part_preds
+            ):
+                continue  # carried: partition conjunct false
+            if data_preds:
+                minv, maxv, nullc, rows = skipping.parse_delta_stats(
+                    a.get("stats")
+                )
+                if not skipping.file_may_match(
+                    data_preds, {}, minv, maxv, nullc, rows
+                ):
+                    continue  # carried: stats prove no matching row
+            rewrite[key] = a
+        if not rewrite:
+            return v
+
+        carries_stats = any("stats" in a for a in live.values())
+        actions: list[dict] = [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                }
+            }
+            for p in sorted(rewrite)
+        ]
+        matching = skipping.residual_filter(data_preds)
+        groups: dict[tuple, list[str]] = {}
+        group_pv: dict[tuple, dict] = {}
+        for key, a in rewrite.items():
+            pv = a.get("partitionValues") or {}
+            k = tuple(pv.get(c) for c in part_cols)
+            groups.setdefault(k, []).append(abspath(a["path"]))
+            group_pv[k] = pv
+        for k in sorted(
+            groups,
+            key=lambda kv: tuple((x is not None, x or "") for x in kv),
+        ):
+            updated = self.spark.read.schema(data_schema).parquet(
+                *sorted(groups[k])
+            )
+            for c, e in set_exprs.items():
+                updated = updated.withColumn(
+                    c,
+                    F.when(
+                        matching,
+                        F.expr(e).cast(fields_by_name[c].dataType),
+                    ).otherwise(F.col(c)),
+                )
+            out_dir = os.path.join(self.path, f"_update_{uuid4().hex}")
+            updated.write.mode("errorifexists").parquet(out_dir)
+            new_files = sorted(
+                os.path.join(out_dir, f)
+                for f in os.listdir(out_dir)
+                if f.endswith(".parquet")
+            )
+            stats_by = (
+                _per_file_stats(
+                    self.spark.read.schema(data_schema).parquet(*new_files),
+                    data_fields,
+                )
+                if carries_stats and new_files
+                else {}
+            )
+            for f in new_files:
+                add = {
+                    "path": quote(os.path.relpath(f, self.path)),
+                    "partitionValues": group_pv[k],
+                    "size": os.path.getsize(f),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+                if f in stats_by:
+                    add["stats"] = json.dumps(stats_by[f])
+                actions.append({"add": add})
+        return self._publish(self._next_version(), actions)
+
+    def merge(self, source: DataFrame, key: str) -> int:
+        """MERGE INTO an externally-written Delta table: WHEN MATCHED
+        UPDATE (the source row wins whole-row), WHEN NOT MATCHED
+        INSERT — the same semantics as AcidTable.merge
+        (sources/acidtable.py), expressed through the Delta protocol.
+
+        The write side is file-pruned like delete_where: the source's
+        key range prunes candidate files driver-side via their stats,
+        an exact distributed semi-join on `_metadata.file_path` finds
+        the files that truly contain a matched key, and ONLY those
+        rewrite (survivors anti-joined against the broadcast key set);
+        every other file carries by reference. Survivors and source
+        rows write in ONE partitioned job (hive layout — the same
+        directory encoding create_minimal_table stages), so inserts
+        land in their partitions and matched rows may MOVE partitions
+        when the source changed a partition column. The source is the
+        small CDC-batch side by construction (it broadcasts); at 100 TB
+        the table side never shuffles — it is scanned once for hit
+        detection and only hit files are read again. Returns the
+        committed version."""
+        from . import skipping
+
+        v = self.latest_version()
+        meta, live = self._replay(v)
+        self._guard_plain_table(meta, live, "merge")
+        schema = self._schema_from_meta(meta)
+        if key not in schema.fieldNames():
+            raise ValueError(f"merge key {key!r} not in table schema")
+        missing = set(schema.fieldNames()) - set(source.columns)
+        if missing:
+            raise ValueError(f"merge source missing columns: {sorted(missing)}")
+        source = source.select(*schema.fieldNames())
+        part_cols = list(meta.get("partitionColumns") or [])
+        fields_by_name = {f.name: f for f in schema.fields}
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
+        data_schema = T.StructType(data_fields)
+
+        def abspath(p: str) -> str:
+            p = unquote(p)
+            return p if p.startswith("/") else os.path.join(self.path, p)
+
+        keys = source.select(key).distinct()
+        hit_keys: set[str] = set()
+        if key in part_cols:
+            # partition-column key: hit detection is pure metadata —
+            # a file is hit iff its partition value is in the key set
+            kt = fields_by_name[key].dataType
+            key_vals = {r[0] for r in keys.collect()}
+            for k, a in live.items():
+                pv = (a.get("partitionValues") or {}).get(key)
+                if self._py_partition_value(pv, kt) in key_vals:
+                    hit_keys.add(k)
+        else:
+            # stats prune to candidates, then exact semi-join check
+            row = keys.agg(
+                F.min(key).alias("mn"), F.max(key).alias("mx")
+            ).collect()[0]
+            mn, mx = row["mn"], row["mx"]
+            range_preds = (
+                [(key, ">=", mn), (key, "<=", mx)]
+                if mn is not None
+                else []
+            )
+            cands: dict[str, dict] = {}
+            for k, a in live.items():
+                minv, maxv, nullc, rows = skipping.parse_delta_stats(
+                    a.get("stats")
+                )
+                if skipping.file_may_match(
+                    range_preds, {}, minv, maxv, nullc, rows
+                ):
+                    cands[k] = a
+            if cands:
+                by_abs = {abspath(a["path"]): k for k, a in cands.items()}
+                hits = (
+                    self.spark.read.schema(data_schema)
+                    .parquet(*sorted(by_abs))
+                    .select(
+                        F.col("_metadata.file_path").alias("__fp"),
+                        F.col(key),
+                    )
+                    .join(F.broadcast(keys), key, "left_semi")
+                    .select("__fp")
+                    .distinct()
+                    .collect()
+                )
+                for r in hits:
+                    hit_keys.add(by_abs[r["__fp"].removeprefix("file:")])
+
+        carries_stats = any("stats" in a for a in live.values())
+        merged_parts: list[DataFrame] = []
+        # partition-column key: a hit file's EVERY row carries a matched
+        # key, so hit files have no survivors — pure metadata delete
+        if hit_keys and key not in part_cols:
+            by_abs = {abspath(live[k]["path"]): k for k in hit_keys}
+            survivors = (
+                self.spark.read.schema(data_schema)
+                .parquet(*sorted(by_abs))
+                # bind the metadata column on the scan BEFORE any join
+                .withColumn("__fp", F.col("_metadata.file_path"))
+                .join(F.broadcast(keys), key, "left_anti")
+            )
+            if part_cols:
+                # attach each hit file's typed partition values via a
+                # tiny broadcast (path -> values) mapping
+                pv_rows = []
+                for p, k in by_abs.items():
+                    pv = live[k].get("partitionValues") or {}
+                    pv_rows.append(
+                        (f"file:{p}",)
+                        + tuple(
+                            self._py_partition_value(
+                                pv.get(c), fields_by_name[c].dataType
+                            )
+                            for c in part_cols
+                        )
+                    )
+                pv_schema = T.StructType(
+                    [T.StructField("__fp", T.StringType())]
+                    + [fields_by_name[c] for c in part_cols]
+                )
+                pv_df = self.spark.createDataFrame(pv_rows, pv_schema)
+                survivors = survivors.join(F.broadcast(pv_df), "__fp")
+            merged_parts.append(survivors.select(*schema.fieldNames()))
+        merged_parts.append(source)
+        merged = merged_parts[0]
+        for p in merged_parts[1:]:
+            merged = merged.unionByName(p)
+
+        out_dir = os.path.join(self.path, f"_merge_{uuid4().hex}")
+        w = merged.write.mode("errorifexists")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(out_dir)
+        # walk the hive layout back into add actions (same decode as
+        # create_minimal_table: dir segments are partitionValues)
+        new_files: list[tuple[str, dict]] = []
+        for root, _dirs, files in os.walk(out_dir):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, out_dir)
+                pv = {}
+                for seg in rel.split(os.sep)[:-1]:
+                    if "=" in seg:
+                        c, _, val = seg.partition("=")
+                        pv[c] = (
+                            None
+                            if val == "__HIVE_DEFAULT_PARTITION__"
+                            else unquote(val)
+                        )
+                new_files.append((full, pv))
+        stats_by = (
+            _per_file_stats(
+                self.spark.read.schema(data_schema).parquet(
+                    *[f for f, _pv in new_files]
+                ),
+                data_fields,
+            )
+            if carries_stats and new_files
+            else {}
+        )
+        actions: list[dict] = [
+            {
+                "remove": {
+                    "path": live[k]["path"],
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                }
+            }
+            for k in sorted(hit_keys)
+        ]
+        for f, pv in sorted(new_files):
+            add = {
+                "path": quote(os.path.relpath(f, self.path)),
+                "partitionValues": pv,
+                "size": os.path.getsize(f),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+            if f in stats_by:
+                add["stats"] = json.dumps(stats_by[f])
+            actions.append({"add": add})
+        return self._publish(self._next_version(), actions)
+
     def optimize(self, target_bytes: int = 128 << 20) -> int:
         """OPTIMIZE (bin-packing compaction) as one dataChange=false
         commit on an externally-written table — the operational

@@ -1387,6 +1387,107 @@ class IcebergTableReader:
             self.spark, self.path, del_file, n_rows
         )
 
+    def upsert(self, source: DataFrame, key: str) -> int:
+        """MERGE-ON-READ UPSERT — the Flink-on-Iceberg write shape:
+        ONE snapshot committing (a) an EQUALITY-DELETE file on `key`
+        listing the source's distinct keys and (b) a data file with
+        the source rows, BOTH at the same new data sequence number N.
+        The spec's sequence gate (an equality delete applies only to
+        data files with STRICTLY SMALLER sequence — the rule this
+        reader already enforces on scan) makes the semantics exact
+        with zero data files rewritten and zero files even scanned:
+        old rows with matched keys vanish, the newly appended rows
+        survive their own delete, unmatched rows are untouched.
+        WHEN MATCHED UPDATE (source row wins whole-row) / WHEN NOT
+        MATCHED INSERT — the same contract as DeltaLogReader.merge
+        and AcidTable.merge, at pure metadata + append cost: the
+        100 TB upsert shape (cost ∝ batch size, not table size).
+        Returns the new snapshot id."""
+        import uuid as _uuidmod
+
+        import pyarrow.parquet as pq
+
+        from ..functions import avrocodec
+
+        meta = self.metadata()
+        schema = self._schema_struct(meta)
+        if key not in schema.fieldNames():
+            raise ValueError(f"upsert key {key!r} not in table schema")
+        missing = set(schema.fieldNames()) - set(source.columns)
+        if missing:
+            raise ValueError(
+                f"upsert source missing columns: {sorted(missing)}"
+            )
+        source = source.select(*schema.fieldNames())
+        fields = {f["name"]: f for f in self._schema_fields(meta)}
+        kid = fields[key]["id"]
+        snap = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        data, _pos, eq = self._live_files(snap)
+        seqs = [s for _p, (s, _st) in data] + [e[2] for e in eq]
+        n = (max(seqs) if seqs else 0) + 1
+
+        data_path = _stage_parquet(self.spark, self.path, source)
+        del_path = _stage_parquet(
+            self.spark, self.path, source.select(key).distinct()
+        )
+        n_rows = pq.ParquetFile(data_path).metadata.num_rows
+        n_keys = pq.ParquetFile(del_path).metadata.num_rows
+        meta_dir = os.path.join(self.path, "metadata")
+        data_manifest = os.path.join(
+            meta_dir, f"{_uuidmod.uuid4().hex}-m0.avro"
+        )
+        avrocodec.write_container(
+            data_manifest,
+            _MANIFEST_V2_SCHEMA,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": None,
+                    "sequence_number": n,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": f"file://{data_path}",
+                        "file_format": "PARQUET",
+                        "record_count": n_rows,
+                        "file_size_in_bytes": os.path.getsize(data_path),
+                        "equality_ids": None,
+                    },
+                }
+            ],
+        )
+        del_manifest = os.path.join(
+            meta_dir, f"{_uuidmod.uuid4().hex}-e0.avro"
+        )
+        avrocodec.write_container(
+            del_manifest,
+            _MANIFEST_V2_SCHEMA,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": None,
+                    "sequence_number": n,
+                    "data_file": {
+                        "content": 2,
+                        "file_path": f"file://{del_path}",
+                        "file_format": "PARQUET",
+                        "record_count": n_keys,
+                        "file_size_in_bytes": os.path.getsize(del_path),
+                        "equality_ids": [kid],
+                    },
+                }
+            ],
+        )
+        return _commit_snapshot(
+            self.spark,
+            self.path,
+            [(data_manifest, 0), (del_manifest, 1)],
+            "overwrite",
+        )
+
     def snapshot_at(self, timestamp_ms: int) -> int:
         """Snapshot id current as of `timestamp_ms` — Iceberg's
         timestamp time travel (each snapshot records its commit

@@ -154,6 +154,113 @@ def test_dml_refuses_column_mapped_tables(spark, tmp_path):
         r.optimize()
 
 
+def test_update_where_rewrites_only_matching_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark).repartitionByRange(6, "k"), stats=True
+    )
+    r = DeltaLogReader(spark, path)
+    v = r.update_where([("k", ">=", 1000)], {"v": "v + 100000"})
+    acts = _commit_actions(path, v)
+    removes = [a for a in acts if "remove" in a]
+    adds = [a for a in acts if "add" in a]
+    # files provably below the threshold carry by reference
+    assert 1 <= len(removes) <= 2
+    assert all("stats" in a["add"] for a in adds)
+    got = {x.k: x.v for x in r.read().collect()}
+    assert len(got) == 1200  # UPDATE never changes cardinality
+    assert got[999] == 999.0
+    assert got[1000] == 101000.0
+    # provably-no-match predicate publishes no commit
+    assert r.update_where([("k", ">=", 10_000)], {"v": "0.0"}) == v
+
+
+def test_update_where_partition_guards_and_mixed_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark), partition_by=["p"], stats=True
+    )
+    r = DeltaLogReader(spark, path)
+    with pytest.raises(ValueError, match="partition columns"):
+        r.update_where([("k", "=", 1)], {"p": "0"})
+    with pytest.raises(ValueError, match="unknown columns"):
+        r.update_where([("k", "=", 1)], {"zzz": "0"})
+    r.update_where([("p", "=", 1), ("k", "<", 30)], {"v": "-1.0"})
+    got = r.read()
+    assert got.count() == 1200
+    assert got.filter("v = -1.0").count() == 10  # p=1 has k=1,4,...,28
+    # non-matching rows in the rewritten partition pass through intact
+    assert got.filter("p = 1 AND k >= 30 AND v = CAST(k AS DOUBLE)").count() \
+        == got.filter("p = 1 AND k >= 30").count()
+    # other partitions' files untouched on disk (carried by reference)
+    assert got.filter("p = 0 AND v = -1.0").count() == 0
+
+
+def test_merge_upserts_and_prunes_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark).repartitionByRange(6, "k"), stats=True
+    )
+    r = DeltaLogReader(spark, path)
+    source = spark.range(0, 60).union(spark.range(2000, 2010)).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("p"),
+        F.lit(-5.0).alias("v"),
+    )
+    v = r.merge(source, "k")
+    acts = _commit_actions(path, v)
+    removes = [a for a in acts if "remove" in a]
+    # the source key range [0, 60) hits only the low boundary file(s);
+    # stats-pruned files never re-read
+    assert 1 <= len(removes) <= 2
+    got = {x.k: x.v for x in r.read().collect()}
+    assert len(got) == 1210  # 1200 + 10 inserts
+    assert got[5] == -5.0 and got[2005] == -5.0  # matched + inserted
+    assert got[100] == 100.0  # untouched
+    adds = [a for a in acts if "add" in a]
+    assert all("stats" in a["add"] for a in adds)
+
+
+def test_merge_partitioned_routes_rows_and_moves_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark), partition_by=["p"], stats=True
+    )
+    r = DeltaLogReader(spark, path)
+    # k=9 lives in p=0; the source MOVES it to p=2 and inserts k=5000
+    source = spark.createDataFrame(
+        [(9, 2, -9.0), (5000, 1, -1.0)], "k long, p int, v double"
+    )
+    v = r.merge(source, "k")
+    got = r.read()
+    assert got.count() == 1201
+    assert got.filter("k = 9").collect()[0].p == 2
+    assert got.filter("k = 5000").collect()[0].v == -1.0
+    # adds carry hive-decoded partitionValues
+    for a in _commit_actions(path, v):
+        if "add" in a:
+            assert set(a["add"]["partitionValues"]) == {"p"}
+    # pruning by partition still works post-merge
+    assert r.read(predicates=[("p", "=", 1)]).count() == 401
+
+
+def test_merge_on_partition_column_key_is_metadata_pruned(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark), partition_by=["p"], stats=True
+    )
+    r = DeltaLogReader(spark, path)
+    # replace ALL of partition 1 with two rows (partition-key merge)
+    source = spark.createDataFrame(
+        [(10_001, 1, 1.0), (10_002, 1, 2.0)], "k long, p int, v double"
+    )
+    r.merge(source, "p")
+    got = r.read()
+    assert got.filter("p = 1").count() == 2
+    assert got.filter("p != 1").count() == 800
+    assert got.count() == 802
+
+
 # -- Iceberg merge-on-read DELETE -------------------------------------------
 
 
@@ -211,6 +318,62 @@ def test_iceberg_delete_where_mixed_predicate_and_time_travel(
     assert out.filter("g = 1 AND k < 30").count() == 0
     # the pre-delete snapshot still reads in full (time travel)
     assert t2.read(snapshot_id=first).count() == 1200
+
+
+def test_iceberg_upsert_merges_without_rewrites(spark, tmp_path):
+    from introduction_in_big_data_spark.sources.iceberg import (
+        IcebergTableReader,
+        create_minimal_table as ice_create,
+    )
+
+    path = str(tmp_path / "t")
+    ice_create(
+        spark, path,
+        _df(spark).select("k", "v").repartitionByRange(4, "k"),
+        bounds=True,
+    )
+    t = IcebergTableReader(spark, path)
+    first = t.metadata()["current-snapshot-id"]
+    before_files = set(os.listdir(os.path.join(path, "data")))
+    source = spark.createDataFrame(
+        [(5, -5.0), (999, -9.0), (5000, 1.0)], "k long, v double"
+    )
+    t.upsert(source, "k")
+    # merge-on-read: every pre-existing data file still on disk, unread
+    assert before_files <= set(os.listdir(os.path.join(path, "data")))
+    t2 = IcebergTableReader(spark, path)
+    got = {x.k: x.v for x in t2.read().collect()}
+    assert len(got) == 1201  # 1200 + 1 insert
+    assert got[5] == -5.0 and got[999] == -9.0 and got[5000] == 1.0
+    assert got[100] == 100.0  # unmatched rows untouched
+    # time travel: the pre-upsert snapshot reads the original values
+    old = {x.k: x.v for x in t2.read(snapshot_id=first).collect()}
+    assert old[5] == 5.0 and 5000 not in old
+
+
+def test_iceberg_upsert_chains_by_sequence(spark, tmp_path):
+    from introduction_in_big_data_spark.sources.iceberg import (
+        IcebergTableReader,
+        create_minimal_table as ice_create,
+    )
+
+    path = str(tmp_path / "t")
+    ice_create(spark, path, _df(spark).select("k", "v").limit(100))
+    IcebergTableReader(spark, path).upsert(
+        spark.createDataFrame([(7, -1.0)], "k long, v double"), "k"
+    )
+    # the second upsert's delete (seq 2) must beat the first's append
+    # (seq 1): strictly-smaller sequence gate
+    IcebergTableReader(spark, path).upsert(
+        spark.createDataFrame([(7, -2.0)], "k long, v double"), "k"
+    )
+    got = {x.k: x.v for x in IcebergTableReader(spark, path).read().collect()}
+    assert got[7] == -2.0
+    assert len(got) == 100
+    with pytest.raises(ValueError, match="not in table schema"):
+        IcebergTableReader(spark, path).upsert(
+            spark.createDataFrame([(1, 1.0)], "k long, v double"), "zzz"
+        )
 
 
 def test_iceberg_delete_where_refuses_equality_deletes(spark, tmp_path):
