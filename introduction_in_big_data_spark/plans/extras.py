@@ -2083,3 +2083,90 @@ def iceberg_dml_upsert_read(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "incremental_mv_maintenance",
+    oracle="""
+        WITH base AS (
+            -- floor(), not bare CAST: DuckDB's double->BIGINT cast
+            -- ROUNDS where Spark's truncates (repo rounding contract)
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_cents
+            FROM orders
+        ),
+        src AS (
+            SELECT o_orderkey,
+                   '0-MERGED' AS o_orderpriority,
+                   o_cents * 2 AS o_cents
+            FROM base WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, '9-NEW', o_cents
+            FROM base WHERE o_orderkey % 101 = 0
+        ),
+        merged AS (
+            SELECT o_orderkey, o_orderpriority, o_cents FROM base
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+            UNION ALL
+            SELECT * FROM src
+        ),
+        final AS (SELECT * FROM merged WHERE o_orderkey % 89 != 0)
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(o_cents) AS BIGINT) AS sum_o_cents
+        FROM final
+        GROUP BY o_orderpriority
+    """,
+    tags=("ivm", "acid", "cdf", "agg", "incremental"),
+)
+def incremental_mv_maintenance(spark, sf_dir):
+    """Incremental MATERIALIZED-VIEW maintenance (operators/ivm.py,
+    round 5): materialize a grouped count/sum view of an ACID table
+    ONCE, then keep it consistent through a MERGE (re-priced +
+    inserted orders) and a DELETE using only the table's change feed
+    (AcidTable.changes with preimages=True — Delta CDF's full row
+    set): insert/update_postimage rows add, delete/update_preimage
+    rows subtract, groups reaching count 0 leave the view. The base
+    table is scanned exactly once, at materialization — every
+    maintenance step costs ∝ the change batch, the only viable shape
+    for a standing aggregate over a 100 TB streamed-into table. Sums
+    ride an exact integer cents column so the incremental total is
+    bit-identical to the oracle's full recompute over the final
+    state."""
+    import tempfile
+
+    from ..operators import ivm
+    from ..sources.acidtable import AcidTable
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice") * 100 + 0.5).cast("long").alias("o_cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ivm_mv_") + "/t"
+    table = AcidTable.create(spark, path, base)
+    v0 = table.latest_version()
+    view = ivm.initial_view(
+        table.read(v0), ["o_orderpriority"], ["o_cents"]
+    ).localCheckpoint()  # the one-and-only base scan, frozen
+    source = (
+        base.filter("o_orderkey % 97 = 0")
+        .select(
+            "o_orderkey",
+            F.lit("0-MERGED").alias("o_orderpriority"),
+            (F.col("o_cents") * 2).alias("o_cents"),
+        )
+        .unionByName(
+            base.filter("o_orderkey % 101 = 0").select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit("9-NEW").alias("o_orderpriority"),
+                "o_cents",
+            )
+        )
+    )
+    table.merge(source, "o_orderkey")
+    table.delete("o_orderkey % 89 = 0")
+    v1 = table.latest_version()
+    changes = table.changes("o_orderkey", v0, v1, preimages=True)
+    delta = ivm.aggregate_delta(changes, ["o_orderpriority"], ["o_cents"])
+    return ivm.apply_delta(view, delta, ["o_orderpriority"], ["o_cents"])

@@ -285,7 +285,9 @@ class AcidTable:
             schema_json=schema.json(),
         )
 
-    def changes(self, key: str, v_from: int, v_to: int) -> DataFrame:
+    def changes(
+        self, key: str, v_from: int, v_to: int, preimages: bool = False
+    ) -> DataFrame:
         """Change data feed between two snapshots (Delta CDF analog,
         computed from snapshots rather than logged): one row per key
         whose row changed, tagged `_change_type` in
@@ -294,7 +296,13 @@ class AcidTable:
         inequality for update detection — at scale both sides are
         file-pruned parquet scans and the join shuffles on the key.
         Emits post-image columns (pre-image rows of deletes carry the
-        OLD values, the only image that exists)."""
+        OLD values, the only image that exists).
+
+        `preimages=True` additionally emits an `update_preimage` row
+        (old values) for every updated key — Delta CDF's full row set,
+        which downstream SIGNED consumers need (incremental view
+        maintenance subtracts the preimage and adds the postimage;
+        operators/ivm.py)."""
         before = self.read(v_from)
         after = self.read(v_to)
         cols = after.columns
@@ -318,14 +326,24 @@ class AcidTable:
         j = b.join(a, "__k", "full_outer")
         tagged = j.select(
             F.coalesce(F.col("__after"), F.col("__before")).alias("__row"),
+            F.col("__before"),
             F.when(F.col("__before").isNull(), F.lit("insert"))
             .when(F.col("__after").isNull(), F.lit("delete"))
             .when(F.col("__before") != F.col("__after"), F.lit("update_postimage"))
             .alias("_change_type"),
         ).filter(F.col("_change_type").isNotNull())
-        return tagged.select(
+        out = tagged.select(
             *[F.col(f"__row.{c}").alias(c) for c in cols], "_change_type"
         )
+        if not preimages:
+            return out
+        pre = tagged.filter(
+            F.col("_change_type") == "update_postimage"
+        ).select(
+            *[F.col(f"__before.{c}").alias(c) for c in cols],
+            F.lit("update_preimage").alias("_change_type"),
+        )
+        return out.unionByName(pre)
 
     def history(self) -> list[dict]:
         return [

@@ -1182,12 +1182,21 @@ class DeltaLogReader:
 
     def _publish(self, version: int, actions: list[dict]) -> int:
         target = os.path.join(self.log_dir, f"{version:020d}.json")
-        tmp = target + ".tmp"
+        tmp = target + f".{uuid4().hex}.tmp"
         with open(tmp, "w") as fh:
             for a in actions:
                 fh.write(json.dumps(a) + "\n")
-        os.link(tmp, target)  # exclusive publish
-        os.unlink(tmp)
+        try:
+            os.link(tmp, target)  # exclusive publish: one winner/version
+        except FileExistsError:
+            from .acidtable import CommitConflict
+
+            raise CommitConflict(
+                f"version {version} was committed concurrently; "
+                "re-read the table and retry the operation"
+            ) from None
+        finally:
+            os.unlink(tmp)
         return version
 
     def _guard_plain_table(self, meta: dict, live: dict, what: str) -> None:

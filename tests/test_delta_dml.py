@@ -144,6 +144,27 @@ def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
     assert r.vacuum(keep_last=1) == []  # idempotent
 
 
+def test_concurrent_commit_raises_commit_conflict(spark, tmp_path):
+    from introduction_in_big_data_spark.sources.acidtable import (
+        CommitConflict,
+    )
+
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark), stats=True)
+    r = DeltaLogReader(spark, path)
+    # another writer publishes the next version first
+    winner = os.path.join(path, "_delta_log", f"{1:020d}.json")
+    with open(winner, "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"operation": "NOOP"}}) + "\n")
+    with pytest.raises(CommitConflict, match="concurrently"):
+        r._publish(1, [{"commitInfo": {"operation": "LOSER"}}])
+    # the loser's temp file must not linger in the log dir
+    assert not [
+        f for f in os.listdir(os.path.join(path, "_delta_log"))
+        if f.endswith(".tmp")
+    ]
+
+
 def test_dml_refuses_column_mapped_tables(spark, tmp_path):
     path = str(tmp_path / "t")
     create_column_mapped_table(spark, path, _df(spark))
