@@ -119,6 +119,15 @@ PROBE_QUERIES = [
     "acid_optimize_compaction",  # r4: rewrite cost ∝ bytes compacted
     "bpe_encode_stats",        # r4: encode = vocab-bounded dictionary
                                # fold + broadcast join on token stream
+    "delta_dml_merge_read",    # r5: external-Delta MERGE — staging
+                               # scales 10x; the merge itself is hit-
+                               # file-bounded (stats prune + semi-join)
+    "iceberg_dml_upsert_read", # r5: merge-on-read upsert — ZERO files
+                               # rewritten or scanned; cost = staging +
+                               # one eq-delete + one append
+    "incremental_mv_maintenance",  # r5: IVM — one base scan at
+                               # materialize; maintenance joins are
+                               # group-cardinality-bounded
 ]
 
 
