@@ -2170,3 +2170,107 @@ def incremental_mv_maintenance(spark, sf_dir):
     changes = table.changes("o_orderkey", v0, v1, preimages=True)
     delta = ivm.aggregate_delta(changes, ["o_orderpriority"], ["o_cents"])
     return ivm.apply_delta(view, delta, ["o_orderpriority"], ["o_cents"])
+
+
+@register(
+    "delta_cdf_mv_maintenance",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS o_cents
+            FROM orders
+        ),
+        u AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN o_cents * 2 ELSE o_cents END AS o_cents
+            FROM base
+        ),
+        src AS (
+            SELECT o_orderkey,
+                   '0-MERGED' AS o_orderpriority,
+                   o_cents * 3 AS o_cents
+            FROM base WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, '9-NEW', o_cents
+            FROM base WHERE o_orderkey % 101 = 0
+        ),
+        m AS (
+            SELECT o_orderkey, o_orderpriority, o_cents FROM u
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+            UNION ALL
+            SELECT * FROM src
+        ),
+        f AS (SELECT * FROM m WHERE o_orderpriority <> '3-MEDIUM')
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(o_cents) AS BIGINT) AS sum_o_cents
+        FROM f
+        GROUP BY o_orderpriority
+    """,
+    tags=("delta", "cdf", "ivm", "lakehouse", "incremental"),
+)
+def delta_cdf_mv_maintenance(spark, sf_dir):
+    """Standing aggregate over an EXTERNALLY-written Delta table, kept
+    consistent by its CHANGE DATA FEED (round 5): stage orders with
+    `delta.enableChangeDataFeed=true`, materialize a per-priority
+    count/sum view ONCE, then push the table through UPDATE WHERE
+    (urgent orders re-priced ×2), MERGE (every-97th order re-priced ×3
+    under a new priority + every-101st re-keyed as an insert) and
+    DELETE WHERE (one priority dropped) — each DML commit writes
+    protocol-shaped `cdc` actions (update_preimage/update_postimage/
+    insert/delete rows under `_change_data/`), `changes()` replays
+    them per the protocol's reader contract (cdc actions are the
+    complete description when present; pure appends/deletes derive
+    from add/remove), and operators/ivm.py folds the signed deltas
+    into the view. The base table is scanned once at materialization;
+    every maintenance step costs ∝ the change batch. The oracle fully
+    recomputes the final state from raw parquet; sums ride an exact
+    integer cents column (floor per the double→BIGINT cast
+    contract)."""
+    import tempfile
+
+    from ..operators import ivm
+    from ..sources.deltalog import DeltaLogReader, create_minimal_table
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice") * 100 + 0.5).cast("long").alias("o_cents"),
+    )
+    path = tempfile.mkdtemp(prefix="delta_cdf_") + "/t"
+    create_minimal_table(
+        spark, path, base.repartitionByRange(8, "o_orderkey"),
+        stats=True, cdf=True,
+    )
+    reader = DeltaLogReader(spark, path)
+    v0 = reader.latest_version()
+    view = ivm.initial_view(
+        reader.read(v0), ["o_orderpriority"], ["o_cents"]
+    ).localCheckpoint()
+    reader.update_where(
+        [("o_orderpriority", "=", "1-URGENT")], {"o_cents": "o_cents * 2"}
+    )
+    source = (
+        base.filter("o_orderkey % 97 = 0")
+        .select(
+            "o_orderkey",
+            F.lit("0-MERGED").alias("o_orderpriority"),
+            (F.col("o_cents") * 3).alias("o_cents"),
+        )
+        .unionByName(
+            base.filter("o_orderkey % 101 = 0").select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit("9-NEW").alias("o_orderpriority"),
+                "o_cents",
+            )
+        )
+    )
+    reader.merge(source, "o_orderkey")
+    reader.delete_where([("o_orderpriority", "=", "3-MEDIUM")])
+    v1 = reader.latest_version()
+    delta = ivm.aggregate_delta(
+        reader.changes(v0, v1), ["o_orderpriority"], ["o_cents"]
+    )
+    return ivm.apply_delta(view, delta, ["o_orderpriority"], ["o_cents"])

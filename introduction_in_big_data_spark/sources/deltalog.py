@@ -122,6 +122,7 @@ def create_minimal_table(
     df: DataFrame,
     partition_by: list[str] = (),
     stats: bool = False,
+    cdf: bool = False,
 ) -> None:
     """Write `df` as a minimal protocol-v1 Delta table: hive-laid-out
     parquet data files (partition columns in directory names, NOT in
@@ -182,7 +183,9 @@ def create_minimal_table(
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": df.schema.json(),
                 "partitionColumns": list(partition_by),
-                "configuration": {},
+                "configuration": (
+                    {"delta.enableChangeDataFeed": "true"} if cdf else {}
+                ),
                 "createdTime": 0,
             }
         },
@@ -1049,6 +1052,228 @@ class DeltaLogReader:
             out = part if out is None else out.unionByName(part)
         return residual(apply_dvs(out))
 
+    # -- change data feed (CDF) ---------------------------------------------
+
+    def _cdf_enabled(self, meta: dict) -> bool:
+        return (
+            (meta.get("configuration") or {}).get(
+                "delta.enableChangeDataFeed"
+            )
+            == "true"
+        )
+
+    def _scan_with_parts(
+        self,
+        entries: list[tuple[str, dict]],
+        file_fields: list[T.StructField],
+        out_fields: list[T.StructField],
+        part_cols: list[str],
+        fields_by_name: dict[str, T.StructField],
+    ) -> DataFrame | None:
+        """Scan (abs_path, partitionValues) pairs into logical rows:
+        group files by partition tuple, one scan per group with the
+        partition columns attached as typed literals (the same shape
+        as read()'s grouped scan, factored for the CDF paths).
+        `file_fields` is what the files physically contain;
+        `out_fields` the projection (partition columns resolved from
+        the pv dicts). Returns None when `entries` is empty."""
+        if not entries:
+            return None
+        file_schema = T.StructType(file_fields)
+        groups: dict[tuple, list[str]] = {}
+        for p, pv in entries:
+            groups.setdefault(
+                tuple(pv.get(c) for c in part_cols), []
+            ).append(p)
+        out: DataFrame | None = None
+        for key, files in sorted(
+            groups.items(),
+            key=lambda kv: tuple((v is not None, v or "") for v in kv[0]),
+        ):
+            part = self.spark.read.schema(file_schema).parquet(
+                *sorted(files)
+            )
+            for c, raw in zip(part_cols, key):
+                dt = fields_by_name[c].dataType
+                part = part.withColumn(
+                    c,
+                    F.lit(raw).cast(dt)
+                    if raw is not None
+                    else F.lit(None).cast(dt),
+                )
+            part = part.select(*[f.name for f in out_fields])
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    def _stage_cdc(
+        self, cdc_df: DataFrame, part_cols: list[str]
+    ) -> list[dict]:
+        """Write change rows (logical columns + `_change_type`) under
+        `_change_data/` in hive layout and return the commit's `cdc`
+        actions (PROTOCOL.md "Add CDC File": path + partitionValues +
+        size, dataChange false). Partition columns live in directory
+        names, `_change_type` travels IN the files — Delta's CDF
+        storage shape. Zero-row part files are dropped."""
+        import pyarrow.parquet as pq
+
+        out_dir = os.path.join(self.path, "_change_data", uuid4().hex)
+        w = cdc_df.write.mode("errorifexists")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(out_dir)
+        actions: list[dict] = []
+        for root, _dirs, files in os.walk(out_dir):
+            for f in sorted(files):
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, f)
+                if pq.ParquetFile(full).metadata.num_rows == 0:
+                    os.remove(full)
+                    continue
+                rel = os.path.relpath(full, out_dir)
+                pv = {}
+                for seg in rel.split(os.sep)[:-1]:
+                    if "=" in seg:
+                        c, _, val = seg.partition("=")
+                        pv[c] = (
+                            None
+                            if val == "__HIVE_DEFAULT_PARTITION__"
+                            else unquote(val)
+                        )
+                actions.append(
+                    {
+                        "cdc": {
+                            "path": quote(
+                                os.path.relpath(full, self.path)
+                            ),
+                            "partitionValues": pv,
+                            "size": os.path.getsize(full),
+                            "dataChange": False,
+                        }
+                    }
+                )
+        return actions
+
+    def changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """CHANGE DATA FEED read (Delta's `table_changes`): the
+        row-level changes committed in versions (v_from, v_to],
+        tagged `_change_type` in {insert, delete, update_preimage,
+        update_postimage} plus `_commit_version`. Per commit, per the
+        protocol's reader contract: when the commit carries `cdc`
+        actions those are the COMPLETE change description (add/remove
+        ignored); otherwise add(dataChange=true) files read as
+        inserts and remove(dataChange=true) files read as deletes —
+        valid because data files are immutable until vacuum, so the
+        removed file's content IS the deleted row set. Commits that
+        BOTH add and remove data without cdc actions (rewriting
+        UPDATE/MERGE written with CDF off) refuse loudly rather than
+        guess row-level changes. dataChange=false commits (OPTIMIZE)
+        are invisible. Feeds operators/ivm.py for standing-aggregate
+        maintenance over externally-written tables: the cost is
+        ∝ the change volume, never the table."""
+        v_to = self.latest_version() if v_to is None else v_to
+        meta, _live = self._replay(v_to)
+        self._guard_plain_table(meta, _live, "changes")
+        schema = self._schema_from_meta(meta)
+        part_cols = list(meta.get("partitionColumns") or [])
+        fields_by_name = {f.name: f for f in schema.fields}
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
+        ct = T.StructField("_change_type", T.StringType())
+        out_fields = list(schema.fields) + [ct]
+
+        def abspath(p: str) -> str:
+            p = unquote(p)
+            return p if p.startswith("/") else os.path.join(self.path, p)
+
+        frames: list[DataFrame] = []
+        for v in range(v_from + 1, v_to + 1):
+            prev_live: dict[str, dict] | None = None
+            actions = self._commit_actions(v)
+            cdcs = [a["cdc"] for a in actions if "cdc" in a]
+            adds = [
+                a["add"]
+                for a in actions
+                if "add" in a and a["add"].get("dataChange")
+            ]
+            removes = [
+                a["remove"]
+                for a in actions
+                if "remove" in a and a["remove"].get("dataChange", True)
+            ]
+            if cdcs:
+                df = self._scan_with_parts(
+                    [
+                        (abspath(c["path"]), c.get("partitionValues") or {})
+                        for c in cdcs
+                    ],
+                    data_fields + [ct],
+                    out_fields,
+                    part_cols,
+                    fields_by_name,
+                )
+            elif adds and removes:
+                raise UnsupportedDeltaFeature(
+                    f"changes: commit {v} rewrites data files without "
+                    "cdc actions (written with CDF disabled) — "
+                    "row-level changes are not derivable"
+                )
+            else:
+                ins = self._scan_with_parts(
+                    [
+                        (abspath(a["path"]), a.get("partitionValues") or {})
+                        for a in adds
+                    ],
+                    data_fields,
+                    list(schema.fields),
+                    part_cols,
+                    fields_by_name,
+                )
+                dels = None
+                if removes:
+                    # remove actions may omit partitionValues; the
+                    # previous version's live set has each file's add
+                    if prev_live is None:
+                        _m, prev_live = self._replay(v - 1)
+                    ents = []
+                    for r in removes:
+                        a = prev_live.get(r["path"]) or r
+                        ents.append(
+                            (
+                                abspath(r["path"]),
+                                a.get("partitionValues") or {},
+                            )
+                        )
+                    dels = self._scan_with_parts(
+                        ents,
+                        data_fields,
+                        list(schema.fields),
+                        part_cols,
+                        fields_by_name,
+                    )
+                parts = [
+                    p.withColumn("_change_type", F.lit(tag))
+                    for p, tag in ((ins, "insert"), (dels, "delete"))
+                    if p is not None
+                ]
+                df = None
+                for p in parts:
+                    df = p if df is None else df.unionByName(p)
+            if df is None:
+                continue
+            frames.append(df.withColumn("_commit_version", F.lit(v)))
+        if not frames:
+            return self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    out_fields
+                    + [T.StructField("_commit_version", T.IntegerType())]
+                ),
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     def version_at(self, timestamp_ms: int) -> int:
         """Greatest version whose commit time is <= `timestamp_ms` —
         Delta's timestamp time travel (`TIMESTAMP AS OF`). The commit
@@ -1275,6 +1500,36 @@ class DeltaLogReader:
             return v  # provably nothing to delete: no empty commit
 
         carries_stats = any("stats" in a for a in live.values())
+        cdc_actions: list[dict] = []
+        if self._cdf_enabled(meta):
+            # CDF: the deleted rows — whole files for metadata-only
+            # removes, matching rows for rewrites. CDF turns the
+            # metadata-only partition delete into a read+write of the
+            # removed partitions: the documented cost of enabling it.
+            ents = lambda ks: [  # noqa: E731
+                (
+                    abspath(live[k]["path"]),
+                    live[k].get("partitionValues") or {},
+                )
+                for k in ks
+            ]
+            deleted = self._scan_with_parts(
+                ents(removes), data_fields, schema.fields, part_cols,
+                fields_by_name,
+            )
+            hit = self._scan_with_parts(
+                ents(rewrite), data_fields, schema.fields, part_cols,
+                fields_by_name,
+            )
+            if hit is not None:
+                hit = hit.filter(skipping.residual_filter(data_preds))
+                deleted = (
+                    hit if deleted is None else deleted.unionByName(hit)
+                )
+            cdc_actions = self._stage_cdc(
+                deleted.withColumn("_change_type", F.lit("delete")),
+                part_cols,
+            )
         actions: list[dict] = [
             {
                 "remove": {
@@ -1347,7 +1602,7 @@ class DeltaLogReader:
                 if f in stats_by:
                     add["stats"] = json.dumps(stats_by[f])
                 actions.append({"add": add})
-        return self._publish(self._next_version(), actions)
+        return self._publish(self._next_version(), cdc_actions + actions)
 
     def update_where(
         self, predicates: list, set_exprs: dict[str, str]
@@ -1429,6 +1684,35 @@ class DeltaLogReader:
             for p in sorted(rewrite)
         ]
         matching = skipping.residual_filter(data_preds)
+        cdc_actions: list[dict] = []
+        if self._cdf_enabled(meta):
+            pre = self._scan_with_parts(
+                [
+                    (abspath(a["path"]), a.get("partitionValues") or {})
+                    for a in rewrite.values()
+                ],
+                data_fields, schema.fields, part_cols, fields_by_name,
+            ).filter(matching)
+            # ONE projection: every RHS evaluates against the OLD row
+            # (SQL UPDATE semantics), never a co-assigned column
+            post = pre.select(
+                *[
+                    F.expr(set_exprs[f.name])
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    if f.name in set_exprs
+                    else F.col(f.name)
+                    for f in schema.fields
+                ]
+            )
+            cdc = pre.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(
+                post.withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+            cdc_actions = self._stage_cdc(cdc, part_cols)
         groups: dict[tuple, list[str]] = {}
         group_pv: dict[tuple, dict] = {}
         for key, a in rewrite.items():
@@ -1440,17 +1724,34 @@ class DeltaLogReader:
             groups,
             key=lambda kv: tuple((x is not None, x or "") for x in kv),
         ):
-            updated = self.spark.read.schema(data_schema).parquet(
+            # ONE projection (not chained withColumn): every RHS
+            # evaluates against the OLD row, SQL UPDATE semantics.
+            # Partition columns attach as typed literals so RHS may
+            # reference them; the projection then drops them.
+            scan = self.spark.read.schema(data_schema).parquet(
                 *sorted(groups[k])
             )
-            for c, e in set_exprs.items():
-                updated = updated.withColumn(
+            for c, raw in zip(part_cols, k):
+                dt = fields_by_name[c].dataType
+                scan = scan.withColumn(
                     c,
+                    F.lit(raw).cast(dt)
+                    if raw is not None
+                    else F.lit(None).cast(dt),
+                )
+            updated = scan.select(
+                *[
                     F.when(
                         matching,
-                        F.expr(e).cast(fields_by_name[c].dataType),
-                    ).otherwise(F.col(c)),
-                )
+                        F.expr(set_exprs[f.name]).cast(f.dataType),
+                    )
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                    if f.name in set_exprs
+                    else F.col(f.name)
+                    for f in data_fields
+                ]
+            )
             out_dir = os.path.join(self.path, f"_update_{uuid4().hex}")
             updated.write.mode("errorifexists").parquet(out_dir)
             new_files = sorted(
@@ -1477,7 +1778,7 @@ class DeltaLogReader:
                 if f in stats_by:
                     add["stats"] = json.dumps(stats_by[f])
                 actions.append({"add": add})
-        return self._publish(self._next_version(), actions)
+        return self._publish(self._next_version(), cdc_actions + actions)
 
     def merge(self, source: DataFrame, key: str) -> int:
         """MERGE INTO an externally-written Delta table: WHEN MATCHED
@@ -1569,6 +1870,52 @@ class DeltaLogReader:
                     hit_keys.add(by_abs[r["__fp"].removeprefix("file:")])
 
         carries_stats = any("stats" in a for a in live.values())
+        cdc_actions: list[dict] = []
+        if self._cdf_enabled(meta):
+            # CDF: matched old rows are update_preimages, their source
+            # rows update_postimages, unmatched source rows inserts
+            pre = self._scan_with_parts(
+                [
+                    (
+                        abspath(live[k]["path"]),
+                        live[k].get("partitionValues") or {},
+                    )
+                    for k in hit_keys
+                ],
+                data_fields, schema.fields, part_cols, fields_by_name,
+            )
+            if pre is not None and key in part_cols:
+                # partition-key merge replaces whole key GROUPS — old
+                # and new rows are not 1:1, so the honest row-level
+                # feed is delete + insert (same signed-delta outcome)
+                cdc = pre.withColumn(
+                    "_change_type", F.lit("delete")
+                ).unionByName(
+                    source.withColumn("_change_type", F.lit("insert"))
+                )
+            elif pre is not None:
+                pre = pre.join(F.broadcast(keys), key, "left_semi")
+                matched = pre.select(key).distinct()
+                cdc = (
+                    pre.withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                    .unionByName(
+                        source.join(
+                            F.broadcast(matched), key, "left_semi"
+                        ).withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+                    .unionByName(
+                        source.join(
+                            F.broadcast(matched), key, "left_anti"
+                        ).withColumn("_change_type", F.lit("insert"))
+                    )
+                )
+            else:
+                cdc = source.withColumn("_change_type", F.lit("insert"))
+            cdc_actions = self._stage_cdc(cdc, part_cols)
         merged_parts: list[DataFrame] = []
         # partition-column key: a hit file's EVERY row carries a matched
         # key, so hit files have no survivors — pure metadata delete
@@ -1663,7 +2010,7 @@ class DeltaLogReader:
             if f in stats_by:
                 add["stats"] = json.dumps(stats_by[f])
             actions.append({"add": add})
-        return self._publish(self._next_version(), actions)
+        return self._publish(self._next_version(), cdc_actions + actions)
 
     def optimize(self, target_bytes: int = 128 << 20) -> int:
         """OPTIMIZE (bin-packing compaction) as one dataChange=false
