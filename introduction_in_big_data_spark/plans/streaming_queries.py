@@ -474,3 +474,129 @@ def stream_delta_source_counts(spark, sf_dir):
         F.sum("o_orderkey").alias("key_sum"),
     )
     return st.run_to_memory(agg, "complete", state_partitions=8)
+
+
+@register(
+    "stream_delta_cdf_feed",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS o_cents
+            FROM orders
+        ),
+        u AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN o_cents * 2 ELSE o_cents END AS o_cents
+            FROM base
+        ),
+        src AS (
+            SELECT o_orderkey,
+                   '0-MERGED' AS o_orderpriority,
+                   o_cents * 3 AS o_cents
+            FROM base WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, '9-NEW', o_cents
+            FROM base WHERE o_orderkey % 101 = 0
+        ),
+        m AS (
+            SELECT o_orderkey, o_orderpriority, o_cents FROM u
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+            UNION ALL
+            SELECT * FROM src
+        ),
+        feed AS (
+            SELECT 'update_preimage' AS _change_type, o_cents
+            FROM base WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT 'update_postimage', o_cents * 2
+            FROM base WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT 'update_preimage', o_cents
+            FROM u WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT 'update_postimage', o_cents
+            FROM src WHERE o_orderpriority = '0-MERGED'
+            UNION ALL
+            SELECT 'insert', o_cents
+            FROM src WHERE o_orderpriority = '9-NEW'
+            UNION ALL
+            SELECT 'delete', o_cents
+            FROM m WHERE o_orderpriority = '3-MEDIUM'
+        )
+        SELECT _change_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(o_cents) AS BIGINT) AS sum_o_cents
+        FROM feed
+        GROUP BY _change_type
+    """,
+    tags=("streaming", "delta", "cdf", "lakehouse", "incremental"),
+)
+def stream_delta_cdf_feed(spark, sf_dir):
+    """STREAMING the change data feed of an externally-written Delta
+    table (sources/deltastream.py readChangeFeed=true, round 5 —
+    Delta's `readStream.option("readChangeFeed")`): stage orders with
+    CDF enabled, push UPDATE WHERE / MERGE / DELETE WHERE commits
+    through it (each writing protocol-shaped cdc actions), then tail
+    the table as a stream whose micro-batches render each commit's
+    row-level changes — cdc files read as-is (the complete
+    description), append commits as inserts, remove-only commits as
+    deletes, `_commit_version` stamped per batch. The cumulative
+    per-change-type aggregate over the drained stream must hash-match
+    a full SQL replay of all three DML steps — stream-batch parity
+    through the offset contract, the cdc walk, and the worker-side
+    reads. At 100 TB this is the standing-pipeline shape: downstream
+    consumers (IVM, replication, audit) follow the feed at
+    change-batch cost without ever rescanning the table."""
+    import tempfile
+
+    from ..sources.deltalog import DeltaLogReader, create_minimal_table
+    from ..sources.deltastream import register_delta_stream
+    from .registry import t
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice") * 100 + 0.5).cast("long").alias("o_cents"),
+    )
+    path = tempfile.mkdtemp(prefix="delta_cdf_stream_") + "/t"
+    create_minimal_table(
+        spark, path, base.repartitionByRange(8, "o_orderkey"),
+        stats=True, cdf=True,
+    )
+    reader = DeltaLogReader(spark, path)
+    v0 = reader.latest_version()
+    reader.update_where(
+        [("o_orderpriority", "=", "1-URGENT")], {"o_cents": "o_cents * 2"}
+    )
+    source = (
+        base.filter("o_orderkey % 97 = 0")
+        .select(
+            "o_orderkey",
+            F.lit("0-MERGED").alias("o_orderpriority"),
+            (F.col("o_cents") * 3).alias("o_cents"),
+        )
+        .unionByName(
+            base.filter("o_orderkey % 101 = 0").select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit("9-NEW").alias("o_orderpriority"),
+                "o_cents",
+            )
+        )
+    )
+    reader.merge(source, "o_orderkey")
+    reader.delete_where([("o_orderpriority", "=", "3-MEDIUM")])
+    register_delta_stream(spark)
+    s = (
+        spark.readStream.format("delta_stream")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", str(v0 + 1))
+        .load()
+    )
+    agg = s.groupBy("_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_cents").alias("sum_o_cents"),
+    )
+    return st.run_to_memory(agg, "complete", state_partitions=4)

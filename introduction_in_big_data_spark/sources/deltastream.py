@@ -22,6 +22,16 @@ Non-append commits follow Delta's documented option semantics:
   streamed (Delta's own documented caveat at file granularity).
 OPTIMIZE-shaped dataChange=false adds/removes are always invisible.
 
+`readChangeFeed=true` (round 5) streams the table's CHANGE DATA FEED
+instead of its rows: the schema gains `_change_type` /
+`_commit_version`, and each micro-batch renders its commits' row-level
+changes — `cdc` actions read as written (the complete description per
+the protocol's reader contract), append commits as inserts,
+remove-only commits as deletes from the removed files' content,
+rewrites without cdc refuse. Mirrors
+deltalog.DeltaLogReader.changes, micro-batched (the stream-batch
+parity is pinned by tests and the registered query).
+
 Scope gates (loud, tested): reader protocol must be version 1 (no
 column mapping / deletion vectors on the streaming path), the log must
 still contain JSON commit 0 onward for the replayed range (vacuumed
@@ -104,10 +114,30 @@ class _DeltaFilePartition(InputPartition):
         path: str,
         columns: list[tuple[str, str]],  # (name, simpleString type)
         partition_values: dict[str, str | None],
+        change_type: str | None = None,  # CDF: constant tag, or
+        commit_version: int | None = None,  # None = read from the file
     ):
         self.path = path
         self.columns = columns
         self.partition_values = partition_values
+        self.change_type = change_type
+        self.commit_version = commit_version
+
+
+def _adds_until(log_dir: str, v_excl: int) -> dict[str, dict]:
+    """path -> latest add action over commits [0, v_excl) — the live
+    metadata a remove-only commit's CDF rendering needs (remove
+    actions may omit partitionValues)."""
+    adds: dict[str, dict] = {}
+    for v in _versions(log_dir):
+        if v >= v_excl:
+            break
+        for a in _commit_actions(log_dir, v):
+            if "add" in a:
+                adds[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                adds.pop(a["remove"]["path"], None)
+    return adds
 
 
 class DeltaStreamReader(DataSourceStreamReader):
@@ -121,6 +151,9 @@ class DeltaStreamReader(DataSourceStreamReader):
         )
         self.ignore_changes = (
             str(options.get("ignoreChanges", "false")).lower() == "true"
+        )
+        self.read_change_feed = (
+            str(options.get("readChangeFeed", "false")).lower() == "true"
         )
         sv = options.get("startingVersion")
         self._starting_version = None if sv is None else int(sv)
@@ -154,8 +187,84 @@ class DeltaStreamReader(DataSourceStreamReader):
     def latestOffset(self):
         return {"version": _versions(self.log_dir)[-1]}
 
+    def _cdf_partitions(self, v0: int, v1: int) -> list:
+        """readChangeFeed=true: per commit, cdc actions are the
+        COMPLETE change description when present (reader contract,
+        PROTOCOL.md "Change Data Files"); otherwise dataChange adds
+        render as inserts and remove-only commits render their
+        removed files as deletes (files are immutable until vacuum);
+        rewrites without cdc refuse. Mirrors
+        deltalog.DeltaLogReader.changes, micro-batched."""
+        out: list[_DeltaFilePartition] = []
+        cdc_cols = self._columns + [("_change_type", "string")]
+        for v in range(v0 + 1, v1 + 1):
+            actions = _commit_actions(self.log_dir, v)
+            cdcs = [a["cdc"] for a in actions if "cdc" in a]
+            adds = [
+                a["add"]
+                for a in actions
+                if "add" in a and a["add"].get("dataChange")
+            ]
+            removes = [
+                a["remove"]
+                for a in actions
+                if "remove" in a and a["remove"].get("dataChange", True)
+            ]
+
+            def full(rel: str) -> str:
+                rel = unquote(rel)
+                return (
+                    rel
+                    if rel.startswith("/")
+                    else os.path.join(self.path, rel)
+                )
+
+            if cdcs:
+                for c in cdcs:
+                    out.append(
+                        _DeltaFilePartition(
+                            full(c["path"]),
+                            cdc_cols,
+                            c.get("partitionValues") or {},
+                            change_type=None,  # in the file
+                            commit_version=v,
+                        )
+                    )
+                continue
+            if adds and removes:
+                raise ValueError(
+                    f"commit {v} rewrites data files without cdc "
+                    "actions — stage the table with CDF enabled"
+                )
+            for add in adds:
+                out.append(
+                    _DeltaFilePartition(
+                        full(add["path"]),
+                        self._columns,
+                        add.get("partitionValues") or {},
+                        change_type="insert",
+                        commit_version=v,
+                    )
+                )
+            if removes:
+                prev = _adds_until(self.log_dir, v)
+                for r in removes:
+                    a = prev.get(r["path"]) or r
+                    out.append(
+                        _DeltaFilePartition(
+                            full(r["path"]),
+                            self._columns,
+                            a.get("partitionValues") or {},
+                            change_type="delete",
+                            commit_version=v,
+                        )
+                    )
+        return out
+
     def partitions(self, start, end):
         v0, v1 = int(start["version"]), int(end["version"])
+        if self.read_change_feed:
+            return self._cdf_partitions(v0, v1)
         out: list[_DeltaFilePartition] = []
         for v in range(v0 + 1, v1 + 1):
             actions = _commit_actions(self.log_dir, v)
@@ -235,7 +344,18 @@ class DeltaStreamReader(DataSourceStreamReader):
                 cols.append([conv(partition.partition_values[name], t)] * n)
             else:
                 cols.append([None] * n)
-        yield from zip(*cols)
+        if partition.commit_version is None:
+            yield from zip(*cols)
+        elif partition.change_type is None:
+            # CDF cdc file: _change_type is the last column already
+            for row in zip(*cols):
+                yield row + (partition.commit_version,)
+        else:
+            for row in zip(*cols):
+                yield row + (
+                    partition.change_type,
+                    partition.commit_version,
+                )
 
     def commit(self, end):
         pass  # offsets are durable table versions; nothing to ack
@@ -270,9 +390,23 @@ class DeltaStreamDataSource(DataSource):
         if not path:
             raise ValueError("delta_stream requires .option('path', ...)")
         meta = _table_meta(_log_dir(path))
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import (
+            IntegerType,
+            StringType,
+            StructField,
+            StructType,
+        )
 
-        return StructType.fromJson(json.loads(meta["schemaString"]))
+        s = StructType.fromJson(json.loads(meta["schemaString"]))
+        if str(self.options.get("readChangeFeed", "false")).lower() == "true":
+            s = StructType(
+                s.fields
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", IntegerType()),
+                ]
+            )
+        return s
 
     def streamReader(self, schema) -> DeltaStreamReader:
         return DeltaStreamReader(self.options)

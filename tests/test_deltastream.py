@@ -120,3 +120,78 @@ def test_protocol_v2_refused(spark, tmp_path, df):
             .option("path", path)
             .load()
         )
+
+
+# -- readChangeFeed=true ------------------------------------------------------
+
+
+def test_cdf_stream_matches_batch_changes(spark, tmp_path, df):
+    from introduction_in_big_data_spark.sources.deltalog import (
+        DeltaLogReader,
+    )
+
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path,
+        df.select("k", "p", (F.col("k") * 10).alias("v"))
+        .repartitionByRange(4, "k"),
+        stats=True, cdf=True,
+    )
+    r = DeltaLogReader(spark, path)
+    v0 = r.latest_version()
+    r.update_where([("k", "<", 5)], {"v": "v + 1"})
+    r.merge(
+        spark.createDataFrame(
+            [(7, 1, -7), (900, 0, -9)], "k long, p int, v long"
+        ),
+        "k",
+    )
+    r.delete_where([("k", ">=", 290), ("k", "<", 900)])
+    v1 = r.latest_version()
+    s = _load(
+        spark, path, readChangeFeed="true", startingVersion=str(v0 + 1)
+    )
+    streamed = st.run_to_memory(
+        s.groupBy("_change_type", "_commit_version").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+        ),
+        "complete",
+        state_partitions=2,
+    )
+    batch = (
+        r.changes(v0, v1)
+        .groupBy("_change_type", "_commit_version")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    )
+    key = lambda x: (x._change_type, x._commit_version)  # noqa: E731
+    got = sorted(
+        (key(x), x.n, x.sv) for x in streamed.collect()
+    )
+    want = sorted((key(x), x.n, x.sv) for x in batch.collect())
+    assert got == want and len(got) >= 4
+
+
+def test_cdf_stream_renders_appends_and_refuses_cdfless_rewrites(
+    spark, tmp_path, df
+):
+    from introduction_in_big_data_spark.sources.deltalog import (
+        DeltaLogReader,
+    )
+
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, df, cdf=False)  # CDF off
+    commit_append(spark, path, df.select((F.col("k") + 1000).alias("k"), "p"))
+    s = _load(spark, path, readChangeFeed="true", startingVersion="1")
+    out = st.run_to_memory(
+        s.groupBy("_change_type").count(), "complete", state_partitions=2
+    )
+    assert [(r._change_type, r["count"]) for r in out.collect()] == [
+        ("insert", 300)
+    ]
+    # a rewriting commit without cdc actions fails the CDF stream
+    DeltaLogReader(spark, path).update_where([("k", "<", 3)], {"k": "k + 0"})
+    s2 = _load(spark, path, readChangeFeed="true", startingVersion="2")
+    with pytest.raises(Exception, match="without cdc"):
+        st.run_to_memory(
+            s2.groupBy().count(), "complete", state_partitions=2
+        )
