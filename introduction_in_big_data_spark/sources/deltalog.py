@@ -1201,11 +1201,19 @@ class DeltaLogReader:
                 if "remove" in a and a["remove"].get("dataChange", True)
             ]
             if cdcs:
+                ents = [
+                    (abspath(c["path"]), c.get("partitionValues") or {})
+                    for c in cdcs
+                ]
+                gone = [p for p, _pv in ents if not os.path.exists(p)]
+                if gone:
+                    raise UnsupportedDeltaFeature(
+                        f"changes: commit {v}'s change files were "
+                        f"vacuumed ({gone[0]}); the feed is only "
+                        "replayable within the vacuum horizon"
+                    )
                 df = self._scan_with_parts(
-                    [
-                        (abspath(c["path"]), c.get("partitionValues") or {})
-                        for c in cdcs
-                    ],
+                    ents,
                     data_fields + [ct],
                     out_fields,
                     part_cols,
@@ -2012,7 +2020,11 @@ class DeltaLogReader:
             actions.append({"add": add})
         return self._publish(self._next_version(), cdc_actions + actions)
 
-    def optimize(self, target_bytes: int = 128 << 20) -> int:
+    def optimize(
+        self,
+        target_bytes: int = 128 << 20,
+        zorder_by: tuple[str, str] | None = None,
+    ) -> int:
         """OPTIMIZE (bin-packing compaction) as one dataChange=false
         commit on an externally-written table — the operational
         maintenance a long-lived streamed-into table needs, expressed
@@ -2021,7 +2033,14 @@ class DeltaLogReader:
         right-sized files carry by reference. Streaming tails and
         incremental readers correctly see nothing (dataChange=false).
         Returns the committed version, or the current one when
-        already compact."""
+        already compact.
+
+        `zorder_by=(x, y)` is Delta's `OPTIMIZE ... ZORDER BY`
+        (mirrors AcidTable.optimize): every file rewrites (clustering
+        is global within its partition group), rows range-partition
+        on the z-curve of the two columns, and — when the table
+        carries stats — each output file's tight 2-D bounding box
+        makes box predicates prune hard through read(predicates=)."""
         v = self.latest_version()
         meta, live = self._replay(v)
         self._guard_plain_table(meta, live, "optimize")
@@ -2048,13 +2067,18 @@ class DeltaLogReader:
             groups,
             key=lambda kv: tuple((x is not None, x or "") for x in kv),
         ):
-            small = [
-                (key, a)
-                for key, a in groups[k]
-                if a.get("size", 0) < target_bytes // 2
-            ]
-            if len(small) <= 1:
-                continue
+            if zorder_by is None:
+                small = [
+                    (key, a)
+                    for key, a in groups[k]
+                    if a.get("size", 0) < target_bytes // 2
+                ]
+                if len(small) <= 1:
+                    continue
+            else:
+                small = list(groups[k])  # clustering rewrites the group
+                if not small:
+                    continue
             files = sorted(abspath(a["path"]) for _k, a in small)
             n_out = max(
                 1,
@@ -2062,11 +2086,21 @@ class DeltaLogReader:
                     sum(a.get("size", 0) for _k, a in small) / target_bytes
                 ),
             )
-            packed = (
-                self.spark.read.schema(data_schema)
-                .parquet(*files)
-                .coalesce(n_out)
-            )
+            scan = self.spark.read.schema(data_schema).parquet(*files)
+            if zorder_by is None:
+                packed = scan.coalesce(n_out)
+            else:
+                from ..functions.zorder import zorder_key2
+
+                zx, zy = zorder_by
+                packed = (
+                    scan.withColumn(
+                        "__zkey", zorder_key2(F.col(zx), F.col(zy))
+                    )
+                    .repartitionByRange(n_out, "__zkey")
+                    .sortWithinPartitions("__zkey")
+                    .drop("__zkey")
+                )
             out_dir = os.path.join(self.path, f"_optimize_{uuid4().hex}")
             packed.write.mode("errorifexists").parquet(out_dir)
             new_files = sorted(
@@ -2126,13 +2160,19 @@ class DeltaLogReader:
                 os.path.realpath(self._abs(a["path"]))
                 for a in live.values()
             )
-        # every path any replayable commit ever added
+        # every path any replayable commit ever added; cdc files
+        # belong to their commit — beyond the horizon the feed is not
+        # replayable anyway (its data files may be gone), so change
+        # files of commits <= latest - keep_last delete too
         seen: set[str] = set()
         for v in self._commit_versions():
             for action in self._commit_actions(v):
                 add = action.get("add")
                 if add:
                     seen.add(os.path.realpath(self._abs(add["path"])))
+                cdc = action.get("cdc")
+                if cdc and v <= latest - keep_last:
+                    seen.add(os.path.realpath(self._abs(cdc["path"])))
         deleted = []
         for p in sorted(seen - keep):
             if os.path.exists(p):

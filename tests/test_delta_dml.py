@@ -410,3 +410,48 @@ def test_iceberg_delete_where_refuses_equality_deletes(spark, tmp_path):
     add_equality_deletes(spark, path, [(5,)], ["k"], 1)
     with pytest.raises(UnsupportedIcebergFeature, match="equality"):
         IcebergTableReader(spark, path).delete_where([("k", "=", 1)])
+
+
+def test_optimize_zorder_clusters_and_prunes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # random-ish layout: neither column is clustered before optimize
+    base = spark.range(0, 20000).select(
+        (F.col("id") * 48271 % 1201).cast("int").alias("x"),
+        (F.col("id") * 16807 % 1201).cast("int").alias("y"),
+        (F.col("id") * 1.0).alias("v"),
+    ).repartition(8)
+    create_minimal_table(spark, path, base, stats=True)
+    r = DeltaLogReader(spark, path)
+    before = sorted((x.x, x.y, x.v) for x in r.read().collect())
+    v = r.optimize(target_bytes=16 << 10, zorder_by=("x", "y"))
+    # content preserved, all actions dataChange=false
+    assert sorted((x.x, x.y, x.v) for x in r.read().collect()) == before
+    for a in _commit_actions(path, v):
+        side = a.get("add") or a.get("remove")
+        assert side["dataChange"] is False
+    # the z-order payoff is metadata-visible: a 2-D box predicate
+    # prunes files driver-side via the rewritten files' tight stats
+    r.read(predicates=[("x", "<=", 150), ("y", "<=", 150)])
+    assert r.last_scan["skipped_files"] > 0
+
+
+def test_vacuum_retires_cdf_files_beyond_horizon(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark).repartitionByRange(4, "k"),
+        stats=True, cdf=True,
+    )
+    r = DeltaLogReader(spark, path)
+    v1 = r.delete_where([("k", ">=", 1100)])
+    v2 = r.update_where([("k", "<", 5)], {"v": "v + 1"})
+    # within the horizon both commits replay
+    assert r.changes(v1 - 1, v2).count() > 0
+    r.vacuum(keep_last=1)  # horizon = v2 only
+    from introduction_in_big_data_spark.sources.deltalog import (
+        UnsupportedDeltaFeature as UDF_,
+    )
+
+    with pytest.raises(UDF_, match="vacuumed"):
+        r.changes(v1 - 1, v1).count()
+    # the still-current commit's feed survives
+    assert r.changes(v2 - 1, v2).count() == 10
