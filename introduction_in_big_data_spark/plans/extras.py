@@ -2274,3 +2274,49 @@ def delta_cdf_mv_maintenance(spark, sf_dir):
         reader.changes(v0, v1), ["o_orderpriority"], ["o_cents"]
     )
     return ivm.apply_delta(view, delta, ["o_orderpriority"], ["o_cents"])
+
+
+@register(
+    "iceberg_dml_update_read",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_chars < 200
+                             THEN n_chars + 1000000
+                             ELSE n_chars END) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("iceberg", "lakehouse", "dml", "deletes", "skipping"),
+)
+def iceberg_dml_update_read(spark, sf_dir):
+    """MERGE-ON-READ UPDATE on an Iceberg table
+    (IcebergTableReader.update_where, round 5 — completing the
+    Iceberg DML trio: position-delete DELETE, equality-delete UPSERT,
+    and now UPDATE): stage documents with manifest bounds, then bump
+    every short document's length in ONE snapshot that writes (a) a
+    format-v2 position-delete file tombstoning the matching rows —
+    positions computed DISTRIBUTED via `_metadata.row_index` on the
+    bounds-pruned candidate files — and (b) a data file appending
+    their updated images, with every assignment evaluated against the
+    OLD row. Zero existing data files rewritten; the snapshot read
+    back applies the delete + append through the standard v2 path.
+    Oracle recomputes the update from raw parquet."""
+    import tempfile
+
+    from ..sources.iceberg import IcebergTableReader, create_minimal_table
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="iceberg_upd_") + "/t"
+    create_minimal_table(
+        spark, path, docs.repartitionByRange(4, "doc_id"), bounds=True
+    )
+    reader = IcebergTableReader(spark, path)
+    reader.update_where(
+        [("n_chars", "<", 200)], {"n_chars": "n_chars + 1000000"}
+    )
+    snap = IcebergTableReader(spark, path).read()
+    return snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -1387,6 +1387,158 @@ class IcebergTableReader:
             self.spark, self.path, del_file, n_rows
         )
 
+    def update_where(self, predicates: list, set_exprs: dict) -> int:
+        """UPDATE ... SET ... WHERE as a MERGE-ON-READ snapshot: the
+        matching rows' positions become a format-v2 POSITION-DELETE
+        file and their updated images append as a new data file — ONE
+        snapshot, zero existing data files rewritten (the Iceberg
+        idiom for UPDATE, vs Delta's copy-on-write
+        DeltaLogReader.update_where). Candidates prune on manifest
+        bounds, matching positions compute DISTRIBUTED via
+        `_metadata.row_index`, already-tombstoned rows are excluded
+        (a previously deleted row never resurrects as an update), and
+        every assignment evaluates against the OLD row in one
+        projection (SQL UPDATE semantics). Tables with equality
+        deletes refuse (sequence interplay). Returns the new snapshot
+        id, or the current one when provably nothing matches."""
+        import uuid as _uuidmod
+
+        import pyarrow.parquet as pq
+
+        from ..functions import avrocodec
+        from . import skipping
+
+        meta = self.metadata()
+        snap_id = meta["current-snapshot-id"]
+        snapshot = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == snap_id
+        )
+        data, pos_deletes, eq = self._live_files(snapshot)
+        if eq:
+            raise UnsupportedIcebergFeature(
+                "update_where on a table with equality deletes"
+            )
+        schema = self._schema_struct(meta)
+        skipping.validate(predicates, [f.name for f in schema.fields])
+        unknown = sorted(set(set_exprs) - set(schema.fieldNames()))
+        if unknown:
+            raise ValueError(f"update_where: unknown columns {unknown}")
+        candidates = self._prune_data_files(data, predicates, meta)
+        if not candidates:
+            return snap_id  # provably nothing to update
+        files = [p for p, _ in candidates]
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        scan = (
+            self.spark.read.schema(schema)
+            .parquet(*files)
+            .select(
+                "*",
+                norm(F.col("_metadata.file_path")).alias("__p"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+        )
+        if pos_deletes:
+            dels = self._position_deletes(pos_deletes).select(
+                norm(F.col("file_path")).alias("__dp"),
+                F.col("pos").alias("__dpos"),
+            )
+            scan = scan.join(
+                F.broadcast(dels),
+                (F.col("__p") == F.col("__dp"))
+                & (F.col("__pos") == F.col("__dpos")),
+                "left_anti",
+            )
+        matched = scan.filter(
+            skipping.residual_filter(predicates)
+        ).localCheckpoint()  # computed once: feeds BOTH staged files
+        # ONE projection: every RHS evaluates against the OLD row
+        updated = matched.select(
+            *[
+                F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+                if f.name in set_exprs
+                else F.col(f.name)
+                for f in schema.fields
+            ]
+        )
+        # the position-delete file (spec order: file_path, pos)
+        hits = matched.select(
+            F.concat(F.lit("file://"), F.col("__p")).alias("file_path"),
+            F.col("__pos").alias("pos"),
+        )
+        tmp = os.path.join(self.path, f"_stage_upd_{_uuidmod.uuid4().hex}")
+        hits.repartition(1).sortWithinPartitions(
+            "file_path", "pos"
+        ).write.parquet(tmp)
+        import shutil
+
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        n_rows = pq.ParquetFile(os.path.join(tmp, src)).metadata.num_rows
+        if n_rows == 0:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return snap_id  # predicate matched no live row
+        data_dir = os.path.join(self.path, "data")
+        del_file = os.path.join(
+            data_dir, f"delete-{_uuidmod.uuid4().hex}.parquet"
+        )
+        os.makedirs(data_dir, exist_ok=True)
+        os.rename(os.path.join(tmp, src), del_file)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        data_path = _stage_parquet(self.spark, self.path, updated)
+        seqs = [s for _p, (s, _st) in data]
+        n = (max(seqs) if seqs else 0) + 1
+        meta_dir = os.path.join(self.path, "metadata")
+        data_manifest = os.path.join(
+            meta_dir, f"{_uuidmod.uuid4().hex}-m0.avro"
+        )
+        avrocodec.write_container(
+            data_manifest,
+            _MANIFEST_V2_SCHEMA,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": None,
+                    "sequence_number": n,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": f"file://{data_path}",
+                        "file_format": "PARQUET",
+                        "record_count": n_rows,
+                        "file_size_in_bytes": os.path.getsize(data_path),
+                        "equality_ids": None,
+                    },
+                }
+            ],
+        )
+        del_manifest = os.path.join(
+            meta_dir, f"{_uuidmod.uuid4().hex}-d0.avro"
+        )
+        avrocodec.write_container(
+            del_manifest,
+            _MANIFEST_V2_SCHEMA,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": None,
+                    "sequence_number": n,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": f"file://{del_file}",
+                        "file_format": "PARQUET",
+                        "record_count": n_rows,
+                        "file_size_in_bytes": os.path.getsize(del_file),
+                        "equality_ids": None,
+                    },
+                }
+            ],
+        )
+        return _commit_snapshot(
+            self.spark,
+            self.path,
+            [(data_manifest, 0), (del_manifest, 1)],
+            "overwrite",
+        )
+
     def upsert(self, source: DataFrame, key: str) -> int:
         """MERGE-ON-READ UPSERT — the Flink-on-Iceberg write shape:
         ONE snapshot committing (a) an EQUALITY-DELETE file on `key`

@@ -455,3 +455,43 @@ def test_vacuum_retires_cdf_files_beyond_horizon(spark, tmp_path):
         r.changes(v1 - 1, v1).count()
     # the still-current commit's feed survives
     assert r.changes(v2 - 1, v2).count() == 10
+
+
+def test_iceberg_update_where_merge_on_read(spark, tmp_path):
+    from introduction_in_big_data_spark.sources.iceberg import (
+        IcebergTableReader,
+        create_minimal_table as ice_create,
+    )
+
+    path = str(tmp_path / "t")
+    ice_create(
+        spark, path,
+        _df(spark).select("k", "v").repartitionByRange(4, "k"),
+        bounds=True,
+    )
+    t = IcebergTableReader(spark, path)
+    before_data = {
+        f for f in os.listdir(os.path.join(path, "data"))
+        if not f.startswith("delete-")
+    }
+    sid = t.update_where([("k", ">=", 1100)], {"v": "v + 0.5"})
+    t2 = IcebergTableReader(spark, path)
+    got = {x.k: x.v for x in t2.read().collect()}
+    assert len(got) == 1200  # UPDATE never changes cardinality
+    assert got[1099] == 1099.0 and got[1100] == 1100.5
+    # merge-on-read: pre-existing data files untouched, one appended
+    after_data = {
+        f for f in os.listdir(os.path.join(path, "data"))
+        if not f.startswith("delete-")
+    }
+    assert before_data < after_data
+    # updating already-updated rows composes (tombstones excluded;
+    # the appended file is a fresh candidate)
+    t2.update_where([("k", ">=", 1100)], {"v": "v + 0.5"})
+    got2 = {x.k: x.v for x in IcebergTableReader(spark, path).read().collect()}
+    assert got2[1100] == 1101.0 and len(got2) == 1200
+    # provably-out-of-bounds predicate is a driver-side no-op
+    t3 = IcebergTableReader(spark, path)
+    assert t3.update_where([("k", ">=", 10_000)], {"v": "0.0"}) \
+        == t3.metadata()["current-snapshot-id"]
+    assert sid != t3.metadata()["current-snapshot-id"]
