@@ -61,6 +61,13 @@ def aggregate_delta(
             if expr is None
             else expr.when(sign == k, F.lit(v))
         )
+    # unknown tags fail LOUDLY — a NULL sign would silently drop the
+    # row from the delta and the view would drift from a recompute
+    expr = expr.otherwise(
+        F.raise_error(
+            F.concat(F.lit("ivm: unknown change type: "), sign)
+        )
+    )
     aggs = [F.sum(F.col("__sign")).alias("d_count")]
     for c in sum_cols:
         aggs.append(F.sum(F.col("__sign") * F.col(c)).alias(f"d_sum_{c}"))
@@ -84,12 +91,25 @@ def apply_delta(
     view schema is `group_cols + [count_col] + sum_<c> per sum col`;
     new groups enter with their delta values. Both sides are
     group-cardinality-bounded — this never touches the base table."""
-    merged = view.join(delta, group_cols, "full_outer")
-    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
-    out_cols = [F.col(c) for c in group_cols]
-    new_count = (z(count_col) + z("d_count")).alias(count_col)
+    # NULL group keys are real groups (groupBy keeps them), so the
+    # join must be null-SAFE — a plain equi-join would leave the NULL
+    # group's view row and delta row unmatched and the view would
+    # never decrement it
+    import functools
+
+    vw, dl = view.alias("__vw"), delta.alias("__dl")
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [vw[c].eqNullSafe(dl[c]) for c in group_cols],
+    )
+    merged = vw.join(dl, cond, "full_outer")
+    z = lambda c: F.coalesce(c, F.lit(0))  # noqa: E731
+    out_cols = [
+        F.coalesce(vw[c], dl[c]).alias(c) for c in group_cols
+    ]
+    new_count = (z(vw[count_col]) + z(dl["d_count"])).alias(count_col)
     sums = [
-        (z(f"sum_{c}") + z(f"d_sum_{c}")).alias(f"sum_{c}")
+        (z(vw[f"sum_{c}"]) + z(dl[f"d_sum_{c}"])).alias(f"sum_{c}")
         for c in sum_cols
     ]
     return (

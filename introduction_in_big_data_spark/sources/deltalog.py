@@ -75,6 +75,21 @@ _STATS_TYPES = (
 )
 
 
+def _hive_partition_values(rel: str) -> dict:
+    """Decode the hive directory segments of a path (relative to its
+    write root) into a Delta partitionValues dict: `col=value` dirs,
+    URL-unquoted, `__HIVE_DEFAULT_PARTITION__` → None. Shared by every
+    walk of a partitionBy output (staging writer, MERGE, CDC)."""
+    pv: dict = {}
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            c, _, val = seg.partition("=")
+            pv[c] = (
+                None if val == "__HIVE_DEFAULT_PARTITION__" else unquote(val)
+            )
+    return pv
+
+
 def _per_file_stats(scan: DataFrame, fields: list[T.StructField]) -> dict:
     """Protocol-shaped per-file statistics (numRecords / minValues /
     maxValues / nullCount — PROTOCOL.md "Per-file Statistics") in ONE
@@ -134,8 +149,6 @@ def create_minimal_table(
     this writer covers the subset of the protocol the reader replays
     and uses the same exclusive-create commit publication as
     sources/acidtable (one winner per version)."""
-    from urllib.parse import unquote
-
     w = df.write.mode("errorifexists")
     if partition_by:
         w = w.partitionBy(*list(partition_by))
@@ -156,13 +169,7 @@ def create_minimal_table(
                 continue
             full = os.path.join(root, f)
             rel = os.path.relpath(full, path)
-            pv = {}
-            for seg in rel.split(os.sep)[:-1]:
-                if "=" in seg:
-                    k, _, v = seg.partition("=")
-                    pv[k] = (
-                        None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
-                    )
+            pv = _hive_partition_values(rel)
             add = {
                 "path": rel.replace(os.sep, "/"),
                 "partitionValues": pv,
@@ -1130,16 +1137,7 @@ class DeltaLogReader:
                 if pq.ParquetFile(full).metadata.num_rows == 0:
                     os.remove(full)
                     continue
-                rel = os.path.relpath(full, out_dir)
-                pv = {}
-                for seg in rel.split(os.sep)[:-1]:
-                    if "=" in seg:
-                        c, _, val = seg.partition("=")
-                        pv[c] = (
-                            None
-                            if val == "__HIVE_DEFAULT_PARTITION__"
-                            else unquote(val)
-                        )
+                pv = _hive_partition_values(os.path.relpath(full, out_dir))
                 actions.append(
                     {
                         "cdc": {
@@ -1186,14 +1184,18 @@ class DeltaLogReader:
             return p if p.startswith("/") else os.path.join(self.path, p)
 
         frames: list[DataFrame] = []
+        # live-set tracker: ONE forward pass (remove actions may omit
+        # partitionValues, so delete rendering needs each removed
+        # path's original add) — not a per-version _replay, which
+        # would be O(V²) over long feed ranges
+        _m0, prev_live = self._replay(v_from)
         for v in range(v_from + 1, v_to + 1):
-            prev_live: dict[str, dict] | None = None
             actions = self._commit_actions(v)
             cdcs = [a["cdc"] for a in actions if "cdc" in a]
             adds = [
                 a["add"]
                 for a in actions
-                if "add" in a and a["add"].get("dataChange")
+                if "add" in a and a["add"].get("dataChange", True)
             ]
             removes = [
                 a["remove"]
@@ -1238,10 +1240,6 @@ class DeltaLogReader:
                 )
                 dels = None
                 if removes:
-                    # remove actions may omit partitionValues; the
-                    # previous version's live set has each file's add
-                    if prev_live is None:
-                        _m, prev_live = self._replay(v - 1)
                     ents = []
                     for r in removes:
                         a = prev_live.get(r["path"]) or r
@@ -1266,6 +1264,11 @@ class DeltaLogReader:
                 df = None
                 for p in parts:
                     df = p if df is None else df.unionByName(p)
+            for a in actions:  # advance the live-set tracker
+                if "add" in a:
+                    prev_live[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    prev_live.pop(a["remove"]["path"], None)
             if df is None:
                 continue
             frames.append(df.withColumn("_commit_version", F.lit(v)))
@@ -1538,6 +1541,12 @@ class DeltaLogReader:
                 deleted.withColumn("_change_type", F.lit("delete")),
                 part_cols,
             )
+            if not cdc_actions:
+                # CDF just proved NO row matches (stats were merely
+                # inconclusive): publishing a rewrite commit without
+                # cdc actions would permanently break changes() — and
+                # there is nothing to delete anyway
+                return v
         actions: list[dict] = [
             {
                 "remove": {
@@ -1559,7 +1568,13 @@ class DeltaLogReader:
             k = tuple(pv.get(c) for c in part_cols)
             groups.setdefault(k, []).append(abspath(a["path"]))
             group_pv[k] = pv
-        not_matching = ~skipping.residual_filter(data_preds)
+        # SQL DELETE removes rows where the predicate is TRUE; rows
+        # where it evaluates NULL survive (NOT(NULL) is NULL and would
+        # be filtered, so coalesce) — keeps table state consistent
+        # with the CDF delete feed, which emits TRUE-matching rows
+        not_matching = ~F.coalesce(
+            skipping.residual_filter(data_preds), F.lit(False)
+        )
         for k in sorted(
             groups,
             key=lambda kv: tuple((x is not None, x or "") for x in kv),
@@ -1721,6 +1736,10 @@ class DeltaLogReader:
                 )
             )
             cdc_actions = self._stage_cdc(cdc, part_cols)
+            if not cdc_actions:
+                # CDF proved no row matches: skip the no-op rewrite
+                # (a cdc-less rewrite commit would break changes())
+                return v
         groups: dict[tuple, list[str]] = {}
         group_pv: dict[tuple, dict] = {}
         for key, a in rewrite.items():
@@ -1969,24 +1988,27 @@ class DeltaLogReader:
             w = w.partitionBy(*part_cols)
         w.parquet(out_dir)
         # walk the hive layout back into add actions (same decode as
-        # create_minimal_table: dir segments are partitionValues)
+        # create_minimal_table: dir segments are partitionValues);
+        # 0-row part files (e.g. from an empty source) never register —
+        # stat-less empty adds would only add scan/scheduling tax
+        import pyarrow.parquet as pq
+
         new_files: list[tuple[str, dict]] = []
         for root, _dirs, files in os.walk(out_dir):
             for f in files:
                 if not f.endswith(".parquet"):
                     continue
                 full = os.path.join(root, f)
-                rel = os.path.relpath(full, out_dir)
-                pv = {}
-                for seg in rel.split(os.sep)[:-1]:
-                    if "=" in seg:
-                        c, _, val = seg.partition("=")
-                        pv[c] = (
-                            None
-                            if val == "__HIVE_DEFAULT_PARTITION__"
-                            else unquote(val)
-                        )
-                new_files.append((full, pv))
+                if pq.ParquetFile(full).metadata.num_rows == 0:
+                    os.remove(full)
+                    continue
+                new_files.append(
+                    (full, _hive_partition_values(
+                        os.path.relpath(full, out_dir)
+                    ))
+                )
+        if not new_files and not hit_keys:
+            return v  # empty source on no hit files: nothing changed
         stats_by = (
             _per_file_stats(
                 self.spark.read.schema(data_schema).parquet(
@@ -2048,6 +2070,14 @@ class DeltaLogReader:
         part_cols = list(meta.get("partitionColumns") or [])
         data_fields = [f for f in schema.fields if f.name not in part_cols]
         data_schema = T.StructType(data_fields)
+        if zorder_by is not None:
+            bad = sorted(
+                set(zorder_by) - {f.name for f in data_fields}
+            )
+            if bad:
+                raise ValueError(
+                    f"zorder_by columns must be data columns: {bad}"
+                )
 
         def abspath(p: str) -> str:
             p = unquote(p)

@@ -197,13 +197,16 @@ class DeltaStreamReader(DataSourceStreamReader):
         deltalog.DeltaLogReader.changes, micro-batched."""
         out: list[_DeltaFilePartition] = []
         cdc_cols = self._columns + [("_change_type", "string")]
+        # live-set tracker, one forward pass (delete rendering needs
+        # each removed path's original add for its partitionValues)
+        live = _adds_until(self.log_dir, v0 + 1)
         for v in range(v0 + 1, v1 + 1):
             actions = _commit_actions(self.log_dir, v)
             cdcs = [a["cdc"] for a in actions if "cdc" in a]
             adds = [
                 a["add"]
                 for a in actions
-                if "add" in a and a["add"].get("dataChange")
+                if "add" in a and a["add"].get("dataChange", True)
             ]
             removes = [
                 a["remove"]
@@ -230,6 +233,11 @@ class DeltaStreamReader(DataSourceStreamReader):
                             commit_version=v,
                         )
                     )
+                for a in actions:  # advance the tracker
+                    if "add" in a:
+                        live[a["add"]["path"]] = a["add"]
+                    elif "remove" in a:
+                        live.pop(a["remove"]["path"], None)
                 continue
             if adds and removes:
                 raise ValueError(
@@ -247,9 +255,8 @@ class DeltaStreamReader(DataSourceStreamReader):
                     )
                 )
             if removes:
-                prev = _adds_until(self.log_dir, v)
                 for r in removes:
-                    a = prev.get(r["path"]) or r
+                    a = live.get(r["path"]) or r
                     out.append(
                         _DeltaFilePartition(
                             full(r["path"]),
@@ -259,6 +266,11 @@ class DeltaStreamReader(DataSourceStreamReader):
                             commit_version=v,
                         )
                     )
+            for a in actions:  # advance the tracker
+                if "add" in a:
+                    live[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    live.pop(a["remove"]["path"], None)
         return out
 
     def partitions(self, start, end):

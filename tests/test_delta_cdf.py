@@ -176,3 +176,87 @@ def test_ivm_follows_external_table_through_dml(spark, tmp_path):
     )
     got = sorted((x.p, x.n_rows, x.sum_v) for x in maintained.collect())
     assert got == expect
+
+
+def test_zero_match_rewrite_does_not_break_the_feed(spark, tmp_path):
+    """A stats-inconclusive predicate that matches NO row must not
+    publish a cdc-less rewrite commit (it would permanently break
+    changes()); the operation is a no-op instead."""
+    path = str(tmp_path / "t")
+    # no stats: every file is a rewrite candidate
+    create_minimal_table(spark, path, _df(spark), stats=False, cdf=True)
+    r = DeltaLogReader(spark, path)
+    v = r.latest_version()
+    assert r.update_where([("k", "=", -1)], {"v": "v + 1"}) == v
+    assert r.delete_where([("k", "=", -1)]) == v
+    assert r.merge(
+        spark.createDataFrame([], "k long, p int, v long"), "k"
+    ) == v
+    assert r.changes(0, r.latest_version()).count() == 0
+
+
+def test_delete_null_predicate_rows_survive_and_feed_agrees(
+    spark, tmp_path
+):
+    """SQL DELETE removes rows where the predicate is TRUE; NULL rows
+    survive — and the CDF feed must agree with the table state."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 50.0)], "k long, v double"
+    )
+    create_minimal_table(spark, path, base, cdf=True)
+    r = DeltaLogReader(spark, path)
+    v = r.delete_where([("v", "<", 10.0)])
+    got = {x.k for x in r.read().collect()}
+    assert got == {2, 3}  # the NULL row survives
+    ch = r.changes(v - 1, v)
+    assert {x.k for x in ch.collect()} == {1}  # feed matches the state
+
+
+def test_ivm_null_group_key_maintains(spark, tmp_path):
+    from introduction_in_big_data_spark.operators import ivm
+    from introduction_in_big_data_spark.sources.acidtable import AcidTable
+
+    base = spark.createDataFrame(
+        [(1, None, 10), (2, None, 20), (3, "a", 30)],
+        "k long, g string, v long",
+    )
+    table = AcidTable.create(spark, str(tmp_path / "t"), base)
+    v0 = table.latest_version()
+    view = ivm.initial_view(table.read(v0), ["g"], ["v"]).localCheckpoint()
+    table.delete("k = 1")  # decrement the NULL group
+    v1 = table.latest_version()
+    maintained = ivm.apply_delta(
+        view,
+        ivm.aggregate_delta(
+            table.changes("k", v0, v1, preimages=True), ["g"], ["v"]
+        ),
+        ["g"],
+        ["v"],
+    )
+    got = sorted(
+        ((x.g or ""), x.n_rows, x.sum_v) for x in maintained.collect()
+    )
+    assert got == [("", 1, 20), ("a", 1, 30)]
+
+
+def test_ivm_unknown_change_type_raises(spark):
+    from introduction_in_big_data_spark.operators import ivm
+
+    bad = spark.createDataFrame(
+        [("a", 1, "update")], "g string, v long, _change_type string"
+    )
+    with pytest.raises(Exception, match="unknown change type"):
+        ivm.aggregate_delta(bad, ["g"], ["v"]).collect()
+
+
+def test_zorder_by_validates_columns(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark), partition_by=["p"], stats=True
+    )
+    r = DeltaLogReader(spark, path)
+    with pytest.raises(ValueError, match="data columns"):
+        r.optimize(zorder_by=("p", "k"))  # p is a partition column
+    with pytest.raises(ValueError, match="data columns"):
+        r.optimize(zorder_by=("zzz", "k"))
