@@ -2320,3 +2320,70 @@ def iceberg_dml_update_read(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "iceberg_maintenance_read",
+    oracle="""
+        WITH survivors AS (
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE NOT (n_chars < 200) AND doc_id % 13 != 0
+        ),
+        merged AS (
+            SELECT * FROM survivors
+            UNION ALL
+            SELECT doc_id, 'xx' AS lang, n_chars + 1000000 AS n_chars
+            FROM documents
+            WHERE doc_id % 13 = 0 AND NOT (n_chars < 200)
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM merged
+        GROUP BY lang
+    """,
+    tags=("iceberg", "lakehouse", "maintenance", "compaction", "dml"),
+)
+def iceberg_maintenance_read(spark, sf_dir):
+    """Full Iceberg TABLE-MAINTENANCE lifecycle (round 5 —
+    rewrite_data_files + expire_snapshots, the operational pair every
+    long-lived merge-on-read table needs): stage documents with
+    bounds, DELETE the short ones (position-delete file), UPSERT a
+    relabel batch for the surviving every-13th doc (equality-delete +
+    append at one sequence), then COMPACT — one REPLACE snapshot
+    whose rewrite APPLIES both delete kinds and leaves zero delete
+    files, with column bounds recomputed so file skipping keeps
+    working — and EXPIRE the pre-compaction snapshots, physically
+    reclaiming the superseded data/delete/manifest files. The final
+    read must hash-match the oracle's replay of delete+upsert from
+    raw parquet: proof the whole maintenance chain is
+    semantics-preserving. At 100 TB compaction is what keeps a
+    merge-on-read table scannable (every read before it pays the
+    delete anti-joins; every read after it is a clean pruned scan)."""
+    import tempfile
+
+    from ..sources.iceberg import IcebergTableReader, create_minimal_table
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="iceberg_maint_") + "/t"
+    create_minimal_table(
+        spark, path, docs.repartitionByRange(4, "doc_id"), bounds=True
+    )
+    IcebergTableReader(spark, path).delete_where([("n_chars", "<", 200)])
+    upd = (
+        docs.filter("doc_id % 13 = 0 AND NOT (n_chars < 200)")
+        .select(
+            "doc_id",
+            F.lit("xx").alias("lang"),
+            (F.col("n_chars") + 1000000).alias("n_chars"),
+        )
+    )
+    IcebergTableReader(spark, path).upsert(upd, "doc_id")
+    IcebergTableReader(spark, path).compact(target_bytes=32 << 20)
+    reader = IcebergTableReader(spark, path)
+    reader.expire_snapshots(keep_last=1)
+    snap = IcebergTableReader(spark, path).read()
+    return snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

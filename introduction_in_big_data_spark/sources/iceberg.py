@@ -604,6 +604,67 @@ _MANIFEST_V2_SCHEMA = {
 }
 
 
+def _kv_union(rec: str, key_t: str, val_t: str) -> list:
+    """Avro union for the spec's map<int, _> kv-array representation."""
+    return [
+        "null",
+        {
+            "type": "array",
+            "items": {
+                "type": "record",
+                "name": rec,
+                "fields": [
+                    {"name": "key", "type": key_t},
+                    {"name": "value", "type": val_t},
+                ],
+            },
+        },
+    ]
+
+
+#: v2 manifest-entry schema WITH column stats (compaction writes
+#: bounds so file skipping keeps working on the rewritten files)
+_MANIFEST_V2_FULL_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                    },
+                    {
+                        "name": "null_value_counts",
+                        "type": _kv_union("kc121", "int", "long"),
+                    },
+                    {
+                        "name": "lower_bounds",
+                        "type": _kv_union("kc126", "int", "bytes"),
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "type": _kv_union("kc129", "int", "bytes"),
+                    },
+                ],
+            },
+        },
+    ],
+}
+
+
 def _stage_parquet(spark: SparkSession, path: str, df) -> str:
     """Write df as ONE parquet file under <table>/data; return its path."""
     import shutil
@@ -624,10 +685,15 @@ def _commit_snapshot(
     path: str,
     new_manifests: list[tuple[str, int]],
     operation: str,
+    replace: bool = False,
 ) -> int:
     """Append a snapshot whose manifest list = the current snapshot's
     manifests + `new_manifests` [(path, content)], publish a new
-    metadata version + version-hint; returns the new snapshot id."""
+    metadata version + version-hint; returns the new snapshot id.
+    `replace=True` drops the current manifests instead (the REPLACE
+    operation compaction publishes: the new manifests fully describe
+    the table; older snapshots keep their own manifest lists for time
+    travel until expire_snapshots)."""
     from ..functions import avrocodec
 
     t = IcebergTableReader(spark, path)
@@ -640,6 +706,8 @@ def _commit_snapshot(
     ml_schema, old_manifests = avrocodec.read_container(
         _local_path(cur["manifest-list"])
     )
+    if replace:
+        old_manifests = []
     meta_dir = os.path.join(path, "metadata")
     new_snap_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
     import uuid
@@ -1639,6 +1707,192 @@ class IcebergTableReader:
             [(data_manifest, 0), (del_manifest, 1)],
             "overwrite",
         )
+
+    def compact(self, target_bytes: int = 128 << 20) -> int:
+        """Compaction as ONE REPLACE snapshot — Iceberg's
+        `rewrite_data_files` + `rewrite_position_delete_files` in a
+        single commit: read the current snapshot (all position/
+        equality deletes APPLY during the rewrite), write clean
+        ~target-sized data files, and publish a snapshot whose
+        manifest list contains ONLY the new manifest — no delete
+        files remain, so every subsequent scan skips the anti-join
+        entirely. Older snapshots keep their own manifest lists
+        (time travel intact) until expire_snapshots reclaims them.
+        Column bounds recompute for the new files when the table
+        carried them (file skipping keeps working after compaction).
+        Returns the new snapshot id."""
+        import math
+        import uuid as _uuidmod
+
+        from ..functions import avrocodec
+
+        meta = self.metadata()
+        snapshot = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        data, _pos, _eq = self._live_files(snapshot)
+        df = self.read()  # deletes fold into the rewrite
+        total = sum(
+            os.path.getsize(p) for p, _ in data if os.path.exists(p)
+        )
+        n_out = max(1, math.ceil(total / target_bytes))
+        tmp = os.path.join(self.path, f"_compact_{_uuidmod.uuid4().hex}")
+        df.coalesce(n_out).write.parquet(tmp)
+        data_dir = os.path.join(self.path, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        new_files = []
+        for f in sorted(os.listdir(tmp)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(
+                    data_dir, f"compact-{_uuidmod.uuid4().hex}.parquet"
+                )
+                os.rename(os.path.join(tmp, f), dst)
+                new_files.append(dst)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        carries_bounds = any(
+            (st or {}).get("lower_bounds") for _p, (_s, st) in data
+        )
+        stats_by: dict[str, dict] = {}
+        if carries_bounds and new_files:
+            ice_by_id = {
+                f["id"]: (f["name"], f.get("type"))
+                for f in self._schema_fields(meta)
+            }
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            for i, (name, it) in ice_by_id.items():
+                if not isinstance(it, str):
+                    continue
+                aggs.append(F.min(name).alias(f"__min__{i}"))
+                aggs.append(F.max(name).alias(f"__max__{i}"))
+                aggs.append(
+                    F.sum(F.isnull(name).cast("long")).alias(f"__nul__{i}")
+                )
+            for r in (
+                self.spark.read.parquet(*new_files)
+                .groupBy(F.col("_metadata.file_path").alias("__fp"))
+                .agg(*aggs)
+                .collect()
+            ):
+                d = r.asDict()
+                nvc, lbs, ubs = [], [], []
+                for i, (name, it) in ice_by_id.items():
+                    if not isinstance(it, str):
+                        continue
+                    nvc.append(
+                        {"key": i, "value": int(d[f"__nul__{i}"])}
+                    )
+                    lo = _encode_bound(d[f"__min__{i}"], it)
+                    hi = _encode_bound(d[f"__max__{i}"], it)
+                    if lo is not None:
+                        lbs.append({"key": i, "value": lo})
+                    if hi is not None:
+                        ubs.append({"key": i, "value": hi})
+                stats_by[d["__fp"].removeprefix("file:")] = {
+                    "record_count": int(d["__n"]),
+                    "null_value_counts": nvc,
+                    "lower_bounds": lbs,
+                    "upper_bounds": ubs,
+                }
+        seqs = [s for _p, (s, _st) in data]
+        n = (max(seqs) if seqs else 0) + 1
+        meta_dir = os.path.join(self.path, "metadata")
+        manifest = os.path.join(meta_dir, f"{_uuidmod.uuid4().hex}-c0.avro")
+        import pyarrow.parquet as pq
+
+        entries = []
+        for p in new_files:
+            st = stats_by.get(p)
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": None,
+                    "sequence_number": n,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": f"file://{p}",
+                        "file_format": "PARQUET",
+                        "record_count": (
+                            st["record_count"]
+                            if st
+                            else pq.ParquetFile(p).metadata.num_rows
+                        ),
+                        "file_size_in_bytes": os.path.getsize(p),
+                        "equality_ids": None,
+                        "null_value_counts": (
+                            st["null_value_counts"] if st else None
+                        ),
+                        "lower_bounds": st["lower_bounds"] if st else None,
+                        "upper_bounds": st["upper_bounds"] if st else None,
+                    },
+                }
+            )
+        avrocodec.write_container(
+            manifest, _MANIFEST_V2_FULL_SCHEMA, entries
+        )
+        return _commit_snapshot(
+            self.spark, self.path, [(manifest, 0)], "replace", replace=True
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Iceberg's `expire_snapshots`: drop all but the last
+        `keep_last` snapshots from the metadata and physically delete
+        every data/delete file AND manifest/manifest-list reachable
+        only from the expired ones — the reclamation step that makes
+        compact()'s REPLACE actually free space. Time travel beyond
+        the horizon then fails loudly (the snapshot is gone from the
+        metadata). Returns the deleted paths."""
+        meta = self.metadata()
+        snaps = meta.get("snapshots", [])
+        if keep_last < 1:
+            raise ValueError("expire_snapshots: keep_last must be >= 1")
+        kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+        if not expired:
+            return []
+
+        def reachable(snapshot_list) -> set[str]:
+            from ..functions import avrocodec
+
+            out: set[str] = set()
+            for s in snapshot_list:
+                ml = _local_path(s["manifest-list"])
+                out.add(os.path.realpath(ml))
+                _sch, manifests = avrocodec.read_container(ml)
+                for m in manifests:
+                    mp = _local_path(m["manifest_path"])
+                    out.add(os.path.realpath(mp))
+                    _es, entries = avrocodec.read_container(mp)
+                    for e in entries:
+                        out.add(
+                            os.path.realpath(
+                                _local_path(e["data_file"]["file_path"])
+                            )
+                        )
+            return out
+
+        keep_files = reachable(kept)
+        deleted = []
+        for p in sorted(reachable(expired) - keep_files):
+            if os.path.exists(p):
+                os.remove(p)
+                deleted.append(p)
+        meta = dict(meta)
+        meta["snapshots"] = kept
+        meta_dir = os.path.join(self.path, "metadata")
+        hint = os.path.join(meta_dir, "version-hint.text")
+        with open(hint) as fh:
+            version = int(fh.read().strip())
+        with open(
+            os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w"
+        ) as fh:
+            json.dump(meta, fh)
+        with open(hint, "w") as fh:
+            fh.write(str(version + 1))
+        return deleted
 
     def snapshot_at(self, timestamp_ms: int) -> int:
         """Snapshot id current as of `timestamp_ms` — Iceberg's

@@ -495,3 +495,71 @@ def test_iceberg_update_where_merge_on_read(spark, tmp_path):
     assert t3.update_where([("k", ">=", 10_000)], {"v": "0.0"}) \
         == t3.metadata()["current-snapshot-id"]
     assert sid != t3.metadata()["current-snapshot-id"]
+
+
+def test_iceberg_compact_folds_deletes_and_keeps_bounds(spark, tmp_path):
+    from introduction_in_big_data_spark.sources.iceberg import (
+        IcebergTableReader,
+        create_minimal_table as ice_create,
+    )
+
+    path = str(tmp_path / "t")
+    ice_create(
+        spark, path,
+        _df(spark).select("k", "v").repartitionByRange(6, "k"),
+        bounds=True,
+    )
+    t = IcebergTableReader(spark, path)
+    t.delete_where([("k", ">=", 1000)])
+    IcebergTableReader(spark, path).upsert(
+        spark.createDataFrame([(5, -5.0), (3000, 3.0)], "k long, v double"),
+        "k",
+    )
+    before = sorted(
+        (x.k, x.v) for x in IcebergTableReader(spark, path).read().collect()
+    )
+    t2 = IcebergTableReader(spark, path)
+    pre_snap = t2.metadata()["current-snapshot-id"]
+    t2.compact(target_bytes=8 << 10)
+    t3 = IcebergTableReader(spark, path)
+    # content identical; no delete files remain in the live snapshot
+    assert sorted((x.k, x.v) for x in t3.read().collect()) == before
+    snap = next(
+        s for s in t3.metadata()["snapshots"]
+        if s["snapshot-id"] == t3.metadata()["current-snapshot-id"]
+    )
+    data, pos, eq = t3._live_files(snap)
+    assert not pos and not eq
+    # bounds recomputed: skipping still prunes on the compacted files
+    t3.read(predicates=[("k", "<", 100)])
+    assert t3.last_scan["skipped_files"] > 0
+    # time travel to the pre-compaction snapshot still works
+    assert t3.read(snapshot_id=pre_snap).count() == len(before)
+
+
+def test_iceberg_expire_snapshots_reclaims_files(spark, tmp_path):
+    from introduction_in_big_data_spark.sources.iceberg import (
+        IcebergTableReader,
+        create_minimal_table as ice_create,
+    )
+
+    path = str(tmp_path / "t")
+    ice_create(
+        spark, path,
+        _df(spark).select("k", "v").repartitionByRange(6, "k"),
+    )
+    t = IcebergTableReader(spark, path)
+    t.delete_where([("k", ">=", 1000)])
+    t2 = IcebergTableReader(spark, path)
+    old_snap = t2.metadata()["current-snapshot-id"]
+    t2.compact(target_bytes=1 << 20)
+    t3 = IcebergTableReader(spark, path)
+    deleted = t3.expire_snapshots(keep_last=1)
+    # the pre-compaction data files + delete file + old manifests die
+    assert len(deleted) >= 7  # 6 data files + 1 delete file (+manifests)
+    t4 = IcebergTableReader(spark, path)
+    assert t4.read().count() == 1000  # current snapshot intact
+    assert len(t4.metadata()["snapshots"]) == 1
+    with pytest.raises(Exception):  # expired snapshot gone from metadata
+        t4.read(snapshot_id=old_snap).count()
+    assert t4.expire_snapshots(keep_last=1) == []  # idempotent
