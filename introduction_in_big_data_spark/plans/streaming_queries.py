@@ -600,3 +600,132 @@ def stream_delta_cdf_feed(spark, sf_dir):
         F.sum("o_cents").alias("sum_o_cents"),
     )
     return st.run_to_memory(agg, "complete", state_partitions=4)
+
+
+@register(
+    "stream_cdf_standing_aggregate",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS o_cents
+            FROM orders
+        ),
+        u AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN o_cents * 2 ELSE o_cents END AS o_cents
+            FROM base
+        ),
+        src AS (
+            SELECT o_orderkey,
+                   '0-MERGED' AS o_orderpriority,
+                   o_cents * 3 AS o_cents
+            FROM base WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, '9-NEW', o_cents
+            FROM base WHERE o_orderkey % 101 = 0
+        ),
+        m AS (
+            SELECT o_orderkey, o_orderpriority, o_cents FROM u
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+            UNION ALL
+            SELECT * FROM src
+        ),
+        f AS (SELECT * FROM m WHERE o_orderpriority <> '3-MEDIUM')
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(o_cents) AS BIGINT) AS sum_o_cents
+        FROM f
+        GROUP BY o_orderpriority
+    """,
+    tags=("streaming", "delta", "cdf", "ivm", "incremental"),
+)
+def stream_cdf_standing_aggregate(spark, sf_dir):
+    """STREAMING incremental view maintenance with Spark's OWN state
+    store (round 5 — the standing-pipeline composition of the CDF
+    stream and operators/ivm.py's algebra): tail an external Delta
+    table's change feed from version 0 (creation inserts included),
+    map each change row to its SIGN (+1 insert/update_postimage, −1
+    delete/update_preimage), and let a complete-mode streaming
+    aggregate maintain Σsign and Σ(sign·cents) per priority — the
+    state store IS the materialized view, updated per micro-batch at
+    change-batch cost. After UPDATE WHERE + MERGE + DELETE WHERE
+    commits, the drained stream's final state must hash-match a full
+    SQL recompute of the table — the strongest parity form: stream ==
+    batch == oracle across three DML kinds. On a real cluster this
+    query never terminates and never rescans the base; checkpointed
+    state survives restarts exactly-once (offsets are Delta
+    versions)."""
+    import tempfile
+
+    from ..sources.deltalog import DeltaLogReader, create_minimal_table
+    from ..sources.deltastream import register_delta_stream
+    from .registry import t
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice") * 100 + 0.5).cast("long").alias("o_cents"),
+    )
+    path = tempfile.mkdtemp(prefix="delta_cdf_ivm_") + "/t"
+    create_minimal_table(
+        spark, path, base.repartitionByRange(8, "o_orderkey"),
+        stats=True, cdf=True,
+    )
+    reader = DeltaLogReader(spark, path)
+    reader.update_where(
+        [("o_orderpriority", "=", "1-URGENT")], {"o_cents": "o_cents * 2"}
+    )
+    source = (
+        base.filter("o_orderkey % 97 = 0")
+        .select(
+            "o_orderkey",
+            F.lit("0-MERGED").alias("o_orderpriority"),
+            (F.col("o_cents") * 3).alias("o_cents"),
+        )
+        .unionByName(
+            base.filter("o_orderkey % 101 = 0").select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit("9-NEW").alias("o_orderpriority"),
+                "o_cents",
+            )
+        )
+    )
+    reader.merge(source, "o_orderkey")
+    reader.delete_where([("o_orderpriority", "=", "3-MEDIUM")])
+    register_delta_stream(spark)
+    s = (
+        spark.readStream.format("delta_stream")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+    )
+    signed = s.select(
+        "o_orderpriority",
+        "o_cents",
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        )
+        .when(
+            F.col("_change_type").isin("delete", "update_preimage"),
+            F.lit(-1),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("unknown change type: "), F.col("_change_type")
+                )
+            )
+        )
+        .cast("long")
+        .alias("__sign"),
+    )
+    agg = signed.groupBy("o_orderpriority").agg(
+        F.sum("__sign").alias("n_rows"),
+        F.sum(F.col("__sign") * F.col("o_cents")).alias("sum_o_cents"),
+    )
+    out = st.run_to_memory(agg, "complete", state_partitions=4)
+    return out.filter("n_rows > 0")
