@@ -128,6 +128,12 @@ PROBE_QUERIES = [
     "incremental_mv_maintenance",  # r5: IVM — one base scan at
                                # materialize; maintenance joins are
                                # group-cardinality-bounded
+    "delta_cdf_mv_maintenance",  # r5 s3: CDF write (3 DML commits) +
+                               # changes() replay + IVM fold — the
+                               # feed volume, not the table, grows
+    "iceberg_maintenance_read",  # r5 s3: delete + upsert + compact +
+                               # expire — compaction rewrite is the
+                               # only O(table) stage, by design
 ]
 
 
