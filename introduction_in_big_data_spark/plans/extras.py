@@ -2387,3 +2387,127 @@ def iceberg_maintenance_read(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "delta_cdc_replica_state",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS o_cents
+            FROM orders
+        ),
+        u AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN o_cents * 2 ELSE o_cents END AS o_cents
+            FROM base
+        ),
+        src AS (
+            SELECT o_orderkey,
+                   '0-MERGED' AS o_orderpriority,
+                   o_cents * 3 AS o_cents
+            FROM base WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, '9-NEW', o_cents
+            FROM base WHERE o_orderkey % 101 = 0
+        ),
+        m AS (
+            SELECT o_orderkey, o_orderpriority, o_cents FROM u
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+            UNION ALL
+            SELECT * FROM src
+        ),
+        f AS (SELECT * FROM m WHERE o_orderpriority <> '3-MEDIUM')
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(o_cents) AS BIGINT) AS sum_o_cents,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM f
+        GROUP BY o_orderpriority
+    """,
+    tags=("delta", "cdf", "cdc", "replication", "incremental"),
+)
+def delta_cdc_replica_state(spark, sf_dir):
+    """CDC REPLICATION via NET-EFFECT collapse (round 5): keep a
+    replica of an external Delta table in sync by consuming its
+    change feed — the multi-commit feed (UPDATE + MERGE + DELETE
+    here) collapses to ONE upsert batch + ONE delete-key set by
+    taking each key's LAST change (window over (_commit_version,
+    image-rank): a key updated then deleted nets to delete; deleted
+    then re-inserted nets to insert), and the replica state is
+    base ⟕anti-join⟖ changed-keys ∪ net-upserts. This is the shape
+    every warehouse CDC consumer runs: feed volume ∝ changes, one
+    merge round-trip per sync regardless of how many commits landed.
+    Row-level fidelity is proven by aggregating keys as well as
+    values — the replica must match the source table's final state
+    exactly, per the oracle's full replay."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..sources.deltalog import DeltaLogReader, create_minimal_table
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice") * 100 + 0.5).cast("long").alias("o_cents"),
+    )
+    path = tempfile.mkdtemp(prefix="delta_cdc_repl_") + "/t"
+    create_minimal_table(
+        spark, path, base.repartitionByRange(8, "o_orderkey"),
+        stats=True, cdf=True,
+    )
+    reader = DeltaLogReader(spark, path)
+    v0 = reader.latest_version()
+    replica_base = reader.read(v0).localCheckpoint()  # initial sync
+    reader.update_where(
+        [("o_orderpriority", "=", "1-URGENT")], {"o_cents": "o_cents * 2"}
+    )
+    source = (
+        base.filter("o_orderkey % 97 = 0")
+        .select(
+            "o_orderkey",
+            F.lit("0-MERGED").alias("o_orderpriority"),
+            (F.col("o_cents") * 3).alias("o_cents"),
+        )
+        .unionByName(
+            base.filter("o_orderkey % 101 = 0").select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit("9-NEW").alias("o_orderpriority"),
+                "o_cents",
+            )
+        )
+    )
+    reader.merge(source, "o_orderkey")
+    reader.delete_where([("o_orderpriority", "=", "3-MEDIUM")])
+    ch = reader.changes(v0, reader.latest_version())
+    # each key's LAST image wins: order by commit version, then image
+    # rank (post-images/inserts/deletes supersede the same commit's
+    # pre-image of the same key)
+    ranked = ch.withColumn(
+        "__rk",
+        F.when(F.col("_change_type") == "update_preimage", F.lit(1))
+        .otherwise(F.lit(2)),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.desc("_commit_version"), F.desc("__rk")
+    )
+    last = (
+        ranked.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .drop("__rn", "__rk")
+    )
+    upserts = last.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("o_orderkey", "o_orderpriority", "o_cents")
+    changed_keys = last.select("o_orderkey")
+    replica = replica_base.join(
+        changed_keys, "o_orderkey", "left_anti"
+    ).unionByName(upserts)
+    return replica.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_cents").alias("sum_o_cents"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )

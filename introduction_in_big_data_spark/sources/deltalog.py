@@ -2172,6 +2172,48 @@ class DeltaLogReader:
             return v
         return self._publish(self._next_version(), actions)
 
+    def restore(self, version: int) -> int:
+        """Delta's RESTORE TABLE ... TO VERSION AS OF — republish an
+        older snapshot's live file set as a NEW commit (history is
+        append-only: a restore never rewrites the log, it adds a
+        commit whose adds/removes flip the table back). Pure metadata:
+        restored files carry BY REFERENCE (they must still exist —
+        vacuumed restores refuse), nothing is rewritten. dataChange is
+        true (downstream consumers genuinely see rows change).
+        Returns the committed version, or the current one when the
+        target state is already current."""
+        cur_v = self.latest_version()
+        _m_old, old_live = self._replay(version)
+        meta, cur_live = self._replay(cur_v)
+        self._guard_plain_table(meta, cur_live, "restore")
+        missing = [
+            p
+            for p in old_live
+            if not os.path.exists(self._abs(p))
+        ]
+        if missing:
+            raise UnsupportedDeltaFeature(
+                f"restore to version {version}: {len(missing)} data "
+                f"file(s) were vacuumed (first: {missing[0]})"
+            )
+        if set(old_live) == set(cur_live):
+            return cur_v  # already in the target state
+        actions: list[dict] = [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                }
+            }
+            for p in sorted(set(cur_live) - set(old_live))
+        ]
+        for p in sorted(set(old_live) - set(cur_live)):
+            a = dict(old_live[p])
+            a["dataChange"] = True
+            actions.append({"add": a})
+        return self._publish(self._next_version(), actions)
+
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Physically delete data files referenced ONLY by snapshots
         older than the last `keep_last` versions (time travel beyond

@@ -1894,6 +1894,36 @@ class IcebergTableReader:
             fh.write(str(version + 1))
         return deleted
 
+    def rollback(self, snapshot_id: int) -> int:
+        """Iceberg's `rollback_to_snapshot`: point
+        current-snapshot-id back at an older snapshot in a NEW
+        metadata version — nothing is rewritten or deleted, newer
+        snapshots stay in the metadata (and remain expirable); reads
+        immediately serve the rolled-back state. Returns
+        `snapshot_id`."""
+        meta = self.metadata()
+        if not any(
+            s["snapshot-id"] == snapshot_id
+            for s in meta.get("snapshots", [])
+        ):
+            raise ValueError(
+                f"rollback: snapshot {snapshot_id} not in the metadata "
+                "(expired?)"
+            )
+        meta = dict(meta)
+        meta["current-snapshot-id"] = snapshot_id
+        meta_dir = os.path.join(self.path, "metadata")
+        hint = os.path.join(meta_dir, "version-hint.text")
+        with open(hint) as fh:
+            version = int(fh.read().strip())
+        with open(
+            os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w"
+        ) as fh:
+            json.dump(meta, fh)
+        with open(hint, "w") as fh:
+            fh.write(str(version + 1))
+        return snapshot_id
+
     def snapshot_at(self, timestamp_ms: int) -> int:
         """Snapshot id current as of `timestamp_ms` — Iceberg's
         timestamp time travel (each snapshot records its commit

@@ -563,3 +563,50 @@ def test_iceberg_expire_snapshots_reclaims_files(spark, tmp_path):
     with pytest.raises(Exception):  # expired snapshot gone from metadata
         t4.read(snapshot_id=old_snap).count()
     assert t4.expire_snapshots(keep_last=1) == []  # idempotent
+
+
+def test_delta_restore_flips_back_and_composes_with_cdf(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark).repartitionByRange(4, "k"),
+        stats=True, cdf=True,
+    )
+    r = DeltaLogReader(spark, path)
+    v0 = r.latest_version()
+    r.delete_where([("k", ">=", 600)])
+    assert r.read().count() == 600
+    v = r.restore(v0)
+    assert r.read().count() == 1200  # back in full
+    # append-only history: the restore is a NEW commit
+    assert v == r.latest_version() and v > v0 + 1 - 1
+    # restore derives as adds-only (no cdc): the feed sees inserts
+    ch = r.changes(v - 1, v)
+    assert {x._change_type for x in ch.collect()} == {"insert"}
+    # idempotent: restoring to the now-current state publishes nothing
+    assert r.restore(v0) == v
+    # vacuumed restore refuses
+    r.delete_where([("k", ">=", 600)])
+    r.vacuum(keep_last=1)
+    with pytest.raises(UnsupportedDeltaFeature, match="vacuumed"):
+        r.restore(v0)
+
+
+def test_iceberg_rollback_points_back(spark, tmp_path):
+    from introduction_in_big_data_spark.sources.iceberg import (
+        IcebergTableReader,
+        create_minimal_table as ice_create,
+    )
+
+    path = str(tmp_path / "t")
+    ice_create(spark, path, _df(spark).select("k", "v"))
+    t = IcebergTableReader(spark, path)
+    first = t.metadata()["current-snapshot-id"]
+    t.delete_where([("k", ">=", 600)])
+    assert IcebergTableReader(spark, path).read().count() == 600
+    IcebergTableReader(spark, path).rollback(first)
+    t2 = IcebergTableReader(spark, path)
+    assert t2.read().count() == 1200
+    # newer snapshot still present (rollback deletes nothing)
+    assert len(t2.metadata()["snapshots"]) == 2
+    with pytest.raises(ValueError, match="not in the metadata"):
+        t2.rollback(999999)
