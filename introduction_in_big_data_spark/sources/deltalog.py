@@ -2198,6 +2198,35 @@ class DeltaLogReader:
             )
         if set(old_live) == set(cur_live):
             return cur_v  # already in the target state
+        gone = sorted(set(cur_live) - set(old_live))
+        back = sorted(set(old_live) - set(cur_live))
+        cdc_actions: list[dict] = []
+        if self._cdf_enabled(meta) and gone and back:
+            # a mixed adds+removes commit without cdc actions would
+            # break changes(); render the restore's row-level feed
+            # (rows of dropped files = deletes, of restored files =
+            # inserts) — the CDF cost of a restore
+            schema = self._schema_from_meta(meta)
+            part_cols = list(meta.get("partitionColumns") or [])
+            fields_by_name = {f.name: f for f in schema.fields}
+            data_fields = [
+                f for f in schema.fields if f.name not in part_cols
+            ]
+            ents = lambda live, ks: [  # noqa: E731
+                (self._abs(p), live[p].get("partitionValues") or {})
+                for p in ks
+            ]
+            dels = self._scan_with_parts(
+                ents(cur_live, gone), data_fields, schema.fields,
+                part_cols, fields_by_name,
+            ).withColumn("_change_type", F.lit("delete"))
+            ins = self._scan_with_parts(
+                ents(old_live, back), data_fields, schema.fields,
+                part_cols, fields_by_name,
+            ).withColumn("_change_type", F.lit("insert"))
+            cdc_actions = self._stage_cdc(
+                dels.unionByName(ins), part_cols
+            )
         actions: list[dict] = [
             {
                 "remove": {
@@ -2206,13 +2235,15 @@ class DeltaLogReader:
                     "dataChange": True,
                 }
             }
-            for p in sorted(set(cur_live) - set(old_live))
+            for p in gone
         ]
-        for p in sorted(set(old_live) - set(cur_live)):
+        for p in back:
             a = dict(old_live[p])
             a["dataChange"] = True
             actions.append({"add": a})
-        return self._publish(self._next_version(), actions)
+        return self._publish(
+            self._next_version(), cdc_actions + actions
+        )
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Physically delete data files referenced ONLY by snapshots

@@ -610,3 +610,25 @@ def test_iceberg_rollback_points_back(spark, tmp_path):
     assert len(t2.metadata()["snapshots"]) == 2
     with pytest.raises(ValueError, match="not in the metadata"):
         t2.rollback(999999)
+
+
+def test_delta_restore_mixed_commit_keeps_cdf_replayable(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark).repartitionByRange(4, "k"),
+        stats=True, cdf=True,
+    )
+    r = DeltaLogReader(spark, path)
+    v0 = r.latest_version()
+    # a rewriting delete: the restore will both remove (the rewritten
+    # survivor file) and re-add (the originals) -> mixed commit
+    r.delete_where([("k", ">=", 500), ("k", "<", 700)])
+    v = r.restore(v0)
+    assert r.read().count() == 1200
+    ch = r.changes(v - 1, v)  # must not refuse
+    tags = {x._change_type for x in ch.collect()}
+    assert tags == {"insert", "delete"}
+    # net effect of the restore feed == rows that came back
+    ins = ch.filter("_change_type = 'insert'").count()
+    dels = ch.filter("_change_type = 'delete'").count()
+    assert ins - dels == 200
