@@ -2489,7 +2489,9 @@ def delta_cdc_replica_state(spark, sf_dir):
     ranked = ch.withColumn(
         "__rk",
         F.when(F.col("_change_type") == "update_preimage", F.lit(1))
-        .otherwise(F.lit(2)),
+        .when(F.col("_change_type") == "delete", F.lit(2))
+        .otherwise(F.lit(3)),  # a key deleted AND (re)inserted in one
+        # commit (e.g. RESTORE) nets to present
     )
     w = Window.partitionBy("o_orderkey").orderBy(
         F.desc("_commit_version"), F.desc("__rk")
