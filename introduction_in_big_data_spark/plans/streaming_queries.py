@@ -729,3 +729,62 @@ def stream_cdf_standing_aggregate(spark, sf_dir):
     )
     out = st.run_to_memory(agg, "complete", state_partitions=4)
     return out.filter("n_rows > 0")
+
+
+@register(
+    "stream_kafka_event_counts",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(user_id) AS BIGINT) AS user_sum
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("streaming", "kafka", "source", "sink", "interop"),
+)
+def stream_kafka_event_counts(spark, sf_dir):
+    """KAFKA round trip over the REAL wire protocol, no jar and no
+    external broker (round 5 — closing the last 'untestable
+    connector' gap the same way the Avro codec closed its own:
+    implement the published format): start the in-process MiniKafka
+    broker (sources/kafkabroker.py — ApiVersions/Metadata/Produce/
+    Fetch, RecordBatch v2 with CRC32C, per the protocol spec),
+    PRODUCE every event through the foreachPartition sink
+    (sources/kafka_io.write_kafka — executor sockets, one batch per
+    task), then consume the topic back with the Spark-4 streaming
+    Python DataSource `kafka_py` whose offsets are per-partition log
+    positions (the built-in kafka source's checkpoint contract), and
+    aggregate. The drained stream's per-type counts and user-id sums
+    must hash-match batch SQL over the raw events table — parity
+    through the producer framing, the broker's offset assignment,
+    CRC verification, and the consumer's offset-range reads."""
+    from ..sources import kafka_io as kio
+    from ..sources.kafkabroker import MiniKafka
+    from .registry import t
+
+    events = t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k"),
+        F.col("event_type").alias("v"),
+    )
+    with MiniKafka(partitions=4) as broker:
+        bs = broker.bootstrap
+        kio.write_kafka(
+            events.repartition(8), bs, "events", key_col="k", value_col="v"
+        )
+        kio.register_kafka_source(spark)
+        s = (
+            spark.readStream.format("kafka_py")
+            .option("bootstrap", bs)
+            .option("topic", "events")
+            .option("startingOffsets", "earliest")
+            .load()
+        )
+        agg = s.groupBy(
+            F.col("value").cast("string").alias("event_type")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("key").cast("string").cast("long")).alias(
+                "user_sum"
+            ),
+        )
+        return st.run_to_memory(agg, "complete", state_partitions=4)

@@ -1,0 +1,341 @@
+"""Kafka source/sink for Spark, speaking the real wire protocol
+(functions/kafkaproto.py) with no client jar or external broker:
+a socket client (metadata / produce / fetch over RecordBatch v2,
+CRC32C-verified both directions), a BATCH reader, a Spark-4 streaming
+Python DataSource whose offsets are per-partition log offsets, and a
+foreachPartition producer sink.
+
+Schema mirrors Spark's built-in kafka source:
+  key binary, value binary, topic string, partition int,
+  offset long, timestamp long (ms).
+
+The streaming source's offset json is {partition: next_offset} — the
+exact checkpointing contract of the built-in source, so exactly-once
+replay over an immutable log holds by construction (a fetch at offset
+N always returns the same records).
+
+Tested against sources/kafkabroker.MiniKafka (an in-process broker
+serving the same published protocol) — the Avro-codec move applied to
+the last 'untestable connector' gap.
+"""
+
+from __future__ import annotations
+
+import socket
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from ..functions import kafkaproto as kp
+
+
+def _ship_by_value() -> None:
+    """Register this module + the protocol codec for by-value
+    cloudpickle so an external driver's Python workers (whose cwd may
+    not have the package importable) can unpickle the sink/source
+    closures — same policy as sources/deltastream."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    try:
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+        cloudpickle.register_pickle_by_value(sys.modules[kp.__name__])
+    except Exception:  # pragma: no cover — same-cwd runs work anyway
+        pass
+
+
+# -- socket client ---------------------------------------------------------
+
+
+def _call(bootstrap: str, api_key: int, api_version: int, body: bytes) -> kp.Reader:
+    host, port = bootstrap.split(":")
+    with socket.create_connection((host, int(port)), timeout=30) as s:
+        s.sendall(kp.request(api_key, api_version, 1, body))
+        frame = kp.read_frame(s)
+    r = kp.Reader(frame)
+    r.i32()  # correlation id
+    return r
+
+
+def partition_count(bootstrap: str, topic: str) -> int:
+    r = _call(
+        bootstrap, kp.API_METADATA, 1, kp.array([kp.string(topic)])
+    )
+    n_brokers = r.i32()
+    for _ in range(n_brokers):
+        r.i32()
+        r.string()
+        r.i32()
+        r.string()
+    r.i32()  # controller
+    n_topics = r.i32()
+    for _ in range(n_topics):
+        err = r.i16()
+        name = r.string()
+        r.i8()
+        n_parts = r.i32()
+        if name == topic:
+            if err:
+                raise ValueError(f"metadata error {err} for {topic}")
+            return n_parts
+        for _ in range(n_parts):  # skip
+            r.i16(), r.i32(), r.i32()
+            for _ in range(r.i32()):
+                r.i32()
+            for _ in range(r.i32()):
+                r.i32()
+    raise ValueError(f"topic {topic} not in metadata response")
+
+
+def produce(
+    bootstrap: str,
+    topic: str,
+    partition: int,
+    records: list[tuple[bytes | None, bytes | None, int]],
+) -> int:
+    """Produce [(key, value, timestamp_ms)] to one partition; returns
+    the assigned base offset."""
+    record_set = kp.encode_record_batch(0, records)
+    body = (
+        kp.string(None)  # transactional_id
+        + kp.i16(-1)  # acks: all
+        + kp.i32(30000)
+        + kp.array(
+            [
+                kp.string(topic)
+                + kp.array([kp.i32(partition) + kp.bytes_(record_set)])
+            ]
+        )
+    )
+    r = _call(bootstrap, kp.API_PRODUCE, 3, body)
+    n_topics = r.i32()
+    base = -1
+    for _ in range(n_topics):
+        r.string()
+        for _ in range(r.i32()):
+            r.i32()
+            err = r.i16()
+            base = r.i64()
+            r.i64()
+            if err:
+                raise ValueError(f"produce error {err}")
+    return base
+
+
+def fetch(
+    bootstrap: str, topic: str, partition: int, offset: int
+) -> tuple[list[tuple[int, bytes | None, bytes | None, int]], int]:
+    """Fetch from `offset`; returns ([(offset, key, value, ts)] with
+    records below `offset` already skipped, high_watermark)."""
+    body = (
+        kp.i32(-1)  # replica_id
+        + kp.i32(100)  # max_wait ms
+        + kp.i32(1)  # min_bytes
+        + kp.i32(1 << 26)  # max_bytes
+        + kp.i8(0)  # isolation: read uncommitted
+        + kp.array(
+            [
+                kp.string(topic)
+                + kp.array(
+                    [kp.i32(partition) + kp.i64(offset) + kp.i32(1 << 26)]
+                )
+            ]
+        )
+    )
+    r = _call(bootstrap, kp.API_FETCH, 4, body)
+    r.i32()  # throttle
+    records: list[tuple[int, bytes | None, bytes | None, int]] = []
+    hw = 0
+    for _ in range(r.i32()):
+        r.string()
+        for _ in range(r.i32()):
+            r.i32()
+            err = r.i16()
+            hw = r.i64()
+            r.i64()  # last stable offset
+            for _ in range(r.i32()):  # aborted txns
+                r.i64(), r.i64()
+            data = r.bytes_() or b""
+            if err:
+                raise ValueError(f"fetch error {err}")
+            records.extend(
+                rec
+                for rec in kp.decode_record_set(data)
+                if rec[0] >= offset
+            )
+    return records, hw
+
+
+# -- Spark integration ------------------------------------------------------
+
+_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp long"
+)
+
+
+def write_kafka(
+    df,
+    bootstrap: str,
+    topic: str,
+    key_col: str | None = None,
+    value_col: str = "value",
+    ts_col: str | None = None,
+) -> None:
+    """foreachPartition producer sink: each Spark partition produces
+    ONE record batch to broker partition (taskPartitionId % P) — the
+    round-robin default of keyless Kafka producers, deterministic
+    here so tests can replay it. key/value columns must be binary or
+    string; timestamps default to 0 (tests need determinism, and the
+    broker preserves whatever is sent)."""
+    from pyspark import TaskContext
+
+    _ship_by_value()
+    n_parts = partition_count(bootstrap, topic)
+    cols = [c for c in (key_col, value_col, ts_col) if c]
+    proj = df.select(*cols)
+
+    def _send(rows) -> None:
+        def b(x):
+            if x is None or isinstance(x, (bytes, bytearray)):
+                return bytes(x) if x is not None else None
+            return str(x).encode("utf-8")
+
+        records = []
+        for row in rows:
+            d = row.asDict()
+            records.append(
+                (
+                    b(d[key_col]) if key_col else None,
+                    b(d[value_col]),
+                    int(d[ts_col]) if ts_col else 0,
+                )
+            )
+        if records:
+            pid = TaskContext.get().partitionId()
+            produce(bootstrap, topic, pid % n_parts, records)
+
+    proj.foreachPartition(_send)
+
+
+def read_kafka(spark, bootstrap: str, topic: str):
+    """Batch read of the whole topic (all partitions, offset 0 to the
+    high watermark), one task per broker partition."""
+    _ship_by_value()
+    n = partition_count(bootstrap, topic)
+
+    def _scan(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            for p in pdf["id"].tolist():
+                recs, _hw = fetch(bootstrap, topic, int(p), 0)
+                yield pd.DataFrame(
+                    {
+                        "key": [k for _o, k, _v, _t in recs],
+                        "value": [v for _o, _k, v, _t in recs],
+                        "topic": [topic] * len(recs),
+                        "partition": [int(p)] * len(recs),
+                        "offset": [o for o, _k, _v, _t in recs],
+                        "timestamp": [t for _o, _k, _v, t in recs],
+                    }
+                )
+
+    ids = spark.range(0, n).repartition(n, "id")
+    return ids.mapInPandas(_scan, _SCHEMA)
+
+
+class _KafkaPartition(InputPartition):
+    def __init__(self, bootstrap, topic, partition, start, end):
+        self.bootstrap = bootstrap
+        self.topic = topic
+        self.partition = partition
+        self.start = start
+        self.end = end
+
+
+class KafkaStreamReader(DataSourceStreamReader):
+    """Offsets = {str(partition): next_offset} — the built-in kafka
+    source's checkpoint contract."""
+
+    def __init__(self, options):
+        self.bootstrap = options.get("bootstrap")
+        self.topic = options.get("topic")
+        if not self.bootstrap or not self.topic:
+            raise ValueError("kafka_py requires bootstrap and topic options")
+        self.n = partition_count(self.bootstrap, self.topic)
+        starting = options.get("startingOffsets", "earliest")
+        if starting == "earliest":
+            self._initial = {str(p): 0 for p in range(self.n)}
+        else:  # latest
+            self._initial = {
+                str(p): fetch(self.bootstrap, self.topic, p, 0)[1]
+                for p in range(self.n)
+            }
+
+    def initialOffset(self):
+        return self._initial
+
+    def latestOffset(self):
+        return {
+            str(p): fetch(self.bootstrap, self.topic, p, 0)[1]
+            for p in range(self.n)
+        }
+
+    def partitions(self, start, end):
+        out = []
+        for p in range(self.n):
+            s, e = int(start.get(str(p), 0)), int(end.get(str(p), 0))
+            if e > s:
+                out.append(
+                    _KafkaPartition(self.bootstrap, self.topic, p, s, e)
+                )
+        return out
+
+    def read(self, partition: _KafkaPartition):
+        recs, _hw = fetch(
+            partition.bootstrap,
+            partition.topic,
+            partition.partition,
+            partition.start,
+        )
+        for off, key, value, ts in recs:
+            if partition.start <= off < partition.end:
+                yield (
+                    key,
+                    value,
+                    partition.topic,
+                    partition.partition,
+                    off,
+                    ts,
+                )
+
+    def commit(self, end):
+        pass  # offsets are durable log positions
+
+
+class KafkaPyDataSource(DataSource):
+    """spark.readStream.format("kafka_py") — wire-protocol Kafka
+    source with no jar."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kafka_py"
+
+    def schema(self):
+        return _SCHEMA
+
+    def streamReader(self, schema) -> KafkaStreamReader:
+        return KafkaStreamReader(self.options)
+
+
+def register_kafka_source(spark) -> None:
+    """Register as `kafka_py`, shipping this module and the protocol
+    codec BY VALUE so an external driver's workers need no importable
+    package (same policy as sources/deltastream)."""
+    _ship_by_value()
+    spark.dataSource.register(KafkaPyDataSource)
