@@ -788,3 +788,67 @@ def stream_kafka_event_counts(spark, sf_dir):
             ),
         )
         return st.run_to_memory(agg, "complete", state_partitions=4)
+
+
+@register(
+    "stream_kafka_windowed_counts",
+    oracle="""
+        SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS epoch_hour,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "kafka", "window", "eventtime"),
+)
+def stream_kafka_windowed_counts(spark, sf_dir):
+    """EVENT-TIME windows over a queue (round 5): events PRODUCE into
+    MiniKafka with their real epoch-millisecond timestamps riding
+    RecordBatch v2's timestamp field, the `kafka_py` stream consumes
+    them, the wire timestamp converts back to an event-time column,
+    and tumbling hourly windows aggregate per type — so the TIMESTAMP
+    ROUND TRIP through the producer framing, the broker, and the
+    consumer is itself under the value-hash check (a one-tick skew
+    anywhere moves rows across hour buckets and breaks the hash).
+    Complete mode over the bounded drain; watermarked append-mode
+    windowing is pinned separately by the file-source queries
+    (stream_hourly_by_type and friends) — composing it with this
+    source is the same one-line withWatermark. Epoch-hour buckets are
+    timezone-free on both engines."""
+    from ..sources import kafka_io as kio
+    from ..sources.kafkabroker import MiniKafka
+    from .registry import t
+
+    events = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("v"),
+        (F.unix_micros(F.col("ts")) / 1000).cast("long").alias("ts_ms"),
+    )
+    with MiniKafka(partitions=4) as broker:
+        bs = broker.bootstrap
+        kio.write_kafka(
+            events.repartition(8), bs, "events",
+            value_col="v", ts_col="ts_ms",
+        )
+        kio.register_kafka_source(spark)
+        s = (
+            spark.readStream.format("kafka_py")
+            .option("bootstrap", bs)
+            .option("topic", "events")
+            .option("startingOffsets", "earliest")
+            .load()
+        )
+        typed = s.select(
+            F.col("value").cast("string").alias("event_type"),
+            F.timestamp_millis(F.col("timestamp")).alias("ts"),
+        )
+        win = typed.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+        out = st.run_to_memory(win, "complete", state_partitions=4)
+        return out.select(
+            (F.unix_micros(F.col("w.start")) / 3600000000)
+            .cast("long")
+            .alias("epoch_hour"),
+            "event_type",
+            "n_events",
+        )
