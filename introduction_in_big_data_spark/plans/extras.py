@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from . import cdf_fixture as _cdf
 from .registry import register, t
 
 
@@ -2174,35 +2175,7 @@ def incremental_mv_maintenance(spark, sf_dir):
 
 @register(
     "delta_cdf_mv_maintenance",
-    oracle="""
-        WITH base AS (
-            SELECT o_orderkey, o_orderpriority,
-                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-                       AS o_cents
-            FROM orders
-        ),
-        u AS (
-            SELECT o_orderkey, o_orderpriority,
-                   CASE WHEN o_orderpriority = '1-URGENT'
-                        THEN o_cents * 2 ELSE o_cents END AS o_cents
-            FROM base
-        ),
-        src AS (
-            SELECT o_orderkey,
-                   '0-MERGED' AS o_orderpriority,
-                   o_cents * 3 AS o_cents
-            FROM base WHERE o_orderkey % 97 = 0
-            UNION ALL
-            SELECT o_orderkey + 10000000, '9-NEW', o_cents
-            FROM base WHERE o_orderkey % 101 = 0
-        ),
-        m AS (
-            SELECT o_orderkey, o_orderpriority, o_cents FROM u
-            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
-            UNION ALL
-            SELECT * FROM src
-        ),
-        f AS (SELECT * FROM m WHERE o_orderpriority <> '3-MEDIUM')
+    oracle=_cdf.CDF_DML_CTES + """
         SELECT o_orderpriority,
                CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(o_cents) AS BIGINT) AS sum_o_cents
@@ -2229,46 +2202,12 @@ def delta_cdf_mv_maintenance(spark, sf_dir):
     recomputes the final state from raw parquet; sums ride an exact
     integer cents column (floor per the double→BIGINT cast
     contract)."""
-    import tempfile
-
     from ..operators import ivm
-    from ..sources.deltalog import DeltaLogReader, create_minimal_table
 
-    base = t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderpriority",
-        (F.col("o_totalprice") * 100 + 0.5).cast("long").alias("o_cents"),
-    )
-    path = tempfile.mkdtemp(prefix="delta_cdf_") + "/t"
-    create_minimal_table(
-        spark, path, base.repartitionByRange(8, "o_orderkey"),
-        stats=True, cdf=True,
-    )
-    reader = DeltaLogReader(spark, path)
-    v0 = reader.latest_version()
+    reader, v0, base = _cdf.stage_cdf_dml_table(spark, sf_dir, "delta_cdf_")
     view = ivm.initial_view(
         reader.read(v0), ["o_orderpriority"], ["o_cents"]
     ).localCheckpoint()
-    reader.update_where(
-        [("o_orderpriority", "=", "1-URGENT")], {"o_cents": "o_cents * 2"}
-    )
-    source = (
-        base.filter("o_orderkey % 97 = 0")
-        .select(
-            "o_orderkey",
-            F.lit("0-MERGED").alias("o_orderpriority"),
-            (F.col("o_cents") * 3).alias("o_cents"),
-        )
-        .unionByName(
-            base.filter("o_orderkey % 101 = 0").select(
-                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
-                F.lit("9-NEW").alias("o_orderpriority"),
-                "o_cents",
-            )
-        )
-    )
-    reader.merge(source, "o_orderkey")
-    reader.delete_where([("o_orderpriority", "=", "3-MEDIUM")])
     v1 = reader.latest_version()
     delta = ivm.aggregate_delta(
         reader.changes(v0, v1), ["o_orderpriority"], ["o_cents"]
@@ -2391,35 +2330,7 @@ def iceberg_maintenance_read(spark, sf_dir):
 
 @register(
     "delta_cdc_replica_state",
-    oracle="""
-        WITH base AS (
-            SELECT o_orderkey, o_orderpriority,
-                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-                       AS o_cents
-            FROM orders
-        ),
-        u AS (
-            SELECT o_orderkey, o_orderpriority,
-                   CASE WHEN o_orderpriority = '1-URGENT'
-                        THEN o_cents * 2 ELSE o_cents END AS o_cents
-            FROM base
-        ),
-        src AS (
-            SELECT o_orderkey,
-                   '0-MERGED' AS o_orderpriority,
-                   o_cents * 3 AS o_cents
-            FROM base WHERE o_orderkey % 97 = 0
-            UNION ALL
-            SELECT o_orderkey + 10000000, '9-NEW', o_cents
-            FROM base WHERE o_orderkey % 101 = 0
-        ),
-        m AS (
-            SELECT o_orderkey, o_orderpriority, o_cents FROM u
-            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
-            UNION ALL
-            SELECT * FROM src
-        ),
-        f AS (SELECT * FROM m WHERE o_orderpriority <> '3-MEDIUM')
+    oracle=_cdf.CDF_DML_CTES + """
         SELECT o_orderpriority,
                CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(o_cents) AS BIGINT) AS sum_o_cents,
@@ -2443,45 +2354,12 @@ def delta_cdc_replica_state(spark, sf_dir):
     Row-level fidelity is proven by aggregating keys as well as
     values — the replica must match the source table's final state
     exactly, per the oracle's full replay."""
-    import tempfile
-
     from pyspark.sql import Window
 
-    from ..sources.deltalog import DeltaLogReader, create_minimal_table
-
-    base = t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderpriority",
-        (F.col("o_totalprice") * 100 + 0.5).cast("long").alias("o_cents"),
+    reader, v0, base = _cdf.stage_cdf_dml_table(
+        spark, sf_dir, "delta_cdc_repl_"
     )
-    path = tempfile.mkdtemp(prefix="delta_cdc_repl_") + "/t"
-    create_minimal_table(
-        spark, path, base.repartitionByRange(8, "o_orderkey"),
-        stats=True, cdf=True,
-    )
-    reader = DeltaLogReader(spark, path)
-    v0 = reader.latest_version()
     replica_base = reader.read(v0).localCheckpoint()  # initial sync
-    reader.update_where(
-        [("o_orderpriority", "=", "1-URGENT")], {"o_cents": "o_cents * 2"}
-    )
-    source = (
-        base.filter("o_orderkey % 97 = 0")
-        .select(
-            "o_orderkey",
-            F.lit("0-MERGED").alias("o_orderpriority"),
-            (F.col("o_cents") * 3).alias("o_cents"),
-        )
-        .unionByName(
-            base.filter("o_orderkey % 101 = 0").select(
-                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
-                F.lit("9-NEW").alias("o_orderpriority"),
-                "o_cents",
-            )
-        )
-    )
-    reader.merge(source, "o_orderkey")
-    reader.delete_where([("o_orderpriority", "=", "3-MEDIUM")])
     ch = reader.changes(v0, reader.latest_version())
     # each key's LAST image wins: order by commit version, then image
     # rank (post-images/inserts/deletes supersede the same commit's

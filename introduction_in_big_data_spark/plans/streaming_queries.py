@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..streaming import stream as st
+from . import cdf_fixture as _cdf
 from .registry import register
 
 N_FILES = 5
@@ -478,35 +479,8 @@ def stream_delta_source_counts(spark, sf_dir):
 
 @register(
     "stream_delta_cdf_feed",
-    oracle="""
-        WITH base AS (
-            SELECT o_orderkey, o_orderpriority,
-                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-                       AS o_cents
-            FROM orders
-        ),
-        u AS (
-            SELECT o_orderkey, o_orderpriority,
-                   CASE WHEN o_orderpriority = '1-URGENT'
-                        THEN o_cents * 2 ELSE o_cents END AS o_cents
-            FROM base
-        ),
-        src AS (
-            SELECT o_orderkey,
-                   '0-MERGED' AS o_orderpriority,
-                   o_cents * 3 AS o_cents
-            FROM base WHERE o_orderkey % 97 = 0
-            UNION ALL
-            SELECT o_orderkey + 10000000, '9-NEW', o_cents
-            FROM base WHERE o_orderkey % 101 = 0
-        ),
-        m AS (
-            SELECT o_orderkey, o_orderpriority, o_cents FROM u
-            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
-            UNION ALL
-            SELECT * FROM src
-        ),
-        feed AS (
+    oracle=_cdf.CDF_DML_CTES + """
+        , feed AS (
             SELECT 'update_preimage' AS _change_type, o_cents
             FROM base WHERE o_orderpriority = '1-URGENT'
             UNION ALL
@@ -549,44 +523,12 @@ def stream_delta_cdf_feed(spark, sf_dir):
     reads. At 100 TB this is the standing-pipeline shape: downstream
     consumers (IVM, replication, audit) follow the feed at
     change-batch cost without ever rescanning the table."""
-    import tempfile
-
-    from ..sources.deltalog import DeltaLogReader, create_minimal_table
     from ..sources.deltastream import register_delta_stream
-    from .registry import t
 
-    base = t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderpriority",
-        (F.col("o_totalprice") * 100 + 0.5).cast("long").alias("o_cents"),
+    reader, v0, _base = _cdf.stage_cdf_dml_table(
+        spark, sf_dir, "delta_cdf_stream_"
     )
-    path = tempfile.mkdtemp(prefix="delta_cdf_stream_") + "/t"
-    create_minimal_table(
-        spark, path, base.repartitionByRange(8, "o_orderkey"),
-        stats=True, cdf=True,
-    )
-    reader = DeltaLogReader(spark, path)
-    v0 = reader.latest_version()
-    reader.update_where(
-        [("o_orderpriority", "=", "1-URGENT")], {"o_cents": "o_cents * 2"}
-    )
-    source = (
-        base.filter("o_orderkey % 97 = 0")
-        .select(
-            "o_orderkey",
-            F.lit("0-MERGED").alias("o_orderpriority"),
-            (F.col("o_cents") * 3).alias("o_cents"),
-        )
-        .unionByName(
-            base.filter("o_orderkey % 101 = 0").select(
-                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
-                F.lit("9-NEW").alias("o_orderpriority"),
-                "o_cents",
-            )
-        )
-    )
-    reader.merge(source, "o_orderkey")
-    reader.delete_where([("o_orderpriority", "=", "3-MEDIUM")])
+    path = reader.path
     register_delta_stream(spark)
     s = (
         spark.readStream.format("delta_stream")
@@ -604,35 +546,7 @@ def stream_delta_cdf_feed(spark, sf_dir):
 
 @register(
     "stream_cdf_standing_aggregate",
-    oracle="""
-        WITH base AS (
-            SELECT o_orderkey, o_orderpriority,
-                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-                       AS o_cents
-            FROM orders
-        ),
-        u AS (
-            SELECT o_orderkey, o_orderpriority,
-                   CASE WHEN o_orderpriority = '1-URGENT'
-                        THEN o_cents * 2 ELSE o_cents END AS o_cents
-            FROM base
-        ),
-        src AS (
-            SELECT o_orderkey,
-                   '0-MERGED' AS o_orderpriority,
-                   o_cents * 3 AS o_cents
-            FROM base WHERE o_orderkey % 97 = 0
-            UNION ALL
-            SELECT o_orderkey + 10000000, '9-NEW', o_cents
-            FROM base WHERE o_orderkey % 101 = 0
-        ),
-        m AS (
-            SELECT o_orderkey, o_orderpriority, o_cents FROM u
-            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
-            UNION ALL
-            SELECT * FROM src
-        ),
-        f AS (SELECT * FROM m WHERE o_orderpriority <> '3-MEDIUM')
+    oracle=_cdf.CDF_DML_CTES + """
         SELECT o_orderpriority,
                CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(o_cents) AS BIGINT) AS sum_o_cents
@@ -657,43 +571,12 @@ def stream_cdf_standing_aggregate(spark, sf_dir):
     query never terminates and never rescans the base; checkpointed
     state survives restarts exactly-once (offsets are Delta
     versions)."""
-    import tempfile
-
-    from ..sources.deltalog import DeltaLogReader, create_minimal_table
     from ..sources.deltastream import register_delta_stream
-    from .registry import t
 
-    base = t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderpriority",
-        (F.col("o_totalprice") * 100 + 0.5).cast("long").alias("o_cents"),
+    reader, _v0, _base = _cdf.stage_cdf_dml_table(
+        spark, sf_dir, "delta_cdf_ivm_"
     )
-    path = tempfile.mkdtemp(prefix="delta_cdf_ivm_") + "/t"
-    create_minimal_table(
-        spark, path, base.repartitionByRange(8, "o_orderkey"),
-        stats=True, cdf=True,
-    )
-    reader = DeltaLogReader(spark, path)
-    reader.update_where(
-        [("o_orderpriority", "=", "1-URGENT")], {"o_cents": "o_cents * 2"}
-    )
-    source = (
-        base.filter("o_orderkey % 97 = 0")
-        .select(
-            "o_orderkey",
-            F.lit("0-MERGED").alias("o_orderpriority"),
-            (F.col("o_cents") * 3).alias("o_cents"),
-        )
-        .unionByName(
-            base.filter("o_orderkey % 101 = 0").select(
-                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
-                F.lit("9-NEW").alias("o_orderpriority"),
-                "o_cents",
-            )
-        )
-    )
-    reader.merge(source, "o_orderkey")
-    reader.delete_where([("o_orderpriority", "=", "3-MEDIUM")])
+    path = reader.path
     register_delta_stream(spark)
     s = (
         spark.readStream.format("delta_stream")

@@ -2186,6 +2186,10 @@ class DeltaLogReader:
         _m_old, old_live = self._replay(version)
         meta, cur_live = self._replay(cur_v)
         self._guard_plain_table(meta, cur_live, "restore")
+        # the TARGET snapshot must be plain too: republishing DV adds
+        # would render the restore's CDC from raw physical rows
+        # (ignoring tombstones) and wedge later DML behind the guard
+        self._guard_plain_table(_m_old, old_live, "restore target")
         missing = [
             p
             for p in old_live

@@ -665,6 +665,23 @@ _MANIFEST_V2_FULL_SCHEMA = {
 }
 
 
+def _publish_metadata(path: str, meta: dict) -> int:
+    """Write the next vN.metadata.json + version-hint — the one
+    metadata-publish sequence every snapshot/rollback/expire commit
+    shares. Returns the published version number."""
+    meta_dir = os.path.join(path, "metadata")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    with open(hint) as fh:
+        version = int(fh.read().strip())
+    with open(
+        os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w"
+    ) as fh:
+        json.dump(meta, fh)
+    with open(hint, "w") as fh:
+        fh.write(str(version + 1))
+    return version + 1
+
+
 def _stage_parquet(spark: SparkSession, path: str, df) -> str:
     """Write df as ONE parquet file under <table>/data; return its path."""
     import shutil
@@ -738,15 +755,7 @@ def _commit_snapshot(
         }
     ]
     meta["current-snapshot-id"] = new_snap_id
-    hint = os.path.join(meta_dir, "version-hint.text")
-    with open(hint) as fh:
-        version = int(fh.read().strip())
-    with open(
-        os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w"
-    ) as fh:
-        json.dump(meta, fh)
-    with open(hint, "w") as fh:
-        fh.write(str(version + 1))
+    _publish_metadata(path, meta)
     return new_snap_id
 
 
@@ -963,15 +972,7 @@ def _commit_position_delete_file(
         }
     ]
     meta["current-snapshot-id"] = new_snap_id
-    hint = os.path.join(meta_dir, "version-hint.text")
-    with open(hint) as fh:
-        version = int(fh.read().strip())
-    with open(
-        os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w"
-    ) as fh:
-        json.dump(meta, fh)
-    with open(hint, "w") as fh:
-        fh.write(str(version + 1))
+    _publish_metadata(path, meta)
     return new_snap_id
 
 
@@ -1851,6 +1852,17 @@ class IcebergTableReader:
         if keep_last < 1:
             raise ValueError("expire_snapshots: keep_last must be >= 1")
         kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+        # the CURRENT snapshot is never expirable (Iceberg's own
+        # contract) — after a rollback() it is not the last in the
+        # list, and expiring it would delete the very state the user
+        # rolled back to while current-snapshot-id dangles
+        cur = meta["current-snapshot-id"]
+        if not any(s["snapshot-id"] == cur for s in kept):
+            cur_snap = next(
+                s for s in expired if s["snapshot-id"] == cur
+            )
+            expired = [s for s in expired if s["snapshot-id"] != cur]
+            kept = [cur_snap] + kept
         if not expired:
             return []
 
@@ -1882,16 +1894,7 @@ class IcebergTableReader:
                 deleted.append(p)
         meta = dict(meta)
         meta["snapshots"] = kept
-        meta_dir = os.path.join(self.path, "metadata")
-        hint = os.path.join(meta_dir, "version-hint.text")
-        with open(hint) as fh:
-            version = int(fh.read().strip())
-        with open(
-            os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w"
-        ) as fh:
-            json.dump(meta, fh)
-        with open(hint, "w") as fh:
-            fh.write(str(version + 1))
+        _publish_metadata(self.path, meta)
         return deleted
 
     def rollback(self, snapshot_id: int) -> int:
@@ -1912,16 +1915,7 @@ class IcebergTableReader:
             )
         meta = dict(meta)
         meta["current-snapshot-id"] = snapshot_id
-        meta_dir = os.path.join(self.path, "metadata")
-        hint = os.path.join(meta_dir, "version-hint.text")
-        with open(hint) as fh:
-            version = int(fh.read().strip())
-        with open(
-            os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w"
-        ) as fh:
-            json.dump(meta, fh)
-        with open(hint, "w") as fh:
-            fh.write(str(version + 1))
+        _publish_metadata(self.path, meta)
         return snapshot_id
 
     def snapshot_at(self, timestamp_ms: int) -> int:

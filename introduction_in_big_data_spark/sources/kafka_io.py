@@ -249,6 +249,14 @@ def read_kafka(spark, bootstrap: str, topic: str):
     return ids.mapInPandas(_scan, _SCHEMA)
 
 
+def high_watermark(bootstrap: str, topic: str, partition: int) -> int:
+    """The partition's log-end offset WITHOUT transferring data: a
+    fetch at a past-the-end offset returns an empty record set plus
+    the high watermark from the response header — O(1) per poll,
+    where fetch(..., 0)[1] would ship and CRC-decode the whole log."""
+    return fetch(bootstrap, topic, partition, 1 << 60)[1]
+
+
 class _KafkaPartition(InputPartition):
     def __init__(self, bootstrap, topic, partition, start, end):
         self.bootstrap = bootstrap
@@ -273,7 +281,7 @@ class KafkaStreamReader(DataSourceStreamReader):
             self._initial = {str(p): 0 for p in range(self.n)}
         else:  # latest
             self._initial = {
-                str(p): fetch(self.bootstrap, self.topic, p, 0)[1]
+                str(p): high_watermark(self.bootstrap, self.topic, p)
                 for p in range(self.n)
             }
 
@@ -282,7 +290,7 @@ class KafkaStreamReader(DataSourceStreamReader):
 
     def latestOffset(self):
         return {
-            str(p): fetch(self.bootstrap, self.topic, p, 0)[1]
+            str(p): high_watermark(self.bootstrap, self.topic, p)
             for p in range(self.n)
         }
 

@@ -30,7 +30,9 @@ from ..functions import kafkaproto as kp
 
 class _Partition:
     def __init__(self):
-        self.batches: list[tuple[int, bytes]] = []  # (base_offset, bytes)
+        # (base_offset, record_count, batch_bytes) — the count is
+        # known at append time, so fetch never re-decodes batches
+        self.batches: list[tuple[int, int, bytes]] = []
         self.next_offset = 0
         self.lock = threading.Lock()
 
@@ -40,30 +42,24 @@ class _Partition:
         producers send baseOffset 0)."""
         with self.lock:
             base = self.next_offset
-            for off, key, value, ts in kp.decode_record_set(record_set):
-                pass  # validates CRC/magic before accepting
+            # decode validates CRC/magic before the broker accepts
             records = kp.decode_record_set(record_set)
             if not records:
                 return base
             rebased = kp.encode_record_batch(
                 base, [(k, v, ts) for _o, k, v, ts in records]
             )
-            self.batches.append((base, rebased))
+            self.batches.append((base, len(records), rebased))
             self.next_offset = base + len(records)
             return base
 
     def fetch(self, offset: int) -> bytes:
         with self.lock:
-            out = b"".join(
+            return b"".join(
                 b
-                for base, b in self.batches
-                if base + self._batch_len(b) > offset
+                for base, n, b in self.batches
+                if base + n > offset
             )
-            return out
-
-    @staticmethod
-    def _batch_len(b: bytes) -> int:
-        return len(kp.decode_record_set(b))
 
     def high_watermark(self) -> int:
         with self.lock:

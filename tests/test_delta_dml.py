@@ -632,3 +632,66 @@ def test_delta_restore_mixed_commit_keeps_cdf_replayable(spark, tmp_path):
     ins = ch.filter("_change_type = 'insert'").count()
     dels = ch.filter("_change_type = 'delete'").count()
     assert ins - dels == 200
+
+
+def test_iceberg_expire_never_expires_current_after_rollback(
+    spark, tmp_path
+):
+    from introduction_in_big_data_spark.sources.iceberg import (
+        IcebergTableReader,
+        create_minimal_table as ice_create,
+    )
+
+    path = str(tmp_path / "t")
+    ice_create(spark, path, _df(spark).select("k", "v"))
+    t = IcebergTableReader(spark, path)
+    first = t.metadata()["current-snapshot-id"]
+    t.delete_where([("k", ">=", 600)])
+    IcebergTableReader(spark, path).rollback(first)
+    t2 = IcebergTableReader(spark, path)
+    t2.expire_snapshots(keep_last=1)
+    # the rolled-back-to (current) snapshot must survive expiration
+    t3 = IcebergTableReader(spark, path)
+    assert t3.read().count() == 1200
+    assert t3.metadata()["current-snapshot-id"] == first
+
+
+def test_delta_restore_refuses_dv_target(spark, tmp_path):
+    from introduction_in_big_data_spark.sources.deltalog import (
+        commit_deletion_vector,
+    )
+
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark).coalesce(1), stats=True)
+    r = DeltaLogReader(spark, path)
+    rel = next(iter(r._replay(0)[1]))
+    commit_deletion_vector(spark, path, rel, [0, 1])  # v1: DV on the file
+    # v2: replace the DV'd file with a plain rewrite so CURRENT is plain
+    survivors = r.read(1)
+    out = str(tmp_path / "plain.parquet")
+    survivors.coalesce(1).write.parquet(out)
+    import os as _os
+
+    f = next(
+        _os.path.join(out, x)
+        for x in _os.listdir(out)
+        if x.endswith(".parquet")
+    )
+    dst = _os.path.join(path, "plain-rewrite.parquet")
+    _os.rename(f, dst)
+    r._publish(
+        2,
+        [
+            {"remove": {"path": rel, "deletionTimestamp": 0,
+                        "dataChange": True}},
+            {"add": {"path": "plain-rewrite.parquet",
+                     "partitionValues": {},
+                     "size": _os.path.getsize(dst),
+                     "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    assert r.read().count() == 1198  # current snapshot is plain
+    with pytest.raises(UnsupportedDeltaFeature, match="restore target"):
+        r.restore(1)  # the DV-carrying version must refuse
+    r.restore(0)  # the plain original restores fine
+    assert r.read().count() == 1200
