@@ -35,7 +35,7 @@ from introduction_in_big_data_spark import plans  # noqa: E402
 from introduction_in_big_data_spark.session import get_spark  # noqa: E402
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = "/tmp/ibd_scale/sf1_v2"  # v2: embeddings now key-shifted too
+OUT = "/tmp/ibd_scale/sf1_v3"  # v3: events now key-shifted too (kafka probe)
 COPIES = 10
 SHIFT = 1_000_000_000  # key shift per copy; far above any real key
 
@@ -48,6 +48,7 @@ KEYED = {
     "part": ["p_partkey"],
     "supplier": ["s_suppkey"],
     "documents": ["doc_id"],
+    "events": ["event_id", "user_id"],
     "embeddings": ["vec_id"],  # copies reuse the vectors; ANN top-k
     # probes keep the ORIGINAL 10-query set (vec_id < 10 exists only in
     # copy 0), so corpus work scales 10x while |Q| stays fixed — the
@@ -134,6 +135,12 @@ PROBE_QUERIES = [
     "iceberg_maintenance_read",  # r5 s3: delete + upsert + compact +
                                # expire — compaction rewrite is the
                                # only O(table) stage, by design
+    "stream_kafka_event_counts",  # r5 s3: wire-protocol round trip —
+                               # Spark-side work is per-partition
+                               # parallel; the pure-Python MiniKafka
+                               # broker (single process, CRC in
+                               # Python) is the expected bottleneck
+                               # and exists only for testing
 ]
 
 
@@ -166,12 +173,6 @@ def build_sf1(spark) -> None:
             df = df.unionByName(p)
         df.write.mode("overwrite").parquet(f"{OUT}/{name}.parquet")
     for name in UNKEYED:
-        load_table(spark, BASE, name).write.mode("overwrite").parquet(
-            f"{OUT}/{name}.parquet"
-        )
-    # events isn't probed; a plain copy keeps load_table's table
-    # list satisfied if a probed query ever needs it
-    for name in ["events"]:
         load_table(spark, BASE, name).write.mode("overwrite").parquet(
             f"{OUT}/{name}.parquet"
         )
