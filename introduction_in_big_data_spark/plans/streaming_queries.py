@@ -735,3 +735,52 @@ def stream_kafka_windowed_counts(spark, sf_dir):
             "event_type",
             "n_events",
         )
+
+
+@register(
+    "stream_iceberg_source_counts",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("streaming", "iceberg", "lakehouse", "interop", "source"),
+)
+def stream_iceberg_source_counts(spark, sf_dir):
+    """Streaming FROM an externally-written Iceberg table
+    (sources/icebergstream.py, round 5 — the Iceberg twin of
+    stream_delta_source_counts, completing the lakehouse streaming
+    matrix): stage documents as a create + two append snapshots, then
+    tail the table with the Spark-4 Python DataSource whose offsets
+    are SNAPSHOT ORDINALS — each micro-batch renders exactly the data
+    files its snapshots appended, computed as a driver-side
+    manifest-walk diff (incremental()'s math, micro-batched), one
+    pyarrow task per file. The cumulative aggregate over the drained
+    stream must hash-match batch SQL over the same rows; snapshots
+    that add delete files or remove data files refuse loudly
+    (tests/test_icebergstream.py)."""
+    from ..sources.iceberg import append_data_snapshot, create_minimal_table
+    from ..sources.icebergstream import register_iceberg_stream
+    from .registry import t
+
+    import tempfile
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="iceberg_stream_") + "/t"
+    create_minimal_table(spark, path, docs.filter("doc_id % 3 = 0"))
+    append_data_snapshot(spark, path, docs.filter("doc_id % 3 = 1"), sequence=1)
+    append_data_snapshot(spark, path, docs.filter("doc_id % 3 = 2"), sequence=2)
+    register_iceberg_stream(spark)
+    s = (
+        spark.readStream.format("iceberg_stream")
+        .option("path", path)
+        .option("startingSnapshotIndex", "0")
+        .load()
+    )
+    agg = s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return st.run_to_memory(agg, "complete", state_partitions=4)

@@ -1,0 +1,198 @@
+"""Streaming source over an EXTERNALLY-WRITTEN Iceberg table — the
+Iceberg twin of sources/deltastream.py, completing the lakehouse
+streaming matrix (LAKEHOUSE.md), built on Spark 4's Python DataSource
+stream API.
+
+Offsets are SNAPSHOT ORDINALS (position in the metadata's snapshot
+list — Iceberg's own commit order): micro-batch (start, end] emits
+exactly the data files the in-range snapshots ADDED, computed as a
+manifest-walk set diff against the previous snapshot — the same math
+as IcebergTableReader.incremental, micro-batched. One input partition
+per file; Iceberg data files carry ALL columns (unlike Delta's
+hive-partitioned layout), so the worker read is a plain pyarrow scan
+with no partition-value reconstruction.
+
+Append-only contract, enforced loudly per snapshot: a snapshot that
+adds delete files (position or equality) or removes data files
+REFUSES — streaming row-level changes from a merge-on-read table
+would mis-render them (Delta's own streaming-source stance, applied
+to Iceberg's artifacts). Compaction REPLACE snapshots also refuse on
+this path: their rewrites re-emit rows by construction.
+
+Worker-side code is stdlib+pyarrow only; the Avro manifest walks
+(which need functions/avrocodec) run DRIVER-side in
+initialOffset/latestOffset/partitions via lazy imports, so shipping
+this module by value never drags the codec into the workers.
+
+Usage:
+    register_iceberg_stream(spark)
+    (spark.readStream.format("iceberg_stream")
+         .option("path", "/path/to/table")
+         .option("startingSnapshotIndex", "0")  # replay history
+         .load())
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+def _pkg():
+    """Import the package's iceberg reader from ANY process: Spark
+    runs DataSource.schema()/streamReader() in a separate Python
+    planner process whose sys.path may not include the repo. This
+    module travels by value (register_iceberg_stream), so its
+    __file__ points at the repo on the shared filesystem — derive the
+    root from it and import by absolute name. (The worker-side read()
+    path never needs this: it is stdlib + pyarrow.)"""
+    import importlib
+    import sys
+
+    try:
+        return importlib.import_module(
+            "introduction_in_big_data_spark.sources.iceberg"
+        )
+    except ModuleNotFoundError:
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        if root not in sys.path:
+            sys.path.insert(0, root)
+        return importlib.import_module(
+            "introduction_in_big_data_spark.sources.iceberg"
+        )
+
+
+def _meta(path: str) -> dict:
+    meta_dir = os.path.join(path, "metadata")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    with open(hint) as fh:
+        v = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        return json.load(fh)
+
+
+def _spark_schema(path: str):
+    """Driver-side: the table's Spark schema via the package reader
+    (importable on the driver; never called in workers)."""
+    return _pkg().IcebergTableReader._schema_struct(_meta(path))
+
+
+class _IcebergFilePartition(InputPartition):
+    def __init__(self, path: str, columns: list[str]):
+        self.path = path
+        self.columns = columns
+
+
+class IcebergStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("iceberg_stream requires .option('path', ...)")
+        meta = _meta(self.path)
+        self._columns = [f.name for f in _spark_schema(self.path).fields]
+        si = options.get("startingSnapshotIndex")
+        n_snaps = len(meta.get("snapshots", []))
+        # offset = number of snapshots CONSUMED (ordinal high-water)
+        self._initial = (
+            {"idx": int(si)} if si is not None else {"idx": n_snaps}
+        )
+
+    def initialOffset(self):
+        return self._initial
+
+    def latestOffset(self):
+        return {"idx": len(_meta(self.path).get("snapshots", []))}
+
+    def _files_of(self, snapshot) -> tuple[set, list, list]:
+        """Driver-side manifest walk (lazy package import)."""
+
+        class _Shim:
+            path = self.path
+            spark = None
+
+        data, pos, eq = _pkg().IcebergTableReader._live_files(
+            _Shim(), snapshot
+        )
+        return ({p for p, _ in data}, pos, eq)
+
+    def partitions(self, start, end):
+        i0, i1 = int(start["idx"]), int(end["idx"])
+        snaps = _meta(self.path).get("snapshots", [])
+        out: list[_IcebergFilePartition] = []
+        prev_data, prev_pos, prev_eq = (
+            self._files_of(snaps[i0 - 1]) if i0 > 0 else (set(), [], [])
+        )
+        for i in range(i0, i1):
+            data, pos, eq = self._files_of(snaps[i])
+            if len(pos) > len(prev_pos) or len(eq) > len(prev_eq):
+                raise ValueError(
+                    f"iceberg_stream: snapshot index {i} adds row-level "
+                    "delete files; only append-only tables stream"
+                )
+            removed = prev_data - data
+            if removed:
+                raise ValueError(
+                    f"iceberg_stream: snapshot index {i} removes "
+                    f"{len(removed)} data file(s) (overwrite/REPLACE); "
+                    "only append-only tables stream"
+                )
+            for p in sorted(data - prev_data):
+                out.append(_IcebergFilePartition(p, self._columns))
+            prev_data, prev_pos, prev_eq = data, pos, eq
+        return out
+
+    def read(self, partition: _IcebergFilePartition):
+        # worker side: stdlib + pyarrow only
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.path)
+        names = set(table.column_names)
+        n = table.num_rows
+        cols = [
+            table.column(c).to_pylist() if c in names else [None] * n
+            for c in partition.columns
+        ]
+        yield from zip(*cols)
+
+    def commit(self, end):
+        pass  # offsets are durable snapshot ordinals
+
+
+class IcebergStreamDataSource(DataSource):
+    """spark.readStream.format("iceberg_stream")."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_stream"
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("iceberg_stream requires .option('path', ...)")
+        return _spark_schema(path)
+
+    def streamReader(self, schema) -> IcebergStreamReader:
+        return IcebergStreamReader(self.options)
+
+
+def register_iceberg_stream(spark) -> None:
+    """Register as `iceberg_stream`; ships this module by value (its
+    worker path is stdlib+pyarrow; the manifest walks lazy-import the
+    package DRIVER-side only)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    try:
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:  # pragma: no cover
+        pass
+    spark.dataSource.register(IcebergStreamDataSource)

@@ -1,0 +1,91 @@
+"""Streaming source over externally-written Iceberg tables
+(sources/icebergstream.py): snapshot-ordinal offsets, append-diff
+batches, loud refusal of delete/REPLACE snapshots."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from introduction_in_big_data_spark.sources.iceberg import (
+    IcebergTableReader,
+    append_data_snapshot,
+    create_minimal_table,
+)
+from introduction_in_big_data_spark.sources.icebergstream import (
+    register_iceberg_stream,
+)
+from introduction_in_big_data_spark.streaming import stream as st
+
+
+def _df(spark, lo=0, hi=300):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+
+
+def _load(spark, path, **opts):
+    register_iceberg_stream(spark)
+    r = spark.readStream.format("iceberg_stream").option("path", path)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_full_replay_matches_batch(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark, 0, 200))
+    append_data_snapshot(spark, path, _df(spark, 200, 260), sequence=1)
+    append_data_snapshot(spark, path, _df(spark, 260, 300), sequence=2)
+    s = _load(spark, path, startingSnapshotIndex="0")
+    out = st.run_to_memory(
+        s.groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+        ),
+        "complete",
+        state_partitions=2,
+    )
+    got = out.collect()[0]
+    batch = IcebergTableReader(spark, path).read().agg(
+        F.count(F.lit(1)), F.sum("v")
+    ).collect()[0]
+    assert (got.n, got.sv) == (batch[0], batch[1]) == (300, 448500)
+
+
+def test_offset_contract_default_tails_new_snapshots(spark, tmp_path):
+    """The offset contract directly: the default initial offset is
+    the CURRENT snapshot ordinal (tail-only), ranges render exactly
+    the in-between snapshots' appended files, empty ranges yield no
+    partitions."""
+    from introduction_in_big_data_spark.sources.icebergstream import (
+        IcebergStreamReader,
+    )
+
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark, 0, 200))
+    r = IcebergStreamReader({"path": path})
+    assert r.initialOffset() == {"idx": 1}  # history skipped
+    append_data_snapshot(spark, path, _df(spark, 200, 230), sequence=1)
+    assert r.latestOffset() == {"idx": 2}
+    parts = r.partitions({"idx": 1}, {"idx": 2})
+    rows = [row for p in parts for row in r.read(p)]
+    assert sorted(k for k, _v in rows) == list(range(200, 230))
+    assert r.partitions({"idx": 2}, {"idx": 2}) == []
+
+
+def test_delete_snapshot_refuses(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark), bounds=True)
+    IcebergTableReader(spark, path).delete_where([("k", ">=", 290)])
+    s = _load(spark, path, startingSnapshotIndex="0")
+    with pytest.raises(Exception, match="delete files|append-only"):
+        st.run_to_memory(s.groupBy().count(), "complete", state_partitions=2)
+
+
+def test_replace_snapshot_refuses(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark))
+    IcebergTableReader(spark, path).compact(target_bytes=1 << 20)
+    s = _load(spark, path, startingSnapshotIndex="0")
+    with pytest.raises(Exception, match="removes|append-only"):
+        st.run_to_memory(s.groupBy().count(), "complete", state_partitions=2)
