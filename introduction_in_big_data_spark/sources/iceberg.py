@@ -1709,7 +1709,11 @@ class IcebergTableReader:
             "overwrite",
         )
 
-    def compact(self, target_bytes: int = 128 << 20) -> int:
+    def compact(
+        self,
+        target_bytes: int = 128 << 20,
+        zorder_by: tuple[str, str] | None = None,
+    ) -> int:
         """Compaction as ONE REPLACE snapshot — Iceberg's
         `rewrite_data_files` + `rewrite_position_delete_files` in a
         single commit: read the current snapshot (all position/
@@ -1721,6 +1725,10 @@ class IcebergTableReader:
         (time travel intact) until expire_snapshots reclaims them.
         Column bounds recompute for the new files when the table
         carried them (file skipping keeps working after compaction).
+        `zorder_by=(x, y)` additionally CLUSTERS the rewrite on the
+        z-curve of two columns (Iceberg's rewrite_data_files
+        sort/zorder strategy) — with bounds on, each output file's
+        tight 2-D box makes box predicates prune hard.
         Returns the new snapshot id."""
         import math
         import uuid as _uuidmod
@@ -1735,12 +1743,30 @@ class IcebergTableReader:
         )
         data, _pos, _eq = self._live_files(snapshot)
         df = self.read()  # deletes fold into the rewrite
+        if zorder_by is not None:
+            bad = sorted(set(zorder_by) - set(df.columns))
+            if bad:
+                raise ValueError(
+                    f"zorder_by columns not in the table: {bad}"
+                )
         total = sum(
             os.path.getsize(p) for p, _ in data if os.path.exists(p)
         )
         n_out = max(1, math.ceil(total / target_bytes))
+        if zorder_by is None:
+            packed = df.coalesce(n_out)
+        else:
+            from ..functions.zorder import zorder_key2
+
+            zx, zy = zorder_by
+            packed = (
+                df.withColumn("__zkey", zorder_key2(F.col(zx), F.col(zy)))
+                .repartitionByRange(n_out, "__zkey")
+                .sortWithinPartitions("__zkey")
+                .drop("__zkey")
+            )
         tmp = os.path.join(self.path, f"_compact_{_uuidmod.uuid4().hex}")
-        df.coalesce(n_out).write.parquet(tmp)
+        packed.write.parquet(tmp)
         data_dir = os.path.join(self.path, "data")
         os.makedirs(data_dir, exist_ok=True)
         new_files = []
