@@ -159,3 +159,44 @@ def test_stream_reader_offset_contract():
         rows2 = list(r.read(r.partitions({"0": 1}, {"0": 2})[0]))
         assert [row[1] for row in rows2] == [b"new"]
         assert r.partitions({"0": 3}, {"0": 3}) == []
+
+
+def test_record_batch_property_roundtrip():
+    """Property: arbitrary key/value byte strings (incl. None/empty)
+    and timestamps round-trip through RecordBatch v2 encode/decode
+    with offsets assigned densely from the base."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_
+
+    rec = st_.tuples(
+        st_.one_of(st_.none(), st_.binary(max_size=64)),
+        st_.one_of(st_.none(), st_.binary(max_size=256)),
+        st_.integers(min_value=0, max_value=2**45),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st_.lists(rec, min_size=1, max_size=20),
+        st_.integers(min_value=0, max_value=2**40),
+    )
+    def check(records, base):
+        out = kp.decode_record_set(kp.encode_record_batch(base, records))
+        assert [
+            (o, k, v, t) for o, k, v, t in out
+        ] == [
+            (base + i, k, v, t) for i, (k, v, t) in enumerate(records)
+        ]
+
+    check()
+
+
+def test_varint_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_
+
+    @settings(max_examples=200, deadline=None)
+    @given(st_.integers(min_value=-(2**62), max_value=2**62))
+    def check(v):
+        assert kp.Reader(kp.varint(v)).varint() == v
+
+    check()
