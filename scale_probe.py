@@ -135,6 +135,9 @@ PROBE_QUERIES = [
     "iceberg_maintenance_read",  # r5 s3: delete + upsert + compact +
                                # expire — compaction rewrite is the
                                # only O(table) stage, by design
+    "stream_iceberg_source_counts",  # r5 s3: snapshot-ordinal batches;
+                               # manifest diffs are driver metadata,
+                               # reads are per-file pyarrow tasks
     "stream_kafka_event_counts",  # r5 s3: wire-protocol round trip —
                                # Spark-side work is per-partition
                                # parallel; the pure-Python MiniKafka
