@@ -116,6 +116,8 @@ class AcidTable:
             "schema": schema_json,
             **(meta or {}),
         }
+        if prev.get("cdf"):
+            manifest.setdefault("cdf", True)  # lifetime flag, inherited
         if collect:
             from pyspark.sql import types as T
 
@@ -170,10 +172,15 @@ class AcidTable:
         path: str,
         df: DataFrame,
         stats: bool = False,
+        cdf: bool = False,
     ) -> "AcidTable":
         """`stats=True` turns on per-file statistics maintenance for
         the table's whole lifetime (every later commit inherits the
-        manifest flag) — see _commit and read(predicates=...)."""
+        manifest flag) — see _commit and read(predicates=...).
+        `cdf=True` turns on the CHANGE LOG: merge() and delete()
+        persist their row-level changes as change files so
+        changes_feed() costs O(feed), never O(table) — the Delta-CDF
+        design applied to the engine's own table."""
         t = cls(spark, path)
         os.makedirs(t.log_dir, exist_ok=False)
         os.makedirs(t.data_dir, exist_ok=True)
@@ -183,8 +190,32 @@ class AcidTable:
             "create",
             schema_json=df.schema.json(),
             collect_stats=stats,
+            meta={"cdf": True} if cdf else None,
         )
         return t
+
+    def _cdf_on(self, version: int) -> bool:
+        return bool(self._manifest(version).get("cdf"))
+
+    def _write_change_files(self, cdc_df: DataFrame) -> list[str]:
+        """Persist change rows (table columns + `_change_type`) under
+        `_changes/` — referenced by the commit's `change_files`,
+        never by `files` (they are feed artifacts, not table data).
+        Zero-row part files are dropped."""
+        import pyarrow.parquet as pq
+
+        out = os.path.join(self.path, "_changes", uuid.uuid4().hex)
+        cdc_df.write.mode("errorifexists").parquet(out)
+        kept = []
+        for f in sorted(os.listdir(out)):
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(out, f)
+            if pq.ParquetFile(full).metadata.num_rows == 0:
+                os.remove(full)
+            else:
+                kept.append(full)
+        return kept
 
     def append(self, df: DataFrame) -> int:
         v = self.latest_version()
@@ -345,6 +376,95 @@ class AcidTable:
         )
         return out.unionByName(pre)
 
+    def changes_feed(self, v_from: int, v_to: int) -> DataFrame:
+        """The CHANGE LOG read — row-level changes committed in
+        versions (v_from, v_to], tagged `_change_type` +
+        `_commit_version`, at cost O(feed volume): per commit,
+        persisted change files (merge/delete under `create(cdf=True)`)
+        are the complete description; create/append commits derive
+        inserts from their NEW data files and overwrite commits derive
+        deletes+inserts from the swapped file sets (files are
+        immutable until vacuum); optimize is invisible; merge/delete
+        commits written with the change log OFF refuse loudly.
+
+        Complements `changes(key, v0, v1)` (the snapshot-diff CDF): the
+        diff form needs no log but scans BOTH snapshots — O(table);
+        this form never touches the table. Feeds operators/ivm.py."""
+        from pyspark.sql import types as T
+
+        frames: list[DataFrame] = []
+        prev_files = set(self._manifest(v_from)["files"]) if v_from >= 0 else set()
+        for v in range(v_from + 1, v_to + 1):
+            m = self._manifest(v)
+            schema = T.StructType.fromJson(json.loads(m["schema"]))
+            files = set(m["files"])
+            op = m["op"]
+            parts: list[DataFrame] = []
+            if op == "optimize":
+                pass  # pure layout: invisible to the feed
+            elif m.get("change_files"):
+                cdc_schema = T.StructType(
+                    schema.fields
+                    + [T.StructField("_change_type", T.StringType())]
+                )
+                parts.append(
+                    self.spark.read.schema(cdc_schema).parquet(
+                        *m["change_files"]
+                    )
+                )
+            elif op in ("create", "append"):
+                new = sorted(files - prev_files)
+                if new:
+                    parts.append(
+                        self.spark.read.schema(schema)
+                        .parquet(*new)
+                        .withColumn("_change_type", F.lit("insert"))
+                    )
+            elif op == "overwrite":
+                old = sorted(prev_files - files)
+                new = sorted(files - prev_files)
+                if old:
+                    parts.append(
+                        self.spark.read.schema(schema)
+                        .parquet(*old)
+                        .withColumn("_change_type", F.lit("delete"))
+                    )
+                if new:
+                    parts.append(
+                        self.spark.read.schema(schema)
+                        .parquet(*new)
+                        .withColumn("_change_type", F.lit("insert"))
+                    )
+            elif files == prev_files:
+                pass  # no-op commit (e.g. delete that matched nothing)
+            else:
+                raise ValueError(
+                    f"changes_feed: version {v} ({op}) rewrites files "
+                    "without change files — create the table with "
+                    "cdf=True to keep the log"
+                )
+            prev_files = files
+            for p in parts:
+                frames.append(p.withColumn("_commit_version", F.lit(v)))
+        if not frames:
+            schema = T.StructType.fromJson(
+                json.loads(self._manifest(v_to)["schema"])
+            )
+            return self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    schema.fields
+                    + [
+                        T.StructField("_change_type", T.StringType()),
+                        T.StructField("_commit_version", T.IntegerType()),
+                    ]
+                ),
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     def history(self) -> list[dict]:
         return [
             {k: m[k] for k in ("version", "op", "ts")} | {"n_files": len(m["files"])}
@@ -391,22 +511,47 @@ class AcidTable:
         # Read hit files through the MANIFEST schema, not file schemas:
         # after add_column evolution, pre-evolution files project the
         # new column as NULL instead of breaking the union.
+        hit_all = None
         if hit:
             from pyspark.sql import types as T
 
             schema = T.StructType.fromJson(json.loads(self._manifest(v)["schema"]))
-            hit_df = self.spark.read.schema(schema).parquet(*hit).join(
-                F.broadcast(keys), key, "left_anti"
-            )
+            hit_all = self.spark.read.schema(schema).parquet(*hit)
+            hit_df = hit_all.join(F.broadcast(keys), key, "left_anti")
             rewritten = hit_df.unionByName(updates)
         else:
             rewritten = updates
+        meta = {"rewrote_files": len(hit), "carried_files": 0}
+        if self._cdf_on(v):
+            # change log: matched old rows are update_preimages, their
+            # source rows update_postimages, unmatched sources inserts
+            if hit_all is not None:
+                pre = hit_all.join(F.broadcast(keys), key, "left_semi")
+                matched = pre.select(key).distinct()
+                cdc = (
+                    pre.withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                    .unionByName(
+                        updates.join(
+                            F.broadcast(matched), key, "left_semi"
+                        ).withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+                    .unionByName(
+                        updates.join(
+                            F.broadcast(matched), key, "left_anti"
+                        ).withColumn("_change_type", F.lit("insert"))
+                    )
+                )
+            else:
+                cdc = updates.withColumn("_change_type", F.lit("insert"))
+            meta["change_files"] = self._write_change_files(cdc)
         carried = [f for f in self._manifest(v)["files"] if f not in set(hit)]
+        meta["carried_files"] = len(carried)
         new_files = self._write_data_files(rewritten)
-        return self._commit(
-            v + 1, carried + new_files, "merge",
-            {"rewrote_files": len(hit), "carried_files": len(carried)},
-        )
+        return self._commit(v + 1, carried + new_files, "merge", meta)
 
     def delete(self, condition: str) -> int:
         """DELETE WHERE condition — rewrites only files containing
@@ -422,16 +567,22 @@ class AcidTable:
         from pyspark.sql import types as T
 
         schema = T.StructType.fromJson(json.loads(self._manifest(v)["schema"]))
-        survivors = (
-            self.spark.read.schema(schema).parquet(*hit)
-            .filter(f"NOT ({condition})")
-        )
+        # SQL DELETE removes rows where the predicate is TRUE; rows
+        # where it evaluates NULL survive (NOT(NULL) is NULL and would
+        # be filtered out of the survivors, silently deleting them)
+        hit_all = self.spark.read.schema(schema).parquet(*hit)
+        survivors = hit_all.filter(f"NOT coalesce(({condition}), false)")
+        meta = {"rewrote_files": len(hit), "carried_files": 0}
+        if self._cdf_on(v):
+            meta["change_files"] = self._write_change_files(
+                hit_all.filter(condition).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            )
         carried = [f for f in self._manifest(v)["files"] if f not in set(hit)]
+        meta["carried_files"] = len(carried)
         new_files = self._write_data_files(survivors)
-        return self._commit(
-            v + 1, carried + new_files, "delete",
-            {"rewrote_files": len(hit), "carried_files": len(carried)},
-        )
+        return self._commit(v + 1, carried + new_files, "delete", meta)
 
     # -- maintenance --------------------------------------------------------
 

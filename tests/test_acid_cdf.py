@@ -1,0 +1,100 @@
+"""AcidTable CHANGE LOG (create(cdf=True) + changes_feed): row-level
+change history at O(feed) cost — merge/delete persist change files,
+append/create/overwrite derive from file-set diffs, optimize is
+invisible, log-less rewrites refuse. Plus the NULL-predicate DELETE
+regression (rows where the condition evaluates NULL must survive)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from introduction_in_big_data_spark.operators import ivm
+from introduction_in_big_data_spark.sources.acidtable import AcidTable
+
+
+def _df(spark, lo=0, hi=400):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).cast("int").alias("g"),
+        (F.col("id") * 10).alias("v"),
+    )
+
+
+def test_changes_feed_matches_snapshot_diff_through_dml(spark, tmp_path):
+    table = AcidTable.create(
+        spark, str(tmp_path / "t"), _df(spark), cdf=True
+    )
+    v0 = table.latest_version()
+    table.merge(
+        _df(spark, 390, 420).select("k", "g", (F.col("v") * 3).alias("v")),
+        "k",
+    )
+    table.delete("k < 25")
+    table.append(_df(spark, 1000, 1040))
+    table.optimize(target_bytes=1 << 20)
+    v1 = table.latest_version()
+    feed = table.changes_feed(v0, v1)
+    # the feed's signed IVM fold must equal a full recompute
+    view = ivm.initial_view(table.read(v0), ["g"], ["v"]).localCheckpoint()
+    maintained = ivm.apply_delta(
+        view,
+        ivm.aggregate_delta(feed, ["g"], ["v"]),
+        ["g"],
+        ["v"],
+    )
+    expect = sorted(
+        (x.g, x.n_rows, x.sum_v)
+        for x in ivm.initial_view(table.read(v1), ["g"], ["v"]).collect()
+    )
+    got = sorted((x.g, x.n_rows, x.sum_v) for x in maintained.collect())
+    assert got == expect
+    # per-commit tags: merge emits pre/post/insert, delete deletes,
+    # append inserts, optimize nothing
+    tags = {
+        (r._commit_version, r._change_type)
+        for r in feed.select("_commit_version", "_change_type")
+        .distinct()
+        .collect()
+    }
+    assert (v0 + 1, "update_preimage") in tags
+    assert (v0 + 1, "update_postimage") in tags
+    assert (v0 + 1, "insert") in tags  # keys 400-419 are new
+    assert (v0 + 2, "delete") in tags
+    assert (v0 + 3, "insert") in tags
+    assert not any(cv == v0 + 4 for cv, _t in tags)  # optimize invisible
+
+
+def test_changes_feed_refuses_logless_rewrites(spark, tmp_path):
+    table = AcidTable.create(spark, str(tmp_path / "t"), _df(spark))
+    v0 = table.latest_version()
+    table.delete("k < 10")  # cdf off: rewrite without change files
+    with pytest.raises(ValueError, match="cdf=True"):
+        table.changes_feed(v0, table.latest_version()).count()
+
+
+def test_changes_feed_overwrite_derives_both_sides(spark, tmp_path):
+    table = AcidTable.create(
+        spark, str(tmp_path / "t"), _df(spark, 0, 100), cdf=True
+    )
+    v0 = table.latest_version()
+    table.overwrite(_df(spark, 50, 120))
+    feed = table.changes_feed(v0, table.latest_version())
+    assert feed.filter("_change_type = 'delete'").count() == 100
+    assert feed.filter("_change_type = 'insert'").count() == 70
+    # no-op delete commits nothing to the feed
+    table.delete("k > 100000")
+    assert table.changes_feed(v0 + 1, table.latest_version()).count() == 0
+
+
+def test_delete_null_condition_rows_survive(spark, tmp_path):
+    base = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 50.0)], "k long, x double"
+    )
+    table = AcidTable.create(spark, str(tmp_path / "t"), base, cdf=True)
+    v0 = table.latest_version()
+    table.delete("x < 10.0")
+    got = {r.k for r in table.read().collect()}
+    assert got == {2, 3}  # the NULL row survives (SQL semantics)
+    feed = table.changes_feed(v0, table.latest_version())
+    assert {r.k for r in feed.collect()} == {1}  # feed agrees
