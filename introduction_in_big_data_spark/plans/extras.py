@@ -2124,13 +2124,17 @@ def incremental_mv_maintenance(spark, sf_dir):
     """Incremental MATERIALIZED-VIEW maintenance (operators/ivm.py,
     round 5): materialize a grouped count/sum view of an ACID table
     ONCE, then keep it consistent through a MERGE (re-priced +
-    inserted orders) and a DELETE using only the table's change feed
-    (AcidTable.changes with preimages=True — Delta CDF's full row
-    set): insert/update_postimage rows add, delete/update_preimage
-    rows subtract, groups reaching count 0 leave the view. The base
-    table is scanned exactly once, at materialization — every
-    maintenance step costs ∝ the change batch, the only viable shape
-    for a standing aggregate over a 100 TB streamed-into table. Sums
+    inserted orders) and a DELETE using only the table's CHANGE LOG
+    (create(cdf=True) + changes_feed — merge/delete persist their
+    row-level changes at commit time, so the feed read is O(feed),
+    never O(table)): insert/update_postimage rows add,
+    delete/update_preimage rows subtract, groups reaching count 0
+    leave the view. The base table is scanned exactly once, at
+    materialization — every maintenance step costs ∝ the change
+    batch, the only viable shape for a standing aggregate over a
+    100 TB streamed-into table. The snapshot-diff form
+    (AcidTable.changes(preimages=True)) remains for tables without a
+    log and is pinned equivalent by tests/test_acid_cdf.py. Sums
     ride an exact integer cents column so the incremental total is
     bit-identical to the oracle's full recompute over the final
     state."""
@@ -2145,7 +2149,7 @@ def incremental_mv_maintenance(spark, sf_dir):
         (F.col("o_totalprice") * 100 + 0.5).cast("long").alias("o_cents"),
     )
     path = tempfile.mkdtemp(prefix="ivm_mv_") + "/t"
-    table = AcidTable.create(spark, path, base)
+    table = AcidTable.create(spark, path, base, cdf=True)
     v0 = table.latest_version()
     view = ivm.initial_view(
         table.read(v0), ["o_orderpriority"], ["o_cents"]
@@ -2168,7 +2172,7 @@ def incremental_mv_maintenance(spark, sf_dir):
     table.merge(source, "o_orderkey")
     table.delete("o_orderkey % 89 = 0")
     v1 = table.latest_version()
-    changes = table.changes("o_orderkey", v0, v1, preimages=True)
+    changes = table.changes_feed(v0, v1)
     delta = ivm.aggregate_delta(changes, ["o_orderpriority"], ["o_cents"])
     return ivm.apply_delta(view, delta, ["o_orderpriority"], ["o_cents"])
 
