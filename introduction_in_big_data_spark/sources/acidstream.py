@@ -48,9 +48,17 @@ _LAYOUT_OPS = {"optimize"}
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, columns: list[str]):
+    def __init__(
+        self,
+        path: str,
+        columns: list[str],
+        change_type: str | None = None,  # CDF: constant tag, or
+        commit_version: int | None = None,  # None = read from the file
+    ):
         self.path = path
         self.columns = columns
+        self.change_type = change_type
+        self.commit_version = commit_version
 
 
 class AcidTableStreamReader(DataSourceStreamReader):
@@ -61,6 +69,9 @@ class AcidTableStreamReader(DataSourceStreamReader):
         self.log_dir = os.path.join(self.path.rstrip("/"), "_log")
         self.ignore_changes = (
             str(options.get("ignoreChanges", "false")).lower() == "true"
+        )
+        self.read_change_feed = (
+            str(options.get("readChangeFeed", "false")).lower() == "true"
         )
         # Delta's startingVersion: replay all commits from this version
         # INCLUSIVE (deterministic backfill-from-a-version). Without
@@ -103,8 +114,57 @@ class AcidTableStreamReader(DataSourceStreamReader):
     def latestOffset(self):
         return {"version": self._latest()}
 
+    def _cdf_partitions(self, v0: int, v1: int) -> list:
+        """readChangeFeed=true: the table's CHANGE LOG as a stream —
+        persisted change files (create(cdf=True)) are the complete
+        per-commit description; append/create commits render their
+        new files as inserts, overwrite commits both sides; layout
+        commits are invisible; log-less rewrites refuse. Mirrors
+        AcidTable.changes_feed, micro-batched."""
+        out: list[_FilePartition] = []
+        cdc_cols = self._columns + ["_change_type"]
+        for v in range(v0 + 1, v1 + 1):
+            m = self._manifest(v)
+            prev = set() if v == 0 else set(self._manifest(v - 1)["files"])
+            files = set(m["files"])
+            op = m.get("op", "")
+            if op in _LAYOUT_OPS:
+                continue
+            if m.get("change_files"):
+                out.extend(
+                    _FilePartition(f, cdc_cols, None, v)
+                    for f in m["change_files"]
+                )
+                continue
+            if op in _APPEND_OPS:
+                out.extend(
+                    _FilePartition(f, self._columns, "insert", v)
+                    for f in sorted(files - prev)
+                )
+                continue
+            if op == "overwrite":
+                out.extend(
+                    _FilePartition(f, self._columns, "delete", v)
+                    for f in sorted(prev - files)
+                )
+                out.extend(
+                    _FilePartition(f, self._columns, "insert", v)
+                    for f in sorted(files - prev)
+                )
+                continue
+            if files == prev:
+                continue  # no-op commit
+            raise ValueError(
+                f"commit {v} ({op}) rewrites files without change "
+                "files — create the table with cdf=True to stream "
+                "its change feed"
+            )
+        return out
+
     def partitions(self, start, end):
         v0, v1 = int(start["version"]), int(end["version"])
+        if self.read_change_feed:
+            return self._cdf_partitions(v0, v1)
         out: list[_FilePartition] = []
         for v in range(v0 + 1, v1 + 1):
             m = self._manifest(v)
@@ -137,7 +197,18 @@ class AcidTableStreamReader(DataSourceStreamReader):
             table.column(c).to_pylist() if c in names else [None] * table.num_rows
             for c in partition.columns
         ]
-        yield from zip(*cols)
+        if partition.commit_version is None:
+            yield from zip(*cols)
+        elif partition.change_type is None:
+            # CDF change file: _change_type is the last column already
+            for row in zip(*cols):
+                yield row + (partition.commit_version,)
+        else:
+            for row in zip(*cols):
+                yield row + (
+                    partition.change_type,
+                    partition.commit_version,
+                )
 
     def commit(self, end):
         pass  # offsets are durable table versions; nothing to ack
@@ -161,9 +232,23 @@ class AcidTableStreamDataSource(DataSource):
         )
         with open(os.path.join(log_dir, f"{vs[-1]:08d}.json")) as fh:
             schema_json = json.load(fh)["schema"]
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import (
+            IntegerType,
+            StringType,
+            StructField,
+            StructType,
+        )
 
-        return StructType.fromJson(json.loads(schema_json))
+        out = StructType.fromJson(json.loads(schema_json))
+        if str(self.options.get("readChangeFeed", "false")).lower() == "true":
+            out = StructType(
+                out.fields
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", IntegerType()),
+                ]
+            )
+        return out
 
     def streamReader(self, schema) -> AcidTableStreamReader:
         return AcidTableStreamReader(self.options)

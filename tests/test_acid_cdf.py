@@ -98,3 +98,75 @@ def test_delete_null_condition_rows_survive(spark, tmp_path):
     assert got == {2, 3}  # the NULL row survives (SQL semantics)
     feed = table.changes_feed(v0, table.latest_version())
     assert {r.k for r in feed.collect()} == {1}  # feed agrees
+
+
+def test_cdf_stream_matches_batch_feed(spark, tmp_path):
+    from introduction_in_big_data_spark.sources.acidstream import (
+        AcidTableStreamDataSource,
+    )
+    from introduction_in_big_data_spark.streaming import stream as st
+
+    path = str(tmp_path / "t")
+    table = AcidTable.create(spark, path, _df(spark), cdf=True)
+    v0 = table.latest_version()
+    table.merge(
+        _df(spark, 395, 410).select("k", "g", (F.col("v") + 1).alias("v")),
+        "k",
+    )
+    table.delete("k < 20")
+    table.append(_df(spark, 2000, 2030))
+    v1 = table.latest_version()
+    try:
+        spark.dataSource.register(AcidTableStreamDataSource)
+    except Exception:
+        pass
+    s = (
+        spark.readStream.format("acid_table_stream")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", str(v0 + 1))
+        .load()
+    )
+    streamed = st.run_to_memory(
+        s.groupBy("_change_type", "_commit_version").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+        ),
+        "complete",
+        state_partitions=2,
+    )
+    batch = (
+        table.changes_feed(v0, v1)
+        .groupBy("_change_type", "_commit_version")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    )
+    key = lambda x: (x._change_type, x._commit_version)  # noqa: E731
+    got = sorted((key(x), x.n, x.sv) for x in streamed.collect())
+    want = sorted((key(x), x.n, x.sv) for x in batch.collect())
+    assert got == want and len(got) >= 4
+
+
+def test_cdf_stream_refuses_logless_rewrites(spark, tmp_path):
+    import pytest as _pt
+
+    from introduction_in_big_data_spark.sources.acidstream import (
+        AcidTableStreamDataSource,
+    )
+    from introduction_in_big_data_spark.streaming import stream as st
+
+    path = str(tmp_path / "t")
+    table = AcidTable.create(spark, path, _df(spark))  # cdf off
+    v0 = table.latest_version()
+    table.delete("k < 10")
+    try:
+        spark.dataSource.register(AcidTableStreamDataSource)
+    except Exception:
+        pass
+    s = (
+        spark.readStream.format("acid_table_stream")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", str(v0 + 1))
+        .load()
+    )
+    with _pt.raises(Exception, match="cdf=True"):
+        st.run_to_memory(s.groupBy().count(), "complete", state_partitions=2)
