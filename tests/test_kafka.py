@@ -200,3 +200,38 @@ def test_varint_property_roundtrip():
         assert kp.Reader(kp.varint(v)).varint() == v
 
     check()
+
+
+def test_streaming_into_kafka_foreachbatch(spark, tmp_path):
+    """Kafka as a STREAMING SINK: a file stream drains into the
+    broker via foreachBatch(write_kafka), and the topic's content
+    equals the staged input — the write half of the queue round
+    trip."""
+    base = spark.range(0, 120).select(
+        F.col("id").alias("k"), F.concat(F.lit("m"), F.col("id")).alias("m")
+    )
+    src = str(tmp_path / "in")
+    base.repartitionByRange(4, "k").write.parquet(src)
+    with MiniKafka(partitions=2) as broker:
+        bs = broker.bootstrap
+        stream = (
+            spark.readStream.schema("k long, m string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _id: kio.write_kafka(
+                    df, bs, "out", key_col="k", value_col="m"
+                )
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        back = kio.read_kafka(spark, bs, "out")
+        got = sorted(
+            (int(r.key.decode()), r.value.decode()) for r in back.collect()
+        )
+        assert got == [(i, f"m{i}") for i in range(120)]
