@@ -235,3 +235,18 @@ def test_streaming_into_kafka_foreachbatch(spark, tmp_path):
             (int(r.key.decode()), r.value.decode()) for r in back.collect()
         )
         assert got == [(i, f"m{i}") for i in range(120)]
+
+
+def test_partial_trailing_batch_tolerated():
+    """The wire legally truncates the LAST batch in a fetch response
+    at max_bytes; the decoder must return the complete batches and
+    ignore the partial tail (consumers re-fetch from the next
+    offset)."""
+    b1 = kp.encode_record_batch(0, [(None, b"a", 1), (None, b"b", 2)])
+    b2 = kp.encode_record_batch(2, [(None, b"c", 3)])
+    whole = b1 + b2
+    # cut inside the second batch
+    cut = whole[: len(b1) + 13]
+    out = kp.decode_record_set(cut)
+    assert [(o, v) for o, _k, v, _t in out] == [(0, b"a"), (1, b"b")]
+    assert len(kp.decode_record_set(whole)) == 3
