@@ -54,6 +54,40 @@ def zorder_key2(x: Column, y: Column, bits: int = 16) -> Column:
     return z_interleave16(x.bitwiseAND(F.lit(mask)), y.bitwiseAND(F.lit(mask)))
 
 
+def pack_zorder(df, n_out: int, cols: tuple[str, str]):
+    """Cluster `df` on the z-curve of two columns for an OPTIMIZE
+    ZORDER-style rewrite: each column is first RANGE-MAPPED onto the
+    16-bit grid zorder_key2 requires (min/max from one tiny aggregate;
+    raw values wider than 16 bits would wrap under the mask and turn
+    the clustering into noise — the documented caller contract, now
+    enforced here once for every maintenance path), then rows
+    range-partition into `n_out` z-ordered output partitions. Shared
+    by AcidTable.optimize, DeltaLogReader.optimize and
+    IcebergTableReader.compact."""
+    x, y = cols
+    lo_x, hi_x, lo_y, hi_y = df.agg(
+        F.min(x), F.max(x), F.min(y), F.max(y)
+    ).collect()[0]
+
+    def grid(c: Column, lo, hi) -> Column:
+        if lo is None or hi is None or hi == lo:
+            return F.lit(0)
+        span = float(hi - lo)
+        return F.floor(
+            (c.cast("double") - F.lit(float(lo))) / F.lit(span) * 65535
+        ).cast("long")
+
+    return (
+        df.withColumn(
+            "__zkey",
+            zorder_key2(grid(F.col(x), lo_x, hi_x), grid(F.col(y), lo_y, hi_y)),
+        )
+        .repartitionByRange(n_out, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )
+
+
 def spread16_sql(expr: str) -> str:
     """The same _spread16 arithmetic as ANSI SQL text (DuckDB oracle
     twin) — keep in lockstep with _SPREAD_ROUNDS."""

@@ -47,6 +47,30 @@ _APPEND_OPS = {"create", "append"}
 _LAYOUT_OPS = {"optimize"}
 
 
+def _pkg_feed_actions():
+    """Import acidtable.feed_actions from ANY process: the stream
+    reader's partitions() may run in Spark's Python planner process,
+    whose sys.path need not include the repo — derive the root from
+    this module's own __file__ (shipped by value / shared FS)."""
+    import importlib
+    import sys
+
+    try:
+        mod = importlib.import_module(
+            "introduction_in_big_data_spark.sources.acidtable"
+        )
+    except ModuleNotFoundError:
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        if root not in sys.path:
+            sys.path.insert(0, root)
+        mod = importlib.import_module(
+            "introduction_in_big_data_spark.sources.acidtable"
+        )
+    return mod.feed_actions
+
+
 class _FilePartition(InputPartition):
     def __init__(
         self,
@@ -115,50 +139,21 @@ class AcidTableStreamReader(DataSourceStreamReader):
         return {"version": self._latest()}
 
     def _cdf_partitions(self, v0: int, v1: int) -> list:
-        """readChangeFeed=true: the table's CHANGE LOG as a stream —
-        persisted change files (create(cdf=True)) are the complete
-        per-commit description; append/create commits render their
-        new files as inserts, overwrite commits both sides; layout
-        commits are invisible; log-less rewrites refuse. Mirrors
-        AcidTable.changes_feed, micro-batched."""
+        """readChangeFeed=true: the table's CHANGE LOG as a stream,
+        micro-batched. The per-commit decision tree is
+        acidtable.feed_actions — ONE implementation shared with the
+        batch changes_feed so the two feeds cannot drift."""
+        feed_actions = _pkg_feed_actions()
         out: list[_FilePartition] = []
         cdc_cols = self._columns + ["_change_type"]
         for v in range(v0 + 1, v1 + 1):
             m = self._manifest(v)
             prev = set() if v == 0 else set(self._manifest(v - 1)["files"])
-            files = set(m["files"])
-            op = m.get("op", "")
-            if op in _LAYOUT_OPS:
-                continue
-            if m.get("change_files"):
-                out.extend(
-                    _FilePartition(f, cdc_cols, None, v)
-                    for f in m["change_files"]
-                )
-                continue
-            if op in _APPEND_OPS:
-                out.extend(
-                    _FilePartition(f, self._columns, "insert", v)
-                    for f in sorted(files - prev)
-                )
-                continue
-            if op == "overwrite":
-                out.extend(
-                    _FilePartition(f, self._columns, "delete", v)
-                    for f in sorted(prev - files)
-                )
-                out.extend(
-                    _FilePartition(f, self._columns, "insert", v)
-                    for f in sorted(files - prev)
-                )
-                continue
-            if files == prev:
-                continue  # no-op commit
-            raise ValueError(
-                f"commit {v} ({op}) rewrites files without change "
-                "files — create the table with cdf=True to stream "
-                "its change feed"
-            )
+            for tag, f in feed_actions(m, prev):
+                if tag == "cdc":
+                    out.append(_FilePartition(f, cdc_cols, None, v))
+                else:
+                    out.append(_FilePartition(f, self._columns, tag, v))
         return out
 
     def partitions(self, start, end):

@@ -49,6 +49,38 @@ class CommitConflict(Exception):
     concurrency loser). Re-read the table and retry the operation."""
 
 
+def feed_actions(m: dict, prev_files: set) -> list[tuple[str, str]]:
+    """ONE commit's change feed as (tag, path) pairs: 'cdc' = a
+    persisted change file (carries its own `_change_type` column),
+    'insert'/'delete' = a data file rendered with that constant tag.
+    Layout commits and no-ops yield []; merge/delete commits written
+    without the change log refuse loudly. The single decision tree
+    SHARED by AcidTable.changes_feed (batch) and acid_table_stream's
+    readChangeFeed mode (micro-batched) so the two feeds cannot
+    drift. Note `"change_files" in m`, not truthiness: a no-op merge
+    on a cdf table legitimately records change_files=[] and must
+    render as an empty feed, not a refusal."""
+    files = set(m["files"])
+    op = m.get("op", "")
+    if op == "optimize":
+        return []  # pure layout: invisible to the feed
+    if "change_files" in m:
+        return [("cdc", f) for f in m["change_files"]]
+    if op in ("create", "append"):
+        return [("insert", f) for f in sorted(files - prev_files)]
+    if op == "overwrite":
+        return [("delete", f) for f in sorted(prev_files - files)] + [
+            ("insert", f) for f in sorted(files - prev_files)
+        ]
+    if files == prev_files:
+        return []  # no-op commit (e.g. a delete that matched nothing)
+    raise ValueError(
+        f"change feed: version {m.get('version')} ({op}) rewrites "
+        "files without change files — create the table with cdf=True "
+        "to keep the log"
+    )
+
+
 class AcidTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -397,53 +429,28 @@ class AcidTable:
         for v in range(v_from + 1, v_to + 1):
             m = self._manifest(v)
             schema = T.StructType.fromJson(json.loads(m["schema"]))
-            files = set(m["files"])
-            op = m["op"]
+            cdc_schema = T.StructType(
+                schema.fields
+                + [T.StructField("_change_type", T.StringType())]
+            )
+            by_tag: dict[str, list[str]] = {}
+            for tag, f in feed_actions(m, prev_files):
+                by_tag.setdefault(tag, []).append(f)
             parts: list[DataFrame] = []
-            if op == "optimize":
-                pass  # pure layout: invisible to the feed
-            elif m.get("change_files"):
-                cdc_schema = T.StructType(
-                    schema.fields
-                    + [T.StructField("_change_type", T.StringType())]
-                )
+            if by_tag.get("cdc"):
                 parts.append(
                     self.spark.read.schema(cdc_schema).parquet(
-                        *m["change_files"]
+                        *by_tag["cdc"]
                     )
                 )
-            elif op in ("create", "append"):
-                new = sorted(files - prev_files)
-                if new:
+            for tag in ("delete", "insert"):
+                if by_tag.get(tag):
                     parts.append(
                         self.spark.read.schema(schema)
-                        .parquet(*new)
-                        .withColumn("_change_type", F.lit("insert"))
+                        .parquet(*by_tag[tag])
+                        .withColumn("_change_type", F.lit(tag))
                     )
-            elif op == "overwrite":
-                old = sorted(prev_files - files)
-                new = sorted(files - prev_files)
-                if old:
-                    parts.append(
-                        self.spark.read.schema(schema)
-                        .parquet(*old)
-                        .withColumn("_change_type", F.lit("delete"))
-                    )
-                if new:
-                    parts.append(
-                        self.spark.read.schema(schema)
-                        .parquet(*new)
-                        .withColumn("_change_type", F.lit("insert"))
-                    )
-            elif files == prev_files:
-                pass  # no-op commit (e.g. delete that matched nothing)
-            else:
-                raise ValueError(
-                    f"changes_feed: version {v} ({op}) rewrites files "
-                    "without change files — create the table with "
-                    "cdf=True to keep the log"
-                )
-            prev_files = files
+            prev_files = set(m["files"])
             for p in parts:
                 frames.append(p.withColumn("_commit_version", F.lit(v)))
         if not frames:
@@ -462,7 +469,11 @@ class AcidTable:
             )
         out = frames[0]
         for f in frames[1:]:
-            out = out.unionByName(f)
+            # allowMissingColumns: a range spanning add_column schema
+            # evolution unions pre- and post-evolution frames — the
+            # missing column projects as NULL, matching both the
+            # snapshot-diff changes() and the streaming twin
+            out = out.unionByName(f, allowMissingColumns=True)
         return out
 
     def history(self) -> list[dict]:
@@ -634,15 +645,9 @@ class AcidTable:
         if zorder_by is None:
             packed = df.coalesce(n_out)
         else:
-            from ..functions.zorder import zorder_key2
+            from ..functions.zorder import pack_zorder
 
-            x, y = zorder_by
-            packed = (
-                df.withColumn("__zkey", zorder_key2(F.col(x), F.col(y)))
-                .repartitionByRange(n_out, "__zkey")
-                .sortWithinPartitions("__zkey")
-                .drop("__zkey")
-            )
+            packed = pack_zorder(df, n_out, zorder_by)
         new_files = self._write_data_files(packed)
         return self._commit(
             v + 1,

@@ -2120,17 +2120,9 @@ class DeltaLogReader:
             if zorder_by is None:
                 packed = scan.coalesce(n_out)
             else:
-                from ..functions.zorder import zorder_key2
+                from ..functions.zorder import pack_zorder
 
-                zx, zy = zorder_by
-                packed = (
-                    scan.withColumn(
-                        "__zkey", zorder_key2(F.col(zx), F.col(zy))
-                    )
-                    .repartitionByRange(n_out, "__zkey")
-                    .sortWithinPartitions("__zkey")
-                    .drop("__zkey")
-                )
+                packed = pack_zorder(scan, n_out, zorder_by)
             out_dir = os.path.join(self.path, f"_optimize_{uuid4().hex}")
             packed.write.mode("errorifexists").parquet(out_dir)
             new_files = sorted(

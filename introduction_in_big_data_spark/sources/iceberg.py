@@ -1756,15 +1756,9 @@ class IcebergTableReader:
         if zorder_by is None:
             packed = df.coalesce(n_out)
         else:
-            from ..functions.zorder import zorder_key2
+            from ..functions.zorder import pack_zorder
 
-            zx, zy = zorder_by
-            packed = (
-                df.withColumn("__zkey", zorder_key2(F.col(zx), F.col(zy)))
-                .repartitionByRange(n_out, "__zkey")
-                .sortWithinPartitions("__zkey")
-                .drop("__zkey")
-            )
+            packed = pack_zorder(df, n_out, zorder_by)
         tmp = os.path.join(self.path, f"_compact_{_uuidmod.uuid4().hex}")
         packed.write.parquet(tmp)
         data_dir = os.path.join(self.path, "data")

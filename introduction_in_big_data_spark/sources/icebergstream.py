@@ -3,8 +3,12 @@ Iceberg twin of sources/deltastream.py, completing the lakehouse
 streaming matrix (LAKEHOUSE.md), built on Spark 4's Python DataSource
 stream API.
 
-Offsets are SNAPSHOT ORDINALS (position in the metadata's snapshot
-list — Iceberg's own commit order): micro-batch (start, end] emits
+Offsets are durable SNAPSHOT IDS ({"sid": N}; sid 0 = before any
+snapshot) — positions in the snapshot list would be silently
+re-numbered by expire_snapshots, breaking checkpoint recovery, so the
+checkpointed thing is the id and the position is resolved per batch
+(a checkpointed id that has since been EXPIRED refuses loudly rather
+than mis-aligning). Micro-batch (start, end] emits
 exactly the data files the in-range snapshots ADDED, computed as a
 manifest-walk set diff against the previous snapshot — the same math
 as IcebergTableReader.incremental, micro-batched. One input partition
@@ -99,17 +103,38 @@ class IcebergStreamReader(DataSourceStreamReader):
         meta = _meta(self.path)
         self._columns = [f.name for f in _spark_schema(self.path).fields]
         si = options.get("startingSnapshotIndex")
-        n_snaps = len(meta.get("snapshots", []))
-        # offset = number of snapshots CONSUMED (ordinal high-water)
-        self._initial = (
-            {"idx": int(si)} if si is not None else {"idx": n_snaps}
-        )
+        snaps = meta.get("snapshots", [])
+        # offset = the snapshot-ID consumed up to (0 = nothing yet);
+        # durable across expire_snapshots, unlike a list position
+        if si is None:
+            sid = snaps[-1]["snapshot-id"] if snaps else 0
+        else:
+            i = int(si)
+            sid = snaps[i - 1]["snapshot-id"] if i > 0 else 0
+        self._initial = {"sid": sid}
 
     def initialOffset(self):
         return self._initial
 
     def latestOffset(self):
-        return {"idx": len(_meta(self.path).get("snapshots", []))}
+        snaps = _meta(self.path).get("snapshots", [])
+        return {"sid": snaps[-1]["snapshot-id"] if snaps else 0}
+
+    @staticmethod
+    def _pos_after(snaps, sid: int) -> int:
+        """Number of snapshots consumed when `sid` was the last one.
+        A checkpointed id missing from the metadata was expired —
+        refuse rather than silently mis-align the replay."""
+        if sid == 0:
+            return 0
+        for i, s in enumerate(snaps):
+            if s["snapshot-id"] == sid:
+                return i + 1
+        raise ValueError(
+            f"iceberg_stream: checkpointed snapshot {sid} is no longer "
+            "in the metadata (expire_snapshots passed the stream's "
+            "position); restart the stream from a fresh offset"
+        )
 
     def _files_of(self, snapshot) -> tuple[set, list, list]:
         """Driver-side manifest walk (lazy package import)."""
@@ -124,15 +149,22 @@ class IcebergStreamReader(DataSourceStreamReader):
         return ({p for p, _ in data}, pos, eq)
 
     def partitions(self, start, end):
-        i0, i1 = int(start["idx"]), int(end["idx"])
         snaps = _meta(self.path).get("snapshots", [])
+        i0 = self._pos_after(snaps, int(start["sid"]))
+        i1 = self._pos_after(snaps, int(end["sid"]))
+        if i0 >= i1:
+            return []  # idle trigger: no manifest walk at all
         out: list[_IcebergFilePartition] = []
         prev_data, prev_pos, prev_eq = (
             self._files_of(snaps[i0 - 1]) if i0 > 0 else (set(), [], [])
         )
         for i in range(i0, i1):
             data, pos, eq = self._files_of(snaps[i])
-            if len(pos) > len(prev_pos) or len(eq) > len(prev_eq):
+            # SET difference, not counts: an external engine may
+            # compact delete files (count shrinks) while adding a new
+            # one — any NEW delete file means rows this source cannot
+            # render correctly
+            if set(pos) - set(prev_pos) or set(eq) - set(prev_eq):
                 raise ValueError(
                     f"iceberg_stream: snapshot index {i} adds row-level "
                     "delete files; only append-only tables stream"

@@ -695,28 +695,3 @@ def test_delta_restore_refuses_dv_target(spark, tmp_path):
         r.restore(1)  # the DV-carrying version must refuse
     r.restore(0)  # the plain original restores fine
     assert r.read().count() == 1200
-
-
-def test_iceberg_compact_zorder_prunes(spark, tmp_path):
-    from introduction_in_big_data_spark.sources.iceberg import (
-        IcebergTableReader,
-        create_minimal_table as ice_create,
-    )
-
-    path = str(tmp_path / "t")
-    base = spark.range(0, 20000).select(
-        (F.col("id") * 48271 % 1201).cast("int").alias("x"),
-        (F.col("id") * 16807 % 1201).cast("int").alias("y"),
-        (F.col("id") * 1.0).alias("v"),
-    ).repartition(8)
-    ice_create(spark, path, base, bounds=True)
-    t = IcebergTableReader(spark, path)
-    before = sorted((r.x, r.y, r.v) for r in t.read().collect())
-    with pytest.raises(ValueError, match="not in the table"):
-        t.compact(zorder_by=("zzz", "x"))
-    t.compact(target_bytes=16 << 10, zorder_by=("x", "y"))
-    t2 = IcebergTableReader(spark, path)
-    assert sorted((r.x, r.y, r.v) for r in t2.read().collect()) == before
-    # the z-order payoff is metadata-visible via manifest bounds
-    t2.read(predicates=[("x", "<=", 150), ("y", "<=", 150)])
-    assert t2.last_scan["skipped_files"] > 0

@@ -63,14 +63,24 @@ def test_offset_contract_default_tails_new_snapshots(spark, tmp_path):
 
     path = str(tmp_path / "t")
     create_minimal_table(spark, path, _df(spark, 0, 200))
+    t = IcebergTableReader(spark, path)
+    sid1 = t.metadata()["current-snapshot-id"]
     r = IcebergStreamReader({"path": path})
-    assert r.initialOffset() == {"idx": 1}  # history skipped
+    assert r.initialOffset() == {"sid": sid1}  # history skipped
     append_data_snapshot(spark, path, _df(spark, 200, 230), sequence=1)
-    assert r.latestOffset() == {"idx": 2}
-    parts = r.partitions({"idx": 1}, {"idx": 2})
+    sid2 = IcebergTableReader(spark, path).metadata()[
+        "current-snapshot-id"
+    ]
+    assert r.latestOffset() == {"sid": sid2}
+    parts = r.partitions({"sid": sid1}, {"sid": sid2})
     rows = [row for p in parts for row in r.read(p)]
     assert sorted(k for k, _v in rows) == list(range(200, 230))
-    assert r.partitions({"idx": 2}, {"idx": 2}) == []
+    assert r.partitions({"sid": sid2}, {"sid": sid2}) == []
+    # an expired checkpointed id refuses instead of mis-aligning
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no longer"):
+        r.partitions({"sid": 999999}, {"sid": sid2})
 
 
 def test_delete_snapshot_refuses(spark, tmp_path):
