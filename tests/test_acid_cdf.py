@@ -170,3 +170,40 @@ def test_cdf_stream_refuses_logless_rewrites(spark, tmp_path):
     )
     with _pt.raises(Exception, match="cdf=True"):
         st.run_to_memory(s.groupBy().count(), "complete", state_partitions=2)
+
+
+def test_empty_merge_does_not_poison_the_feed(spark, tmp_path):
+    """A no-op merge on a cdf table records change_files=[] — the
+    feed must render it as EMPTY, not refuse the range forever."""
+    table = AcidTable.create(
+        spark, str(tmp_path / "t"), _df(spark, 0, 50), cdf=True
+    )
+    v0 = table.latest_version()
+    table.merge(
+        spark.createDataFrame([], "k long, g int, v long"), "k"
+    )
+    table.append(_df(spark, 1000, 1010))
+    feed = table.changes_feed(v0, table.latest_version())
+    assert feed.count() == 10
+    assert {r._change_type for r in feed.collect()} == {"insert"}
+
+
+def test_changes_feed_spans_schema_evolution(spark, tmp_path):
+    """A feed range crossing add_column unions pre- and
+    post-evolution frames; the new column reads as NULL on the
+    before side (matching the snapshot-diff CDF and the stream)."""
+    table = AcidTable.create(
+        spark, str(tmp_path / "t"), _df(spark, 0, 30), cdf=True
+    )
+    v0 = table.latest_version()
+    table.append(_df(spark, 100, 110))
+    table.add_column("extra", "integer")
+    table.append(
+        spark.createDataFrame(
+            [(200, 1, 5, 7)], "k long, g int, v long, extra integer"
+        )
+    )
+    feed = table.changes_feed(v0, table.latest_version())
+    assert feed.count() == 11
+    assert feed.filter("k = 200").collect()[0].extra == 7
+    assert feed.filter("k = 105").collect()[0].extra is None

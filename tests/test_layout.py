@@ -146,3 +146,27 @@ def test_compact_files_respects_target_size(spark, sf_dir, tmp_path):
     # target (bounded above by input file count)
     assert res["after"]["n_files"] == want
     assert res["after"]["rows"] == res["before"]["rows"]
+
+
+def test_pack_zorder_grid_maps_wide_values(spark, tmp_path):
+    """Columns wider than 16 bits must RANGE-MAP onto the Morton grid:
+    raw values would wrap under the mask and the 'clustering' would
+    be noise. Verified by the payoff: after pack_zorder on key-like
+    values in the millions, per-file bounding boxes are tight enough
+    that a corner box predicate prunes files."""
+    from pyspark.sql import functions as F
+
+    from introduction_in_big_data_spark.functions.zorder import pack_zorder
+    from introduction_in_big_data_spark.sources.acidtable import AcidTable
+
+    base = spark.range(0, 20000).select(
+        (F.col("id") * 48271 % 1201 * 1_000_000).alias("x"),  # wide
+        (F.col("id") * 16807 % 1201 * 1_000_000).alias("y"),
+        (F.col("id") * 1.0).alias("v"),
+    ).repartition(8)
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, stats=True)
+    t.optimize(target_bytes=16 << 10, zorder_by=("x", "y"))
+    t.read(
+        predicates=[("x", "<=", 150_000_000), ("y", "<=", 150_000_000)]
+    )
+    assert t.last_scan["skipped_files"] > 0
