@@ -784,3 +784,106 @@ def stream_iceberg_source_counts(spark, sf_dir):
         F.sum("n_chars").alias("total_chars"),
     )
     return st.run_to_memory(agg, "complete", state_partitions=4)
+
+
+@register(
+    "stream_acid_cdf_feed",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS o_cents
+            FROM orders
+        ),
+        src AS (
+            SELECT o_orderkey,
+                   '0-MERGED' AS o_orderpriority,
+                   o_cents * 3 AS o_cents
+            FROM base WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, '9-NEW', o_cents
+            FROM base WHERE o_orderkey % 101 = 0
+        ),
+        m AS (
+            SELECT o_orderkey, o_orderpriority, o_cents FROM base
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+            UNION ALL
+            SELECT * FROM src
+        ),
+        feed AS (
+            SELECT 'update_preimage' AS _change_type, o_cents
+            FROM base WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT 'update_postimage', o_cents
+            FROM src WHERE o_orderpriority = '0-MERGED'
+            UNION ALL
+            SELECT 'insert', o_cents
+            FROM src WHERE o_orderpriority = '9-NEW'
+            UNION ALL
+            SELECT 'delete', o_cents
+            FROM m WHERE o_orderpriority = '3-MEDIUM'
+        )
+        SELECT _change_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(o_cents) AS BIGINT) AS sum_o_cents
+        FROM feed
+        GROUP BY _change_type
+    """,
+    tags=("streaming", "acid", "cdf", "incremental"),
+)
+def stream_acid_cdf_feed(spark, sf_dir):
+    """STREAMING the AcidTable's CHANGE LOG (acid_table_stream
+    readChangeFeed=true, round 5 — the engine-table twin of
+    stream_delta_cdf_feed): stage orders in an AcidTable with the
+    change log on (create(cdf=True)), push a MERGE (re-priced +
+    inserted orders — the commit persists update_preimage/
+    update_postimage/insert rows as change files) and a DELETE
+    (change files of the removed rows) through it, then tail the
+    table's feed as a stream whose micro-batches render each commit's
+    persisted change files as-is. The per-change-type aggregate over
+    the drained stream must hash-match a full SQL replay of both DML
+    steps — the batch twin (AcidTable.changes_feed) shares the SAME
+    feed_actions dispatch, so batch and stream cannot drift by
+    construction."""
+    import tempfile
+
+    from ..sources.acidstream import register_acid_stream
+    from ..sources.acidtable import AcidTable
+    from . import cdf_fixture as _cdf
+
+    base = _cdf.cents_base(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="acid_cdf_stream_") + "/t"
+    table = AcidTable.create(
+        spark, path, base.repartitionByRange(8, "o_orderkey"), cdf=True
+    )
+    v0 = table.latest_version()
+    source = (
+        base.filter("o_orderkey % 97 = 0")
+        .select(
+            "o_orderkey",
+            F.lit("0-MERGED").alias("o_orderpriority"),
+            (F.col("o_cents") * 3).alias("o_cents"),
+        )
+        .unionByName(
+            base.filter("o_orderkey % 101 = 0").select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit("9-NEW").alias("o_orderpriority"),
+                "o_cents",
+            )
+        )
+    )
+    table.merge(source, "o_orderkey")
+    table.delete("o_orderpriority = '3-MEDIUM'")
+    register_acid_stream(spark)
+    s = (
+        spark.readStream.format("acid_table_stream")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", str(v0 + 1))
+        .load()
+    )
+    agg = s.groupBy("_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_cents").alias("sum_o_cents"),
+    )
+    return st.run_to_memory(agg, "complete", state_partitions=4)

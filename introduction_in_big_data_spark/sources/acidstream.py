@@ -247,3 +247,21 @@ class AcidTableStreamDataSource(DataSource):
 
     def streamReader(self, schema) -> AcidTableStreamReader:
         return AcidTableStreamReader(self.options)
+
+
+def register_acid_stream(spark) -> None:
+    """Register as `acid_table_stream`, shipping this module BY VALUE
+    (stdlib+pyarrow; the shared feed dispatch lazy-imports acidtable
+    with a path derived from this module's own __file__) so Spark's
+    planner process and an external driver's workers can unpickle the
+    source without the package on their sys.path — same policy as
+    deltastream/icebergstream/kafka_io."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    try:
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:  # pragma: no cover
+        pass
+    spark.dataSource.register(AcidTableStreamDataSource)
