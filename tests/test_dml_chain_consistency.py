@@ -164,3 +164,33 @@ def test_random_dml_chain_matches_model_and_feed(spark, tmp_path):
         )
         got_replica = {x.k: (x.p, x.v) for x in replica.collect()}
         assert got_replica == model, f"seed {seed}: replica diverged"
+
+        # 4. the CDF STREAM renders the same feed as batch changes()
+        # across the arbitrary chain (per-commit per-tag aggregates)
+        from introduction_in_big_data_spark.sources.deltastream import (
+            register_delta_stream,
+        )
+        from introduction_in_big_data_spark.streaming import stream as st
+
+        register_delta_stream(spark)
+        streamed = st.run_to_memory(
+            (
+                spark.readStream.format("delta_stream")
+                .option("path", r.path)
+                .option("readChangeFeed", "true")
+                .option("startingVersion", str(v0 + 1))
+                .load()
+                .groupBy("_commit_version", "_change_type")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+            ),
+            "complete",
+            state_partitions=2,
+        )
+        batch = (
+            ch.groupBy("_commit_version", "_change_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        )
+        skey = lambda x: (x._commit_version, x._change_type)  # noqa: E731
+        got_s = sorted((skey(x), x.n, x.sv) for x in streamed.collect())
+        want_s = sorted((skey(x), x.n, x.sv) for x in batch.collect())
+        assert got_s == want_s, f"seed {seed}: CDF stream diverged"
