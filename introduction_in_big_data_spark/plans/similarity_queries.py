@@ -85,18 +85,89 @@ def ann_nn_join(spark, sf_dir):
     return similarity.nearest_neighbor_join(t(spark, sf_dir, "embeddings"))
 
 
-@register("ann_lsh_topk", oracle=None, tags=("similarity", "ann", "lsh"))
+# Recall floors for the witness booleans. Measured recalls at
+# sf0.001/0.01/0.1 (fixed seeds, fixed data): LSH ~0.5-0.8, IVF
+# nprobe=4/16 ~0.9-1.0; floors sit at half the weakest observed so
+# the boolean flags broken machinery, not sketch variance.
+LSH_RECALL_FLOOR = 0.25
+IVF_RECALL_FLOOR = 0.5
+
+
+def topk_recall_witness(queries_df, exact, approx, floor, id_col="vec_id"):
+    """Contract witness for an approximate top-k (VERDICT r5 item 1):
+    one row (n_queries, recall_ok) where recall_ok asserts
+    |approx ∩ exact| >= floor * |exact| over (query_id, neighbor_id)
+    pairs. The exact side is recomputed in-plan (brute force over the
+    small query set — O(|Q|·n), linear in the corpus), so the DuckDB
+    oracle only needs the query count plus TRUE."""
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    totals = exact.agg(F.count(F.lit(1)).alias("_exact"))
+    n_q = queries_df.agg(F.countDistinct(id_col).alias("n_queries"))
+    return n_q.crossJoin(hits).crossJoin(totals).select(
+        "n_queries",
+        (
+            F.col("_hits").cast("double")
+            >= F.lit(floor) * F.col("_exact").cast("double")
+        ).alias("recall_ok"),
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+    tags=("similarity", "ann", "lsh"),
+)
 def ann_lsh_topk(spark, sf_dir):
-    """Banded random-hyperplane LSH top-5 (rows-only driver check —
-    recall vs brute force is property-tested in
-    tests/test_similarity.py)."""
+    """Banded random-hyperplane LSH top-5, driver-checked as a recall
+    contract witness: the production matmul-banded kernel runs in-plan
+    against the exact brute-force top-5 and must recover >= the floor
+    of true neighbors; the emitted (n_queries, recall_ok) row is
+    hash-checked against DuckDB (which agrees on the query count and
+    asserts TRUE). Bucket membership itself stays SQL-checked via
+    `ann_lsh_topk_repro`; per-seed recall is property-tested in
+    tests/test_dedup_similarity.py."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return similarity.lsh_topk(emb, queries, TOPK, DIM)
+    exact = similarity.brute_force_topk(emb, queries, TOPK)
+    approx = similarity.lsh_topk(emb, queries, TOPK, DIM)
+    return topk_recall_witness(queries, exact, approx, LSH_RECALL_FLOOR)
+
+
+NEAR_DUP_PROBES = 200  # probe ids for the witness's exact side
+NEAR_DUP_RECALL_FLOOR = 0.1  # half the weakest measured probe recall
 
 
 @register(
     "embedding_near_dup_lsh",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))) AS norm
+            FROM embeddings
+        ),
+        p AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM v a JOIN v b
+              ON a.vec_id < b.vec_id AND a.vec_id < {NEAR_DUP_PROBES}
+            WHERE round(list_inner_product(a.e, b.e) / (a.norm * b.norm), 6)
+                  >= 0.4
+        )
+        SELECT CAST(count(*) AS BIGINT) AS probe_pairs,
+               TRUE AS subset_ok, TRUE AS recall_ok
+        FROM p
+    """,
     tags=("similarity", "dedup", "ann"),
     bench=True,
 )
@@ -104,13 +175,61 @@ def embedding_near_dup_lsh(spark, sf_dir):
     """LSH-banded near-dup pairs (sim >= 0.4) — the DEFAULT near-dup
     entry point and bench headline (VERDICT r1 item 3); the exact
     O(n²) `embedding_near_dup` crossJoin stays registered as the
-    oracle-only baseline. Band-bucket equi-join candidates, exact
-    cosine re-check. Rows-only for the driver (bucket membership is
-    not SQL-expressible); tests/test_dedup_similarity.py proves the
-    output is a subset of the exact pairs with identical sims and
-    bounds its recall."""
+    oracle-checked baseline. Band-bucket equi-join candidates, exact
+    cosine re-check. Driver-checked as a contract witness (VERDICT r5
+    item 1): bucket membership is not SQL-expressible, but the pair
+    set's subset + recall contracts are — the exact pair set restricted
+    to probe ids (min(vec_a) < {NEAR_DUP_PROBES}: O(P·n), linear in the
+    corpus, so the witness stays bench-safe) is recomputed in-plan, and
+    the emitted row asserts (a) every LSH pair over a probe id is a
+    true >= 0.4 pair (subset), (b) LSH recovered >= the floor of the
+    exact probe pairs (recall). DuckDB agrees on the exact probe-pair
+    count and asserts both booleans. Full-set subset/recall stays
+    property-tested in tests/test_dedup_similarity.py; the bucketed
+    machinery is hash-checked via `embedding_near_dup_lsh_repro`."""
+    from ..operators.similarity import cosine, with_norm
+
     emb = t(spark, sf_dir, "embeddings")
-    return similarity.lsh_near_dup_pairs(emb, threshold=0.4, dim=DIM)
+    lsh_pairs = similarity.lsh_near_dup_pairs(emb, threshold=0.4, dim=DIM)
+
+    probes = with_norm(emb.filter(F.col("vec_id") < NEAR_DUP_PROBES)).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("_v").alias("va"),
+        F.col("_norm").alias("na"),
+    )
+    corpus = with_norm(emb).select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("_v").alias("vb"),
+        F.col("_norm").alias("nb"),
+    )
+    exact_probe = (
+        F.broadcast(probes)
+        .crossJoin(corpus)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "sim", cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+        )
+        .filter(F.col("sim") >= 0.4)
+        .select("vec_a", "vec_b")
+    )
+    lsh_probe = lsh_pairs.filter(F.col("vec_a") < NEAR_DUP_PROBES).select(
+        "vec_a", "vec_b"
+    )
+    stray = lsh_probe.join(exact_probe, ["vec_a", "vec_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("_stray")
+    )
+    hits = lsh_probe.join(exact_probe, ["vec_a", "vec_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("_hits")
+    )
+    totals = exact_probe.agg(F.count(F.lit(1)).alias("probe_pairs"))
+    return totals.crossJoin(stray).crossJoin(hits).select(
+        "probe_pairs",
+        (F.col("_stray") == 0).alias("subset_ok"),
+        (
+            F.col("_hits").cast("double")
+            >= F.lit(NEAR_DUP_RECALL_FLOOR) * F.col("probe_pairs").cast("double")
+        ).alias("recall_ok"),
+    )
 
 
 NEAR_DUP_THRESHOLD = 0.4

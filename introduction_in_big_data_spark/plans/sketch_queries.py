@@ -1,8 +1,14 @@
 """Sketch / approximate queries (A14-A15). xxhash64/Datasketches have
-no DuckDB twins, so these are rows-only for the driver; the real
-correctness gates are the error-bound property tests in
-tests/test_sketch.py (exact-vs-approx pairing the reference implies
-but never checks — SURVEY.md §5 item 4).
+no DuckDB twins, so every registered query here is a CONTRACT WITNESS
+(VERDICT r5 item 1): the sketch estimate itself is not SQL-expressible,
+but its error contract is a boolean both engines must agree on — the
+Spark side recomputes the exact value next to the estimate and emits
+`ok` booleans; the DuckDB oracle computes the same exact value and
+asserts TRUE. A broken sketch flips a boolean and fails the value
+hash. Raw-estimate forms live on as operators (operators/sketch.py),
+exercised by the error-bound property tests in tests/test_sketch.py
+(exact-vs-approx pairing the reference implies but never checks —
+SURVEY.md §5 item 4).
 """
 
 from __future__ import annotations
@@ -13,27 +19,93 @@ from ..operators import sketch
 from .registry import register, t
 
 
-@register("sketch_approx_distinct_users", oracle=None, tags=("sketch", "approx"))
+# Tolerance for the witness booleans: 5 sigma for HLL++ at rsd=0.02,
+# comfortably >6 sigma for the lgK=12 Datasketches default — the same
+# bound sketch_hll_vs_exact has held driver-green since r3.
+_HLL_RSD = 0.02
+_HLL_TOL = 5 * _HLL_RSD
+
+
+def _within(est, exact, tol=_HLL_TOL):
+    return F.abs(est.cast("double") - exact) <= F.lit(tol) * exact
+
+
+@register(
+    "sketch_approx_distinct_users",
+    oracle="""
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+               TRUE AS hllpp_ok
+        FROM events
+    """,
+    tags=("sketch", "approx"),
+)
 def sketch_approx_distinct_users(spark, sf_dir):
-    """HLL++ distinct users next to the exact count — the exact/approx
-    pairing as one DataFrame."""
+    """HLL++ distinct users as a contract witness: the estimate rides
+    through operators/sketch.approx_distinct, the exact count rides
+    next to it, and the emitted row is (exact, |est-exact| <= 5*rsd*
+    exact) — hash-checkable because DuckDB agrees on the exact count
+    and asserts the boolean TRUE (VERDICT r5 item 1; the raw estimate
+    stays property-tested in tests/test_sketch.py)."""
     e = t(spark, sf_dir, "events")
-    approx = sketch.approx_distinct(e, "user_id", rsd=0.02)
+    approx = sketch.approx_distinct(e, "user_id", rsd=_HLL_RSD)
     exact = e.agg(F.countDistinct("user_id").alias("exact_distinct"))
-    return approx.crossJoin(exact)
+    return exact.crossJoin(approx).select(
+        "exact_distinct",
+        _within(F.col("approx_distinct"), F.col("exact_distinct")).alias("hllpp_ok"),
+    )
 
 
-@register("sketch_hll_by_type", oracle=None, tags=("sketch", "approx"))
+@register(
+    "sketch_hll_by_type",
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+               TRUE AS hll_ok
+        FROM events GROUP BY event_type
+    """,
+    tags=("sketch", "approx"),
+)
 def sketch_hll_by_type(spark, sf_dir):
-    """Per-event-type Datasketches HLL estimates (mergeable state)."""
-    return sketch.hll_estimate_by_group(t(spark, sf_dir, "events"), ["event_type"], "user_id")
+    """Per-event-type Datasketches HLL estimates (mergeable state),
+    witnessed: each group's estimate must land within tolerance of the
+    exact per-type distinct, and the exact counts + booleans hash-match
+    the DuckDB twin."""
+    e = t(spark, sf_dir, "events")
+    est = sketch.hll_estimate_by_group(e, ["event_type"], "user_id")
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        _within(F.col("hll_distinct"), F.col("exact_distinct")).alias("hll_ok"),
+    )
 
 
-@register("sketch_hll_merged", oracle=None, tags=("sketch", "approx"))
+@register(
+    "sketch_hll_merged",
+    oracle="""
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+               TRUE AS merged_ok
+        FROM events
+    """,
+    tags=("sketch", "approx"),
+)
 def sketch_hll_merged(spark, sf_dir):
     """Union of per-type HLL sketches → global estimate without a
-    rescan — the mergeability the reference's in-memory HLL lacks."""
-    return sketch.hll_merged_total(t(spark, sf_dir, "events"), ["event_type"], "user_id")
+    rescan — the mergeability the reference's in-memory HLL lacks —
+    witnessed against the global exact distinct: a broken merge path
+    (double-counting, dropped sketches) lands outside tolerance and
+    flips the boolean."""
+    e = t(spark, sf_dir, "events")
+    merged = sketch.hll_merged_total(e, ["event_type"], "user_id")
+    exact = e.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return exact.crossJoin(merged).select(
+        "exact_distinct",
+        _within(F.col("hll_distinct_total"), F.col("exact_distinct")).alias(
+            "merged_ok"
+        ),
+    )
 
 
 def _cms_oracle(width: int, depth: int) -> str:
@@ -96,16 +168,48 @@ def sketch_cms_event_types(spark, sf_dir):
     return est.join(exact, "event_type")
 
 
-@register("sketch_approx_quantiles", oracle=None, tags=("sketch", "approx"))
+@register(
+    "sketch_approx_quantiles",
+    oracle="""
+        SELECT CAST(count(l_extendedprice) AS BIGINT) AS n,
+               TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+        FROM lineitem
+    """,
+    tags=("sketch", "approx"),
+)
 def sketch_approx_quantiles(spark, sf_dir):
-    """GK-sketch percentiles of lineitem extendedprice."""
+    """GK-sketch percentiles of lineitem extendedprice, witnessed by
+    the sketch's own rank contract: each returned value v must bracket
+    the requested quantile within eps*n ranks — cnt_lt(v) < (q+eps)*n
+    and cnt_le(v) >= (q-eps)*n, both exact integer counts recomputed
+    against the data. Unlike sketch_quantiles_vs_exact (which probes
+    the raw percentile_approx expression), this witness rides through
+    operators/sketch.approx_quantiles — the registered operator is the
+    thing checked."""
+    accuracy = 10000
+    eps = 1.0 / accuracy
+    probs = [0.25, 0.5, 0.75]
     li = t(spark, sf_dir, "lineitem")
-    q = sketch.approx_quantiles(li, "l_extendedprice", [0.25, 0.5, 0.75])
-    return q.select(
-        F.col("quantiles")[0].alias("p25"),
-        F.col("quantiles")[1].alias("p50"),
-        F.col("quantiles")[2].alias("p75"),
-    )
+    q = sketch.approx_quantiles(li, "l_extendedprice", probs, accuracy=accuracy)
+    stats = q.crossJoin(li.agg(F.count("l_extendedprice").alias("n")))
+    probe = li.crossJoin(F.broadcast(stats))
+    c = F.col("l_extendedprice")
+    aggs = [F.first("n").alias("n")]
+    for i in range(len(probs)):
+        v = F.col("quantiles")[i]
+        aggs.append(F.sum((c < v).cast("long")).alias(f"_lt{i}"))
+        aggs.append(F.sum((c <= v).cast("long")).alias(f"_le{i}"))
+    counted = probe.agg(*aggs)
+    out_cols = [F.col("n")]
+    for i, (qp, name) in enumerate(zip(probs, ["p25_ok", "p50_ok", "p75_ok"])):
+        n = F.col("n").cast("double")
+        out_cols.append(
+            (
+                (F.col(f"_lt{i}") < (qp + eps) * n + 1)
+                & (F.col(f"_le{i}") >= (qp - eps) * n - 1)
+            ).alias(name)
+        )
+    return counted.select(*out_cols)
 
 
 @register(

@@ -133,12 +133,27 @@ def embedding_near_dup(spark, sf_dir):
     )
 
 
-@register("ann_ivf_topk", oracle=None, tags=("similarity", "ann", "ivf"))
+@register(
+    "ann_ivf_topk",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < 10
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
 def ann_ivf_topk(spark, sf_dir):
-    """IVF (k-means cells + nprobe) approximate top-5 — rows-only for
-    the driver; recall vs brute force is property-tested."""
-    from ..operators import ivf
+    """IVF (seeded k-means cells + nprobe) approximate top-5,
+    driver-checked as a recall contract witness (VERDICT r5 item 1):
+    the trained-per-run index runs in-plan against the exact
+    brute-force top-5 and must recover >= the floor of true neighbors;
+    DuckDB agrees on (n_queries, TRUE). Cell assignment + probing stay
+    hash-checked via `ann_ivf_topk_fixed`; per-seed recall is
+    property-tested in tests/test_similarity.py."""
+    from ..operators import ivf, similarity
+    from .similarity_queries import IVF_RECALL_FLOOR, topk_recall_witness
 
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf.ivf_topk(emb, queries, 5, n_cells=16, nprobe=4)
+    exact = similarity.brute_force_topk(emb, queries, 5)
+    approx = ivf.ivf_topk(emb, queries, 5, n_cells=16, nprobe=4)
+    return topk_recall_witness(queries, exact, approx, IVF_RECALL_FLOOR)
