@@ -67,7 +67,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # queries each round (regression coverage under prefix sampling). Local
 # verification is unaffected — tests/test_oracle.py and the sweep
 # artifacts always run every query.
-_ROTATION_SALT = "r6"
+_ROTATION_SALT = "r7"
 
 _R1_DRIVER_GREEN = frozenset(
     {
@@ -192,9 +192,20 @@ _R5_DRIVER_GREEN = frozenset(
     }
 )
 
+_R6_DRIVER_GREEN = frozenset(
+    {
+        # The 7 former rows-only approximate queries, driver-green r6
+        # under their new contract-witness oracles (CORRECTNESS_r06:
+        # 50/50 pass, 0 err).
+        "ann_ivf_topk", "ann_lsh_topk", "embedding_near_dup_lsh",
+        "sketch_approx_distinct_users", "sketch_approx_quantiles",
+        "sketch_hll_by_type", "sketch_hll_merged",
+    }
+)
+
 _DRIVER_GREEN = (
     _R1_DRIVER_GREEN | _R2_DRIVER_GREEN | _R3_DRIVER_GREEN
-    | _R4_DRIVER_GREEN | _R5_DRIVER_GREEN
+    | _R4_DRIVER_GREEN | _R5_DRIVER_GREEN | _R6_DRIVER_GREEN
 )
 
 # Queries added in the round-3 continuation sessions, AFTER the older

@@ -55,6 +55,17 @@ CROSS_OK = {
     "text_char_lm_quality",     # 1-row (N, V) scalar gate into the scorer
     "fk_orphan_counts",         # three 1-row scalar counts crossed into one row
     "triangle_count_copurchase",  # 1-row edge stats x 1-row wedge stats
+    # r6 contract-witness queries (VERDICT r6 item 1): each plan is the
+    # operator PLUS its in-plan verification, whose cross joins are the
+    # allowlist's own accepted shapes — 1-row scalar gates and
+    # probe/|Q|-bounded brute-force truth sides (linear in the corpus,
+    # never all-pairs).
+    "sketch_hll_merged",        # 1-row merged-HLL vs exact-distinct gate
+    "sketch_approx_quantiles",  # 1-row rank-contract bound gate
+    "ann_lsh_topk",       # |Q|-bounded (<=10 queries) broadcast brute-force
+    "ann_ivf_topk",       # truth side for the recall witness + 1-row gate
+    "embedding_near_dup_lsh",   # 200-probe broadcast exact check (O(P*n))
+                                # + 1-row subset/recall gates
     # labeled quadratic oracle baselines (scale twins are the defaults)
     "embedding_near_dup",       # exact O(n^2) near-dup; LSH twin is default
     "ann_bruteforce_topk",      # exact top-k truth baseline
