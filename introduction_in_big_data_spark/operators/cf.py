@@ -107,14 +107,26 @@ def user_norms(ratings: DataFrame) -> DataFrame:
     )
 
 
-def user_cosine_similarities(ratings: DataFrame) -> DataFrame:
+def user_cosine_similarities(
+    ratings: DataFrame, broadcast_norms: bool = True
+) -> DataFrame:
     """J5 — all-pairs user cosine similarity as a sparse self-join.
 
     sim(u,v) = Σ_i r_ui·r_vi / (‖r_u‖·‖r_v‖), computed only for pairs
     that co-rate ≥1 item (absent pairs have sim 0 and are never
     materialized — the sparsity win over np.corrcoef's dense matrix).
     Emits both (u,v) and (v,u) so downstream k-NN is a plain window.
-    """
+
+    `broadcast_norms` (default True): the norms frame is two columns
+    bounded by the ACTIVE-user dictionary — orders of magnitude
+    smaller than the pair stream it joins — but it hangs off a
+    checkpoint LogicalRDD whose stats are unknown, so Catalyst plans
+    a sort-merge join that re-shuffles the O(Σ n_i²) pair stream
+    twice (measured ~0.3s of cf_knn_pruned's main job at sf0.1). The
+    hint restores the plan a stats-aware cluster would pick. Set
+    False only when the user dictionary itself is too large to
+    broadcast (≳10⁸ users) — the SMJ fallback is the correct shape
+    there."""
     a = ratings.select(
         F.col("user_id").alias("user_a"),
         F.col("item_id").alias("item_id"),
@@ -132,6 +144,8 @@ def user_cosine_similarities(ratings: DataFrame) -> DataFrame:
         .agg(F.sum(F.col("rating_a") * F.col("rating_b")).alias("dot"))
     )
     norms = user_norms(ratings)
+    if broadcast_norms:
+        norms = F.broadcast(norms)
     na = norms.select(F.col("user_id").alias("user_a"), F.col("norm").alias("norm_a"))
     nb = norms.select(F.col("user_id").alias("user_b"), F.col("norm").alias("norm_b"))
     sims = (
@@ -163,7 +177,10 @@ def user_cosine_similarities(ratings: DataFrame) -> DataFrame:
 
 
 def user_cosine_similarities_pruned(
-    ratings: DataFrame, min_overlap: int = 2, max_item_raters: int | None = None
+    ratings: DataFrame,
+    min_overlap: int = 2,
+    max_item_raters: int | None = None,
+    broadcast_norms: bool = True,
 ) -> DataFrame:
     """The scale variant of user_cosine_similarities (SURVEY.md §4 risk
     #1): prune the quadratic pair stream before it exists.
@@ -205,6 +222,8 @@ def user_cosine_similarities_pruned(
         .filter(F.col("overlap") >= min_overlap)
     )
     norms = user_norms(ratings)  # norms over the FULL ratings, like the exact path
+    if broadcast_norms:
+        norms = F.broadcast(norms)  # see user_cosine_similarities docstring
     na = norms.select(F.col("user_id").alias("user_a"), F.col("norm").alias("norm_a"))
     nb = norms.select(F.col("user_id").alias("user_b"), F.col("norm").alias("norm_b"))
     sims = (

@@ -101,6 +101,14 @@ def _pipeline(spark, sf_dir):
     # entries outlive the call in long driver sessions and match
     # identical plans across separate invocations (ADVICE r2), while
     # checkpoint blocks are private to this plan and GC-freed.
+    # NOTE (r7): co-partitioning this frame by item_id for the
+    # similarity self-join was measured and rejected — a LogicalRDD
+    # from a localCheckpoint under AQE reports UnknownPartitioning
+    # (lazy AND eager both probed: the item exchanges stay in the
+    # plan), and dropping the checkpoint to rely on ReusedExchange
+    # recomputes the subtree per consumer because RDD scans with
+    # distinct exprIds never canonicalize equal (2.34s -> 2.96s at
+    # sf0.1). See STATUS.md round-7 cf_knn_pruned root-cause note.
     return cf.filter_popular_items(ratings, TOP_FRACTION).localCheckpoint(
         eager=False
     )
