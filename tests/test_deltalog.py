@@ -197,8 +197,9 @@ def test_checkpoint_replay_and_vacuumed_commits(spark, tmp_path):
 
 
 def test_unsupported_reader_features_refused(spark, tmp_path):
-    """columnMapping and deletionVectors are implemented; anything
-    beyond them (v2 checkpoints, type widening, ...) must refuse."""
+    """columnMapping, deletionVectors and v2Checkpoint are
+    implemented; anything beyond them (type widening, ...) must
+    refuse."""
     d = str(tmp_path / "t4")
     os.makedirs(d)
     f0 = _write_data(spark, d, [(1, 1.0)])
@@ -206,7 +207,7 @@ def test_unsupported_reader_features_refused(spark, tmp_path):
         d, 0,
         [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
                        "readerFeatures": ["deletionVectors",
-                                          "v2Checkpoint"]}},
+                                          "typeWidening"]}},
          _meta(), _add(f0)],
     )
     with pytest.raises(UnsupportedDeltaFeature):
@@ -596,3 +597,150 @@ def test_write_checkpoint_and_vacuum(spark, tmp_path):
     assert {r.k for r in DeltaLogReader(spark, d).read().collect()} == {
         0, 2, 3, 5, 6, 7, 100
     }
+
+# -- v2 (UUID + sidecar) checkpoints — round 7 --------------------------------
+
+
+def _stage_v2_table(spark, tmp_path, name):
+    """Three commits worth of history: create, append, delete-rewrite."""
+    d = str(tmp_path / name)
+    os.makedirs(d)
+    f0 = _write_data(spark, d, [(1, 1.0), (2, 2.0)])
+    _commit(d, 0, [_protocol(), _meta(), _add(f0)])
+    f1 = _write_data(spark, d, [(3, 3.0), (4, 4.0)])
+    _commit(d, 1, [_add(f1)])
+    f2 = _write_data(spark, d, [(2, 2.0)])
+    _commit(d, 2, [_remove(f0), _add(f2)])  # delete k=1
+    return d
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json"])
+def test_v2_checkpoint_roundtrip_and_vacuumed_handoff(spark, tmp_path, fmt):
+    """write_checkpoint(v2=True) produces the PROTOCOL.md v2 layout
+    (UUID manifest + _sidecars/ file-action parquet); after deleting
+    every JSON commit the checkpoint covers, the snapshot still
+    replays from manifest + sidecar, and a later JSON commit stacks on
+    top."""
+    d = _stage_v2_table(spark, tmp_path, f"v2cp_{fmt}")
+    t = DeltaLogReader(spark, d)
+    assert t.write_checkpoint(v2=True, manifest_format=fmt) == 2
+    log = os.path.join(d, "_delta_log")
+    manifests = [
+        f for f in os.listdir(log)
+        if DeltaLogReader._classify_checkpoint_name(f) == (2, "v2")
+    ]
+    assert len(manifests) == 1 and manifests[0].endswith("." + fmt)
+    assert os.listdir(os.path.join(log, "_sidecars"))
+    for v in (0, 1, 2):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+
+    t2 = DeltaLogReader(spark, d)
+    assert t2.latest_version() == 2
+    assert {r.k for r in t2.read().collect()} == {2, 3, 4}
+    # protocol round-trips with the v2Checkpoint feature declared
+    assert "v2Checkpoint" in t2._last_protocol["readerFeatures"]
+    # a later JSON commit on top of the v2 checkpoint still replays
+    f3 = _write_data(spark, d, [(9, 9.0)])
+    _commit(d, 3, [_add(f3)])
+    assert {r.k for r in DeltaLogReader(spark, d).read().collect()} == {
+        2, 3, 4, 9,
+    }
+    # time travel to a vacuumed pre-checkpoint version refuses loudly
+    with pytest.raises(FileNotFoundError):
+        DeltaLogReader(spark, d).read(version=1)
+
+
+def test_v2_manifest_with_inline_file_actions(spark, tmp_path):
+    """A v2 manifest MAY carry its add/remove actions inline instead
+    of sidecars (both layouts are legal); the reader replays either."""
+    d = _stage_v2_table(spark, tmp_path, "v2inline")
+    t = DeltaLogReader(spark, d)
+    _meta_a, live = t._replay(2)
+    log = os.path.join(d, "_delta_log")
+    u = str(uuid.uuid4())
+    with open(os.path.join(log, f"{2:020d}.checkpoint.{u}.json"), "w") as fh:
+        fh.write(json.dumps({"checkpointMetadata": {"version": 2}}) + "\n")
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["v2Checkpoint"],
+                        "writerFeatures": ["v2Checkpoint"],
+                    }
+                }
+            )
+            + "\n"
+        )
+        with open(os.path.join(log, f"{0:020d}.json")) as src:
+            for line in src:
+                a = json.loads(line)
+                if "metaData" in a:
+                    fh.write(json.dumps(a) + "\n")
+        for add in live.values():
+            fh.write(json.dumps({"add": add}) + "\n")
+    for v in (0, 1, 2):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    assert {r.k for r in DeltaLogReader(spark, d).read().collect()} == {
+        2, 3, 4,
+    }
+
+
+def test_v2_checkpoint_classification_and_classic_preference(spark, tmp_path):
+    """A v2 UUID manifest must never be parsed as a classic
+    checkpoint; when one version has BOTH, the classic file (a
+    complete one-read compaction) is chosen."""
+    cls = DeltaLogReader._classify_checkpoint_name
+    u = "0f8fad5b-d9cb-469f-a165-70867728950e"
+    assert cls("00000000000000000002.checkpoint.parquet") == (2, "classic")
+    assert cls(f"00000000000000000002.checkpoint.{u}.parquet") == (2, "v2")
+    assert cls(f"00000000000000000002.checkpoint.{u}.json") == (2, "v2")
+    assert cls("00000000000000000002.checkpoint.0000000001.0000000002.parquet") == (
+        2, "multipart",
+    )
+    assert cls("00000000000000000002.checkpoint.weird.parquet") is None
+
+    d = _stage_v2_table(spark, tmp_path, "v2both")
+    t = DeltaLogReader(spark, d)
+    t.write_checkpoint(v2=True)
+    t.write_checkpoint()  # classic at the same version
+    v, kind, files = DeltaLogReader(spark, d)._checkpoint_at_or_below(1 << 62)
+    assert (v, kind) == (2, "classic") and len(files) == 1
+
+
+def test_v2_checkpoint_missing_sidecar_refuses(spark, tmp_path):
+    d = _stage_v2_table(spark, tmp_path, "v2miss")
+    t = DeltaLogReader(spark, d)
+    t.write_checkpoint(v2=True)
+    log = os.path.join(d, "_delta_log")
+    side_dir = os.path.join(log, "_sidecars")
+    for f in os.listdir(side_dir):
+        os.unlink(os.path.join(side_dir, f))
+    for v in (0, 1, 2):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    with pytest.raises(FileNotFoundError, match="sidecar"):
+        DeltaLogReader(spark, d).read()
+
+
+def test_v2_checkpoint_unknown_reader_feature_still_refuses(spark, tmp_path):
+    """v2Checkpoint is now replayable, but a manifest whose protocol
+    needs MORE (e.g. typeWidening) keeps refusing loudly."""
+    d = _stage_v2_table(spark, tmp_path, "v2refuse")
+    t = DeltaLogReader(spark, d)
+    t.write_checkpoint(v2=True, manifest_format="json")
+    log = os.path.join(d, "_delta_log")
+    manifest = next(
+        f for f in os.listdir(log)
+        if DeltaLogReader._classify_checkpoint_name(f) == (2, "v2")
+    )
+    path = os.path.join(log, manifest)
+    lines = [json.loads(line) for line in open(path)]
+    for a in lines:
+        if "protocol" in a:
+            a["protocol"]["readerFeatures"].append("typeWidening")
+    with open(path, "w") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(UnsupportedDeltaFeature):
+        DeltaLogReader(spark, d).read()
