@@ -1900,6 +1900,72 @@ def delta_v2_checkpoint_read(spark, sf_dir):
 
 
 @register(
+    "iceberg_schema_evolution_read",
+    oracle="""
+        WITH evolved AS (
+            SELECT doc_id, lang, n_chars AS char_count,
+                   CAST(NULL AS VARCHAR) AS source
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000, lang, n_chars * 2, lang
+            FROM documents WHERE doc_id % 7 = 0
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(char_count) AS BIGINT) AS total_chars,
+               CAST(count(source) AS BIGINT) AS n_with_source
+        FROM evolved
+        GROUP BY lang
+    """,
+    tags=("iceberg", "lakehouse", "schema-evolution"),
+)
+def iceberg_schema_evolution_read(spark, sf_dir):
+    """Read an Iceberg table ACROSS a schema change (VERDICT r5 item
+    4 / r6 item 5): stage documents, commit a new schema version that
+    RENAMES n_chars→char_count and ADDS source (update_schema —
+    renames keep their field id, adds allocate a fresh one), append a
+    post-evolution batch that populates the new column, then read.
+    Data files written under the OLD schema must project by FIELD ID
+    (spec column resolution — `_scan_schema` +
+    spark.sql.parquet.fieldId.read.enabled): their n_chars column
+    surfaces as char_count and their source reads null, while the new
+    file's values come through. The DuckDB oracle replays the
+    evolution from raw parquet, so the id-remap read is value-hash
+    checked end to end."""
+    import tempfile
+
+    from ..sources.iceberg import (
+        IcebergTableReader,
+        append_data_snapshot,
+        create_minimal_table,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="iceberg_evol_") + "/t"
+    create_minimal_table(spark, path, docs.repartitionByRange(4, "doc_id"))
+    IcebergTableReader(spark, path).update_schema(
+        renames={"n_chars": "char_count"}, adds=[("source", "string")]
+    )
+    batch = (
+        t(spark, sf_dir, "documents")
+        .filter("doc_id % 7 = 0")
+        .select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            "lang",
+            (F.col("n_chars") * 2).alias("char_count"),
+            F.col("lang").alias("source"),
+        )
+    )
+    append_data_snapshot(spark, path, batch, sequence=1)
+    snap = IcebergTableReader(spark, path).read()
+    return snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("char_count").alias("total_chars"),
+        F.count("source").alias("n_with_source"),
+    )
+
+
+@register(
     "iceberg_dml_delete_read",
     oracle="""
         SELECT lang,

@@ -80,7 +80,15 @@ _PRIMITIVES = {
 }
 
 
-def iceberg_type_to_spark(t) -> T.DataType:
+def iceberg_type_to_spark(t, with_field_ids: bool = False) -> T.DataType:
+    """Spark type for an Iceberg schema node. `with_field_ids=True`
+    attaches each struct field's Iceberg id as `parquet.field.id`
+    metadata — the read schema Spark's parquet field-id path
+    (spark.sql.parquet.fieldId.read.enabled) matches BY ID, which is
+    the spec's column-resolution rule and what makes schema evolution
+    correct on read: renamed columns keep their id (old files still
+    project), dropped-then-re-added names get a NEW id (old values
+    never resurface)."""
     if isinstance(t, str):
         if t in _PRIMITIVES:
             return _PRIMITIVES[t]
@@ -97,24 +105,46 @@ def iceberg_type_to_spark(t) -> T.DataType:
             [
                 T.StructField(
                     f["name"],
-                    iceberg_type_to_spark(f["type"]),
+                    iceberg_type_to_spark(f["type"], with_field_ids),
                     nullable=not f.get("required", False),
+                    metadata=(
+                        {"parquet.field.id": int(f["id"])}
+                        if with_field_ids and "id" in f
+                        else None
+                    ),
                 )
                 for f in t["fields"]
             ]
         )
     if kind == "list":
         return T.ArrayType(
-            iceberg_type_to_spark(t["element"]),
+            iceberg_type_to_spark(t["element"], with_field_ids),
             containsNull=not t.get("element-required", False),
         )
     if kind == "map":
         return T.MapType(
-            iceberg_type_to_spark(t["key"]),
-            iceberg_type_to_spark(t["value"]),
+            iceberg_type_to_spark(t["key"], with_field_ids),
+            iceberg_type_to_spark(t["value"], with_field_ids),
             valueContainsNull=not t.get("value-required", False),
         )
     raise UnsupportedIcebergFeature(f"iceberg type {kind!r}")
+
+
+def _attach_field_ids(df: DataFrame, fields: list[dict]) -> DataFrame:
+    """Alias every top-level column with its Iceberg field id as
+    `parquet.field.id` metadata so WRITTEN data files carry the ids
+    the spec requires (Spark's parquet writer embeds them —
+    spark.sql.parquet.fieldId.write.enabled, default on). Columns not
+    in `fields` (e.g. staging helpers' temp columns) pass through."""
+    ids = {f["name"]: int(f["id"]) for f in fields if "id" in f}
+    return df.select(
+        *[
+            F.col(c).alias(c, metadata={"parquet.field.id": ids[c]})
+            if c in ids
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
 
 
 def create_minimal_table(
@@ -136,7 +166,15 @@ def create_minimal_table(
     data_dir = os.path.join(path, "data")
     os.makedirs(meta_dir, exist_ok=False)
     tmp = os.path.join(path, "_stage")
-    df.write.parquet(tmp)
+    # data files carry their Iceberg field ids (spec requirement; what
+    # field-id projection reads back after schema evolution)
+    _attach_field_ids(
+        df,
+        [
+            {"id": i, "name": f.name}
+            for i, f in enumerate(df.schema.fields, start=1)
+        ],
+    ).write.parquet(tmp)
     os.makedirs(data_dir, exist_ok=True)
     data_files = []
     for f in sorted(os.listdir(tmp)):
@@ -682,12 +720,19 @@ def _publish_metadata(path: str, meta: dict) -> int:
     return version + 1
 
 
-def _stage_parquet(spark: SparkSession, path: str, df) -> str:
-    """Write df as ONE parquet file under <table>/data; return its path."""
+def _stage_parquet(
+    spark: SparkSession, path: str, df, fields: list[dict] | None = None
+) -> str:
+    """Write df as ONE parquet file under <table>/data; return its
+    path. `fields` (Iceberg field dicts) embeds field ids into the
+    file — pass the table's current `_schema_fields` for any DATA or
+    EQUALITY-DELETE file so evolved-schema reads can project it."""
     import shutil
     import uuid
 
     tmp = os.path.join(path, "_stage_one")
+    if fields:
+        df = _attach_field_ids(df, fields)
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
     dst = os.path.join(path, "data", f"{uuid.uuid4().hex}.parquet")
@@ -769,7 +814,10 @@ def append_data_snapshot(
 
     from ..functions import avrocodec
 
-    p = _stage_parquet(spark, path, df)
+    t = IcebergTableReader(spark, path)
+    p = _stage_parquet(
+        spark, path, df, fields=t._schema_fields(t.metadata())
+    )
     meta_dir = os.path.join(path, "metadata")
     manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-a0.avro")
     avrocodec.write_container(
@@ -819,7 +867,12 @@ def add_equality_deletes(
         ) from exc
     schema = t._schema_struct(t.metadata())
     sub = T.StructType([schema[c] for c in columns])  # caller's order
-    p = _stage_parquet(spark, path, spark.createDataFrame(rows, sub))
+    p = _stage_parquet(
+        spark,
+        path,
+        spark.createDataFrame(rows, sub),
+        fields=[fields[c] for c in columns],
+    )
     meta_dir = os.path.join(path, "metadata")
     manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-e0.avro")
     avrocodec.write_container(
@@ -1054,7 +1107,7 @@ class IcebergTableReader:
     # -- schema ---------------------------------------------------------------
 
     @staticmethod
-    def _schema_struct(meta: dict) -> T.StructType:
+    def _schema_struct(meta: dict, with_field_ids: bool = False) -> T.StructType:
         if "schemas" in meta:
             sid = meta.get("current-schema-id", 0)
             node = next(
@@ -1063,8 +1116,30 @@ class IcebergTableReader:
         else:  # format v1 single-schema layout
             node = meta["schema"]
         return iceberg_type_to_spark(
-            {"type": "struct", "fields": node["fields"]}
+            {"type": "struct", "fields": node["fields"]}, with_field_ids
         )
+
+    def _scan_schema(self, meta: dict) -> T.StructType:
+        """The schema data files SCAN with. A table that has EVOLVED
+        (several schema versions in metadata) must project data files
+        by FIELD ID — the spec's column-resolution rule: files written
+        under an older schema carry renamed columns under their old
+        names (same id) and may carry dropped ids whose names were
+        later reused. Name matching would misproject both, so the read
+        schema gets `parquet.field.id` metadata and Spark's field-id
+        parquet path does the mapping (adds resolve to null, renames
+        resolve to the old column, reused names stay null). Data files
+        of an evolved table MUST carry field ids (the spec requires
+        writers to embed them; this module's writers do) — an id-less
+        file under an evolved schema fails the scan loudly rather than
+        misreading. Single-schema tables keep the plain name-matched
+        scan, where the two rules agree."""
+        if len(meta.get("schemas") or ()) > 1:
+            self.spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
+            return self._schema_struct(meta, with_field_ids=True)
+        return self._schema_struct(meta)
 
     # -- snapshot read ----------------------------------------------------------
 
@@ -1242,7 +1317,8 @@ class IcebergTableReader:
         if not data:
             return self.spark.createDataFrame([], schema)
         files = [p for p, _seq in data]
-        df = self.spark.read.schema(schema).parquet(*files)
+        scan_schema = self._scan_schema(meta)
+        df = self.spark.read.schema(scan_schema).parquet(*files)
         if not pos_deletes and not eq_deletes:
             return residual(df)
 
@@ -1302,10 +1378,12 @@ class IcebergTableReader:
                     ) from exc
                 parts = [
                     self.spark.read.schema(
+                        # scan_schema fields: on an evolved table the
+                        # delete files project by field id too
                         T.StructType(
                             [
                                 f
-                                for f in schema.fields
+                                for f in scan_schema.fields
                                 if f.name in set(names)
                             ]
                         )
@@ -1553,7 +1631,9 @@ class IcebergTableReader:
         os.rename(os.path.join(tmp, src), del_file)
         shutil.rmtree(tmp, ignore_errors=True)
 
-        data_path = _stage_parquet(self.spark, self.path, updated)
+        data_path = _stage_parquet(
+            self.spark, self.path, updated, fields=self._schema_fields(meta)
+        )
         seqs = [s for _p, (s, _st) in data]
         n = (max(seqs) if seqs else 0) + 1
         meta_dir = os.path.join(self.path, "metadata")
@@ -1651,9 +1731,13 @@ class IcebergTableReader:
         seqs = [s for _p, (s, _st) in data] + [e[2] for e in eq]
         n = (max(seqs) if seqs else 0) + 1
 
-        data_path = _stage_parquet(self.spark, self.path, source)
+        fields = self._schema_fields(meta)
+        data_path = _stage_parquet(
+            self.spark, self.path, source, fields=fields
+        )
         del_path = _stage_parquet(
-            self.spark, self.path, source.select(key).distinct()
+            self.spark, self.path, source.select(key).distinct(),
+            fields=fields
         )
         n_rows = pq.ParquetFile(data_path).metadata.num_rows
         n_keys = pq.ParquetFile(del_path).metadata.num_rows
@@ -1760,7 +1844,9 @@ class IcebergTableReader:
 
             packed = pack_zorder(df, n_out, zorder_by)
         tmp = os.path.join(self.path, f"_compact_{_uuidmod.uuid4().hex}")
-        packed.write.parquet(tmp)
+        _attach_field_ids(
+            packed, self._schema_fields(self.metadata())
+        ).write.parquet(tmp)
         data_dir = os.path.join(self.path, "data")
         os.makedirs(data_dir, exist_ok=True)
         new_files = []
@@ -1999,7 +2085,7 @@ class IcebergTableReader:
         schema = self._schema_struct(meta)
         if not new:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*new)
+        return self.spark.read.schema(self._scan_schema(meta)).parquet(*new)
 
     @staticmethod
     def _schema_fields(meta: dict) -> list[dict]:
@@ -2013,3 +2099,71 @@ class IcebergTableReader:
         else:
             node = meta["schema"]
         return node["fields"]
+
+    # -- schema evolution ------------------------------------------------------
+
+    def update_schema(
+        self,
+        adds: list[tuple[str, str]] = (),
+        renames: dict[str, str] | None = None,
+        drops: list[str] = (),
+    ) -> int:
+        """Commit a NEW SCHEMA VERSION (spec "Schema Evolution") —
+        metadata-only, data files untouched:
+
+        - `renames` {old: new} keep the field ID (the spec's rule —
+          that is why renamed columns still project out of old files),
+        - `drops` remove the field (its id is retired, never reused:
+          `last-column-id` only grows),
+        - `adds` [(name, iceberg_type)] allocate FRESH ids past
+          `last-column-id` as optional columns — so a re-added name
+          reads as null from files written before the add, even if a
+          dropped column of the same name physically remains in them.
+
+        The previous schema stays in `schemas` (older snapshots keep
+        reading with it); `current-schema-id` moves. Returns the new
+        metadata version. Readers project evolved tables by field id
+        (`_scan_schema`)."""
+        meta = dict(self.metadata())
+        fields = [dict(f) for f in self._schema_fields(meta)]
+        last_id = int(
+            meta.get("last-column-id") or max(f["id"] for f in fields)
+        )
+        by_name = {f["name"]: f for f in fields}
+        for old in drops:
+            if old not in by_name:
+                raise ValueError(f"drop: no column {old!r}")
+            fields.remove(by_name.pop(old))
+        for old, new in (renames or {}).items():
+            if old not in by_name:
+                raise ValueError(f"rename: no column {old!r}")
+            if new in by_name:
+                raise ValueError(f"rename: column {new!r} already exists")
+            by_name[old]["name"] = new
+            by_name[new] = by_name.pop(old)
+        for name, ice_type in adds:
+            if name in by_name:
+                raise ValueError(f"add: column {name!r} already exists")
+            iceberg_type_to_spark(ice_type)  # validate the type string
+            last_id += 1
+            f = {
+                "id": last_id,
+                "name": name,
+                "type": ice_type,
+                "required": False,
+            }
+            fields.append(f)
+            by_name[name] = f
+
+        old_schemas = [
+            dict(s) for s in (meta.get("schemas") or [meta["schema"]])
+        ]
+        for i, s in enumerate(old_schemas):  # v1 node may lack schema-id
+            s.setdefault("schema-id", i)
+        new_sid = max(s["schema-id"] for s in old_schemas) + 1
+        node = {"type": "struct", "schema-id": new_sid, "fields": fields}
+        meta["schemas"] = old_schemas + [node]
+        meta["current-schema-id"] = new_sid
+        meta["schema"] = node  # keep the v1 single-schema mirror current
+        meta["last-column-id"] = last_id
+        return _publish_metadata(self.path, meta)
