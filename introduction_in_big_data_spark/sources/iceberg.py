@@ -703,18 +703,52 @@ _MANIFEST_V2_FULL_SCHEMA = {
 }
 
 
-def _publish_metadata(path: str, meta: dict) -> int:
+def _publish_metadata(
+    path: str, meta: dict, base_version: int | None = None
+) -> int:
     """Write the next vN.metadata.json + version-hint — the one
-    metadata-publish sequence every snapshot/rollback/expire commit
-    shares. Returns the published version number."""
+    metadata-publish sequence every snapshot/rollback/expire/schema
+    commit shares. Returns the published version number.
+
+    Optimistic concurrency (VERDICT r5 item 5): the new metadata file
+    is EXCLUSIVE-CREATED (os.link from a temp file — atomic, fails if
+    the name exists), so of two racing writers exactly one wins
+    v{N+1}; the loser gets CommitConflict and must re-read the table
+    and re-apply (the spec's commit contract — Iceberg catalogs do
+    this with an atomic swap; a filesystem table does it with
+    exclusive file creation, the same mechanism as acidtable/Delta's
+    commit publish). The version hint is advisory and only advanced
+    by the winner — readers that find a stale hint re-scan the
+    directory for the newest vN (IcebergTableReader._metadata_file)."""
+    import uuid as _uuidmod
+
+    from .acidtable import CommitConflict
+
     meta_dir = os.path.join(path, "metadata")
     hint = os.path.join(meta_dir, "version-hint.text")
-    with open(hint) as fh:
-        version = int(fh.read().strip())
-    with open(
-        os.path.join(meta_dir, f"v{version + 1}.metadata.json"), "w"
-    ) as fh:
+    if base_version is not None:
+        # optimistic concurrency: N+1 is relative to the version the
+        # CALLER's metadata read actually resolved — basing it on the
+        # directory max here would let a racing loser publish stale
+        # metadata one slot later (a silent lost update) instead of
+        # conflicting
+        version = base_version
+    else:
+        with open(hint) as fh:
+            version = int(fh.read().strip())
+    target = os.path.join(meta_dir, f"v{version + 1}.metadata.json")
+    tmp = target + f".{_uuidmod.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
         json.dump(meta, fh)
+    try:
+        os.link(tmp, target)
+    except FileExistsError as exc:
+        raise CommitConflict(
+            f"metadata version {version + 1} of {path} was committed "
+            "concurrently — re-read the table and re-apply"
+        ) from exc
+    finally:
+        os.unlink(tmp)
     with open(hint, "w") as fh:
         fh.write(str(version + 1))
     return version + 1
@@ -759,7 +793,7 @@ def _commit_snapshot(
     from ..functions import avrocodec
 
     t = IcebergTableReader(spark, path)
-    meta = t.metadata()
+    meta, base = t._meta_and_base()
     cur = next(
         s
         for s in meta["snapshots"]
@@ -800,7 +834,7 @@ def _commit_snapshot(
         }
     ]
     meta["current-snapshot-id"] = new_snap_id
-    _publish_metadata(path, meta)
+    _publish_metadata(path, meta, base)
     return new_snap_id
 
 
@@ -943,7 +977,7 @@ def _commit_position_delete_file(
     from ..functions import avrocodec
 
     t = IcebergTableReader(spark, path)
-    meta = t.metadata()
+    meta, base = t._meta_and_base()
     cur = next(
         s
         for s in meta["snapshots"]
@@ -1025,7 +1059,7 @@ def _commit_position_delete_file(
         }
     ]
     meta["current-snapshot-id"] = new_snap_id
-    _publish_metadata(path, meta)
+    _publish_metadata(path, meta, base)
     return new_snap_id
 
 
@@ -1053,13 +1087,19 @@ class IcebergTableReader:
     # -- metadata location ----------------------------------------------------
 
     def _metadata_file(self) -> str:
+        # the hint is ADVISORY (a publisher that crashed between the
+        # exclusive metadata create and the hint write leaves it
+        # stale) — resolve it, but never below the directory's newest
+        # numbered metadata file
         hint = os.path.join(self.meta_dir, "version-hint.text")
+        hinted = -1
         if os.path.exists(hint):
             with open(hint) as fh:
                 v = fh.read().strip()
-            cand = os.path.join(self.meta_dir, f"v{v}.metadata.json")
-            if os.path.exists(cand):
-                return cand
+            if v.isdigit() and os.path.exists(
+                os.path.join(self.meta_dir, f"v{v}.metadata.json")
+            ):
+                hinted = int(v)
         metas = [
             f for f in os.listdir(self.meta_dir) if f.endswith(".metadata.json")
         ]
@@ -1081,8 +1121,10 @@ class IcebergTableReader:
 
         numbered = [(version_of(f), f) for f in metas]
         numbered = [(v, f) for v, f in numbered if v is not None]
-        if numbered:
+        if numbered and max(numbered)[0] >= hinted:
             best = max(numbered)[1]
+        elif hinted >= 0:
+            best = f"v{hinted}.metadata.json"
         else:
             best = max(
                 metas,
@@ -1090,9 +1132,32 @@ class IcebergTableReader:
             )
         return os.path.join(self.meta_dir, best)
 
+    def _metadata_version(self) -> int:
+        """Numeric version of the metadata file `metadata()` resolves
+        — the BASE a writer's optimistic publish is relative to
+        (_publish_metadata exclusive-creates base+1 and conflicts if a
+        racing writer got there first)."""
+        name = os.path.basename(self._metadata_file())
+        m = re.match(r"v(\d+)\.metadata\.json$", name) or re.match(
+            r"(\d+)-", name
+        )
+        return int(m.group(1)) if m else 0
+
     def metadata(self) -> dict:
         with open(self._metadata_file()) as fh:
             return json.load(fh)
+
+    def _meta_and_base(self) -> tuple[dict, int]:
+        """(metadata dict, its numeric version) from ONE resolution —
+        writers pass the base to _publish_metadata so the optimistic
+        publish targets exactly base+1."""
+        path = self._metadata_file()
+        name = os.path.basename(path)
+        m = re.match(r"v(\d+)\.metadata\.json$", name) or re.match(
+            r"(\d+)-", name
+        )
+        with open(path) as fh:
+            return json.load(fh), (int(m.group(1)) if m else 0)
 
     def snapshots(self) -> list[dict]:
         return [
@@ -1953,7 +2018,7 @@ class IcebergTableReader:
         compact()'s REPLACE actually free space. Time travel beyond
         the horizon then fails loudly (the snapshot is gone from the
         metadata). Returns the deleted paths."""
-        meta = self.metadata()
+        meta, base = self._meta_and_base()
         snaps = meta.get("snapshots", [])
         if keep_last < 1:
             raise ValueError("expire_snapshots: keep_last must be >= 1")
@@ -2000,7 +2065,7 @@ class IcebergTableReader:
                 deleted.append(p)
         meta = dict(meta)
         meta["snapshots"] = kept
-        _publish_metadata(self.path, meta)
+        _publish_metadata(self.path, meta, base)
         return deleted
 
     def rollback(self, snapshot_id: int) -> int:
@@ -2010,7 +2075,7 @@ class IcebergTableReader:
         snapshots stay in the metadata (and remain expirable); reads
         immediately serve the rolled-back state. Returns
         `snapshot_id`."""
-        meta = self.metadata()
+        meta, base = self._meta_and_base()
         if not any(
             s["snapshot-id"] == snapshot_id
             for s in meta.get("snapshots", [])
@@ -2021,7 +2086,7 @@ class IcebergTableReader:
             )
         meta = dict(meta)
         meta["current-snapshot-id"] = snapshot_id
-        _publish_metadata(self.path, meta)
+        _publish_metadata(self.path, meta, base)
         return snapshot_id
 
     def snapshot_at(self, timestamp_ms: int) -> int:
@@ -2124,7 +2189,8 @@ class IcebergTableReader:
         reading with it); `current-schema-id` moves. Returns the new
         metadata version. Readers project evolved tables by field id
         (`_scan_schema`)."""
-        meta = dict(self.metadata())
+        meta, base = self._meta_and_base()
+        meta = dict(meta)
         fields = [dict(f) for f in self._schema_fields(meta)]
         last_id = int(
             meta.get("last-column-id") or max(f["id"] for f in fields)
@@ -2166,4 +2232,4 @@ class IcebergTableReader:
         meta["current-schema-id"] = new_sid
         meta["schema"] = node  # keep the v1 single-schema mirror current
         meta["last-column-id"] = last_id
-        return _publish_metadata(self.path, meta)
+        return _publish_metadata(self.path, meta, base)
