@@ -75,16 +75,36 @@ def _cell_assignments(
 def train_centroids(
     vectors: DataFrame, k: int, vec_col: str = "embedding", seed: int = 42
 ) -> list[list[float]]:
-    """Seeded k-means centroids via pyspark.ml (deterministic for a
-    fixed seed + input)."""
+    """Seeded k-means centroids via pyspark.ml.
+
+    Determinism (ADVICE r6): a fixed seed alone is NOT enough —
+    k-means|| initialization samples per partition, so the same data
+    under a different parallelism/file layout yields different
+    centroids (and downstream cell assignments / recall). The training
+    frame is therefore hash-repartitioned on its id column into a
+    FIXED partition count and sorted within partitions — so
+    row→partition assignment AND iteration order are functions of the
+    data alone (range partitioning would NOT do: its boundary sampling
+    is seeded by the rdd id), pinning the (seed, partitioning) pair so
+    centroids — and every witness derived from them — are reproducible
+    across environments. Cost: one exchange + in-partition sort of the
+    (bounded) training sample."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    id_col = vectors.columns[0]
     # KMeans iterates maxIter times over this frame — cache it so each
     # iteration reads memory, not the parquet scan + conversion again
-    ml_df = vectors.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    ).cache()
+    ml_df = (
+        vectors.repartition(8, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+                "features"
+            )
+        )
+        .cache()
+    )
     model = KMeans(k=k, seed=seed, maxIter=10).fit(ml_df)
     ml_df.unpersist(blocking=False)
     # clusterCenters() yields numpy arrays (or ml.linalg Vectors in

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -39,15 +40,15 @@ TABLES = (
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = (
-        float(Path(sf_dir).name.replace("sf", ""))
-        if "sf" in Path(sf_dir).name
-        else -1.0
-    )
+    m = re.match(r"sf([0-9.]+)", Path(sf_dir).name)
+    sf = float(m.group(1)) if m else -1.0
+    only = set(sys.argv[1:])  # optional subset: duck_bench.py q1 q2 ...
     timings: dict[str, float] = {}
     skipped: list[str] = []
     for spec in plans.REGISTRY.values():
-        if not spec.bench:
+        if only and spec.name in only:
+            pass  # explicit subset overrides the bench flag
+        elif only or not spec.bench:
             continue
         if spec.oracle is None or "streaming" in spec.tags:
             skipped.append(spec.name)
@@ -56,9 +57,12 @@ def main() -> None:
         for _run in range(2):
             con = duckdb.connect()  # cold: fresh engine per run
             for t in TABLES:
+                src = f"{sf_dir}/{t}.parquet"
+                if os.path.isdir(src):  # Spark-written multi-file table
+                    src = f"{src}/*.parquet"
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet')"
+                    f"read_parquet('{src}')"
                 )
             t0 = time.perf_counter()
             con.sql(spec.oracle).fetchall()
