@@ -243,6 +243,69 @@ def cf_knn_pruned(spark, sf_dir):
     return cf.knn_neighbors(sims, K_NEIGHBORS)
 
 
+DIMSUM_FRACTION = 0.9  # c: sampling anchor as a fraction of the median norm
+# Measured recall vs the exact pruned k-NN (probe 2026-08-15, c=0.9):
+# sf0.001 0.857, sf0.01 0.819, sf0.1 0.726 — floor ~ half the weakest.
+DIMSUM_RECALL_FLOOR = 0.35
+
+
+@register(
+    "cf_knn_dimsum",
+    oracle=_RATINGS_CTE
+    + _SIMS_PRUNED_CTE
+    + """
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS recall_ok
+    FROM knn
+    """,
+    tags=("cf", "join", "sketch", "scale"),
+)
+def cf_knn_dimsum(spark, sf_dir):
+    """The CF sketch twin for the hot-catalog regime (VERDICT r5 item
+    7 / r6 item 8): when even the min-overlap-pruned pair stream is too
+    large (hot catalogs make Σ n_i² explode), DIMSUM-flavored
+    norm-proportional entry sampling (operators/cf.py
+    dimsum_sampled_ratings, arXiv:1206.2082) shrinks the pair stream by
+    ~c² BEFORE it exists, candidates are rescored EXACTLY (bit-identical
+    sims to the exact path on surviving pairs — same norms, rounding,
+    min_overlap), and the k-NN graph is built from those. The exact
+    pruned form (`cf_knn_pruned`) stays the oracle baseline.
+
+    Driver-checked as a recall contract witness (the r5/r6 witness
+    pattern): the exact pruned k-NN is recomputed in-plan (equi-joins
+    only) and the emitted (n_users, recall_ok) row asserts the sketch
+    k-NN recovered >= DIMSUM_RECALL_FLOOR of the exact neighbor edges;
+    DuckDB agrees on the user count and asserts TRUE. Per-scale recall
+    and bit-identity of shared sims are property-tested in
+    tests/test_cf_dimsum.py."""
+    from pyspark.sql import functions as F
+
+    ratings = _pipeline(spark, sf_dir)
+    sampled = cf.dimsum_sampled_ratings(ratings, fraction_of_median=DIMSUM_FRACTION)
+    sims = cf.rescore_pairs(
+        cf.candidate_pairs(sampled), ratings, min_overlap=MIN_OVERLAP
+    )
+    approx = cf.knn_neighbors(sims, K_NEIGHBORS).select("user_id", "neighbor_id")
+    exact = cf.knn_neighbors(
+        cf.user_cosine_similarities_pruned(ratings, min_overlap=MIN_OVERLAP),
+        K_NEIGHBORS,
+    ).select("user_id", "neighbor_id")
+    hits = exact.join(approx, ["user_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("_hits")
+    )
+    totals = exact.agg(
+        F.count(F.lit(1)).alias("_exact"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return totals.crossJoin(hits).select(
+        "n_users",
+        (
+            F.col("_hits").cast("double")
+            >= F.lit(DIMSUM_RECALL_FLOOR) * F.col("_exact").cast("double")
+        ).alias("recall_ok"),
+    )
+
+
 _SPLIT_CTE = """
     , keyed AS (
         SELECT user_id, item_id, rating,

@@ -66,6 +66,9 @@ CROSS_OK = {
     "ann_ivf_topk",       # truth side for the recall witness + 1-row gate
     "embedding_near_dup_lsh",   # 200-probe broadcast exact check (O(P*n))
                                 # + 1-row subset/recall gates
+    "cf_knn_dimsum",  # 1-row median-norm sampling gate + 1-row recall
+                      # gate; the witness's exact truth side is the
+                      # pruned EQUI-join pair stream (no cross join)
     # labeled quadratic oracle baselines (scale twins are the defaults)
     "embedding_near_dup",       # exact O(n^2) near-dup; LSH twin is default
     "ann_bruteforce_topk",      # exact top-k truth baseline
