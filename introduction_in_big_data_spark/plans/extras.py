@@ -2518,3 +2518,125 @@ def delta_cdc_replica_state(spark, sf_dir):
         F.sum("o_cents").alias("sum_o_cents"),
         F.sum("o_orderkey").alias("key_sum"),
     )
+
+
+@register(
+    "iceberg_partitioned_pruned_read",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        WHERE o_orderstatus = 'F'
+          AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        GROUP BY o_orderpriority
+    """,
+    tags=("iceberg", "lakehouse", "partitioning", "skipping", "source"),
+)
+def iceberg_partitioned_pruned_read(spark, sf_dir):
+    """Read a PARTITIONED Iceberg table with transform-aware partition
+    pruning (sources/iceberg_partitions.py, round 7): stage orders
+    under the spec identity(o_orderstatus) x month(o_orderdate) — each
+    data file's manifest entry records its partition tuple per the
+    spec's "Partition Transforms" — and read with predicates on the
+    SOURCE columns. Scan planning maps the predicates into the
+    partition domain (identity exactly; month via the transformed
+    literal with inclusive range bounds — order-preserving transforms
+    can't prune strict inequalities tighter) and files in other
+    status/month partitions never reach the parquet scan; driver-side
+    manifest math only, O(#files). The residual filter keeps the
+    result exact, value-hash checked against DuckDB on raw parquet."""
+    import datetime
+    import tempfile
+
+    from ..sources.iceberg import IcebergTableReader, create_partitioned_table
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_part_") + "/t"
+    create_partitioned_table(
+        spark,
+        path,
+        base,
+        spec=[("o_orderstatus", "identity"), ("o_orderdate", "month")],
+    )
+    reader = IcebergTableReader(spark, path)
+    snap = reader.read(
+        predicates=[
+            ("o_orderstatus", "=", "F"),
+            ("o_orderdate", "<", datetime.date(1998, 1, 1)),
+        ]
+    )
+    return snap.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "iceberg_partition_evolution_read",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1999-01-01'
+        GROUP BY o_orderpriority
+    """,
+    tags=("iceberg", "lakehouse", "partitioning", "spec-evolution"),
+)
+def iceberg_partition_evolution_read(spark, sf_dir):
+    """Read across a PARTITION-SPEC change (spec "Partition
+    Evolution", round 7): half of orders lands under spec 0 =
+    year(o_orderdate), the other half appends under spec 1 =
+    month(o_orderdate) x bucket[8](o_custkey)
+    (append_partitioned_snapshot registers the new spec, moves
+    default-spec-id, and stamps the new manifest's
+    manifest-list entry with spec-id 1 — old files are NOT
+    rewritten). The date predicate then prunes every file under the
+    spec it was written with: year-grain for the old files,
+    month-grain for the new (the spec's core evolution guarantee —
+    pruning degrades to the file's own spec, never breaks). Union
+    result value-hash checked against DuckDB on raw parquet."""
+    import datetime
+    import tempfile
+
+    from ..sources.iceberg import (
+        IcebergTableReader,
+        append_partitioned_snapshot,
+        create_partitioned_table,
+    )
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_specev_") + "/t"
+    create_partitioned_table(
+        spark,
+        path,
+        base.filter(F.col("o_orderkey") % 2 == 0),
+        spec=[("o_orderdate", "year")],
+    )
+    append_partitioned_snapshot(
+        spark,
+        path,
+        base.filter(F.col("o_orderkey") % 2 == 1),
+        spec=[("o_orderdate", "month"), ("o_custkey", "bucket[8]")],
+    )
+    reader = IcebergTableReader(spark, path)
+    snap = reader.read(
+        predicates=[("o_orderdate", ">=", datetime.date(1999, 1, 1))]
+    )
+    return snap.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )

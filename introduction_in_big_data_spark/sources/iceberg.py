@@ -776,20 +776,39 @@ def _stage_parquet(
     return dst
 
 
+def _pad_nullable_fields(schema: dict, entry: dict) -> dict:
+    """Fill fields the inherited manifest-list schema declares but the
+    new entry omits, with None where a [null, ...] union allows it —
+    entries appended to a PARTITIONED table's manifest list (whose
+    schema carries the field_summary `partitions` column) stay
+    writable from spec-unaware paths like position-delete commits."""
+    for f in schema.get("fields", ()):
+        if f["name"] in entry:
+            continue
+        t = f["type"]
+        if isinstance(t, list) and "null" in t:
+            entry[f["name"]] = None
+    return entry
+
+
 def _commit_snapshot(
     spark: SparkSession,
     path: str,
-    new_manifests: list[tuple[str, int]],
+    new_manifests: list[tuple],
     operation: str,
     replace: bool = False,
+    meta_updates: dict | None = None,
 ) -> int:
     """Append a snapshot whose manifest list = the current snapshot's
-    manifests + `new_manifests` [(path, content)], publish a new
-    metadata version + version-hint; returns the new snapshot id.
-    `replace=True` drops the current manifests instead (the REPLACE
-    operation compaction publishes: the new manifests fully describe
-    the table; older snapshots keep their own manifest lists for time
-    travel until expire_snapshots)."""
+    manifests + `new_manifests` [(path, content) or (path, content,
+    partition_spec_id)], publish a new metadata version +
+    version-hint; returns the new snapshot id. `replace=True` drops
+    the current manifests instead (the REPLACE operation compaction
+    publishes: the new manifests fully describe the table; older
+    snapshots keep their own manifest lists for time travel until
+    expire_snapshots). `meta_updates` merges extra top-level metadata
+    keys into the published json (partition-spec evolution commits its
+    new spec list this way, atomically with the snapshot)."""
     from ..functions import avrocodec
 
     t = IcebergTableReader(spark, path)
@@ -814,16 +833,22 @@ def _commit_snapshot(
         ml_schema,
         old_manifests
         + [
-            {
-                "manifest_path": f"file://{m}",
-                "manifest_length": os.path.getsize(m),
-                "partition_spec_id": 0,
-                "content": content,
-            }
-            for m, content in new_manifests
+            _pad_nullable_fields(
+                ml_schema,
+                {
+                    "manifest_path": f"file://{nm[0]}",
+                    "manifest_length": os.path.getsize(nm[0]),
+                    "partition_spec_id": nm[2] if len(nm) > 2 else 0,
+                    "content": nm[1],
+                    **({"partitions": nm[3]} if len(nm) > 3 else {}),
+                },
+            )
+            for nm in new_manifests
         ],
     )
     meta = dict(meta)
+    if meta_updates:
+        meta.update(meta_updates)
     meta["format-version"] = 2
     meta["snapshots"] = meta["snapshots"] + [
         {
@@ -1038,12 +1063,15 @@ def _commit_position_delete_file(
         ml_schema,
         old_manifests
         + [
-            {
-                "manifest_path": f"file://{manifest}",
-                "manifest_length": os.path.getsize(manifest),
-                "partition_spec_id": 0,
-                "content": 1,
-            }
+            _pad_nullable_fields(
+                ml_schema,
+                {
+                    "manifest_path": f"file://{manifest}",
+                    "manifest_length": os.path.getsize(manifest),
+                    "partition_spec_id": 0,
+                    "content": 1,
+                },
+            )
         ],
     )
 
@@ -1063,6 +1091,413 @@ def _commit_position_delete_file(
     return new_snap_id
 
 
+def _stage_partitioned_files(
+    spark: SparkSession,
+    path: str,
+    df,
+    part_fields,
+    schema_fields: list[dict],
+) -> list[tuple[str, dict]]:
+    """Distributed partitioned staging: derive each spec field's value
+    as a `__p_i` column (builtin exprs; spec murmur3 for bucket — see
+    iceberg_partitions.partition_expr), write ONE hive-partitioned job
+    whose directory names round-trip into typed partition tuples, and
+    land the files under <table>/data. Source columns stay IN the data
+    files (Iceberg keeps identity sources in files, unlike hive), and
+    every data column carries its field id. Returns
+    [(data_file_path, {spec_field_name: value})]."""
+    import shutil
+    import uuid
+
+    from . import iceberg_partitions as IP
+    from .deltalog import _hive_partition_values
+
+    spark_t = {f["name"]: f["type"] for f in schema_fields}
+    staged = _attach_field_ids(df, schema_fields)
+    pcols = []
+    for i, pf in enumerate(part_fields):
+        staged = staged.withColumn(
+            f"__p_{i}", IP.partition_expr(pf, spark_t[pf.source])
+        )
+        pcols.append(f"__p_{i}")
+    tmp = os.path.join(path, f"_stage_part_{uuid.uuid4().hex[:8]}")
+    staged.write.partitionBy(*pcols).parquet(tmp)
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    out: list[tuple[str, dict]] = []
+    for root, _dirs, files in os.walk(tmp):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, f), tmp)
+            raw = _hive_partition_values(rel)
+            part = {
+                pf.name: IP.decode_hive_value(pf, raw.get(f"__p_{i}"))
+                for i, pf in enumerate(part_fields)
+            }
+            # one task writes the SAME basename into every partition
+            # dir it touches — a fresh name per file keeps the flat
+            # data/ layout collision-free
+            dst = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
+            os.rename(os.path.join(root, f), dst)
+            out.append((dst, part))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _partition_avro_schema(part_fields) -> dict:
+    """The manifest entry `partition` record (spec: r102) for a spec's
+    fields — each value nullable, typed per the transform result."""
+    return {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": pf.name,
+                "type": ["null", pf.avro_type],
+                "default": None,
+            }
+            for pf in part_fields
+        ],
+    }
+
+
+def _partitioned_manifest_schema(part_fields) -> dict:
+    """Manifest entry schema for partitioned data files: the v2 layout
+    plus the per-entry partition tuple and per-file column stats."""
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "partition", "type": _partition_avro_schema(part_fields)},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                        {
+                            "name": "null_value_counts",
+                            "type": _kv_union("k121_v122", "int", "long"),
+                        },
+                        {
+                            "name": "lower_bounds",
+                            "type": _kv_union("k126_v127", "int", "bytes"),
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "type": _kv_union("k128_v129", "int", "bytes"),
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+
+
+def _partition_stats_entries(
+    spark: SparkSession,
+    staged: list[tuple[str, dict]],
+    schema_fields: list[dict],
+    bounds: bool,
+) -> list[dict]:
+    """Manifest entries (status=1 data adds) for staged partitioned
+    files: partition tuple from staging, per-file
+    record_count/bounds/null-counts from ONE grouped scan (the same
+    Appendix-D bound encoding create_minimal_table pins)."""
+    ice_by_id = {
+        f["id"]: (f["name"], f["type"] if isinstance(f["type"], str) else None)
+        for f in schema_fields
+    }
+    stats_rows: dict[str, dict] = {}
+    if bounds and staged:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, (name, it) in ice_by_id.items():
+            if it is None or it not in (
+                "int",
+                "long",
+                "double",
+                "float",
+                "string",
+                "boolean",
+                "date",
+            ):
+                continue
+            aggs.append(F.min(name).alias(f"__min__{i}"))
+            aggs.append(F.max(name).alias(f"__max__{i}"))
+            aggs.append(F.sum(F.isnull(name).cast("long")).alias(f"__nul__{i}"))
+        for r in (
+            spark.read.parquet(*[p for p, _pt in staged])
+            .groupBy(F.col("_metadata.file_path").alias("__fp"))
+            .agg(*aggs)
+            .collect()
+        ):
+            d = r.asDict()
+            stats_rows[d["__fp"].removeprefix("file:")] = d
+    entries = []
+    for p, part in staged:
+        d = stats_rows.get(p)
+        nvc, lbs, ubs, rc = None, None, None, 0
+        if d is not None:
+            rc = int(d["__n"])
+            nvc, lbs, ubs = [], [], []
+            for i, (_name, it) in ice_by_id.items():
+                if f"__nul__{i}" not in d:
+                    continue
+                nvc.append({"key": i, "value": int(d[f"__nul__{i}"])})
+                lo = _encode_bound(d[f"__min__{i}"], it)
+                hi = _encode_bound(d[f"__max__{i}"], it)
+                if lo is not None:
+                    lbs.append({"key": i, "value": lo})
+                if hi is not None:
+                    ubs.append({"key": i, "value": hi})
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f"file://{p}",
+                    "file_format": "PARQUET",
+                    "partition": part,
+                    "record_count": rc,
+                    "file_size_in_bytes": os.path.getsize(p),
+                    "null_value_counts": nvc,
+                    "lower_bounds": lbs,
+                    "upper_bounds": ubs,
+                },
+            }
+        )
+    return entries
+
+
+_ML_PARTITIONS_FIELD = {
+    "name": "partitions",
+    "type": [
+        "null",
+        {
+            "type": "array",
+            "items": {
+                "type": "record",
+                "name": "r508",
+                "fields": [
+                    {"name": "contains_null", "type": "boolean"},
+                    {
+                        "name": "lower_bound",
+                        "type": ["null", "bytes"],
+                        "default": None,
+                    },
+                    {
+                        "name": "upper_bound",
+                        "type": ["null", "bytes"],
+                        "default": None,
+                    },
+                ],
+            },
+        },
+    ],
+    "default": None,
+}
+
+
+def _partition_field_summaries(part_fields, staged) -> list[dict]:
+    """The manifest-list `partitions` field_summary list (spec
+    "Manifest Lists"): per spec field, contains_null + Appendix-D
+    encoded min/max of the partition values across every staged file —
+    what lets scan planning skip a whole manifest without opening it."""
+    out = []
+    for pf in part_fields:
+        vals = [part.get(pf.name) for _p, part in staged]
+        nn = [v for v in vals if v is not None]
+        out.append(
+            {
+                "contains_null": any(v is None for v in vals),
+                "lower_bound": _encode_bound(min(nn), pf.avro_type) if nn else None,
+                "upper_bound": _encode_bound(max(nn), pf.avro_type) if nn else None,
+            }
+        )
+    return out
+
+
+def _spec_json(part_fields, spec_id: int) -> dict:
+    return {
+        "spec-id": spec_id,
+        "fields": [
+            {
+                "name": pf.name,
+                "transform": pf.transform,
+                "source-id": pf.source_id,
+                "field-id": pf.field_id,
+            }
+            for pf in part_fields
+        ],
+    }
+
+
+def create_partitioned_table(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    spec: list[tuple[str, str]],
+    bounds: bool = True,
+) -> None:
+    """Stage `df` as a PARTITIONED Iceberg table (spec-id 0):
+    `spec` = [(source_column, transform)] with transforms identity /
+    bucket[N] / truncate[W] / year / month / day
+    (iceberg_partitions.py). Each data file's manifest entry records
+    its partition tuple (spec "Manifests": the `partition` struct) and
+    — bounds=True — per-file column stats; metadata carries
+    `partition-specs` + `default-spec-id` (and the v1 legacy
+    `partition-spec` mirror). read(predicates=...) then prunes in the
+    partition domain BEFORE the stats domain, the spec's scan-planning
+    order."""
+    import uuid
+
+    from ..functions import avrocodec
+    from . import iceberg_partitions as IP
+
+    meta_dir = os.path.join(path, "metadata")
+    os.makedirs(meta_dir, exist_ok=False)
+    fields = []
+    for i, f in enumerate(df.schema.fields, start=1):
+        tname = type(f.dataType).__name__
+        if tname not in _SPARK_TO_ICE:
+            raise UnsupportedIcebergFeature(f"staging type {tname}")
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": False,
+                "type": _SPARK_TO_ICE[tname],
+            }
+        )
+    part_fields = IP.parse_spec(spec, fields)
+    staged = _stage_partitioned_files(spark, path, df, part_fields, fields)
+    manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+    avrocodec.write_container(
+        manifest,
+        _partitioned_manifest_schema(part_fields),
+        _partition_stats_entries(spark, staged, fields, bounds),
+    )
+    ml = os.path.join(meta_dir, f"snap-1-{uuid.uuid4().hex}.avro")
+    avrocodec.write_container(
+        ml,
+        {
+            "type": "record",
+            "name": "manifest_file",
+            "fields": [
+                {"name": "manifest_path", "type": "string"},
+                {"name": "manifest_length", "type": "long"},
+                {"name": "partition_spec_id", "type": "int"},
+                {"name": "content", "type": "int"},
+                _ML_PARTITIONS_FIELD,
+            ],
+        },
+        [
+            {
+                "manifest_path": f"file://{manifest}",
+                "manifest_length": os.path.getsize(manifest),
+                "partition_spec_id": 0,
+                "content": 0,
+                "partitions": _partition_field_summaries(part_fields, staged),
+            }
+        ],
+    )
+    spec_json = _spec_json(part_fields, 0)
+    meta = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": f"file://{path}",
+        "schema": {"type": "struct", "schema-id": 0, "fields": fields},
+        "partition-spec": spec_json["fields"],  # v1 legacy mirror
+        "partition-specs": [spec_json],
+        "default-spec-id": 0,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "timestamp-ms": 0,
+                "manifest-list": f"file://{ml}",
+                "summary": {"operation": "append"},
+            }
+        ],
+        "current-snapshot-id": 1,
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+
+def append_partitioned_snapshot(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    spec: list[tuple[str, str]],
+    bounds: bool = True,
+) -> int:
+    """Append `df` under `spec`, EVOLVING the partition spec if it
+    differs from every spec already in the metadata (spec "Partition
+    Evolution"): the new spec registers in `partition-specs` with the
+    next spec-id, `default-spec-id` moves, the new manifest's
+    manifest-list entry carries the new id — and files written under
+    OLDER specs are untouched, each still pruned under the spec it was
+    written with. Returns the new snapshot id."""
+    from ..functions import avrocodec
+    from . import iceberg_partitions as IP
+
+    import uuid
+
+    t = IcebergTableReader(spark, path)
+    meta = t.metadata()
+    fields = t._schema_fields(meta)
+    part_fields = IP.parse_spec(spec, fields)
+    new_fields_key = [(pf.transform, pf.source_id) for pf in part_fields]
+    specs = list(meta.get("partition-specs", []))
+    spec_id = None
+    for s in specs:
+        key = [(f["transform"], f["source-id"]) for f in s.get("fields", [])]
+        if key == new_fields_key:
+            spec_id = s["spec-id"]
+            break
+    meta_updates: dict = {}
+    if spec_id is None:
+        spec_id = max((s["spec-id"] for s in specs), default=-1) + 1
+        # renumber partition field ids so distinct specs never collide
+        part_fields = IP.parse_spec(
+            spec, fields, first_field_id=1000 + 10 * spec_id
+        )
+        specs.append(_spec_json(part_fields, spec_id))
+        meta_updates = {"partition-specs": specs, "default-spec-id": spec_id}
+    else:
+        pf_json = next(s for s in specs if s["spec-id"] == spec_id)
+        part_fields = IP.fields_from_spec_json(pf_json["fields"], fields)
+    staged = _stage_partitioned_files(spark, path, df, part_fields, fields)
+    manifest = os.path.join(
+        os.path.join(path, "metadata"), f"{uuid.uuid4().hex}-a0.avro"
+    )
+    avrocodec.write_container(
+        manifest,
+        _partitioned_manifest_schema(part_fields),
+        _partition_stats_entries(spark, staged, fields, bounds),
+    )
+    return _commit_snapshot(
+        spark,
+        path,
+        [(manifest, 0, spec_id, _partition_field_summaries(part_fields, staged))],
+        "append",
+        meta_updates=meta_updates,
+    )
+
+
 class IcebergTableReader:
     """Snapshot reader over an Iceberg table directory.
 
@@ -1079,6 +1514,7 @@ class IcebergTableReader:
         # filled by read(): candidate/scanned/skipped data-file counts
         # of the most recent snapshot read (file-skipping introspection)
         self.last_scan: dict[str, int] = {}
+        self._manifest_scan: dict[str, int] = {"skipped_manifests": 0}
         if not os.path.isdir(self.meta_dir):
             raise FileNotFoundError(
                 f"not an Iceberg table (no metadata/): {path}"
@@ -1208,8 +1644,28 @@ class IcebergTableReader:
 
     # -- snapshot read ----------------------------------------------------------
 
+    def _spec_fields_by_id(self, meta: dict) -> dict[int, list]:
+        """partition-spec fields by spec-id, reconstructed for pruning
+        (v2 `partition-specs`, else the v1 legacy spec as id 0)."""
+        from . import iceberg_partitions as IP
+
+        schema_fields = self._schema_fields(meta)
+        out: dict[int, list] = {}
+        for s in meta.get("partition-specs", []):
+            out[s["spec-id"]] = IP.fields_from_spec_json(
+                s.get("fields", []), schema_fields
+            )
+        if not out and meta.get("partition-spec"):
+            out[0] = IP.fields_from_spec_json(
+                meta["partition-spec"], schema_fields
+            )
+        return out
+
     def _live_files(
-        self, snapshot: dict
+        self,
+        snapshot: dict,
+        predicates: list | None = None,
+        spec_lookup: dict[int, list] | None = None,
     ) -> tuple[
         list[tuple[str, tuple[int, dict]]],
         list[tuple[str, str]],
@@ -1232,11 +1688,14 @@ class IcebergTableReader:
         delete)."""
         from ..functions import avrocodec
 
+        from . import iceberg_partitions as IP
+
         ml_path = _local_path(snapshot["manifest-list"])
         _schema, manifests = avrocodec.read_container(ml_path)
         data_files: dict[str, tuple[int, dict]] = {}
         pos_deletes: list[tuple[str, str]] = []
         eq_deletes: list[tuple[str, str, int, tuple[int, ...]]] = []
+        self._manifest_scan = {"skipped_manifests": 0}
         for m in manifests:
             m_content = m.get("content") or 0
             if m_content not in (0, 1):
@@ -1244,6 +1703,34 @@ class IcebergTableReader:
                     f"manifest-list content {m_content}; only data (0) "
                     "and delete (1) manifests are understood"
                 )
+            # manifest-LIST level pruning (spec "Manifest Lists"): a
+            # data manifest whose field_summary proves no partition in
+            # it can match is skipped before it is even OPENED — the
+            # first pruning tier, O(#manifests) driver work
+            if predicates and spec_lookup and m_content == 0:
+                sums = m.get("partitions")
+                pfs = spec_lookup.get(
+                    m.get("partition_spec_id")
+                    if m.get("partition_spec_id") is not None
+                    else 0
+                )
+                if sums and pfs:
+                    decoded = [
+                        {
+                            "contains_null": s.get("contains_null"),
+                            "lower_bound": _decode_bound(
+                                s.get("lower_bound"), pfs[i].avro_type
+                            ),
+                            "upper_bound": _decode_bound(
+                                s.get("upper_bound"), pfs[i].avro_type
+                            ),
+                        }
+                        for i, s in enumerate(sums)
+                        if i < len(pfs)
+                    ]
+                    if not IP.manifest_may_match(pfs, decoded, predicates):
+                        self._manifest_scan["skipped_manifests"] += 1
+                        continue
             _es, entries = avrocodec.read_container(
                 _local_path(m["manifest_path"])
             )
@@ -1273,6 +1760,16 @@ class IcebergTableReader:
                             "upper_bounds": df_rec.get("upper_bounds"),
                             "null_value_counts": df_rec.get(
                                 "null_value_counts"
+                            ),
+                            # transform-aware pruning (spec "Partition
+                            # Transforms"): the entry's partition tuple
+                            # + the manifest's spec id — each file is
+                            # pruned under the spec it was written with
+                            "partition": df_rec.get("partition"),
+                            "spec_id": (
+                                m.get("partition_spec_id")
+                                if m.get("partition_spec_id") is not None
+                                else 0
                             ),
                         },
                     )
@@ -1353,22 +1850,30 @@ class IcebergTableReader:
         )
         if snapshot is None:
             raise ValueError(f"snapshot {snapshot_id} not in table metadata")
-        data, pos_deletes, eq_deletes = self._live_files(snapshot)
         schema = self._schema_struct(meta)
-        self.last_scan = {
-            "candidate_files": len(data),
-            "scanned_files": len(data),
-            "skipped_files": 0,
-        }
         if predicates:
             from . import skipping
 
             skipping.validate(predicates, [f.name for f in schema.fields])
+        data, pos_deletes, eq_deletes = self._live_files(
+            snapshot,
+            predicates=predicates,
+            spec_lookup=self._spec_fields_by_id(meta) if predicates else None,
+        )
+        skipped_manifests = self._manifest_scan["skipped_manifests"]
+        self.last_scan = {
+            "candidate_files": len(data),
+            "scanned_files": len(data),
+            "skipped_files": 0,
+            "skipped_manifests": skipped_manifests,
+        }
+        if predicates:
             kept = self._prune_data_files(data, predicates, meta)
             self.last_scan = {
                 "candidate_files": len(data),
                 "scanned_files": len(kept),
                 "skipped_files": len(data) - len(kept),
+                "skipped_manifests": skipped_manifests,
             }
             data = kept
 
@@ -1479,6 +1984,7 @@ class IcebergTableReader:
         (conservative — unknown stats keep the file). Shared by
         read(predicates=) and delete_where (the write side prunes with
         the same math as the read side)."""
+        from . import iceberg_partitions as IP
         from . import skipping
 
         by_id = {
@@ -1486,8 +1992,14 @@ class IcebergTableReader:
             for f in self._schema_fields(meta)
             if isinstance(f.get("type"), str)  # primitives only
         }
+        spec_fields_by_id = self._spec_fields_by_id(meta)
         kept = []
         for path, (seq, st) in data:
+            part = st.get("partition")
+            if part is not None and spec_fields_by_id:
+                pfs = spec_fields_by_id.get(st.get("spec_id", 0))
+                if pfs and not IP.files_may_match(pfs, part, predicates):
+                    continue  # provably empty in the partition domain
             minv, maxv, nullc = {}, {}, {}
             rc = st.get("record_count")
             rows = int(rc) if rc else None  # 0/None = stats absent

@@ -1,0 +1,334 @@
+"""Iceberg PARTITION TRANSFORMS: spec bucket hash golden values,
+partition-domain pruning math, partitioned write/read round-trips, and
+partition-SPEC evolution (each file pruned under the spec it was
+written with).
+
+Reference parity: the reference has no partitioning (whole-file CSV
+reads, Part_A_Q1.py:21); this is beyond-reference lakehouse surface.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from introduction_in_big_data_spark.sources import iceberg_partitions as IP
+from introduction_in_big_data_spark.sources.iceberg import (
+    IcebergTableReader,
+    append_partitioned_snapshot,
+    create_partitioned_table,
+)
+
+
+# ---------------------------------------------------------------- hash
+
+
+def test_murmur3_spec_golden_values():
+    """The spec's own Appendix-B hash table pins the bucket function:
+    any deviation silently scatters rows into wrong buckets."""
+    assert IP.murmur3_x86_32((34).to_bytes(8, "little", signed=True)) == 2017239379
+    assert IP.murmur3_x86_32(b"iceberg") == 1210000089
+    days = (dt.date(2017, 11, 16) - dt.date(1970, 1, 1)).days
+    assert IP.murmur3_x86_32(days.to_bytes(8, "little", signed=True)) == -653330422
+
+
+def test_murmur3_vectorized_matches_scalar():
+    vals = np.array([0, 1, -1, 34, 2**40, -(2**40), 17486], dtype=np.int64)
+    vec = IP._murmur3_long_vec(vals)
+    for v, h in zip(vals.tolist(), vec.tolist()):
+        assert h == IP.murmur3_x86_32(int(v).to_bytes(8, "little", signed=True))
+
+
+def test_bucket_of_types():
+    assert IP.bucket_of(34, 16) == (2017239379 & 0x7FFFFFFF) % 16
+    assert IP.bucket_of("iceberg", 16) == (1210000089 & 0x7FFFFFFF) % 16
+    assert IP.bucket_of(dt.date(2017, 11, 16), 8) == (
+        (-653330422 & 0x7FFFFFFF) % 8
+    )
+    assert IP.bucket_of(None, 8) is None
+
+
+# ------------------------------------------------------------- pruning
+
+
+def _pf(transform, src_t="long", name="p"):
+    fields = [{"id": 1, "name": "c", "type": src_t}]
+    return IP.parse_spec([("c", transform)], fields)[0]
+
+
+def test_identity_pruning_exact():
+    pf = _pf("identity")
+    assert IP.partition_may_match(pf, 5, "=", 5)
+    assert not IP.partition_may_match(pf, 5, "=", 6)
+    assert IP.partition_may_match(pf, 5, "<", 6)
+    assert not IP.partition_may_match(pf, 5, "<", 5)
+    assert IP.partition_may_match(pf, 5, "in", [1, 5])
+    assert not IP.partition_may_match(pf, 5, "in", [1, 2])
+
+
+def test_order_preserving_ranges_are_inclusive():
+    """day(col): rows strictly below the literal can share its
+    transformed value, so `<` keeps pv == T(lit)."""
+    pf = _pf("day", src_t="date")
+    d = dt.date(2020, 6, 15)
+    tl = (d - dt.date(1970, 1, 1)).days
+    assert IP.partition_may_match(pf, tl, "<", d)  # same-day rows may be <
+    assert not IP.partition_may_match(pf, tl + 1, "<", d)
+    assert IP.partition_may_match(pf, tl - 1, "<", d)
+    assert IP.partition_may_match(pf, tl, "=", d)
+    assert not IP.partition_may_match(pf, tl - 1, "=", d)
+    assert IP.partition_may_match(pf, tl, ">=", d)
+    assert not IP.partition_may_match(pf, tl - 1, ">", d)
+    # != can never prune through a many-to-one transform
+    assert IP.partition_may_match(pf, tl, "!=", d)
+
+
+def test_month_year_truncate_literals():
+    assert IP.transform_literal(_pf("month", "date"), dt.date(1970, 2, 1)) == 1
+    assert IP.transform_literal(_pf("year", "date"), dt.date(1969, 6, 1)) == -1
+    assert IP.transform_literal(_pf("truncate[10]"), -1) == -10  # floors
+    assert IP.transform_literal(_pf("truncate[10]"), 19) == 10
+    assert (
+        IP.transform_literal(_pf("truncate[3]", "string"), "iceberg") == "ice"
+    )
+
+
+def test_bucket_prunes_equality_only():
+    pf = _pf("bucket[16]")
+    b34 = IP.bucket_of(34, 16)
+    assert IP.partition_may_match(pf, b34, "=", 34)
+    assert not IP.partition_may_match(pf, (b34 + 1) % 16, "=", 34)
+    # ranges keep every file through a hash
+    assert IP.partition_may_match(pf, 0, "<", 34)
+    assert IP.partition_may_match(pf, 0, ">=", 34)
+
+
+def test_null_partition_semantics():
+    pf = _pf("day", src_t="date")
+    assert IP.partition_may_match(pf, None, "isnull", None)
+    assert not IP.partition_may_match(pf, None, "=", dt.date(2020, 1, 1))
+    assert not IP.partition_may_match(pf, None, "notnull", None)
+    assert IP.partition_may_match(pf, 5, "notnull", None)
+    assert not IP.partition_may_match(pf, 5, "isnull", None)
+
+
+def test_parse_spec_rejects_bad_combos():
+    fields = [{"id": 1, "name": "c", "type": "double"}]
+    with pytest.raises(ValueError):
+        IP.parse_spec([("c", "bucket[8]")], fields)
+    with pytest.raises(ValueError):
+        IP.parse_spec([("missing", "identity")], fields)
+    with pytest.raises(ValueError):
+        IP.parse_spec([("c", "hour")], fields)
+
+
+# --------------------------------------------------------- end-to-end
+
+
+def _orders(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+    )
+
+
+def test_partitioned_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    base = _orders(spark, sf_dir)
+    path = str(tmp_path / "t1")
+    create_partitioned_table(
+        spark,
+        path,
+        base,
+        spec=[("o_orderstatus", "identity"), ("o_orderdate", "year")],
+    )
+    t = IcebergTableReader(spark, path)
+    # no predicates: full contents survive the partitioned staging
+    assert t.read().count() == base.count()
+    cut = dt.date(1997, 1, 1)
+    snap = t.read(
+        predicates=[("o_orderstatus", "=", "F"), ("o_orderdate", "<", cut)]
+    )
+    exp = base.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderdate") < F.lit(cut))
+    )
+    assert snap.count() == exp.count()
+    assert snap.agg(F.sum("o_totalprice")).collect()[0][0] == pytest.approx(
+        exp.agg(F.sum("o_totalprice")).collect()[0][0]
+    )
+    # identity x year: only the F-status years below the cut scan
+    assert t.last_scan["skipped_files"] > 0
+    assert t.last_scan["scanned_files"] < t.last_scan["candidate_files"]
+
+
+def test_bucket_pruning_scans_only_matching_buckets(spark, sf_dir, tmp_path):
+    base = _orders(spark, sf_dir)
+    path = str(tmp_path / "t2")
+    create_partitioned_table(spark, path, base, spec=[("o_custkey", "bucket[8]")])
+    t = IcebergTableReader(spark, path)
+    keys = [7, 22, 100]
+    snap = t.read(predicates=[("o_custkey", "in", keys)])
+    exp = base.filter(F.col("o_custkey").isin(keys))
+    assert snap.count() == exp.count()
+    want_buckets = {IP.bucket_of(k, 8) for k in keys}
+    # at most one file per wanted bucket survives pruning here (one
+    # staging task per input partition count, small data)
+    assert t.last_scan["scanned_files"] <= len(want_buckets) * 4
+    assert t.last_scan["skipped_files"] > 0
+
+
+def test_string_truncate_partition(spark, sf_dir, tmp_path):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    path = str(tmp_path / "t3")
+    create_partitioned_table(
+        spark, path, part, spec=[("p_brand", "truncate[7]")]
+    )
+    t = IcebergTableReader(spark, path)
+    snap = t.read(predicates=[("p_brand", "=", "Brand#23")])
+    assert snap.count() == part.filter(F.col("p_brand") == "Brand#23").count()
+    assert t.last_scan["skipped_files"] > 0
+
+
+def test_partition_spec_evolution_mixed_pruning(spark, sf_dir, tmp_path):
+    """Files written under spec 0 (year) and spec 1 (month + bucket)
+    coexist; a date predicate prunes each file under ITS OWN spec and
+    the union result is exact."""
+    base = _orders(spark, sf_dir)
+    old = base.filter(F.col("o_orderkey") % 2 == 0)
+    new = base.filter(F.col("o_orderkey") % 2 == 1)
+    path = str(tmp_path / "t4")
+    create_partitioned_table(spark, path, old, spec=[("o_orderdate", "year")])
+    append_partitioned_snapshot(
+        spark,
+        path,
+        new,
+        spec=[("o_orderdate", "month"), ("o_custkey", "bucket[8]")],
+    )
+    t = IcebergTableReader(spark, path)
+    meta = t.metadata()
+    assert [s["spec-id"] for s in meta["partition-specs"]] == [0, 1]
+    assert meta["default-spec-id"] == 1
+    cut = dt.date(1999, 1, 1)
+    snap = t.read(predicates=[("o_orderdate", ">=", cut)])
+    exp = base.filter(F.col("o_orderdate") >= F.lit(cut))
+    assert snap.count() == exp.count()
+    assert t.last_scan["skipped_files"] > 0
+    # full read still exact across specs
+    assert t.read().count() == base.count()
+
+
+def test_append_same_spec_reuses_spec_id(spark, sf_dir, tmp_path):
+    base = _orders(spark, sf_dir)
+    path = str(tmp_path / "t5")
+    create_partitioned_table(spark, path, base, spec=[("o_orderdate", "year")])
+    append_partitioned_snapshot(
+        spark,
+        path,
+        base.withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000),
+        spec=[("o_orderdate", "year")],
+    )
+    t = IcebergTableReader(spark, path)
+    assert len(t.metadata()["partition-specs"]) == 1
+    assert t.read().count() == 2 * base.count()
+
+
+def test_null_partition_value_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "k long, tag string"
+    )
+    path = str(tmp_path / "t6")
+    create_partitioned_table(spark, path, df, spec=[("tag", "identity")])
+    t = IcebergTableReader(spark, path)
+    assert t.read().count() == 3
+    snap = t.read(predicates=[("tag", "isnull", None)])
+    assert [r.k for r in snap.collect()] == [2]
+    assert t.last_scan["skipped_files"] > 0
+    snap = t.read(predicates=[("tag", "=", "a")])
+    assert [r.k for r in snap.collect()] == [1]
+
+
+def test_manifest_list_summary_prunes_whole_manifests(spark, sf_dir, tmp_path):
+    """field_summary pruning (spec "Manifest Lists"): the early-years
+    manifest is skipped WITHOUT being opened when the predicate only
+    touches the later years — the first pruning tier at 100 TB."""
+    base = _orders(spark, sf_dir)
+    split = dt.date(1998, 1, 1)
+    path = str(tmp_path / "tm")
+    create_partitioned_table(
+        spark,
+        path,
+        base.filter(F.col("o_orderdate") < F.lit(split)),
+        spec=[("o_orderdate", "year")],
+    )
+    append_partitioned_snapshot(
+        spark,
+        path,
+        base.filter(F.col("o_orderdate") >= F.lit(split)),
+        spec=[("o_orderdate", "year")],
+    )
+    t = IcebergTableReader(spark, path)
+    cut = dt.date(1999, 1, 1)
+    snap = t.read(predicates=[("o_orderdate", ">=", cut)])
+    assert snap.count() == base.filter(F.col("o_orderdate") >= F.lit(cut)).count()
+    assert t.last_scan["skipped_manifests"] == 1
+    # equality probe into the OLD manifest: new one skipped instead
+    d = dt.date(1996, 6, 1)
+    t.read(predicates=[("o_orderdate", "=", d)])
+    assert t.last_scan["skipped_manifests"] == 1
+    # no-predicate read touches everything and resets the counter
+    assert t.read().count() == base.count()
+    assert t.last_scan["skipped_manifests"] == 0
+
+
+def test_summary_may_match_table():
+    pf = _pf("year", src_t="date")
+    d98 = dt.date(1998, 6, 1)  # year transform value 28
+    assert IP.summary_may_match(pf, 25, 27, False, "=", d98) is False
+    assert IP.summary_may_match(pf, 25, 28, False, "=", d98) is True
+    assert IP.summary_may_match(pf, 29, 30, False, "<", d98) is False
+    assert IP.summary_may_match(pf, 28, 30, False, "<", d98) is True
+    assert IP.summary_may_match(pf, 25, 27, False, ">", d98) is False
+    assert IP.summary_may_match(pf, 25, 28, False, ">", d98) is True
+    assert IP.summary_may_match(pf, 25, 27, False, "!=", d98) is True
+    assert IP.summary_may_match(pf, 25, 27, True, "isnull", None) is True
+    assert IP.summary_may_match(pf, 25, 27, False, "isnull", None) is False
+    assert IP.summary_may_match(pf, None, None, False, "isnull", None) is True
+    # bucket: equality prunes, ranges never
+    pb = _pf("bucket[16]")
+    b = IP.bucket_of(34, 16)
+    assert IP.summary_may_match(pb, b, b, False, "=", 34) is True
+    assert IP.summary_may_match(pb, b + 1, b + 2, False, "=", 34) is False
+    assert IP.summary_may_match(pb, b + 1, b + 2, False, "<", 34) is True
+
+
+def test_position_delete_commit_on_partitioned_table(spark, sf_dir, tmp_path):
+    """A spec-unaware commit path (merge-on-read DELETE) must append
+    to the partitioned manifest list — whose schema carries the
+    `partitions` field — without corrupting it."""
+    base = _orders(spark, sf_dir)
+    path = str(tmp_path / "tp")
+    create_partitioned_table(spark, path, base, spec=[("o_orderdate", "year")])
+    t = IcebergTableReader(spark, path)
+    new_snap = t.delete_where([("o_orderstatus", "=", "F")])
+    assert new_snap == 2  # delete snapshot committed
+    n_del = base.filter(F.col("o_orderstatus") == "F").count()
+    t2 = IcebergTableReader(spark, path)
+    assert t2.read().count() == base.count() - n_del
+    # partition pruning still works after the delete snapshot
+    cut = dt.date(1999, 1, 1)
+    snap = t2.read(predicates=[("o_orderdate", ">=", cut)])
+    exp = base.filter(
+        (F.col("o_orderdate") >= F.lit(cut)) & (F.col("o_orderstatus") != "F")
+    )
+    assert snap.count() == exp.count()
+    assert t2.last_scan["skipped_files"] > 0

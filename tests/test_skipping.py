@@ -219,6 +219,7 @@ def test_iceberg_bounds_skipping_prunes_and_matches(spark, tmp_path):
         "candidate_files": 8,
         "scanned_files": 1,
         "skipped_files": 7,
+        "skipped_manifests": 0,
     }
     full = t.read().filter(F.col("k") >= 900)
     assert sorted(x.k for x in pruned.collect()) == sorted(
