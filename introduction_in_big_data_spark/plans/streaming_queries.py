@@ -203,6 +203,70 @@ def stream_stream_view_click(spark, sf_dir):
 
 
 @register(
+    "stream_stream_view_click_outer",
+    oracle="""
+        SELECT v.user_id,
+               CAST(floor(epoch(v.ts)) AS BIGINT) AS view_epoch,
+               CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch
+        FROM events v LEFT JOIN events c
+          ON v.user_id = c.user_id
+         AND c.event_type = 'click'
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+        WHERE v.event_type = 'view'
+    """,
+    tags=("streaming", "join", "stateful", "outer"),
+)
+def stream_stream_view_click_outer(spark, sf_dir):
+    """STREAM-STREAM **LEFT OUTER** join — the watermark-gated outer
+    shape (round 7): every 'view' joined to same-user 'click's within
+    the following 30 minutes, and views with NO such click emit a
+    null-padded row once the watermark PROVES no match can still
+    arrive (state eviction time = view_ts + 30min + delay; inner joins
+    drop these rows, outer joins must emit them, which is why outer
+    results are inherently watermark-delayed). A bounded availableNow
+    run would terminate with every unmatched view still in state, so
+    the staged queue ends with a far-future flush-sentinel batch
+    (events_stream_with_flush) that advances the watermark past every
+    real view's horizon — the bounded-run analog of production time
+    passing. Sentinels pass THROUGH the watermark operators and are
+    dropped downstream by sign (negative user ids). Exact parity with
+    the batch LEFT JOIN oracle: the 3650-day delay exceeds the staged
+    queue's out-of-orderness, so nothing real is ever late-dropped."""
+    s = st.events_stream_with_flush(spark, sf_dir, n_files=N_FILES)
+    views = (
+        s.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "3650 days")
+    )
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "3650 days")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "user_id = c_user_id AND click_ts >= view_ts "
+            "AND click_ts <= view_ts + interval 30 minutes"
+        ),
+        "left_outer",
+    ).select(
+        "user_id",
+        F.unix_timestamp("view_ts").alias("view_epoch"),
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+    )
+    # state shards ≈ live-key cardinality, not cpu count — the same
+    # sizing argument as stream_hourly_by_type (default 200 stores
+    # would run 200 state tasks per micro-batch for a few thousand
+    # in-flight views)
+    drained = st.run_to_memory(joined, "append", state_partitions=8)
+    return drained.filter(F.col("user_id") >= 0)
+
+
+@register(
     "stream_session_stats",
     oracle=f"""
         WITH e AS (

@@ -72,6 +72,84 @@ def events_stream(
     )
 
 
+def events_stream_with_flush(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 5,
+    flush_days: int = 3652,
+) -> DataFrame:
+    """The events file stream plus a FINAL micro-batch containing only
+    watermark-flush sentinels: two rows (user_id −1 'view', −2
+    'click') whose ts sits `flush_days` beyond the real maximum.
+
+    Outer stream-stream joins emit their null-padded rows only when
+    the watermark proves no match can still arrive; a bounded
+    availableNow run over finite data would otherwise terminate with
+    every unmatched row still parked in the state store. The sentinel
+    batch advances the event-time watermark past every real row's
+    join horizon, flushing them — the bounded-run analog of the
+    endless production stream, where time itself does this. Sentinels
+    ride THROUGH the watermark operators (the query filters them out
+    only downstream — negative user ids) and the staged files carry
+    strictly increasing mtimes so the file source serves the flush
+    file last. In production there is no sentinel: the operator is
+    identical, late time does the flushing.
+    """
+    import datetime as _dt
+    import glob
+
+    from ..sources.tables import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(STAGE_ROOT, f"{tag}_{n_files}_flush_v1")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        events = load_table(spark, sf_dir, "events")
+        (
+            events.repartitionByRange(n_files, "event_id")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        parts = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+        base = 1_000_000_000  # fixed mtimes: deterministic file order
+        for i, p in enumerate(parts):
+            os.utime(p, (base + i, base + i))
+        mx = events.agg(F.max("ts")).collect()[0][0]
+        flush_ts = mx + _dt.timedelta(days=flush_days)
+        sentinels = spark.createDataFrame(
+            [
+                tuple(
+                    {
+                        "event_id": -1,
+                        "user_id": -1,
+                        "event_type": "view",
+                        "ts": flush_ts,
+                    }.get(f.name)
+                    for f in events.schema.fields
+                ),
+                tuple(
+                    {
+                        "event_id": -2,
+                        "user_id": -2,
+                        "event_type": "click",
+                        "ts": flush_ts,
+                    }.get(f.name)
+                    for f in events.schema.fields
+                ),
+            ],
+            events.schema,
+        )
+        sentinels.coalesce(1).write.mode("append").parquet(out)
+        for p in sorted(glob.glob(os.path.join(out, "part-*.parquet"))):
+            if p not in parts:
+                os.utime(p, (base + n_files, base + n_files))
+    schema = spark.read.parquet(out).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+
+
 def ndjson_stream(
     spark: SparkSession, path: str, schema, max_files_per_trigger: int = 1
 ) -> DataFrame:

@@ -316,3 +316,54 @@ def test_rocksdb_state_store_parity(spark, sf_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_stream_stream_left_outer_join_flush(spark, sf_dir):
+    """Watermarked stream-stream LEFT OUTER join: unmatched left rows
+    emit null-padded ONLY once the watermark proves no match can
+    arrive — on a bounded run that requires the flush-sentinel final
+    batch (events_stream_with_flush). Exact parity with the batch
+    left join, including the null rows; sentinels (negative user ids)
+    never leak into the result."""
+    s = st.events_stream_with_flush(spark, sf_dir, n_files=5)
+    views = (
+        s.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "3650 days")
+    )
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "3650 days")
+    )
+    cond = F.expr(
+        "user_id = c_user AND click_ts >= view_ts "
+        "AND click_ts <= view_ts + interval 30 minutes"
+    )
+    joined = views.join(clicks, cond, "left_outer").select(
+        "user_id", "view_ts", "click_ts"
+    )
+    drained = st.run_to_memory(joined, "append", state_partitions=4)
+    assert drained.filter(F.col("user_id") < 0).count() == 0
+    streamed = {
+        (r["user_id"], r["view_ts"], r["click_ts"])
+        for r in drained.collect()
+    }
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    batch = {
+        (r["user_id"], r["view_ts"], r["click_ts"])
+        for r in v.join(c, cond, "left_outer")
+        .select("user_id", "view_ts", "click_ts")
+        .collect()
+    }
+    assert streamed == batch
+    assert any(ct is None for _u, _vt, ct in batch), (
+        "fixture should contain at least one view without a click"
+    )
