@@ -2640,3 +2640,47 @@ def iceberg_partition_evolution_read(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("o_orderkey").alias("key_sum"),
     )
+
+
+@register(
+    "iceberg_hour_partitioned_events",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)
+                   AS epoch_sum
+        FROM events
+        WHERE epoch(ts) >= 1705708800
+        GROUP BY event_type
+    """,
+    tags=("iceberg", "lakehouse", "partitioning", "skipping", "streaming-adjacent"),
+)
+def iceberg_hour_partitioned_events(spark, sf_dir):
+    """HOUR-grain Iceberg partitioning on a TIMESTAMP column (round
+    7) — the event-log layout every ingest pipeline lands on: stage
+    events under hour(ts) (partition values are UTC epoch-hours
+    computed with session-TZ-free epoch math; F.year/F.hour on a
+    timestamp would bake the stager's time zone into the table
+    layout), then read the trailing window with a tz-AWARE literal
+    (naive datetimes can't prune — Spark's residual filter interprets
+    them in the session zone, so the planner conservatively keeps
+    everything rather than risk a zone-skewed skip). ~460 of 720
+    hour partitions never reach the scan. Epochs aggregated as longs:
+    session-timezone-free, value-hash checked against DuckDB."""
+    import datetime
+    import tempfile
+
+    from ..sources.iceberg import IcebergTableReader, create_partitioned_table
+
+    base = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_hourpart_") + "/t"
+    create_partitioned_table(spark, path, base, spec=[("ts", "hour")])
+    reader = IcebergTableReader(spark, path)
+    cut = datetime.datetime(2024, 1, 20, tzinfo=datetime.timezone.utc)
+    snap = reader.read(predicates=[("ts", ">=", cut)])
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.unix_timestamp("ts")).alias("epoch_sum"),
+    )

@@ -370,6 +370,7 @@ _SPARK_TO_ICE = {
     "BooleanType": "boolean",
     "BinaryType": "binary",
     "DateType": "date",
+    "TimestampType": "timestamptz",
 }
 
 

@@ -149,6 +149,7 @@ class PartitionField:
 
     source: str  # source column name
     source_id: int  # source field id in the table schema
+    source_type: str  # iceberg primitive of the source column
     transform: str  # canonical transform string, e.g. "bucket[8]"
     name: str  # partition field name (iceberg convention)
     field_id: int  # partition field id (1000 + ordinal)
@@ -187,9 +188,15 @@ def parse_spec(
                 )
             name, avro_t, order = col, src_t, True
         elif tr in ("year", "month", "day"):
-            if src_t != "date":
-                raise ValueError(f"{tr} transform needs a date column")
+            if src_t not in ("date", "timestamp", "timestamptz"):
+                raise ValueError(
+                    f"{tr} transform needs a date/timestamp column"
+                )
             name, avro_t, order = f"{col}_{tr}", "int", True
+        elif tr == "hour":
+            if src_t not in ("timestamp", "timestamptz"):
+                raise ValueError("hour transform needs a timestamp column")
+            name, avro_t, order = f"{col}_hour", "int", True
         elif _TRUNC_RE.match(tr):
             if src_t not in ("int", "long", "string"):
                 raise ValueError(
@@ -208,6 +215,7 @@ def parse_spec(
             PartitionField(
                 source=col,
                 source_id=src["id"],
+                source_type=src_t,
                 transform=tr,
                 name=name,
                 field_id=first_field_id + i,
@@ -224,6 +232,22 @@ def partition_expr(pf: PartitionField, src_type: str) -> Column:
     except bucket (spec murmur3 seed-0 has no JVM builtin: F.hash is
     seed-42), which runs as an Arrow-batched pandas UDF."""
     c = F.col(pf.source)
+    is_ts = src_type in ("timestamp", "timestamptz")
+    if is_ts and pf.transform in ("year", "month", "day", "hour"):
+        # timestamps partition on their UTC calendar, via epoch math —
+        # F.year/F.month directly on a timestamp render in the SESSION
+        # time zone, which would make the partition layout depend on
+        # who staged the table
+        sec = c.cast("long")
+        if pf.transform == "hour":
+            return ((sec - F.pmod(sec, F.lit(3600))) / 3600).cast("int")
+        days = ((sec - F.pmod(sec, F.lit(86400))) / 86400).cast("int")
+        if pf.transform == "day":
+            return days
+        d = F.date_from_unix_date(days)  # DateType: TZ-free calendar
+        if pf.transform == "month":
+            return ((F.year(d) - 1970) * 12 + F.month(d) - 1).cast("int")
+        return (F.year(d) - F.lit(1970)).cast("int")
     if pf.transform == "identity":
         return c
     if pf.transform == "year":
@@ -354,7 +378,27 @@ def transform_literal(pf: PartitionField, lit: Any) -> Any:
         return None
     if pf.transform == "identity":
         return lit
-    if pf.transform in ("year", "month", "day"):
+    if pf.transform in ("year", "month", "day", "hour"):
+        if pf.source_type in ("timestamp", "timestamptz"):
+            # timestamp partition values are UTC epoch math; a NAIVE
+            # datetime literal is interpreted by Spark's residual
+            # filter in the SESSION time zone, so only tz-aware
+            # literals can prune — anything else raises here and
+            # partition_may_match conservatively keeps the file
+            if not isinstance(lit, _dt.datetime) or lit.tzinfo is None:
+                raise ValueError(
+                    "timestamp partition pruning needs a tz-aware "
+                    f"datetime literal (got {lit!r})"
+                )
+            ep = int(lit.timestamp())
+            if pf.transform == "hour":
+                return ep // 3600
+            d = _dt.datetime.fromtimestamp(ep, _dt.timezone.utc).date()
+            if pf.transform == "day":
+                return (d - _EPOCH).days
+            if pf.transform == "month":
+                return (d.year - 1970) * 12 + d.month - 1
+            return d.year - 1970
         if isinstance(lit, _dt.datetime):
             lit = lit.date()
         if isinstance(lit, str):
@@ -543,7 +587,13 @@ def fields_from_spec_json(
         src_t = src["type"]
         if tr == "identity" and src_t in ("int", "long", "string"):
             avro_t, order = src_t, True
-        elif tr in ("year", "month", "day") and src_t == "date":
+        elif tr in ("year", "month", "day") and src_t in (
+            "date",
+            "timestamp",
+            "timestamptz",
+        ):
+            avro_t, order = "int", True
+        elif tr == "hour" and src_t in ("timestamp", "timestamptz"):
             avro_t, order = "int", True
         elif _TRUNC_RE.match(tr) and src_t in ("int", "long", "string"):
             avro_t, order = src_t, True
@@ -560,6 +610,7 @@ def fields_from_spec_json(
             PartitionField(
                 source=src["name"],
                 source_id=src["id"],
+                source_type=src_t,
                 transform=tr,
                 name=fj["name"],
                 field_id=fj.get("field-id", 1000),

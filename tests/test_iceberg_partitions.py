@@ -332,3 +332,69 @@ def test_position_delete_commit_on_partitioned_table(spark, sf_dir, tmp_path):
     )
     assert snap.count() == exp.count()
     assert t2.last_scan["skipped_files"] > 0
+
+
+def test_hour_transform_on_timestamps(spark, sf_dir, tmp_path):
+    """hour(ts) partitioning on a timestamp column: partition values
+    are UTC epoch-hours (session-TZ independent), tz-aware literals
+    prune, naive literals conservatively keep every file — all under a
+    NON-UTC session time zone."""
+    from introduction_in_big_data_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    path = str(tmp_path / "th")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+    try:
+        create_partitioned_table(spark, path, events, spec=[("ts", "hour")])
+        t = IcebergTableReader(spark, path)
+        assert t.read().count() == events.count()
+        lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+        mid = lo + (hi - lo) / 2
+        aware = mid.replace(tzinfo=dt.timezone.utc)  # ts epochs are UTC
+        snap = t.read(predicates=[("ts", ">=", aware)])
+        exp = events.filter(F.col("ts") >= F.lit(aware))
+        assert snap.count() == exp.count()
+        assert t.last_scan["skipped_files"] > 0
+        # a NAIVE literal cannot prune (session-TZ ambiguity) but the
+        # residual filter still applies it — same rows, zero skips
+        naive = t.read(predicates=[("ts", ">=", mid)])
+        assert naive.count() == events.filter(F.col("ts") >= F.lit(mid)).count()
+        assert t.last_scan["skipped_files"] == 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_hour_partition_values_are_utc_epoch_hours(spark, sf_dir, tmp_path):
+    """The staged hour partition values equal epoch//3600 regardless of
+    the session time zone that staged the table."""
+    import json as _json
+    import glob as _glob
+
+    from introduction_in_big_data_spark.functions import avrocodec
+    from introduction_in_big_data_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts").limit(50)
+    rows = {r["event_id"]: r["ts"] for r in events.collect()}
+    path = str(tmp_path / "tu")
+    create_partitioned_table(spark, path, events, spec=[("ts", "hour")])
+    t = IcebergTableReader(spark, path)
+    meta = t.metadata()
+    snap = next(s for s in meta["snapshots"])
+    _s, manifests = avrocodec.read_container(
+        snap["manifest-list"].removeprefix("file://")
+    )
+    hours = set()
+    for m in manifests:
+        _es, entries = avrocodec.read_container(
+            m["manifest_path"].removeprefix("file://")
+        )
+        for e in entries:
+            hours.add(e["data_file"]["partition"]["ts_hour"])
+    exp_hours = {
+        int(ts.replace(tzinfo=dt.timezone.utc).timestamp()) // 3600
+        for ts in rows.values()
+    }
+    assert hours == exp_hours
