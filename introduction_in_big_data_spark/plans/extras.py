@@ -2684,3 +2684,52 @@ def iceberg_hour_partitioned_events(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.unix_timestamp("ts")).alias("epoch_sum"),
     )
+
+
+@register(
+    "iceberg_partitions_metadata_table",
+    oracle="""
+        SELECT CAST(year(CAST(o_orderdate AS DATE)) - 1970 AS INT)
+                   AS o_orderdate_year,
+               CAST(1 AS BIGINT) AS file_count,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders
+        GROUP BY 1
+    """,
+    tags=("iceberg", "lakehouse", "partitioning", "metadata-table"),
+)
+def iceberg_partitions_metadata_table(spark, sf_dir):
+    """The spec's `tbl.partitions` METADATA TABLE (round 7) — the ops
+    introspection surface (skew triage, compaction targeting) exposed
+    as a DataFrame: stage orders under year(o_orderdate) with the
+    input pre-repartitioned BY YEAR (each partition lands wholly in
+    one task, so exactly one file per partition — which makes
+    file_count itself oracle-checkable as the literal 1), then read
+    partitions_table() and decode the canonical partition string back
+    to the typed year. record_count comes from the manifest entries'
+    per-file stats, NEVER from scanning data — the whole query is
+    driver-side metadata plus a toy aggregate, verified row-for-row
+    against DuckDB recomputing year boundaries from raw parquet."""
+    import tempfile
+
+    from ..sources.iceberg import IcebergTableReader, create_partitioned_table
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+        )
+        .repartition(8, F.year("o_orderdate"))
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_partmeta_") + "/t"
+    create_partitioned_table(spark, path, base, spec=[("o_orderdate", "year")])
+    pt = IcebergTableReader(spark, path).partitions_table()
+    return pt.select(
+        F.regexp_extract("partition", r"o_orderdate_year=(-?\d+)", 1)
+        .cast("int")
+        .alias("o_orderdate_year"),
+        F.col("file_count"),
+        F.col("record_count").alias("n_rows"),
+    )

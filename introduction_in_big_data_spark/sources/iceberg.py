@@ -1606,6 +1606,93 @@ class IcebergTableReader:
             for s in self.metadata().get("snapshots", [])
         ]
 
+    # -- metadata tables (the spec's `tbl.files` / `tbl.snapshots` /
+    # -- `tbl.partitions` introspection surface) -------------------------------
+
+    def snapshots_table(self) -> DataFrame:
+        """The table's snapshot history as a DataFrame — the spec's
+        `tbl.snapshots` metadata table (ops surface: audit, retention
+        decisions, incremental-read bookkeeping)."""
+        meta = self.metadata()
+        rows = [
+            (
+                int(s["snapshot-id"]),
+                int(s.get("timestamp-ms") or 0),
+                (s.get("summary") or {}).get("operation"),
+                s.get("manifest-list"),
+            )
+            for s in meta.get("snapshots", [])
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, timestamp_ms long, operation string, "
+            "manifest_list string",
+        )
+
+    def files_table(self, snapshot_id: int | None = None) -> DataFrame:
+        """Live DATA files of a snapshot as a DataFrame — the spec's
+        `tbl.files` metadata table: path, record count, size, the
+        file's partition tuple (stringly map: tuples vary per spec)
+        and the spec id it was written under. Driver-materialized from
+        the manifest walk — O(#files) metadata rows, the same driver
+        cost scan planning already pays; a petabyte deployment reads
+        manifests distributed, but the COLUMNS are the spec's."""
+        meta = self.metadata()
+        snaps = meta.get("snapshots", [])
+        schema = (
+            "content int, file_path string, record_count long, "
+            "file_size_in_bytes long, spec_id int, partition string"
+        )
+        if not snaps:
+            return self.spark.createDataFrame([], schema)
+        if snapshot_id is None:
+            snapshot_id = meta["current-snapshot-id"]
+        snapshot = next(
+            (s for s in snaps if s["snapshot-id"] == snapshot_id), None
+        )
+        if snapshot is None:
+            raise ValueError(f"snapshot {snapshot_id} not in table metadata")
+        data, _pos, _eq = self._live_files(snapshot)
+        rows = []
+        for path, (_seq, st) in data:
+            part = st.get("partition")
+            # canonical sorted `k=v/k=v` form (groupable; tuples vary
+            # per spec so a struct column can't represent them all)
+            part_s = (
+                "/".join(
+                    f"{k}={'null' if part[k] is None else part[k]}"
+                    for k in sorted(part)
+                )
+                if part is not None
+                else None
+            )
+            rows.append(
+                (
+                    0,
+                    f"file://{path}",
+                    int(st.get("record_count") or 0),
+                    int(st.get("file_size_in_bytes") or 0),
+                    int(st.get("spec_id") or 0),
+                    part_s,
+                )
+            )
+        return self.spark.createDataFrame(rows, schema)
+
+    def partitions_table(self, snapshot_id: int | None = None) -> DataFrame:
+        """Per-partition file/row totals — the spec's `tbl.partitions`
+        metadata table (the first thing an operator looks at when a
+        table skews): groups the files table by (spec_id, partition
+        tuple)."""
+        f = self.files_table(snapshot_id)
+        return (
+            f.groupBy("spec_id", "partition")
+            .agg(
+                F.count(F.lit(1)).alias("file_count"),
+                F.sum("record_count").alias("record_count"),
+                F.sum("file_size_in_bytes").alias("total_size_bytes"),
+            )
+        )
+
     # -- schema ---------------------------------------------------------------
 
     @staticmethod
@@ -1761,6 +1848,9 @@ class IcebergTableReader:
                             "upper_bounds": df_rec.get("upper_bounds"),
                             "null_value_counts": df_rec.get(
                                 "null_value_counts"
+                            ),
+                            "file_size_in_bytes": df_rec.get(
+                                "file_size_in_bytes"
                             ),
                             # transform-aware pruning (spec "Partition
                             # Transforms"): the entry's partition tuple

@@ -398,3 +398,48 @@ def test_hour_partition_values_are_utc_epoch_hours(spark, sf_dir, tmp_path):
         for ts in rows.values()
     }
     assert hours == exp_hours
+
+
+def test_metadata_tables(spark, sf_dir, tmp_path):
+    """files/snapshots/partitions metadata tables: counts reconcile
+    with the data, partition strings are canonical, snapshot history
+    grows with appends."""
+    base = _orders(spark, sf_dir).repartition(4, F.year("o_orderdate"))
+    path = str(tmp_path / "tmeta")
+    create_partitioned_table(spark, path, base, spec=[("o_orderdate", "year")])
+    append_partitioned_snapshot(
+        spark,
+        path,
+        base.withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000),
+        spec=[("o_orderdate", "year")],
+    )
+    t = IcebergTableReader(spark, path)
+
+    snaps = t.snapshots_table().collect()
+    assert [r.snapshot_id for r in snaps] == [1, 2]
+    assert all(r.operation == "append" for r in snaps)
+
+    f = t.files_table()
+    assert f.agg(F.sum("record_count")).collect()[0][0] == 2 * base.count()
+    assert f.filter(F.col("file_size_in_bytes") <= 0).count() == 0
+    assert f.filter(~F.col("partition").rlike(r"^o_orderdate_year=-?\d+$")).count() == 0
+
+    # time travel: snapshot 1 sees only the first half's files
+    f1 = t.files_table(snapshot_id=1)
+    assert f1.agg(F.sum("record_count")).collect()[0][0] == base.count()
+
+    p = t.partitions_table()
+    rows = {r.partition: r for r in p.collect()}
+    years = {r[0].year - 1970 for r in base.select("o_orderdate").distinct().collect()}
+    assert set(rows) == {f"o_orderdate_year={y}" for y in years}
+    # both appends repartitioned by year -> 2 files per partition
+    assert all(r.file_count == 2 for r in rows.values())
+    per_year = {
+        r[0]: r[1] * 2
+        for r in base.groupBy(
+            (F.year("o_orderdate") - 1970).alias("y")
+        )
+        .count()
+        .collect()
+    }
+    assert {int(k.split("=")[1]): r.record_count for k, r in rows.items()} == per_year
