@@ -1098,6 +1098,7 @@ def _stage_partitioned_files(
     df,
     part_fields,
     schema_fields: list[dict],
+    repartition_to: int | None = None,
 ) -> list[tuple[str, dict]]:
     """Distributed partitioned staging: derive each spec field's value
     as a `__p_i` column (builtin exprs; spec murmur3 for bucket — see
@@ -1121,6 +1122,13 @@ def _stage_partitioned_files(
             f"__p_{i}", IP.partition_expr(pf, spark_t[pf.source])
         )
         pcols.append(f"__p_{i}")
+    if repartition_to is not None:
+        # bin-pack: hash-cluster rows by their partition tuple so each
+        # partition lands wholly in one task — partitionBy then writes
+        # exactly one file per partition (compaction's rewrite shape)
+        staged = staged.repartition(
+            repartition_to, *[F.col(c) for c in pcols]
+        )
     tmp = os.path.join(path, f"_stage_part_{uuid.uuid4().hex[:8]}")
     staged.write.partitionBy(*pcols).parquet(tmp)
     data_dir = os.path.join(path, "data")
@@ -1209,6 +1217,7 @@ def _partition_stats_entries(
     staged: list[tuple[str, dict]],
     schema_fields: list[dict],
     bounds: bool,
+    sequence: int | None = None,
 ) -> list[dict]:
     """Manifest entries (status=1 data adds) for staged partitioned
     files: partition tuple from staging, per-file
@@ -1264,7 +1273,7 @@ def _partition_stats_entries(
             {
                 "status": 1,
                 "snapshot_id": None,
-                "sequence_number": None,
+                "sequence_number": sequence,
                 "data_file": {
                     "content": 0,
                     "file_path": f"file://{p}",
@@ -2505,6 +2514,87 @@ class IcebergTableReader:
             os.path.getsize(p) for p, _ in data if os.path.exists(p)
         )
         n_out = max(1, math.ceil(total / target_bytes))
+
+        # PARTITIONED tables compact WITHIN partitions (Iceberg's
+        # rewrite_data_files semantics): the rewrite re-derives each
+        # row's partition tuple under the CURRENT default spec and the
+        # REPLACE manifest keeps per-entry partition values + the
+        # manifest-list field summaries — pruning survives compaction.
+        # Files written under older specs rewrite into the default
+        # spec (rewrites always use the latest spec per the spec).
+        default_spec = next(
+            (
+                s
+                for s in meta.get("partition-specs", [])
+                if s["spec-id"] == meta.get("default-spec-id", 0)
+                and s.get("fields")
+            ),
+            None,
+        )
+        if default_spec is not None:
+            if zorder_by is not None:
+                raise UnsupportedIcebergFeature(
+                    "zorder compaction of a partitioned table (cluster "
+                    "within partitions is not implemented; compact "
+                    "without zorder_by)"
+                )
+            from . import iceberg_partitions as IP
+
+            schema_fields = self._schema_fields(meta)
+            part_fields = IP.fields_from_spec_json(
+                default_spec["fields"], schema_fields
+            )
+            if len(part_fields) != len(default_spec["fields"]):
+                raise UnsupportedIcebergFeature(
+                    "compacting a partitioned table whose default spec "
+                    "has transforms this engine cannot re-derive"
+                )
+            seqs_p = [s for _p, (s, _st) in data]
+            n_seq = (max(seqs_p) if seqs_p else 0) + 1
+            staged = _stage_partitioned_files(
+                self.spark,
+                self.path,
+                df,
+                part_fields,
+                schema_fields,
+                repartition_to=n_out,
+            )
+            meta_dir = os.path.join(self.path, "metadata")
+            import uuid as _uuidc
+
+            manifest = os.path.join(
+                meta_dir, f"{_uuidc.uuid4().hex}-c0.avro"
+            )
+            from ..functions import avrocodec as _avro
+
+            carries_bounds = any(
+                (st or {}).get("lower_bounds") for _p, (_s, st) in data
+            )
+            _avro.write_container(
+                manifest,
+                _partitioned_manifest_schema(part_fields),
+                _partition_stats_entries(
+                    self.spark,
+                    staged,
+                    schema_fields,
+                    bounds=carries_bounds,
+                    sequence=n_seq,
+                ),
+            )
+            return _commit_snapshot(
+                self.spark,
+                self.path,
+                [
+                    (
+                        manifest,
+                        0,
+                        default_spec["spec-id"],
+                        _partition_field_summaries(part_fields, staged),
+                    )
+                ],
+                "replace",
+                replace=True,
+            )
         if zorder_by is None:
             packed = df.coalesce(n_out)
         else:

@@ -443,3 +443,51 @@ def test_metadata_tables(spark, sf_dir, tmp_path):
         .collect()
     }
     assert {int(k.split("=")[1]): r.record_count for k, r in rows.items()} == per_year
+
+
+def test_compact_preserves_partitioning(spark, sf_dir, tmp_path):
+    """compact() on a partitioned table rewrites WITHIN partitions:
+    deletes fold in, files bin-pack to one per partition, and the
+    REPLACE manifest keeps partition tuples + field summaries — so
+    pruning still works after compaction. Old-spec files rewrite into
+    the current default spec."""
+    base = _orders(spark, sf_dir)
+    path = str(tmp_path / "tc")
+    create_partitioned_table(
+        spark,
+        path,
+        base.filter(F.col("o_orderkey") % 2 == 0),
+        spec=[("o_orderdate", "year")],
+    )
+    append_partitioned_snapshot(
+        spark,
+        path,
+        base.filter(F.col("o_orderkey") % 2 == 1),
+        spec=[("o_orderdate", "month")],
+    )
+    t = IcebergTableReader(spark, path)
+    t.delete_where([("o_orderstatus", "=", "P")])
+    surviving = base.filter(F.col("o_orderstatus") != "P")
+
+    t2 = IcebergTableReader(spark, path)
+    new_snap = t2.compact(target_bytes=1 << 20)
+    t3 = IcebergTableReader(spark, path)
+    assert t3.read().count() == surviving.count()
+
+    # rewritten under the DEFAULT spec (month): one file per month
+    p = t3.partitions_table().collect()
+    assert all(r.partition.startswith("o_orderdate_month=") for r in p)
+    assert all(r.file_count == 1 for r in p)
+    months = {
+        (r[0].year - 1970) * 12 + r[0].month - 1
+        for r in surviving.select("o_orderdate").distinct().collect()
+    }
+    assert {int(r.partition.split("=")[1]) for r in p} == months
+
+    # pruning works on the compacted table, now at month grain
+    cut = dt.date(1999, 1, 1)
+    snap = t3.read(predicates=[("o_orderdate", ">=", cut)])
+    assert snap.count() == surviving.filter(F.col("o_orderdate") >= F.lit(cut)).count()
+    assert t3.last_scan["skipped_files"] > 0
+    # time travel to the pre-compaction snapshot still sees old layout
+    assert t3.read(snapshot_id=new_snap - 1).count() == surviving.count()
