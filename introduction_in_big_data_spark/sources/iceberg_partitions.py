@@ -95,14 +95,14 @@ def _murmur3_long_vec(v: np.ndarray) -> np.ndarray:
     """Vectorized murmur3_x86_32(little-endian 8 bytes of int64, seed
     0) — the spec's hashLong. Two 4-byte blocks (low word first = the
     little-endian byte order), all lane math in wrapping uint32."""
-    u = v.astype(np.int64).view(np.uint64)
-    h = np.zeros(len(u), dtype=np.uint32)
+    # view the forced-little-endian buffer as uint32 pairs: low word =
+    # even lanes, high = odd. (uint64-scalar ops like `u & 0xFFFFFFFF`
+    # fall off numpy's fast path — 300x slower than this view.)
+    w = np.ascontiguousarray(v.astype("<i8")).view(np.uint32)
+    h = np.zeros(len(v), dtype=np.uint32)
     c1 = np.uint32(_C1)
     c2 = np.uint32(_C2)
-    for k in (
-        (u & np.uint64(0xFFFFFFFF)).astype(np.uint32),
-        (u >> np.uint64(32)).astype(np.uint32),
-    ):
+    for k in (w[0::2].copy(), w[1::2].copy()):
         k = k * c1
         k = (k << np.uint32(15)) | (k >> np.uint32(17))
         k = k * c2
@@ -288,12 +288,11 @@ def partition_expr(pf: PartitionField, src_type: str) -> Column:
         c1, c2 = _np.uint32(0xCC9E2D51), _np.uint32(0x1B873593)
 
         def mm_long_vec(v):
-            u = v.astype(_np.int64).view(_np.uint64)
-            h = _np.zeros(len(u), dtype=_np.uint32)
-            for k in (
-                (u & _np.uint64(0xFFFFFFFF)).astype(_np.uint32),
-                (u >> _np.uint64(32)).astype(_np.uint32),
-            ):
+            # little-endian uint32-pair view; uint64-scalar ops fall
+            # off numpy's fast path (see _murmur3_long_vec)
+            w = _np.ascontiguousarray(v.astype("<i8")).view(_np.uint32)
+            h = _np.zeros(len(v), dtype=_np.uint32)
+            for k in (w[0::2].copy(), w[1::2].copy()):
                 k = k * c1
                 k = (k << _np.uint32(15)) | (k >> _np.uint32(17))
                 k = k * c2
