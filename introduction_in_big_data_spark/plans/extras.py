@@ -2733,3 +2733,65 @@ def iceberg_partitions_metadata_table(spark, sf_dir):
         F.col("file_count"),
         F.col("record_count").alias("n_rows"),
     )
+
+
+@register(
+    "iceberg_wap_publish_read",
+    oracle="""
+        WITH published AS (
+            SELECT doc_id, lang, n_chars FROM documents
+            UNION ALL
+            SELECT doc_id + 20000000, lang, n_chars
+            FROM documents WHERE doc_id % 5 = 0
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM published
+        GROUP BY lang
+    """,
+    tags=("iceberg", "lakehouse", "refs", "wap"),
+)
+def iceberg_wap_publish_read(spark, sf_dir):
+    """WRITE-AUDIT-PUBLISH over Iceberg snapshot references (spec
+    "Snapshot References", round 7) — the production ingest pattern
+    where new data is staged on a BRANCH, audited, and only then
+    made visible: stage documents, create branch `audit`, append a
+    batch ON THE BRANCH (main's read provably unchanged — the query
+    asserts it), audit the branch read (row-count gate), then
+    fast_forward main to the branch head (refused unless main is an
+    ancestor — a diverged publish would silently drop commits). The
+    returned aggregate reads MAIN after publish; the DuckDB oracle
+    recomputes the published union from raw parquet, so the
+    branch-commit/ref-move/fast-forward cycle is value-hash checked
+    end to end."""
+    import tempfile
+
+    from ..sources.iceberg import (
+        IcebergTableReader,
+        append_data_snapshot,
+        create_minimal_table,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="iceberg_wap_") + "/t"
+    create_minimal_table(spark, path, docs.repartitionByRange(4, "doc_id"))
+    reader = IcebergTableReader(spark, path)
+    reader.create_branch("audit")
+    batch = docs.filter("doc_id % 5 = 0").select(
+        (F.col("doc_id") + 20000000).alias("doc_id"), "lang", "n_chars"
+    )
+    append_data_snapshot(spark, path, batch, sequence=1, branch="audit")
+    reader = IcebergTableReader(spark, path)
+    n_main = reader.read().count()
+    n_branch = reader.read(ref="audit").count()
+    if n_main == n_branch:  # staged write leaked into main: abort
+        raise AssertionError("WAP isolation violated: main moved")
+    if n_branch != n_main + batch.count():  # audit gate
+        raise AssertionError("audit failed: branch row count off")
+    reader.fast_forward("audit")
+    published = IcebergTableReader(spark, path).read()
+    return published.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

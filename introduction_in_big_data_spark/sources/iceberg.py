@@ -799,25 +799,43 @@ def _commit_snapshot(
     operation: str,
     replace: bool = False,
     meta_updates: dict | None = None,
+    branch: str | None = None,
 ) -> int:
-    """Append a snapshot whose manifest list = the current snapshot's
+    """Append a snapshot whose manifest list = the base snapshot's
     manifests + `new_manifests` [(path, content) or (path, content,
     partition_spec_id)], publish a new metadata version +
     version-hint; returns the new snapshot id. `replace=True` drops
-    the current manifests instead (the REPLACE operation compaction
+    the base manifests instead (the REPLACE operation compaction
     publishes: the new manifests fully describe the table; older
     snapshots keep their own manifest lists for time travel until
     expire_snapshots). `meta_updates` merges extra top-level metadata
     keys into the published json (partition-spec evolution commits its
-    new spec list this way, atomically with the snapshot)."""
+    new spec list this way, atomically with the snapshot).
+
+    `branch` (spec "Snapshot References"): commit on top of the named
+    branch's head and move ONLY that ref — current-snapshot-id (main)
+    is untouched, the write-audit-publish staging shape. Tags refuse
+    (immutable by contract). Every snapshot records its
+    parent-snapshot-id, which is what fast_forward's ancestry walk
+    follows."""
     from ..functions import avrocodec
 
     t = IcebergTableReader(spark, path)
     meta, base = t._meta_and_base()
+    base_snap_id = meta["current-snapshot-id"]
+    if branch is not None:
+        ref = (meta.get("refs") or {}).get(branch)
+        if ref is None:
+            raise ValueError(f"unknown ref {branch!r} (create_branch first)")
+        if ref.get("type") == "tag":
+            raise UnsupportedIcebergFeature(
+                f"cannot commit to tag {branch!r}: tags are immutable"
+            )
+        base_snap_id = ref["snapshot-id"]
     cur = next(
         s
         for s in meta["snapshots"]
-        if s["snapshot-id"] == meta["current-snapshot-id"]
+        if s["snapshot-id"] == base_snap_id
     )
     ml_schema, old_manifests = avrocodec.read_container(
         _local_path(cur["manifest-list"])
@@ -854,22 +872,34 @@ def _commit_snapshot(
     meta["snapshots"] = meta["snapshots"] + [
         {
             "snapshot-id": new_snap_id,
+            "parent-snapshot-id": base_snap_id,
             "timestamp-ms": 0,
             "manifest-list": f"file://{ml}",
             "summary": {"operation": operation},
         }
     ]
-    meta["current-snapshot-id"] = new_snap_id
+    if branch is not None:
+        refs = dict(meta.get("refs") or {})
+        refs[branch] = {**refs[branch], "snapshot-id": new_snap_id}
+        meta["refs"] = refs
+    else:
+        meta["current-snapshot-id"] = new_snap_id
+        refs = dict(meta.get("refs") or {})
+        if "main" in refs:  # the spec keeps main in lockstep
+            refs["main"] = {**refs["main"], "snapshot-id": new_snap_id}
+            meta["refs"] = refs
     _publish_metadata(path, meta, base)
     return new_snap_id
 
 
 def append_data_snapshot(
-    spark: SparkSession, path: str, df, sequence: int
+    spark: SparkSession, path: str, df, sequence: int, branch: str | None = None
 ) -> None:
     """Stage an APPEND snapshot whose manifest entries carry an
     explicit data sequence number — the gate equality deletes test
-    against (rows appended at sequence >= a delete's survive it)."""
+    against (rows appended at sequence >= a delete's survive it).
+    `branch` commits on top of that ref without moving main (WAP
+    staging)."""
     import uuid
 
     from ..functions import avrocodec
@@ -899,7 +929,7 @@ def append_data_snapshot(
             }
         ],
     )
-    _commit_snapshot(spark, path, [(manifest, 0)], "append")
+    _commit_snapshot(spark, path, [(manifest, 0)], "append", branch=branch)
 
 
 def add_equality_deletes(
@@ -1928,6 +1958,7 @@ class IcebergTableReader:
         self,
         snapshot_id: int | None = None,
         predicates: list | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Snapshot read; `predicates` (conjunctive (column, op,
         literal) tuples — sources/skipping.py) prune data files
@@ -1938,11 +1969,19 @@ class IcebergTableReader:
         min/max). Files lacking bounds always scan; the predicates
         re-apply as a real `.filter()`, so pruning never changes
         semantics. `self.last_scan` records candidate/scanned/skipped
-        counts."""
+        counts. `ref` reads a named branch/tag head (spec "Snapshot
+        References") — the audit step of write-audit-publish."""
         meta = self.metadata()
         snaps = meta.get("snapshots", [])
         if not snaps:
             return self.spark.createDataFrame([], self._schema_struct(meta))
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass either snapshot_id or ref, not both")
+            r = (meta.get("refs") or {}).get(ref)
+            if r is None:
+                raise ValueError(f"unknown ref {ref!r}")
+            snapshot_id = r["snapshot-id"]
         if snapshot_id is None:
             snapshot_id = meta["current-snapshot-id"]
         snapshot = next(
@@ -2719,14 +2758,16 @@ class IcebergTableReader:
         # the CURRENT snapshot is never expirable (Iceberg's own
         # contract) — after a rollback() it is not the last in the
         # list, and expiring it would delete the very state the user
-        # rolled back to while current-snapshot-id dangles
-        cur = meta["current-snapshot-id"]
-        if not any(s["snapshot-id"] == cur for s in kept):
-            cur_snap = next(
-                s for s in expired if s["snapshot-id"] == cur
-            )
-            expired = [s for s in expired if s["snapshot-id"] != cur]
-            kept = [cur_snap] + kept
+        # rolled back to while current-snapshot-id dangles. The same
+        # protection covers every REF'd snapshot (spec: refs gate
+        # expiration — a pinned tag or staged branch must survive).
+        pinned = {meta["current-snapshot-id"]} | {
+            r["snapshot-id"] for r in (meta.get("refs") or {}).values()
+        }
+        rescued = [s for s in expired if s["snapshot-id"] in pinned]
+        if rescued:
+            expired = [s for s in expired if s["snapshot-id"] not in pinned]
+            kept = rescued + kept
         if not expired:
             return []
 
@@ -2781,6 +2822,84 @@ class IcebergTableReader:
         meta["current-snapshot-id"] = snapshot_id
         _publish_metadata(self.path, meta, base)
         return snapshot_id
+
+    # -- snapshot references: branches, tags, write-audit-publish --------------
+
+    def refs(self) -> dict[str, dict]:
+        """The table's named refs (spec "Snapshot References"):
+        {name: {snapshot-id, type}} — `main` plus any branches/tags."""
+        return dict(self.metadata().get("refs") or {})
+
+    def create_ref(
+        self, name: str, snapshot_id: int | None = None, kind: str = "branch"
+    ) -> int:
+        """Create a BRANCH (movable head for staged writes) or TAG
+        (immutable bookmark — audit points, release pins) at
+        `snapshot_id` (default: current). Refs gate expiration: a
+        ref'd snapshot never expires while the ref exists."""
+        if kind not in ("branch", "tag"):
+            raise ValueError(f"ref kind must be branch|tag, got {kind!r}")
+        meta, base = self._meta_and_base()
+        if snapshot_id is None:
+            snapshot_id = meta["current-snapshot-id"]
+        if not any(
+            s["snapshot-id"] == snapshot_id for s in meta.get("snapshots", [])
+        ):
+            raise ValueError(f"ref target snapshot {snapshot_id} not in metadata")
+        refs = dict(meta.get("refs") or {})
+        if name in refs:
+            raise ValueError(f"ref {name!r} already exists (drop_ref first)")
+        refs[name] = {"snapshot-id": snapshot_id, "type": kind}
+        meta = dict(meta)
+        meta["refs"] = refs
+        _publish_metadata(self.path, meta, base)
+        return snapshot_id
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> int:
+        return self.create_ref(name, snapshot_id, "branch")
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        return self.create_ref(name, snapshot_id, "tag")
+
+    def drop_ref(self, name: str) -> None:
+        meta, base = self._meta_and_base()
+        refs = dict(meta.get("refs") or {})
+        if name not in refs:
+            raise ValueError(f"ref {name!r} does not exist")
+        del refs[name]
+        meta = dict(meta)
+        meta["refs"] = refs
+        _publish_metadata(self.path, meta, base)
+
+    def fast_forward(self, branch: str) -> int:
+        """PUBLISH a staged branch: fast-forward main
+        (current-snapshot-id) to the branch head — the final step of
+        write-audit-publish. Refuses unless main is an ANCESTOR of the
+        branch head (walked over parent-snapshot-id), because anything
+        else would silently drop commits; that case is a real merge,
+        which filesystem Iceberg doesn't do."""
+        meta, base = self._meta_and_base()
+        refs = dict(meta.get("refs") or {})
+        if branch not in refs:
+            raise ValueError(f"ref {branch!r} does not exist")
+        target = refs[branch]["snapshot-id"]
+        cur = meta["current-snapshot-id"]
+        by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+        walk = target
+        while walk is not None and walk != cur:
+            walk = by_id.get(walk, {}).get("parent-snapshot-id")
+        if walk != cur:
+            raise UnsupportedIcebergFeature(
+                f"fast_forward: main ({cur}) is not an ancestor of "
+                f"{branch!r} ({target}) — diverged branches need a merge"
+            )
+        meta = dict(meta)
+        meta["current-snapshot-id"] = target
+        if "main" in refs:
+            refs["main"] = {**refs["main"], "snapshot-id": target}
+            meta["refs"] = refs
+        _publish_metadata(self.path, meta, base)
+        return target
 
     def snapshot_at(self, timestamp_ms: int) -> int:
         """Snapshot id current as of `timestamp_ms` — Iceberg's

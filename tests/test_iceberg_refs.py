@@ -1,0 +1,116 @@
+"""Iceberg SNAPSHOT REFERENCES (spec "Snapshot References"): branches,
+tags, branch-scoped commits, fast-forward publish (write-audit-publish)
+and ref-gated snapshot expiration.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from introduction_in_big_data_spark.sources.iceberg import (
+    IcebergTableReader,
+    UnsupportedIcebergFeature,
+    append_data_snapshot,
+    create_minimal_table,
+)
+
+
+def _stage(spark, tmp_path, name="t"):
+    path = str(tmp_path / name)
+    create_minimal_table(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, tag string"
+        ).coalesce(1),
+    )
+    return path
+
+
+def _batch(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"x{i}") for i in range(lo, hi)], "k long, tag string"
+    ).coalesce(1)
+
+
+def test_wap_branch_stage_audit_publish(spark, tmp_path):
+    """The WAP cycle: stage appends on a branch (main untouched),
+    audit the branch read, fast-forward main to publish."""
+    path = _stage(spark, tmp_path)
+    t = IcebergTableReader(spark, path)
+    t.create_branch("audit")
+    append_data_snapshot(spark, path, _batch(spark, 10, 15), 1, branch="audit")
+    append_data_snapshot(spark, path, _batch(spark, 20, 22), 2, branch="audit")
+
+    t = IcebergTableReader(spark, path)
+    assert t.read().count() == 3  # main untouched by staged writes
+    assert t.read(ref="audit").count() == 10  # 3 + 5 + 2
+    assert t.refs()["audit"]["type"] == "branch"
+
+    new_main = t.fast_forward("audit")
+    t2 = IcebergTableReader(spark, path)
+    assert t2.metadata()["current-snapshot-id"] == new_main
+    assert t2.read().count() == 10
+
+
+def test_tag_is_immutable_and_pins_expiration(spark, tmp_path):
+    path = _stage(spark, tmp_path)
+    t = IcebergTableReader(spark, path)
+    t.create_tag("v1")
+    with pytest.raises(UnsupportedIcebergFeature):
+        append_data_snapshot(spark, path, _batch(spark, 10, 12), 1, branch="v1")
+    # advance main twice, then expire: the tagged snapshot survives
+    append_data_snapshot(spark, path, _batch(spark, 10, 12), 1)
+    append_data_snapshot(spark, path, _batch(spark, 20, 22), 2)
+    t = IcebergTableReader(spark, path)
+    t.expire_snapshots(keep_last=1)
+    t2 = IcebergTableReader(spark, path)
+    remaining = {s["snapshot_id"] for s in t2.snapshots()}
+    assert t2.refs()["v1"]["snapshot-id"] in remaining
+    assert t2.read(ref="v1").count() == 3  # tag still readable
+    assert t2.read().count() == 7
+
+
+def test_fast_forward_refuses_diverged_branches(spark, tmp_path):
+    """main advances after the branch forks: publishing the branch
+    would drop main's commit, so fast_forward must refuse."""
+    path = _stage(spark, tmp_path)
+    IcebergTableReader(spark, path).create_branch("audit")
+    append_data_snapshot(spark, path, _batch(spark, 10, 12), 1, branch="audit")
+    append_data_snapshot(spark, path, _batch(spark, 20, 25), 1)  # main moves
+    t = IcebergTableReader(spark, path)
+    with pytest.raises(UnsupportedIcebergFeature, match="not an ancestor"):
+        t.fast_forward("audit")
+    # both lines still readable
+    assert t.read().count() == 8
+    assert t.read(ref="audit").count() == 5
+
+
+def test_ref_bookkeeping(spark, tmp_path):
+    path = _stage(spark, tmp_path)
+    t = IcebergTableReader(spark, path)
+    t.create_tag("v1")
+    with pytest.raises(ValueError):
+        t.create_tag("v1")  # duplicate
+    with pytest.raises(ValueError):
+        t.create_branch("b", snapshot_id=999)
+    with pytest.raises(ValueError):
+        t.read(ref="nope")
+    with pytest.raises(ValueError):
+        IcebergTableReader(spark, path).drop_ref("nope")
+    t.drop_ref("v1")
+    assert "v1" not in IcebergTableReader(spark, path).refs()
+
+
+def test_branch_appends_chain_on_branch_head(spark, tmp_path):
+    """Two branch commits chain (second sees the first), and main's
+    later read is unaffected until publish."""
+    path = _stage(spark, tmp_path)
+    IcebergTableReader(spark, path).create_branch("b")
+    append_data_snapshot(spark, path, _batch(spark, 10, 11), 1, branch="b")
+    append_data_snapshot(spark, path, _batch(spark, 11, 12), 2, branch="b")
+    t = IcebergTableReader(spark, path)
+    got = sorted(r.k for r in t.read(ref="b").collect())
+    assert got == [1, 2, 3, 10, 11]
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 3]
