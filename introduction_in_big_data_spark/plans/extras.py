@@ -2795,3 +2795,53 @@ def iceberg_wap_publish_read(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "delta_shallow_clone_read",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        WHERE o_orderstatus <> 'F'
+        GROUP BY o_orderpriority
+    """,
+    tags=("delta", "lakehouse", "clone"),
+)
+def delta_shallow_clone_read(spark, sf_dir):
+    """Delta SHALLOW CLONE (round 7) — the zero-copy dev/staging copy
+    (Databricks `CREATE TABLE ... SHALLOW CLONE`, the Delta-side twin
+    of Iceberg branch staging): stage orders, clone it (the clone's v0
+    add actions reference the SOURCE's parquet by absolute path — no
+    data moves, per-file stats carry over so skipping works on day
+    one), then DIVERGE both sides: DELETE 'P' rows on the source and
+    'F' rows on the clone. The returned aggregate reads the CLONE —
+    correct only if the source's later delete did NOT leak into the
+    clone's snapshot AND the clone's own delete rewrote shared files
+    into its own directory. The DuckDB oracle recomputes the clone's
+    expected state from raw parquet, value-hash checked."""
+    import tempfile
+
+    from ..sources.deltalog import (
+        DeltaLogReader,
+        create_minimal_table,
+        shallow_clone,
+    )
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    root = tempfile.mkdtemp(prefix="delta_clone_")
+    src, dst = root + "/src", root + "/clone"
+    create_minimal_table(
+        spark, src, base.repartitionByRange(6, "o_orderkey"), stats=True
+    )
+    shallow_clone(spark, src, dst)
+    DeltaLogReader(spark, src).delete_where([("o_orderstatus", "=", "P")])
+    DeltaLogReader(spark, dst).delete_where([("o_orderstatus", "=", "F")])
+    snap = DeltaLogReader(spark, dst).read()
+    return snap.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

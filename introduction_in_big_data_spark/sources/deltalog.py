@@ -218,6 +218,66 @@ def create_minimal_table(
     os.unlink(tmp)
 
 
+def shallow_clone(spark: SparkSession, src_path: str, dst_path: str) -> int:
+    """Delta SHALLOW CLONE (the protocol's zero-copy table copy —
+    Databricks `CREATE TABLE ... SHALLOW CLONE`): write a fresh table
+    whose v0 commit's add actions point at the SOURCE's live data
+    files by ABSOLUTE path (PROTOCOL.md allows absolute add paths; the
+    reader already resolves them). No data moves: the clone is a
+    snapshot-isolated dev/test/staging copy — later writes to either
+    table land in their own directory and never touch the other's
+    files. Per-file stats carry over, so file skipping works on the
+    clone immediately; DML on the clone logically removes shared files
+    (a remove action is a tombstone, not a delete) and VACUUM never
+    reclaims files outside the table's own root, so the source is
+    physically untouchable from the clone. Sources with deletion
+    vectors or column mapping refuse loudly (their sidecars/physical
+    names are table-root-relative). Returns the clone's version (0).
+
+    This is the Delta-side twin of Iceberg's branch staging
+    (iceberg.create_branch + fast_forward): same dev/staging story,
+    expressed as the protocols' own native mechanisms."""
+    from urllib.parse import quote
+
+    src = DeltaLogReader(spark, src_path)
+    v = src.latest_version()
+    meta, live = src._replay(v)
+    if DeltaLogReader._mapping_mode(meta) != "none":
+        raise UnsupportedDeltaFeature(
+            "shallow clone of a column-mapped table"
+        )
+    if any(a.get("deletionVector") for a in live.values()):
+        raise UnsupportedDeltaFeature(
+            "shallow clone of a table with deletion vectors (DV "
+            "sidecars are table-root-relative)"
+        )
+    adds = []
+    for p in sorted(live):
+        a = dict(live[p])
+        # absolute, URL-encoded (the reader unquotes before resolving)
+        a["path"] = quote(src._abs(p), safe="/")
+        adds.append({"add": a})
+    new_meta = dict(meta)
+    import uuid as _uuidmod
+
+    new_meta["id"] = str(_uuidmod.uuid4())
+    log_dir = os.path.join(dst_path, "_delta_log")
+    os.makedirs(log_dir, exist_ok=False)
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": new_meta},
+        *adds,
+    ]
+    target = os.path.join(log_dir, f"{0:020d}.json")
+    tmp = target + ".tmp"
+    with open(tmp, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    os.link(tmp, target)
+    os.unlink(tmp)
+    return 0
+
+
 def create_column_mapped_table(
     spark: SparkSession, path: str, df: DataFrame
 ) -> None:
@@ -2374,7 +2434,14 @@ class DeltaLogReader:
                 if cdc and v <= latest - keep_last:
                     seen.add(os.path.realpath(self._abs(cdc["path"])))
         deleted = []
+        root = os.path.realpath(self.path) + os.sep
         for p in sorted(seen - keep):
+            # never reclaim files OUTSIDE the table root: a shallow
+            # clone's adds point at the SOURCE table by absolute path,
+            # and vacuuming the clone must not reach into the source
+            # (Delta's VACUUM contract operates on the table directory)
+            if not p.startswith(root):
+                continue
             if os.path.exists(p):
                 os.remove(p)
                 deleted.append(p)
