@@ -951,3 +951,82 @@ def stream_acid_cdf_feed(spark, sf_dir):
         F.sum("o_cents").alias("sum_o_cents"),
     )
     return st.run_to_memory(agg, "complete", state_partitions=4)
+
+
+@register(
+    "stream_iceberg_partitioned_sink",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        WHERE epoch(ts) >= 1705708800
+        GROUP BY event_type
+    """,
+    tags=("streaming", "iceberg", "lakehouse", "partitioning", "sink"),
+)
+def stream_iceberg_partitioned_sink(spark, sf_dir):
+    """STREAMING INGEST into a DAY-PARTITIONED Iceberg table (round
+    7) — the canonical event-lake landing topology (stream ->
+    foreachBatch -> partitioned table -> pruned serving reads): each
+    micro-batch commits one append snapshot whose files carry day(ts)
+    partition tuples and whose manifest-list entry carries the batch's
+    day-range field summary, so the serving read below prunes at BOTH
+    tiers — whole per-batch manifests outside the queried window are
+    never opened. Exactly-once across restarts comes from the
+    checkpoint + the append commit being atomic (exclusive metadata
+    create); ingest cost per batch is O(batch), never O(table) —
+    bounds=False skips per-file column stats on the hot ingest path
+    (partition pruning doesn't need them; a compaction pass adds them
+    back when it bin-packs). The final trailing-window aggregate is
+    value-hash checked against DuckDB on the raw events; the pruning
+    facts are asserted in-plan (the read must skip files AND manifests
+    or the query aborts). The hour-grain twin of this layout is
+    iceberg_hour_partitioned_events."""
+    import datetime
+    import tempfile
+
+    from ..sources.iceberg import (
+        IcebergTableReader,
+        append_partitioned_snapshot,
+        create_partitioned_table,
+    )
+    from ..sources.tables import load_table
+
+    s = st.events_stream(spark, sf_dir, n_files=N_FILES)
+    path = tempfile.mkdtemp(prefix="iceberg_sink_") + "/t"
+    empty = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+        .limit(0)
+    )
+    create_partitioned_table(spark, path, empty, spec=[("ts", "day")])
+
+    def sink(batch_df, batch_id):
+        append_partitioned_snapshot(
+            spark,
+            path,
+            batch_df.select("event_id", "user_id", "event_type", "ts"),
+            spec=[("ts", "day")],
+            bounds=False,
+        )
+
+    q = (
+        s.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", path + "_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+
+    reader = IcebergTableReader(spark, path)
+    cut = datetime.datetime(2024, 1, 20, tzinfo=datetime.timezone.utc)
+    snap = reader.read(predicates=[("ts", ">=", cut)])
+    if reader.last_scan["skipped_files"] == 0:
+        raise AssertionError("day partition pruning did not engage")
+    if reader.last_scan["skipped_manifests"] == 0:
+        raise AssertionError("manifest-tier pruning did not engage")
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
