@@ -2845,3 +2845,64 @@ def delta_shallow_clone_read(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "iceberg_changelog_read",
+    oracle="""
+        WITH appended AS (
+            SELECT doc_id + 10000000 AS doc_id, lang, n_chars * 3 AS n_chars
+            FROM documents WHERE doc_id % 4 = 0
+        ),
+        changes AS (
+            SELECT 'insert' AS _change_type, lang, n_chars
+            FROM appended WHERE NOT (n_chars < 200)
+            UNION ALL
+            SELECT 'delete' AS _change_type, lang, n_chars
+            FROM documents WHERE n_chars < 200
+        )
+        SELECT _change_type, lang,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM changes
+        GROUP BY _change_type, lang
+    """,
+    tags=("iceberg", "lakehouse", "cdc", "changelog"),
+)
+def iceberg_changelog_read(spark, sf_dir):
+    """Iceberg incremental CHANGELOG scan (round 7 — fills the
+    matrix's 'Iceberg CDF read' gap): the spec stores NO change feed,
+    so row-level changes are COMPUTED from the snapshots' file-set
+    diff (the Java IncrementalChangelogScan): stage documents, append
+    a derived batch, then MERGE-ON-READ DELETE the short docs — the
+    changelog from the first snapshot must render (a) appended rows
+    that survived as inserts, (b) appended rows tombstoned inside the
+    range as NOTHING (born-and-died nets out), and (c) original rows
+    hit by the new position tombstones as deletes. Cost ∝ changed
+    files + delete files, never O(table). Value-hash checked against
+    a DuckDB replay of the same insert/delete derivation."""
+    import tempfile
+
+    from ..sources.iceberg import (
+        IcebergTableReader,
+        append_data_snapshot,
+        create_minimal_table,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="iceberg_cl_") + "/t"
+    create_minimal_table(spark, path, docs.repartitionByRange(4, "doc_id"))
+    reader = IcebergTableReader(spark, path)
+    v1 = reader.metadata()["current-snapshot-id"]
+    batch = docs.filter("doc_id % 4 = 0").select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        "lang",
+        (F.col("n_chars") * 3).alias("n_chars"),
+    )
+    append_data_snapshot(spark, path, batch, sequence=1)
+    IcebergTableReader(spark, path).delete_where([("n_chars", "<", 200)])
+    ch = IcebergTableReader(spark, path).changelog(v1)
+    return ch.groupBy("_change_type", "lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -114,3 +114,72 @@ def test_branch_appends_chain_on_branch_head(spark, tmp_path):
     got = sorted(r.k for r in t.read(ref="b").collect())
     assert got == [1, 2, 3, 10, 11]
     assert sorted(r.k for r in t.read().collect()) == [1, 2, 3]
+
+
+# ---------------------------------------------------------- changelog
+
+
+def test_changelog_inserts_and_deletes(spark, tmp_path):
+    """changelog(A, B): appended files render as inserts, new position
+    tombstones on surviving files render as row deletes, and a row
+    born-and-deleted inside the range nets to nothing."""
+    path = _stage(spark, tmp_path, "cl")
+    t = IcebergTableReader(spark, path)
+    v1 = t.metadata()["current-snapshot-id"]
+    append_data_snapshot(spark, path, _batch(spark, 10, 14), 1)
+    t = IcebergTableReader(spark, path)
+    t.delete_where([("k", "in", [2, 11])])
+    t = IcebergTableReader(spark, path)
+    ch = t.changelog(v1)
+    rows = {(r.k, r._change_type) for r in ch.collect()}
+    # 11 was born in the range and deleted in it -> absent entirely
+    assert rows == {
+        (10, "insert"),
+        (12, "insert"),
+        (13, "insert"),
+        (2, "delete"),
+    }
+    # full-range sanity: snapshot(B) == snapshot(A) + changelog applied
+    assert t.read().count() == 3 - 1 + 3
+
+
+def test_changelog_refuses_replace_and_equality(spark, tmp_path):
+    from introduction_in_big_data_spark.sources.iceberg import (
+        add_equality_deletes,
+    )
+
+    path = _stage(spark, tmp_path, "cl2")
+    t = IcebergTableReader(spark, path)
+    v1 = t.metadata()["current-snapshot-id"]
+    t.compact()
+    t = IcebergTableReader(spark, path)
+    with pytest.raises(UnsupportedIcebergFeature, match="REPLACE"):
+        t.changelog(v1)
+
+    path2 = _stage(spark, tmp_path, "cl3")
+    t2 = IcebergTableReader(spark, path2)
+    v1 = t2.metadata()["current-snapshot-id"]
+    add_equality_deletes(spark, path2, [(2,)], ["k"], sequence=1)
+    t2 = IcebergTableReader(spark, path2)
+    with pytest.raises(UnsupportedIcebergFeature, match="equality"):
+        t2.changelog(v1)
+
+
+def test_changelog_removed_files_render_deletes(spark, tmp_path):
+    """A copy-on-write style file removal (here: delete then compact is
+    refused, so exercise via delete_where only on already-tombstoned
+    rows + full re-read) — removed-file deletes minus prior tombstones."""
+    path = _stage(spark, tmp_path, "cl4")
+    t = IcebergTableReader(spark, path)
+    v1 = t.metadata()["current-snapshot-id"]
+    t.delete_where([("k", "=", 1)])
+    t2 = IcebergTableReader(spark, path)
+    v2 = t2.metadata()["current-snapshot-id"]
+    t2.delete_where([("k", "=", 3)])
+    t3 = IcebergTableReader(spark, path)
+    # range v2 -> head: only k=3 dies (k=1 was already dead at v2)
+    rows = {(r.k, r._change_type) for r in t3.changelog(v2).collect()}
+    assert rows == {(3, "delete")}
+    # whole range from v1: both deletes, no inserts
+    rows = {(r.k, r._change_type) for r in t3.changelog(v1).collect()}
+    assert rows == {(1, "delete"), (3, "delete")}
