@@ -42,12 +42,11 @@ from __future__ import annotations
 import datetime as _dt
 import re
 from dataclasses import dataclass
-from typing import Any, Callable
+from typing import Any
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 _EPOCH = _dt.date(1970, 1, 1)
 
@@ -155,11 +154,6 @@ class PartitionField:
     field_id: int  # partition field id (1000 + ordinal)
     avro_type: str  # avro primitive of the partition value
     order_preserving: bool
-
-    def result_spark_type(self) -> str:
-        return {"int": "int", "long": "bigint", "string": "string"}[
-            self.avro_type
-        ]
 
 
 _TRUNC_RE = re.compile(r"^truncate\[(\d+)\]$")
