@@ -445,7 +445,11 @@ def partition_may_match(
         return any(partition_may_match(pf, pv, "=", v) for v in lit)
     if not pf.order_preserving:  # bucket
         if op == "=":
-            return pv == transform_literal(pf, lit)
+            try:
+                return pv == transform_literal(pf, lit)
+            except (ValueError, TypeError):
+                return True  # unhashable literal type: keep, let the
+                # residual filter decide
         return True  # ranges / != can't prune through a hash
     try:
         tl = transform_literal(pf, lit)
