@@ -1842,6 +1842,110 @@ def delta_dml_delete_read(spark, sf_dir):
     )
 
 
+def _stage_dv_orders(spark, sf_dir):
+    """Shared staging for the deletion-vector DML queries: orders
+    range-clustered on key with per-file stats, then TWO overlapping
+    predicate deletes via delete_where_dv — high-price rows first,
+    low-key rows second — so the second commit must merge bitmaps on
+    files the first one already vectorized."""
+    import tempfile
+
+    from ..sources.deltalog import DeltaLogReader, create_minimal_table
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .repartitionByRange(6, "o_orderkey")
+    )
+    path = tempfile.mkdtemp(prefix="delta_dv_dml_") + "/t"
+    create_minimal_table(spark, path, base, stats=True)
+    reader = DeltaLogReader(spark, path)
+    v1 = reader.delete_where_dv([("o_totalprice", ">=", 300000.0)])
+    v2 = reader.delete_where_dv([("o_orderkey", "<", 1000)])
+    return reader, v1, v2
+
+
+@register(
+    "delta_dv_delete_read",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        FROM orders
+        WHERE o_totalprice < 300000.0 AND o_orderkey >= 1000
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("delta", "lakehouse", "dml", "deletion-vectors", "skipping"),
+)
+def delta_dv_delete_read(spark, sf_dir):
+    """Predicate-driven DELETE via DELETION VECTORS on an
+    externally-written Delta table (DeltaLogReader.delete_where_dv,
+    round 7): two overlapping deletes commit as RoaringBitmapArray
+    vectors — zero data files rewritten, the reader-v3 fast path
+    real Delta 3.x writers take. File skipping prunes the candidate
+    scan (provably-unaffected files need no action), matching
+    positions compute distributed over _metadata.row_index with
+    existing tombstones anti-joined out, and the second commit MERGES
+    its bitmap with the first one's on shared files. The snapshot
+    read then decodes the vectors executor-side and anti-joins them
+    away; the DuckDB oracle recomputes the survivor set from raw
+    parquet, so prune → position-scan → bitmap-merge → commit →
+    replay → DV-apply is value-hash checked end to end."""
+    reader, _v1, _v2 = _stage_dv_orders(spark, sf_dir)
+    snap = reader.read()
+    return (
+        snap.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "delta_dv_cdf_feed",
+    oracle="""
+        SELECT 1 AS commit_version, 'delete' AS change_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        FROM orders WHERE o_totalprice >= 300000.0
+        UNION ALL
+        SELECT 2 AS commit_version, 'delete' AS change_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        FROM orders
+        WHERE o_orderkey < 1000 AND o_totalprice < 300000.0
+        ORDER BY commit_version
+    """,
+    tags=("delta", "lakehouse", "cdf", "deletion-vectors"),
+)
+def delta_dv_cdf_feed(spark, sf_dir):
+    """CHANGE DATA FEED over deletion-vector commits
+    (DeltaLogReader.changes + _dv_transition_deletes, round 7): DV
+    deletes write NO cdc files — the feed derives each commit's
+    deleted rows from its bitmap DIFF (new minus previous vector)
+    against the untouched, immutable data file, exactly Delta's own
+    CDF-with-DV semantics. The second delete overlaps the first, so
+    the oracle's per-commit row sets only match if already-tombstoned
+    rows never re-emit — the no-re-emit contract is value-hash
+    checked, commit by commit."""
+    reader, v1, v2 = _stage_dv_orders(spark, sf_dir)
+    ch = reader.changes(0, v2)
+    return (
+        ch.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("sum_key"),
+        )
+        .orderBy("commit_version")
+    )
+
+
 @register(
     "delta_v2_checkpoint_read",
     oracle="""

@@ -1326,13 +1326,20 @@ class DeltaLogReader:
         removed file's content IS the deleted row set. Commits that
         BOTH add and remove data without cdc actions (rewriting
         UPDATE/MERGE written with CDF off) refuse loudly rather than
-        guess row-level changes. dataChange=false commits (OPTIMIZE)
-        are invisible. Feeds operators/ivm.py for standing-aggregate
-        maintenance over externally-written tables: the cost is
-        ∝ the change volume, never the table."""
+        guess row-level changes. Deletion-vector commits
+        (delete_where_dv) need no cdc actions at all: the new
+        bitmap minus the previous one IS the deleted position set,
+        and the untouched data file renders those rows — the same
+        derivation Delta's own CDF reader uses for DV deletes, so
+        the feed stays ∝ change volume with zero extra write cost.
+        dataChange=false commits (OPTIMIZE) are invisible. Feeds
+        operators/ivm.py for standing-aggregate maintenance over
+        externally-written tables: the cost is ∝ the change volume,
+        never the table."""
         v_to = self.latest_version() if v_to is None else v_to
         meta, _live = self._replay(v_to)
-        self._guard_plain_table(meta, _live, "changes")
+        if self._mapping_mode(meta) != "none":
+            raise UnsupportedDeltaFeature("changes on a column-mapped table")
         schema = self._schema_from_meta(meta)
         part_cols = list(meta.get("partitionColumns") or [])
         fields_by_name = {f.name: f for f in schema.fields}
@@ -1382,17 +1389,44 @@ class DeltaLogReader:
                     part_cols,
                     fields_by_name,
                 )
-            elif adds and removes:
-                raise UnsupportedDeltaFeature(
-                    f"changes: commit {v} rewrites data files without "
-                    "cdc actions (written with CDF disabled) — "
-                    "row-level changes are not derivable"
-                )
             else:
+                # split DV transitions (an add that changes an
+                # existing path's deletionVector — delete_where_dv's
+                # commit shape) from plain file adds: the former are
+                # row-level deletes derived below, never inserts
+                dv_transitions: list[tuple[dict, dict]] = []
+                plain_adds: list[dict] = []
+                for a in adds:
+                    prev = prev_live.get(a["path"])
+                    if a.get("deletionVector"):
+                        if prev is None:
+                            raise UnsupportedDeltaFeature(
+                                f"changes: commit {v} adds a new file "
+                                "that already carries a deletion "
+                                "vector — its insert/delete split is "
+                                "not derivable"
+                            )
+                        dv_transitions.append((a, prev))
+                    else:
+                        plain_adds.append(a)
+                trans_paths = {a["path"] for a, _prev in dv_transitions}
+                # a protocol-shaped writer pairs each DV update with a
+                # remove of the same path: that remove is part of the
+                # transition, not a whole-file delete
+                plain_removes = [
+                    r for r in removes if r["path"] not in trans_paths
+                ]
+                if plain_adds and plain_removes:
+                    raise UnsupportedDeltaFeature(
+                        f"changes: commit {v} rewrites data files "
+                        "without cdc actions (written with CDF "
+                        "disabled) — row-level changes are not "
+                        "derivable"
+                    )
                 ins = self._scan_with_parts(
                     [
                         (abspath(a["path"]), a.get("partitionValues") or {})
-                        for a in adds
+                        for a in plain_adds
                     ],
                     data_fields,
                     list(schema.fields),
@@ -1400,9 +1434,9 @@ class DeltaLogReader:
                     fields_by_name,
                 )
                 dels = None
-                if removes:
+                if plain_removes:
                     ents = []
-                    for r in removes:
+                    for r in plain_removes:
                         a = prev_live.get(r["path"]) or r
                         ents.append(
                             (
@@ -1417,11 +1451,17 @@ class DeltaLogReader:
                         part_cols,
                         fields_by_name,
                     )
+                dv_dels = self._dv_transition_deletes(
+                    dv_transitions, schema, data_fields, part_cols,
+                    fields_by_name, abspath,
+                )
                 parts = [
                     p.withColumn("_change_type", F.lit(tag))
                     for p, tag in ((ins, "insert"), (dels, "delete"))
                     if p is not None
                 ]
+                if dv_dels is not None:
+                    parts.append(dv_dels)
                 df = None
                 for p in parts:
                     df = p if df is None else df.unionByName(p)
@@ -1787,6 +1827,203 @@ class DeltaLogReader:
                     add["stats"] = json.dumps(stats_by[f])
                 actions.append({"add": add})
         return self._publish(self._next_version(), cdc_actions + actions)
+
+    def delete_where_dv(self, predicates: list) -> int:
+        """DELETE WHERE as DELETION VECTORS — row-level delete
+        WITHOUT rewriting a byte of data (PROTOCOL.md "Deletion
+        Vectors", the Delta 3.x fast path; reader v3 / writer v7).
+        The same file skipping that drives delete_where prunes the
+        candidate set: provably-no-match files need NO action at all
+        (untouched adds stay live), predicates fully resolved by
+        partition values still delete whole files METADATA-ONLY
+        (remove actions — cheaper than any bitmap), and only genuinely
+        mixed files get vectors. Matching positions compute
+        DISTRIBUTED (one scan of the candidates' _metadata.row_index
+        with existing tombstones anti-joined out so re-deletes are
+        invisible); the driver serializes them as RoaringBitmapArray
+        payloads — merged with each file's previous vector — into ONE
+        uuid-named .bin shared by the whole commit via per-file
+        offsets, and re-adds each hit file with its descriptor.
+        Commit cost ∝ matched rows + the pruned candidate scan. CDF
+        needs no change files here: changes() derives the deleted
+        rows from the bitmap diff (see _dv_transition_deletes), so
+        enabling CDF adds zero write cost on this path. The protocol
+        upgrades to {deletionVectors} on first use; vacuum never
+        reclaims a .bin (only data-file paths enter its candidate
+        set), so time travel across DV commits keeps working.
+        Returns the committed version (the current one when provably
+        or actually nothing matches: no empty commit)."""
+        import uuid as _uuid
+
+        from ..functions import roaring
+        from . import skipping
+
+        v = self.latest_version()
+        meta, live = self._replay(v)
+        if self._mapping_mode(meta) != "none":
+            raise UnsupportedDeltaFeature(
+                "delete_where_dv on a column-mapped table"
+            )
+        schema = self._schema_from_meta(meta)
+        skipping.validate(predicates, [f.name for f in schema.fields])
+        part_cols = list(meta.get("partitionColumns") or [])
+        fields_by_name = {f.name: f for f in schema.fields}
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
+        data_schema = T.StructType(data_fields)
+        part_preds = [p for p in predicates if p[0] in part_cols]
+        data_preds = [p for p in predicates if p[0] not in part_cols]
+
+        def abspath(p: str) -> str:
+            p = unquote(p)
+            return p if p.startswith("/") else os.path.join(self.path, p)
+
+        removes: list[str] = []  # whole-file metadata-only deletes
+        candidates: dict[str, dict] = {}  # may contain matching rows
+        for key, a in live.items():
+            pv = a.get("partitionValues") or {}
+            part = {
+                c: self._py_partition_value(
+                    pv.get(c), fields_by_name[c].dataType
+                )
+                for c in part_cols
+            }
+            if not all(
+                skipping._exact_may_match(part[c], op, lit)
+                for c, op, lit in part_preds
+            ):
+                continue  # no row matches; the add simply stays live
+            if not data_preds:
+                removes.append(key)
+                continue
+            minv, maxv, nullc, rows = skipping.parse_delta_stats(
+                a.get("stats")
+            )
+            if skipping.file_may_match(
+                data_preds, {}, minv, maxv, nullc, rows
+            ):
+                candidates[key] = a
+
+        if not removes and not candidates:
+            return v
+
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        new_by_path: dict[str, list[int]] = {}
+        if candidates:
+            scan = self.spark.read.schema(data_schema).parquet(
+                *sorted(abspath(a["path"]) for a in candidates.values())
+            )
+            # DELETE removes rows where the predicate is TRUE; NULL
+            # evaluations survive (same contract as delete_where)
+            matched = scan.filter(
+                F.coalesce(
+                    skipping.residual_filter(data_preds), F.lit(False)
+                )
+            ).select(
+                norm(F.col("_metadata.file_path")).alias("__path"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+            dv_rows = [
+                self._dv_descriptor(a, abspath)
+                for a in candidates.values()
+                if a.get("deletionVector")
+            ]
+            if dv_rows:
+                pos_df = self._dv_positions_df(dv_rows).select(
+                    norm(F.col("file_path")).alias("__del_path"),
+                    F.col("pos").alias("__del_pos"),
+                )
+                matched = matched.join(
+                    F.broadcast(pos_df),
+                    (F.col("__path") == F.col("__del_path"))
+                    & (F.col("__pos") == F.col("__del_pos")),
+                    "left_anti",
+                )
+            # the collect is the DV regime's contract: a vector IS a
+            # driver-serialized bitmap, bounded by matched rows — a
+            # delete touching most of the table belongs on the
+            # rewrite path (delete_where), not here
+            new_by_path = {
+                r["__path"]: [int(x) for x in r["pos"]]
+                for r in matched.groupBy("__path")
+                .agg(F.sort_array(F.collect_list("__pos")).alias("pos"))
+                .collect()
+            }
+
+        if not removes and not new_by_path:
+            return v  # stats were merely inconclusive: nothing matches
+
+        actions: list[dict] = []
+        by_abs = {
+            abspath(a["path"]): (k, a) for k, a in candidates.items()
+        }
+        if new_by_path:
+            proto = dict(self._last_protocol)
+            feats_r = set(proto.get("readerFeatures") or [])
+            if (
+                proto.get("minReaderVersion", 1) < 3
+                or "deletionVectors" not in feats_r
+            ):
+                feats_w = set(proto.get("writerFeatures") or [])
+                actions.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": sorted(
+                                feats_r | {"deletionVectors"}
+                            ),
+                            "writerFeatures": sorted(
+                                feats_w | {"deletionVectors"}
+                            ),
+                        }
+                    }
+                )
+            hits: list[tuple[dict, list[int]]] = []
+            for ap in sorted(new_by_path):
+                _k, a = by_abs[ap]
+                old = (
+                    self._decode_dv_positions(a, abspath)
+                    if a.get("deletionVector")
+                    else []
+                )
+                merged = sorted(set(old) | set(new_by_path[ap]))
+                hits.append((a, merged))
+            u = _uuid.uuid4()
+            payloads = [
+                roaring.serialize_bitmap_array(m) for _a, m in hits
+            ]
+            offsets = roaring.write_dv_file(
+                os.path.join(self.path, f"deletion_vector_{u}.bin"),
+                payloads,
+            )
+            for (a, merged), off, payload in zip(hits, offsets, payloads):
+                dv = {
+                    "storageType": "u",
+                    "pathOrInlineDv": roaring.z85_encode(u.bytes),
+                    "offset": off,
+                    "sizeInBytes": len(payload),
+                    "cardinality": len(merged),
+                }
+                actions.append(
+                    {
+                        "add": {
+                            **a,
+                            "deletionVector": dv,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        actions.extend(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                }
+            }
+            for p in sorted(removes)
+        )
+        return self._publish(self._next_version(), actions)
 
     def update_where(
         self, predicates: list, set_exprs: dict[str, str]
@@ -2721,6 +2958,88 @@ class DeltaLogReader:
 
         return desc.repartition(min(len(dv_rows), 32)).mapInPandas(
             decode, "file_path string, pos long"
+        )
+
+    def _decode_dv_positions(self, a: dict, abspath) -> list[int]:
+        """Driver-side decode of one add action's deletion vector —
+        bounded by that file's tombstone count. Scans use the
+        executor-side _dv_positions_df instead."""
+        from ..functions import roaring
+
+        d = self._dv_descriptor(a, abspath)
+        return roaring.positions_from_descriptor(
+            d[1], d[2], d[3], d[4], d[5]
+        )
+
+    def _dv_transition_deletes(
+        self,
+        dv_transitions: list[tuple[dict, dict]],
+        schema: T.StructType,
+        data_fields: list[T.StructField],
+        part_cols: list[str],
+        fields_by_name: dict[str, T.StructField],
+        abspath,
+    ) -> DataFrame | None:
+        """Render the rows a commit's deletion-vector updates deleted:
+        for each (new add, previous add) pair, the new bitmap minus
+        the old one is exactly the newly-tombstoned position set —
+        the data file itself is untouched and immutable, so scanning
+        it at those _metadata.row_index positions recovers the
+        deleted rows. Cost ∝ deleted rows + one scan of the touched
+        files; the position pairs are broadcast."""
+        pairs: list[tuple[str, int]] = []
+        groups: dict[tuple, list[str]] = {}
+        for a, prev in dv_transitions:
+            newp = set(self._decode_dv_positions(a, abspath))
+            oldp = (
+                set(self._decode_dv_positions(prev, abspath))
+                if prev.get("deletionVector")
+                else set()
+            )
+            ap = abspath(a["path"])
+            pairs.extend((ap, int(p)) for p in sorted(newp - oldp))
+            pv = a.get("partitionValues") or {}
+            groups.setdefault(
+                tuple(pv.get(c) for c in part_cols), []
+            ).append(ap)
+        if not pairs:
+            return None
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        pairs_df = self.spark.createDataFrame(
+            pairs, "__del_path string, __del_pos long"
+        )
+        data_schema = T.StructType(data_fields)
+        scanned: DataFrame | None = None
+        for key in sorted(
+            groups,
+            key=lambda kv: tuple((x is not None, x or "") for x in kv),
+        ):
+            g = self.spark.read.schema(data_schema).parquet(
+                *sorted(groups[key])
+            )
+            g = g.select(
+                *[F.col(f.name) for f in data_fields],
+                norm(F.col("_metadata.file_path")).alias("__path"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+            for c, raw in zip(part_cols, key):
+                dt = fields_by_name[c].dataType
+                g = g.withColumn(
+                    c,
+                    F.lit(raw).cast(dt)
+                    if raw is not None
+                    else F.lit(None).cast(dt),
+                )
+            scanned = g if scanned is None else scanned.unionByName(g)
+        return (
+            scanned.join(
+                F.broadcast(pairs_df),
+                (F.col("__path") == F.col("__del_path"))
+                & (F.col("__pos") == F.col("__del_pos")),
+                "inner",
+            )
+            .select(*[f.name for f in schema.fields])
+            .withColumn("_change_type", F.lit("delete"))
         )
 
     def history(self) -> list[dict]:

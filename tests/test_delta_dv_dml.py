@@ -1,0 +1,202 @@
+"""Predicate-driven DELETE via DELETION VECTORS on externally-written
+Delta tables (DeltaLogReader.delete_where_dv, round 7): row-level
+deletes with ZERO data files rewritten — the protocol's reader-v3
+fast path, plus CDF derivation of the deleted rows from the bitmap
+diff (changes() needs no cdc actions for DV commits)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from introduction_in_big_data_spark.sources.deltalog import (
+    DeltaLogReader,
+    UnsupportedDeltaFeature,
+    create_column_mapped_table,
+    create_minimal_table,
+)
+
+
+def _df(spark):
+    return spark.range(0, 1200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("p"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+
+
+def _commit_actions(path, v):
+    with open(os.path.join(path, "_delta_log", f"{v:020d}.json")) as fh:
+        return [json.loads(ln) for ln in fh if ln.strip()]
+
+
+def _data_files(path):
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        if "_delta_log" in root:
+            continue
+        for f in files:
+            if f.endswith(".parquet"):
+                full = os.path.join(root, f)
+                out[full] = (os.path.getsize(full), os.path.getmtime(full))
+    return out
+
+
+def test_dv_delete_rewrites_nothing_and_prunes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark).repartitionByRange(6, "k"), stats=True
+    )
+    r = DeltaLogReader(spark, path)
+    before = _data_files(path)
+    v = r.delete_where_dv([("k", ">=", 1000), ("k", "<", 1100)])
+    # every data file byte-identical: the delete wrote only a .bin
+    assert _data_files(path) == before
+    bins = [f for f in os.listdir(path) if f.endswith(".bin")]
+    assert len(bins) == 1
+    acts = _commit_actions(path, v)
+    adds = [a["add"] for a in acts if "add" in a]
+    # skipping drove the write side: only the file(s) covering
+    # [1000, 1100) get a vector; provably-unaffected files need no
+    # action at all (and there are no removes in a pure DV commit)
+    assert 1 <= len(adds) <= 2
+    assert not [a for a in acts if "remove" in a]
+    assert all(a["deletionVector"]["storageType"] == "u" for a in adds)
+    assert sum(a["deletionVector"]["cardinality"] for a in adds) == 100
+    protos = [a["protocol"] for a in acts if "protocol" in a]
+    assert protos and protos[0]["minReaderVersion"] == 3
+    assert "deletionVectors" in protos[0]["readerFeatures"]
+    got = sorted(x.k for x in r.read().collect())
+    assert got == list(range(1000)) + list(range(1100, 1200))
+    # no-op deletes publish no commit: provably (stats) and actually
+    assert r.delete_where_dv([("k", ">=", 5000)]) == v
+    assert r.delete_where_dv([("k", ">=", 1000), ("k", "<", 1100)]) == v
+
+
+def test_dv_delete_merges_with_existing_vector(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark).repartition(1), stats=True
+    )
+    r = DeltaLogReader(spark, path)
+    v1 = r.delete_where_dv([("k", "<", 10)])
+    v2 = r.delete_where_dv([("k", ">=", 5), ("k", "<", 20)])
+    assert v2 == v1 + 1
+    adds = [a["add"] for a in _commit_actions(path, v2) if "add" in a]
+    assert len(adds) == 1
+    # merged bitmap: [0,10) ∪ [5,20) = 20 positions
+    assert adds[0]["deletionVector"]["cardinality"] == 20
+    assert sorted(x.k for x in r.read().collect()) == list(range(20, 1200))
+    # time travel unwinds vectors version by version
+    assert DeltaLogReader(spark, path).read(version=v1).count() == 1190
+    assert DeltaLogReader(spark, path).read(version=0).count() == 1200
+
+
+def test_dv_delete_partition_predicate_is_metadata_only(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark), partition_by=["p"], stats=True
+    )
+    r = DeltaLogReader(spark, path)
+    v = r.delete_where_dv([("p", "=", 1)])
+    acts = _commit_actions(path, v)
+    assert not [a for a in acts if "add" in a]
+    assert [a for a in acts if "remove" in a]  # whole-partition drop
+    assert not [f for f in os.listdir(path) if f.endswith(".bin")]
+    assert r.read().filter(F.col("p") == 1).count() == 0
+    assert r.read().count() == 800
+    # mixed predicate: partition conjunct prunes to p=2, data conjunct
+    # writes vectors only there
+    v2 = r.delete_where_dv([("p", "=", 2), ("k", "<", 30)])
+    adds = [a["add"] for a in _commit_actions(path, v2) if "add" in a]
+    assert adds and all(
+        a["partitionValues"] == {"p": "2"} for a in adds
+    )
+    assert r.read().count() == 800 - 10  # k in {2,5,...,29}: 10 rows
+
+
+def test_dv_delete_null_predicate_rows_survive(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id"))
+        .alias("v"),
+    )
+    create_minimal_table(spark, path, df.repartition(1), stats=True)
+    r = DeltaLogReader(spark, path)
+    r.delete_where_dv([("v", "<", 50)])
+    left = r.read()
+    # v IS NULL rows evaluate the predicate to NULL and survive
+    assert left.filter(F.col("v").isNull()).count() == 10
+    assert left.count() == 10 + 45  # nulls + v in [50, 100) non-null
+
+
+def test_changes_derives_deletes_from_dv_diff(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark).repartition(2), stats=True, cdf=True
+    )
+    r = DeltaLogReader(spark, path)
+    acts_before = len(
+        [f for f in os.listdir(path) if f.endswith(".bin")]
+    )
+    v1 = r.delete_where_dv([("k", "<", 7)])
+    v2 = r.delete_where_dv([("k", ">=", 5), ("k", "<", 12)])
+    # no cdc files were written: the feed derives from the bitmaps
+    assert not os.path.isdir(os.path.join(path, "_change_data"))
+    ch = r.changes(0, v2).collect()
+    by_v = {}
+    for row in ch:
+        by_v.setdefault(row["_commit_version"], []).append(row)
+    assert sorted(x.k for x in by_v[v1]) == list(range(7))
+    assert all(x["_change_type"] == "delete" for x in by_v[v1])
+    # the second delete emits ONLY the newly-tombstoned rows: the
+    # overlap [5, 7) was already deleted and must not re-emit
+    assert sorted(x.k for x in by_v[v2]) == list(range(7, 12))
+    assert acts_before == 0
+
+
+def test_changes_refuses_new_file_born_with_dv(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark).repartition(1))
+    r = DeltaLogReader(spark, path)
+    v = r.delete_where_dv([("k", "<", 3)])
+    acts = _commit_actions(path, v)
+    add = next(a["add"] for a in acts if "add" in a)
+    # forge a commit that adds a brand-new path already carrying a DV
+    forged = {
+        "add": {**add, "path": "nonexistent-born-with-dv.parquet"}
+    }
+    with open(
+        os.path.join(path, "_delta_log", f"{v + 1:020d}.json"), "w"
+    ) as fh:
+        fh.write(json.dumps(forged) + "\n")
+    with pytest.raises(UnsupportedDeltaFeature, match="deletion"):
+        r.changes(v, v + 1).collect()
+
+
+def test_dv_delete_refuses_column_mapped_tables(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_column_mapped_table(
+        spark, path, spark.range(5).select(F.col("id").alias("k"))
+    )
+    with pytest.raises(UnsupportedDeltaFeature, match="column-mapped"):
+        DeltaLogReader(spark, path).delete_where_dv([("k", "<", 2)])
+
+
+def test_vacuum_keeps_referenced_dv_bin(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark).repartition(1), stats=True
+    )
+    r = DeltaLogReader(spark, path)
+    r.delete_where_dv([("k", "<", 100)])
+    bins = [f for f in os.listdir(path) if f.endswith(".bin")]
+    assert len(bins) == 1
+    r.vacuum(keep_last=1)
+    assert os.path.exists(os.path.join(path, bins[0]))
+    assert r.read().count() == 1100
