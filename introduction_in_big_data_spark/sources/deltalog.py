@@ -1848,11 +1848,12 @@ class DeltaLogReader:
         needs no change files here: changes() derives the deleted
         rows from the bitmap diff (see _dv_transition_deletes), so
         enabling CDF adds zero write cost on this path. The protocol
-        upgrades to {deletionVectors} on first use; vacuum never
-        reclaims a .bin (only data-file paths enter its candidate
-        set), so time travel across DV commits keeps working.
-        Returns the committed version (the current one when provably
-        or actually nothing matches: no empty commit)."""
+        upgrades to {deletionVectors} on first use. optimize() later
+        PURGES vectors (rewrites the file with tombstones applied),
+        and vacuum reclaims .bin files exactly like data files — kept
+        while any retained snapshot references them. Returns the
+        committed version (the current one when provably or actually
+        nothing matches: no empty commit)."""
         import uuid as _uuid
 
         from ..functions import roaring
@@ -2460,10 +2461,19 @@ class DeltaLogReader:
         is global within its partition group), rows range-partition
         on the z-curve of the two columns, and — when the table
         carries stats — each output file's tight 2-D bounding box
-        makes box predicates prune hard through read(predicates=)."""
+        makes box predicates prune hard through read(predicates=).
+
+        Deletion-vector PURGE (round 7, the lifecycle close of
+        delete_where_dv): files carrying a vector always rewrite —
+        tombstoned rows are applied (executor-side decode + anti-join,
+        exactly the read path) and the survivors land vector-free, so
+        scans stop paying the anti-join and vacuum can later reclaim
+        the orphaned .bin. dataChange stays false: the logical row
+        set is unchanged, CDF and streams correctly see nothing."""
         v = self.latest_version()
         meta, live = self._replay(v)
-        self._guard_plain_table(meta, live, "optimize")
+        if self._mapping_mode(meta) != "none":
+            raise UnsupportedDeltaFeature("optimize on a column-mapped table")
         schema = self._schema_from_meta(meta)
         part_cols = list(meta.get("partitionColumns") or [])
         data_fields = [f for f in schema.fields if f.name not in part_cols]
@@ -2500,8 +2510,11 @@ class DeltaLogReader:
                     (key, a)
                     for key, a in groups[k]
                     if a.get("size", 0) < target_bytes // 2
+                    or a.get("deletionVector")  # purge: always rewrite
                 ]
-                if len(small) <= 1:
+                if len(small) <= 1 and not any(
+                    a.get("deletionVector") for _k, a in small
+                ):
                     continue
             else:
                 small = list(groups[k])  # clustering rewrites the group
@@ -2515,6 +2528,33 @@ class DeltaLogReader:
                 ),
             )
             scan = self.spark.read.schema(data_schema).parquet(*files)
+            dv_rows = [
+                self._dv_descriptor(a, abspath)
+                for _k, a in small
+                if a.get("deletionVector")
+            ]
+            if dv_rows:
+                norm = lambda c: F.regexp_replace(  # noqa: E731
+                    c, "^file:/+", "/"
+                )
+                pos_df = self._dv_positions_df(dv_rows).select(
+                    norm(F.col("file_path")).alias("__del_path"),
+                    F.col("pos").alias("__del_pos"),
+                )
+                scan = (
+                    scan.select(
+                        *[F.col(f.name) for f in data_fields],
+                        norm(F.col("_metadata.file_path")).alias("__path"),
+                        F.col("_metadata.row_index").alias("__pos"),
+                    )
+                    .join(
+                        F.broadcast(pos_df),
+                        (F.col("__path") == F.col("__del_path"))
+                        & (F.col("__pos") == F.col("__del_pos")),
+                        "left_anti",
+                    )
+                    .drop("__path", "__pos")
+                )
             if zorder_by is None:
                 packed = scan.coalesce(n_out)
             else:
@@ -2523,11 +2563,19 @@ class DeltaLogReader:
                 packed = pack_zorder(scan, n_out, zorder_by)
             out_dir = os.path.join(self.path, f"_optimize_{uuid4().hex}")
             packed.write.mode("errorifexists").parquet(out_dir)
-            new_files = sorted(
-                os.path.join(out_dir, f)
-                for f in os.listdir(out_dir)
-                if f.endswith(".parquet")
-            )
+            import pyarrow.parquet as _pq
+
+            new_files = []
+            for f in sorted(os.listdir(out_dir)):
+                full = os.path.join(out_dir, f)
+                if not f.endswith(".parquet"):
+                    continue
+                # a fully-tombstoned group compacts to 0 rows: drop the
+                # empty part files rather than reference them
+                if _pq.ParquetFile(full).metadata.num_rows == 0:
+                    os.remove(full)
+                else:
+                    new_files.append(full)
             stats_by = (
                 _per_file_stats(
                     self.spark.read.schema(data_schema).parquet(*new_files),
@@ -2653,10 +2701,12 @@ class DeltaLogReader:
         keep: set[str] = set()
         for v in keep_versions:
             _m, live = self._replay(v)
-            keep.update(
-                os.path.realpath(self._abs(a["path"]))
-                for a in live.values()
-            )
+            for a in live.values():
+                keep.add(os.path.realpath(self._abs(a["path"])))
+                if a.get("deletionVector"):
+                    b = self._dv_descriptor(a, self._abs)[3]
+                    if b:  # '' = inline vector, no file to protect
+                        keep.add(os.path.realpath(b))
         # every path any replayable commit ever added; cdc files
         # belong to their commit — beyond the horizon the feed is not
         # replayable anyway (its data files may be gone), so change
@@ -2667,6 +2717,12 @@ class DeltaLogReader:
                 add = action.get("add")
                 if add:
                     seen.add(os.path.realpath(self._abs(add["path"])))
+                    if add.get("deletionVector"):
+                        # purged/superseded vectors reclaim with their
+                        # snapshots; referenced ones are in `keep`
+                        b = self._dv_descriptor(add, self._abs)[3]
+                        if b:
+                            seen.add(os.path.realpath(b))
                 cdc = action.get("cdc")
                 if cdc and v <= latest - keep_last:
                     seen.add(os.path.realpath(self._abs(cdc["path"])))

@@ -188,6 +188,64 @@ def test_dv_delete_refuses_column_mapped_tables(spark, tmp_path):
         DeltaLogReader(spark, path).delete_where_dv([("k", "<", 2)])
 
 
+def test_optimize_purges_deletion_vectors(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark).repartitionByRange(4, "k"), stats=True
+    )
+    r = DeltaLogReader(spark, path)
+    r.delete_where_dv([("k", ">=", 100), ("k", "<", 500)])
+    v = r.optimize()
+    acts = _commit_actions(path, v)
+    adds = [a["add"] for a in acts if "add" in a]
+    assert adds and all("deletionVector" not in a for a in adds)
+    assert all(a["dataChange"] is False for a in adds)
+    # post-purge snapshot: no DV adds left, same logical rows
+    _m, live = r._replay(v)
+    assert not any(a.get("deletionVector") for a in live.values())
+    got = sorted(x.k for x in r.read().collect())
+    assert got == list(range(100)) + list(range(500, 1200))
+    # CDF sees nothing from the compaction itself
+    ch = r.changes(v - 1, v)
+    assert ch.count() == 0
+
+
+def test_optimize_drops_fully_tombstoned_output(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark).repartitionByRange(4, "k"), stats=True
+    )
+    r = DeltaLogReader(spark, path)
+    # tombstone EVERY row of the files covering [0, 600): their purge
+    # output is empty and must not be referenced
+    r.delete_where_dv([("k", "<", 600)])
+    v = r.optimize()
+    assert sorted(x.k for x in r.read().collect()) == list(
+        range(600, 1200)
+    )
+    _m, live = r._replay(v)
+    assert not any(a.get("deletionVector") for a in live.values())
+
+
+def test_vacuum_reclaims_purged_dv_bin(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark).repartition(1), stats=True
+    )
+    r = DeltaLogReader(spark, path)
+    r.delete_where_dv([("k", "<", 100)])
+    bins = [f for f in os.listdir(path) if f.endswith(".bin")]
+    assert len(bins) == 1
+    r.optimize()
+    # the purge snapshot is retained AND the pre-purge one: bin stays
+    r.vacuum(keep_last=2)
+    assert os.path.exists(os.path.join(path, bins[0]))
+    # retain only the purged snapshot: the orphaned bin reclaims
+    r.vacuum(keep_last=1)
+    assert not os.path.exists(os.path.join(path, bins[0]))
+    assert r.read().count() == 1100
+
+
 def test_vacuum_keeps_referenced_dv_bin(spark, tmp_path):
     path = str(tmp_path / "t")
     create_minimal_table(
