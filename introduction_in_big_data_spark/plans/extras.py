@@ -2004,6 +2004,88 @@ def delta_v2_checkpoint_read(spark, sf_dir):
 
 
 @register(
+    "iceberg_name_mapping_read",
+    oracle="""
+        WITH allrows AS (
+            SELECT c_custkey AS customer_id, c_mktsegment AS seg
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, c_mktsegment
+            FROM customer WHERE c_custkey <= 100
+        )
+        SELECT seg,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(customer_id) AS BIGINT) AS sum_key
+        FROM allrows
+        GROUP BY seg
+        ORDER BY seg
+    """,
+    tags=("iceberg", "lakehouse", "interop", "name-mapping"),
+)
+def iceberg_name_mapping_read(spark, sf_dir):
+    """Read a MIGRATED Iceberg table via NAME MAPPING
+    (IcebergTableReader._data_scan + `schema.name-mapping.default`,
+    round 7 — spec "Column Projection"): stage customer as data files
+    WITHOUT parquet field ids (the add_files / Hive-migration shape)
+    under old column names, bind them with a name mapping, RENAME a
+    column (ids keep it projectable only through the mapping), then
+    append an id-carrying Iceberg-written batch — the read must
+    resolve id-less files by mapped name → field id → current name
+    while the new file projects by id, and union the two scans. The
+    DuckDB oracle replays the migration + append from raw parquet, so
+    the mixed-projection read is value-hash checked end to end."""
+    import json as _json
+    import tempfile
+
+    from ..sources.iceberg import (
+        IcebergTableReader,
+        append_data_snapshot,
+        create_minimal_table,
+    )
+
+    base = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_nm_") + "/t"
+    create_minimal_table(
+        spark,
+        path,
+        base.repartitionByRange(4, "cust_id"),
+        field_ids=False,
+        properties={
+            "schema.name-mapping.default": _json.dumps(
+                [
+                    {"field-id": 1, "names": ["cust_id"]},
+                    {"field-id": 2, "names": ["seg"]},
+                ]
+            )
+        },
+    )
+    IcebergTableReader(spark, path).update_schema(
+        renames={"cust_id": "customer_id"}
+    )
+    batch = (
+        t(spark, sf_dir, "customer")
+        .filter("c_custkey <= 100")
+        .select(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+    )
+    append_data_snapshot(spark, path, batch, sequence=1)
+    snap = IcebergTableReader(spark, path).read()
+    return (
+        snap.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("customer_id").alias("sum_key"),
+        )
+        .orderBy("seg")
+    )
+
+
+@register(
     "iceberg_schema_evolution_read",
     oracle="""
         WITH evolved AS (

@@ -148,7 +148,12 @@ def _attach_field_ids(df: DataFrame, fields: list[dict]) -> DataFrame:
 
 
 def create_minimal_table(
-    spark: SparkSession, path: str, df: DataFrame, bounds: bool = False
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    bounds: bool = False,
+    field_ids: bool = True,
+    properties: dict | None = None,
 ) -> None:
     """Stage `df` as a minimal format-v1 Iceberg table (one snapshot:
     parquet data files + one Avro manifest + one Avro manifest list +
@@ -156,7 +161,13 @@ def create_minimal_table(
     registered interop query can exercise the READER against
     spec-conformant metadata; reading externally-written tables is the
     claim, and the Avro wire format this writer emits is pinned to the
-    spec's golden bytes in tests/test_avro.py."""
+    spec's golden bytes in tests/test_avro.py.
+
+    `field_ids=False` writes the data files WITHOUT parquet field ids
+    — the shape of a Hive-migrated / `add_files`-imported table —
+    pair it with a `schema.name-mapping.default` entry in
+    `properties` (written into the metadata verbatim) so the reader's
+    name-mapping projection has something to resolve against."""
     import uuid
 
     from ..functions import avrocodec
@@ -167,14 +178,20 @@ def create_minimal_table(
     os.makedirs(meta_dir, exist_ok=False)
     tmp = os.path.join(path, "_stage")
     # data files carry their Iceberg field ids (spec requirement; what
-    # field-id projection reads back after schema evolution)
-    _attach_field_ids(
-        df,
-        [
-            {"id": i, "name": f.name}
-            for i, f in enumerate(df.schema.fields, start=1)
-        ],
-    ).write.parquet(tmp)
+    # field-id projection reads back after schema evolution) — unless
+    # staging a migrated table on purpose (field_ids=False)
+    staged = (
+        _attach_field_ids(
+            df,
+            [
+                {"id": i, "name": f.name}
+                for i, f in enumerate(df.schema.fields, start=1)
+            ],
+        )
+        if field_ids
+        else df
+    )
+    staged.write.parquet(tmp)
     os.makedirs(data_dir, exist_ok=True)
     data_files = []
     for f in sorted(os.listdir(tmp)):
@@ -343,6 +360,7 @@ def create_minimal_table(
         "format-version": 1,
         "table-uuid": str(uuid.uuid4()),
         "location": f"file://{path}",
+        "properties": dict(properties or {}),
         "schema": {"type": "struct", "schema-id": 0, "fields": fields},
         "partition-spec": [],
         "snapshots": [
@@ -1769,6 +1787,123 @@ class IcebergTableReader:
             return self._schema_struct(meta, with_field_ids=True)
         return self._schema_struct(meta)
 
+    @staticmethod
+    def _name_mapping(meta: dict) -> dict[int, tuple[str, ...]] | None:
+        """Parse the `schema.name-mapping.default` table property
+        (spec "Column Projection"): field-id -> candidate file column
+        names, the fallback rule for projecting data files WITHOUT
+        parquet field ids — what Hive-migrated tables and `add_files`
+        imports contain. None when the table has no mapping. Nested
+        mappings refuse loudly (top-level-only reader, matching the
+        rest of this module's schema surface); entries without a
+        field-id are unassigned per the spec and skip."""
+        raw = (meta.get("properties") or {}).get(
+            "schema.name-mapping.default"
+        )
+        if raw is None:
+            return None
+        out: dict[int, tuple[str, ...]] = {}
+        for e in json.loads(raw):
+            if e.get("fields"):
+                raise UnsupportedIcebergFeature(
+                    "nested name mapping (fields within fields)"
+                )
+            fid = e.get("field-id")
+            if fid is None:
+                continue
+            out[int(fid)] = tuple(e.get("names") or ())
+        return out
+
+    def _data_scan(
+        self,
+        meta: dict,
+        files: list[str],
+        scan_schema: T.StructType,
+        with_pos: bool,
+    ) -> DataFrame:
+        """One logical scan of the snapshot's data files. Without a
+        name mapping this is a plain (or field-id-projected) parquet
+        scan. With `schema.name-mapping.default` set, files SPLIT by
+        whether their footer carries parquet field ids (one
+        driver-side footer-schema read per file — the same per-file
+        metadata pass every Iceberg reader performs): id-carrying
+        files keep the field-id projection; id-less files project by
+        the MAPPING — current field id -> first mapped name present
+        in the file -> aliased to the current (possibly since-renamed)
+        column name, unmapped/missing fields reading as null per the
+        spec. Mixed tables union the two scans. `with_pos` rides
+        `_metadata` (file_path, row_index) along for row-level delete
+        application — attached per scan branch, since _metadata only
+        resolves on scan-rooted frames."""
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+
+        def pos_cols():
+            return [
+                norm(F.col("_metadata.file_path")).alias("__path"),
+                F.col("_metadata.row_index").alias("__pos"),
+            ]
+
+        mapping = self._name_mapping(meta)
+        if mapping is None:
+            scan = self.spark.read.schema(scan_schema).parquet(*files)
+            return scan.select("*", *pos_cols()) if with_pos else scan
+        import pyarrow.parquet as pq
+
+        field_list = self._schema_fields(meta)
+        with_ids: list[str] = []
+        without: dict[tuple, list[str]] = {}
+        for p in files:
+            sch = pq.read_schema(p)
+            if any(
+                (f.metadata or {}).get(b"PARQUET:field_id") is not None
+                for f in sch
+            ):
+                with_ids.append(p)
+            else:
+                have = set(sch.names)
+                resolved = tuple(
+                    next(
+                        (
+                            n
+                            for n in mapping.get(f["id"], ())
+                            if n in have
+                        ),
+                        None,
+                    )
+                    for f in field_list
+                )
+                without.setdefault(resolved, []).append(p)
+        parts: list[DataFrame] = []
+        if with_ids:
+            scan = self.spark.read.schema(scan_schema).parquet(
+                *sorted(with_ids)
+            )
+            parts.append(
+                scan.select("*", *pos_cols()) if with_pos else scan
+            )
+        type_by_name = {f.name: f.dataType for f in scan_schema.fields}
+        for resolved in sorted(
+            without, key=lambda t: tuple(x or "" for x in t)
+        ):
+            sel: list = []
+            phys: list[T.StructField] = []
+            for f, src in zip(field_list, resolved):
+                dt = type_by_name[f["name"]]
+                if src is None:
+                    sel.append(F.lit(None).cast(dt).alias(f["name"]))
+                else:
+                    phys.append(T.StructField(src, dt, True))
+                    sel.append(F.col(src).alias(f["name"]))
+            g = self.spark.read.schema(T.StructType(phys)).parquet(
+                *sorted(without[resolved])
+            )
+            extra = pos_cols() if with_pos else []
+            parts.append(g.select(*sel, *extra))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     # -- snapshot read ----------------------------------------------------------
 
     def _spec_fields_by_id(self, meta: dict) -> dict[int, list]:
@@ -2027,8 +2162,9 @@ class IcebergTableReader:
             return self.spark.createDataFrame([], schema)
         files = [p for p, _seq in data]
         scan_schema = self._scan_schema(meta)
-        df = self.spark.read.schema(scan_schema).parquet(*files)
-        if not pos_deletes and not eq_deletes:
+        with_pos = bool(pos_deletes or eq_deletes)
+        df = self._data_scan(meta, files, scan_schema, with_pos)
+        if not with_pos:
             return residual(df)
 
         # v2 row-level deletes. URIs normalize to local paths on both
@@ -2036,12 +2172,7 @@ class IcebergTableReader:
         # by construction — they exist to AVOID rewriting data files),
         # so the data scan never shuffles.
         norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
-        cols = df.columns
-        df = df.select(
-            "*",
-            norm(F.col("_metadata.file_path")).alias("__path"),
-            F.col("_metadata.row_index").alias("__pos"),
-        )
+        cols = [f.name for f in scan_schema.fields]
 
         if pos_deletes:
             # (file_path, pos) anti-join against the scan's per-file

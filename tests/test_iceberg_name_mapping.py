@@ -1,0 +1,165 @@
+"""Iceberg NAME MAPPING (`schema.name-mapping.default`, spec "Column
+Projection"): projecting data files that carry NO parquet field ids —
+the shape of Hive-migrated / add_files-imported tables — by mapping
+file column names onto current field ids, including across renames and
+mixed with id-carrying Iceberg-written appends."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from introduction_in_big_data_spark.sources.iceberg import (
+    IcebergTableReader,
+    UnsupportedIcebergFeature,
+    add_position_deletes,
+    append_data_snapshot,
+    create_minimal_table,
+)
+
+
+def _mapping(*entries):
+    return {
+        "schema.name-mapping.default": json.dumps(
+            [{"field-id": i, "names": list(ns)} for i, ns in entries]
+        )
+    }
+
+
+def _base(spark):
+    return spark.range(0, 100).select(
+        F.col("id").alias("cust_id"),
+        (F.col("id") * 2.0).alias("bal"),
+    )
+
+
+def test_idless_files_project_via_mapping(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark,
+        path,
+        _base(spark),
+        field_ids=False,
+        properties=_mapping((1, ["cust_id"]), (2, ["bal"])),
+    )
+    r = IcebergTableReader(spark, path)
+    # the staged files genuinely carry no ids
+    files = [p for p, _ in r._live_files(r.metadata()["snapshots"][-1])[0]]
+    for p in files:
+        assert all(
+            not (f.metadata or {}).get(b"PARQUET:field_id")
+            for f in pq.read_schema(p)
+        )
+    got = r.read()
+    assert got.columns == ["cust_id", "bal"]
+    assert got.count() == 100
+    assert got.agg(F.sum("cust_id")).first()[0] == sum(range(100))
+
+
+def test_mapping_survives_rename(spark, tmp_path):
+    # the migration story: file column 'cust_id' (no ids), mapping
+    # binds it to field 1, then the TABLE renames field 1 — old files
+    # must project under the NEW name
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark,
+        path,
+        _base(spark),
+        field_ids=False,
+        properties=_mapping((1, ["cust_id"]), (2, ["bal"])),
+    )
+    r = IcebergTableReader(spark, path)
+    r.update_schema(renames={"cust_id": "customer_id"})
+    got = IcebergTableReader(spark, path).read()
+    assert got.columns == ["customer_id", "bal"]
+    assert got.agg(F.sum("customer_id")).first()[0] == sum(range(100))
+
+
+def test_mixed_idless_and_id_carrying_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark,
+        path,
+        _base(spark),
+        field_ids=False,
+        properties=_mapping((1, ["cust_id"]), (2, ["bal"])),
+    )
+    append_data_snapshot(
+        spark,
+        path,
+        spark.range(100, 150).select(
+            F.col("id").alias("cust_id"),
+            (F.col("id") * 2.0).alias("bal"),
+        ),
+        sequence=1,
+    )
+    got = IcebergTableReader(spark, path).read()
+    assert got.count() == 150
+    assert sorted(x.cust_id for x in got.collect()) == list(range(150))
+
+
+def test_alternate_names_and_unmapped_field_null(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # mapping lists a preferred name that is NOT in the file plus the
+    # one that is; field 2 has no usable mapping -> nulls per spec
+    create_minimal_table(
+        spark,
+        path,
+        _base(spark),
+        field_ids=False,
+        properties=_mapping((1, ["customer_key", "cust_id"]), (2, ["other"])),
+    )
+    got = IcebergTableReader(spark, path).read()
+    assert got.filter(F.col("bal").isNull()).count() == 100
+    assert got.agg(F.sum("cust_id")).first()[0] == sum(range(100))
+
+
+def test_position_deletes_apply_to_mapped_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark,
+        path,
+        _base(spark).coalesce(1).sortWithinPartitions("cust_id"),
+        field_ids=False,
+        properties=_mapping((1, ["cust_id"]), (2, ["bal"])),
+    )
+    r = IcebergTableReader(spark, path)
+    files = [p for p, _ in r._live_files(r.metadata()["snapshots"][-1])[0]]
+    assert len(files) == 1
+    add_position_deletes(spark, path, [(files[0], 0), (files[0], 1)])
+    got = IcebergTableReader(spark, path).read()
+    assert sorted(x.cust_id for x in got.collect()) == list(range(2, 100))
+
+
+def test_nested_mapping_refuses(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark,
+        path,
+        _base(spark),
+        field_ids=False,
+        properties={
+            "schema.name-mapping.default": json.dumps(
+                [
+                    {
+                        "field-id": 1,
+                        "names": ["s"],
+                        "fields": [{"field-id": 3, "names": ["x"]}],
+                    }
+                ]
+            )
+        },
+    )
+    with pytest.raises(UnsupportedIcebergFeature, match="nested"):
+        IcebergTableReader(spark, path).read().collect()
+
+
+def test_tables_without_mapping_unchanged(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _base(spark))
+    got = IcebergTableReader(spark, path).read()
+    assert got.count() == 100
+    assert got.agg(F.sum("bal")).first()[0] == sum(range(100)) * 2.0
