@@ -1905,6 +1905,59 @@ def delta_dv_delete_read(spark, sf_dir):
 
 
 @register(
+    "delta_dv_update_read",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(CASE WHEN o_totalprice >= 400000.0
+                              THEN o_totalprice * 2
+                              ELSE o_totalprice END), 2) AS total_price
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("delta", "lakehouse", "dml", "deletion-vectors", "skipping"),
+)
+def delta_dv_update_read(spark, sf_dir):
+    """MERGE-ON-READ UPDATE on an externally-written Delta table
+    (DeltaLogReader.update_where_dv, round 7): double the price of
+    every high-value order as ONE commit that tombstones the matched
+    rows via deletion vectors and appends their updated images — no
+    existing data file rewrites, cost ∝ matched rows (the DV-era
+    UPDATE shape; the Delta analog of this repo's Iceberg
+    merge-on-read update). The snapshot read applies the bitmaps
+    executor-side and unions the image file in; the DuckDB oracle
+    replays the assignment from raw parquet, so skip → position-scan
+    → vector+append commit → replay is value-hash checked end to
+    end."""
+    import tempfile
+
+    from ..sources.deltalog import DeltaLogReader, create_minimal_table
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .repartitionByRange(6, "o_orderkey")
+    )
+    path = tempfile.mkdtemp(prefix="delta_dv_upd_") + "/t"
+    create_minimal_table(spark, path, base, stats=True)
+    reader = DeltaLogReader(spark, path)
+    reader.update_where_dv(
+        [("o_totalprice", ">=", 400000.0)],
+        {"o_totalprice": "o_totalprice * 2"},
+    )
+    snap = reader.read()
+    return (
+        snap.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "delta_dv_cdf_feed",
     oracle="""
         SELECT 1 AS commit_version, 'delete' AS change_type,

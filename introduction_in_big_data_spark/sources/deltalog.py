@@ -1854,9 +1854,6 @@ class DeltaLogReader:
         while any retained snapshot references them. Returns the
         committed version (the current one when provably or actually
         nothing matches: no empty commit)."""
-        import uuid as _uuid
-
-        from ..functions import roaring
         from . import skipping
 
         v = self.latest_version()
@@ -1953,67 +1950,7 @@ class DeltaLogReader:
         if not removes and not new_by_path:
             return v  # stats were merely inconclusive: nothing matches
 
-        actions: list[dict] = []
-        by_abs = {
-            abspath(a["path"]): (k, a) for k, a in candidates.items()
-        }
-        if new_by_path:
-            proto = dict(self._last_protocol)
-            feats_r = set(proto.get("readerFeatures") or [])
-            if (
-                proto.get("minReaderVersion", 1) < 3
-                or "deletionVectors" not in feats_r
-            ):
-                feats_w = set(proto.get("writerFeatures") or [])
-                actions.append(
-                    {
-                        "protocol": {
-                            "minReaderVersion": 3,
-                            "minWriterVersion": 7,
-                            "readerFeatures": sorted(
-                                feats_r | {"deletionVectors"}
-                            ),
-                            "writerFeatures": sorted(
-                                feats_w | {"deletionVectors"}
-                            ),
-                        }
-                    }
-                )
-            hits: list[tuple[dict, list[int]]] = []
-            for ap in sorted(new_by_path):
-                _k, a = by_abs[ap]
-                old = (
-                    self._decode_dv_positions(a, abspath)
-                    if a.get("deletionVector")
-                    else []
-                )
-                merged = sorted(set(old) | set(new_by_path[ap]))
-                hits.append((a, merged))
-            u = _uuid.uuid4()
-            payloads = [
-                roaring.serialize_bitmap_array(m) for _a, m in hits
-            ]
-            offsets = roaring.write_dv_file(
-                os.path.join(self.path, f"deletion_vector_{u}.bin"),
-                payloads,
-            )
-            for (a, merged), off, payload in zip(hits, offsets, payloads):
-                dv = {
-                    "storageType": "u",
-                    "pathOrInlineDv": roaring.z85_encode(u.bytes),
-                    "offset": off,
-                    "sizeInBytes": len(payload),
-                    "cardinality": len(merged),
-                }
-                actions.append(
-                    {
-                        "add": {
-                            **a,
-                            "deletionVector": dv,
-                            "dataChange": True,
-                        }
-                    }
-                )
+        actions = self._dv_actions(candidates, new_by_path, abspath)
         actions.extend(
             {
                 "remove": {
@@ -2025,6 +1962,280 @@ class DeltaLogReader:
             for p in sorted(removes)
         )
         return self._publish(self._next_version(), actions)
+
+    def _dv_actions(
+        self,
+        candidates: dict[str, dict],
+        new_by_path: dict[str, list[int]],
+        abspath,
+    ) -> list[dict]:
+        """Render a deletion-vector commit's actions: merge each hit
+        file's new positions with its previous vector, serialize the
+        RoaringBitmapArray payloads into ONE shared uuid-named .bin
+        (per-file offsets), and emit the protocol upgrade (reader 3 /
+        writer 7 {deletionVectors}, existing features preserved) plus
+        the re-adds. Shared by delete_where_dv and update_where_dv."""
+        import uuid as _uuid
+
+        from ..functions import roaring
+
+        if not new_by_path:
+            return []
+        actions: list[dict] = []
+        proto = dict(self._last_protocol)
+        feats_r = set(proto.get("readerFeatures") or [])
+        if (
+            proto.get("minReaderVersion", 1) < 3
+            or "deletionVectors" not in feats_r
+        ):
+            feats_w = set(proto.get("writerFeatures") or [])
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(
+                            feats_r | {"deletionVectors"}
+                        ),
+                        "writerFeatures": sorted(
+                            feats_w | {"deletionVectors"}
+                        ),
+                    }
+                }
+            )
+        by_abs = {abspath(a["path"]): a for a in candidates.values()}
+        hits: list[tuple[dict, list[int]]] = []
+        for ap in sorted(new_by_path):
+            a = by_abs[ap]
+            old = (
+                self._decode_dv_positions(a, abspath)
+                if a.get("deletionVector")
+                else []
+            )
+            merged = sorted(set(old) | set(new_by_path[ap]))
+            hits.append((a, merged))
+        u = _uuid.uuid4()
+        payloads = [roaring.serialize_bitmap_array(m) for _a, m in hits]
+        offsets = roaring.write_dv_file(
+            os.path.join(self.path, f"deletion_vector_{u}.bin"),
+            payloads,
+        )
+        for (a, merged), off, payload in zip(hits, offsets, payloads):
+            dv = {
+                "storageType": "u",
+                "pathOrInlineDv": roaring.z85_encode(u.bytes),
+                "offset": off,
+                "sizeInBytes": len(payload),
+                "cardinality": len(merged),
+            }
+            actions.append(
+                {
+                    "add": {
+                        **a,
+                        "deletionVector": dv,
+                        "dataChange": True,
+                    }
+                }
+            )
+        return actions
+
+    def update_where_dv(
+        self, predicates: list, set_exprs: dict[str, str]
+    ) -> int:
+        """UPDATE ... SET as a MERGE-ON-READ commit (the DV-era UPDATE
+        shape; the Delta analog of this repo's Iceberg
+        merge-on-read update_where): matched rows TOMBSTONE via
+        deletion vectors on their original files — nothing existing
+        rewrites — and their updated images append as new data files
+        in the same commit, partition placement preserved. Commit
+        cost ∝ matched rows + the skipping-pruned candidate scan,
+        never boundary-file size: a 1-row update on a 1 GB file
+        writes a bitmap and a 1-row file. Assignment semantics match
+        update_where exactly (every RHS evaluates against the OLD
+        row, one projection; partition columns refuse assignment;
+        NULL predicate evaluations don't match). CDF derivation:
+        changes() renders such a commit as delete (bitmap diff) +
+        insert (the appended images) — row-level equivalent to
+        update_pre/postimage for signed-delta maintenance; callers
+        needing the pre/postimage tagging use the rewriting
+        update_where on a CDF table, which stages cdc files."""
+        from . import skipping
+
+        v = self.latest_version()
+        meta, live = self._replay(v)
+        if self._mapping_mode(meta) != "none":
+            raise UnsupportedDeltaFeature(
+                "update_where_dv on a column-mapped table"
+            )
+        schema = self._schema_from_meta(meta)
+        skipping.validate(predicates, [f.name for f in schema.fields])
+        part_cols = list(meta.get("partitionColumns") or [])
+        fields_by_name = {f.name: f for f in schema.fields}
+        unknown = sorted(set(set_exprs) - set(fields_by_name))
+        if unknown:
+            raise ValueError(f"update_where_dv: unknown columns {unknown}")
+        bad = sorted(set(set_exprs) & set(part_cols))
+        if bad:
+            raise ValueError(
+                f"update_where_dv: partition columns cannot be "
+                f"assigned: {bad} (rows never move partitions on "
+                "UPDATE — that is MERGE's job)"
+            )
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
+        data_schema = T.StructType(data_fields)
+        part_preds = [p for p in predicates if p[0] in part_cols]
+        data_preds = [p for p in predicates if p[0] not in part_cols]
+
+        def abspath(p: str) -> str:
+            p = unquote(p)
+            return p if p.startswith("/") else os.path.join(self.path, p)
+
+        candidates: dict[str, dict] = {}
+        for key, a in live.items():
+            pv = a.get("partitionValues") or {}
+            part = {
+                c: self._py_partition_value(
+                    pv.get(c), fields_by_name[c].dataType
+                )
+                for c in part_cols
+            }
+            if not all(
+                skipping._exact_may_match(part[c], op, lit)
+                for c, op, lit in part_preds
+            ):
+                continue
+            if data_preds:
+                minv, maxv, nullc, rows = skipping.parse_delta_stats(
+                    a.get("stats")
+                )
+                if not skipping.file_may_match(
+                    data_preds, {}, minv, maxv, nullc, rows
+                ):
+                    continue
+            candidates[key] = a
+        if not candidates:
+            return v
+
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        matching = (
+            F.coalesce(skipping.residual_filter(data_preds), F.lit(False))
+            if data_preds
+            else F.lit(True)
+        )
+        dv_rows = [
+            self._dv_descriptor(a, abspath)
+            for a in candidates.values()
+            if a.get("deletionVector")
+        ]
+        carries_stats = any("stats" in a for a in live.values())
+
+        groups: dict[tuple, list[str]] = {}
+        group_pv: dict[tuple, dict] = {}
+        for a in candidates.values():
+            pv = a.get("partitionValues") or {}
+            k = tuple(pv.get(c) for c in part_cols)
+            groups.setdefault(k, []).append(abspath(a["path"]))
+            group_pv[k] = pv
+
+        new_by_path: dict[str, list[int]] = {}
+        image_adds: list[dict] = []
+        for k in sorted(
+            groups,
+            key=lambda kv: tuple((x is not None, x or "") for x in kv),
+        ):
+            matched = (
+                self.spark.read.schema(data_schema)
+                .parquet(*sorted(groups[k]))
+                .select(
+                    *[F.col(f.name) for f in data_fields],
+                    norm(F.col("_metadata.file_path")).alias("__path"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                )
+                .filter(matching)
+            )
+            if dv_rows:
+                pos_df = self._dv_positions_df(dv_rows).select(
+                    norm(F.col("file_path")).alias("__del_path"),
+                    F.col("pos").alias("__del_pos"),
+                )
+                matched = matched.join(
+                    F.broadcast(pos_df),
+                    (F.col("__path") == F.col("__del_path"))
+                    & (F.col("__pos") == F.col("__del_pos")),
+                    "left_anti",
+                )
+            got = {
+                r["__path"]: [int(x) for x in r["pos"]]
+                for r in matched.groupBy("__path")
+                .agg(F.sort_array(F.collect_list("__pos")).alias("pos"))
+                .collect()
+            }
+            if not got:
+                continue  # stats were inconclusive for this group
+            new_by_path.update(got)
+            # updated images: partition columns attach as typed
+            # literals so RHS expressions may reference them, then
+            # ONE projection over the OLD rows applies every
+            # assignment (update_where's exact semantics) and the
+            # write keeps only the data columns
+            imaged = matched
+            for c, raw in zip(part_cols, k):
+                dt = fields_by_name[c].dataType
+                imaged = imaged.withColumn(
+                    c,
+                    F.lit(raw).cast(dt)
+                    if raw is not None
+                    else F.lit(None).cast(dt),
+                )
+            imaged = imaged.select(
+                *[
+                    F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+                    if f.name in set_exprs
+                    else F.col(f.name)
+                    for f in data_fields
+                ]
+            )
+            # matched counts are known (the positions collect above):
+            # size the append at ~1M rows/file instead of inheriting
+            # the candidate scan's partitioning for a few rows
+            n_rows = sum(len(ps) for ps in got.values())
+            imaged = imaged.coalesce(max(1, -(-n_rows // 1_000_000)))
+            out_dir = os.path.join(self.path, f"_update_{uuid4().hex}")
+            imaged.write.mode("errorifexists").parquet(out_dir)
+            import pyarrow.parquet as _pq
+
+            new_files = []
+            for f in sorted(os.listdir(out_dir)):
+                full = os.path.join(out_dir, f)
+                if not f.endswith(".parquet"):
+                    continue
+                if _pq.ParquetFile(full).metadata.num_rows == 0:
+                    os.remove(full)
+                else:
+                    new_files.append(full)
+            stats_by = (
+                _per_file_stats(
+                    self.spark.read.schema(data_schema).parquet(*new_files),
+                    data_fields,
+                )
+                if carries_stats and new_files
+                else {}
+            )
+            for f in new_files:
+                add = {
+                    "path": quote(os.path.relpath(f, self.path)),
+                    "partitionValues": group_pv[k],
+                    "size": os.path.getsize(f),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+                if f in stats_by:
+                    add["stats"] = json.dumps(stats_by[f])
+                image_adds.append({"add": add})
+        if not new_by_path:
+            return v  # provably or actually no matching row
+        actions = self._dv_actions(candidates, new_by_path, abspath)
+        return self._publish(self._next_version(), actions + image_adds)
 
     def update_where(
         self, predicates: list, set_exprs: dict[str, str]

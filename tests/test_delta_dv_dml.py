@@ -188,6 +188,76 @@ def test_dv_delete_refuses_column_mapped_tables(spark, tmp_path):
         DeltaLogReader(spark, path).delete_where_dv([("k", "<", 2)])
 
 
+def test_update_where_dv_rewrites_nothing(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark).repartitionByRange(6, "k"), stats=True
+    )
+    r = DeltaLogReader(spark, path)
+    before = _data_files(path)
+    v = r.update_where_dv([("k", ">=", 1000), ("k", "<", 1010)], {"v": "v + 0.5"})
+    # originals byte-identical; the commit wrote a bitmap + ONE new file
+    for p, sig in before.items():
+        assert _data_files(path)[p] == sig
+    acts = _commit_actions(path, v)
+    dv_adds = [a["add"] for a in acts if "add" in a and a["add"].get("deletionVector")]
+    img_adds = [a["add"] for a in acts if "add" in a and not a["add"].get("deletionVector")]
+    assert len(dv_adds) == 1 and len(img_adds) == 1
+    assert dv_adds[0]["deletionVector"]["cardinality"] == 10
+    assert "stats" in img_adds[0]
+    got = r.read()
+    assert got.count() == 1200
+    updated = got.filter((F.col("k") >= 1000) & (F.col("k") < 1010))
+    assert sorted(x.v for x in updated.collect()) == [
+        k + 0.5 for k in range(1000, 1010)
+    ]
+    assert got.filter(F.col("v") == 999.0).count() == 1  # others untouched
+    # provably-no-match publishes nothing
+    assert r.update_where_dv([("k", ">=", 9000)], {"v": "0.0"}) == v
+
+
+def test_update_where_dv_partitioned_and_stacked(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark), partition_by=["p"], stats=True
+    )
+    r = DeltaLogReader(spark, path)
+    v = r.update_where_dv([("p", "=", 1), ("k", "<", 10)], {"v": "v * 10"})
+    adds = [a["add"] for a in _commit_actions(path, v) if "add" in a]
+    assert all(a["partitionValues"] == {"p": "1"} for a in adds)
+    # k in {1,4,7}: three rows moved to v*10, partition preserved
+    got = r.read().filter((F.col("p") == 1) & (F.col("k") < 10))
+    assert sorted(x.v for x in got.collect()) == [10.0, 40.0, 70.0]
+    assert r.read().count() == 1200
+    # a DV DELETE stacked on the update tombstones the IMAGE file too
+    r.delete_where_dv([("k", "=", 4)])
+    assert r.read().count() == 1199
+    assert r.read().filter(F.col("k") == 4).count() == 0
+
+
+def test_update_where_dv_refuses_partition_assignment(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark), partition_by=["p"])
+    with pytest.raises(ValueError, match="partition columns"):
+        DeltaLogReader(spark, path).update_where_dv(
+            [("k", "<", 5)], {"p": "2"}
+        )
+
+
+def test_changes_renders_dv_update_as_delete_plus_insert(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark).repartition(2), stats=True
+    )
+    r = DeltaLogReader(spark, path)
+    v = r.update_where_dv([("k", "<", 5)], {"v": "v + 100"})
+    ch = r.changes(v - 1, v).collect()
+    dels = sorted((x.k, x.v) for x in ch if x["_change_type"] == "delete")
+    ins = sorted((x.k, x.v) for x in ch if x["_change_type"] == "insert")
+    assert dels == [(k, float(k)) for k in range(5)]
+    assert ins == [(k, float(k) + 100) for k in range(5)]
+
+
 def test_optimize_purges_deletion_vectors(spark, tmp_path):
     path = str(tmp_path / "t")
     create_minimal_table(
