@@ -267,6 +267,67 @@ def stream_stream_view_click_outer(spark, sf_dir):
 
 
 @register(
+    "stream_stream_view_click_full",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'view'
+        ),
+        c AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'click'
+        )
+        SELECT coalesce(v.user_id, c.user_id) AS user_id,
+               CAST(floor(epoch(v.ts)) AS BIGINT) AS view_epoch,
+               CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch
+        FROM v FULL JOIN c
+          ON v.user_id = c.user_id
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join", "stateful", "outer"),
+)
+def stream_stream_view_click_full(spark, sf_dir):
+    """STREAM-STREAM **FULL OUTER** join — completing the
+    stream-stream join-mode matrix (inner r7s2 / left outer r7s2 /
+    full outer): views and clicks pair within the 30-minute window,
+    AND both sides' unmatched rows emit null-padded once the
+    watermark proves no partner can still arrive — unmatched views
+    when their [view_ts, view_ts+30m] horizon passes, unmatched
+    clicks when no earlier view can appear. Same flush-sentinel
+    bounded-run shape as the left-outer twin
+    (events_stream_with_flush advances the watermark past every real
+    row's eviction horizon; sentinels drop by sign after the join —
+    the coalesce sees a negative user id on whichever side carried
+    the sentinel). Exact parity with the batch FULL JOIN oracle."""
+    s = st.events_stream_with_flush(spark, sf_dir, n_files=N_FILES)
+    views = (
+        s.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "3650 days")
+    )
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "3650 days")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "user_id = c_user_id AND click_ts >= view_ts "
+            "AND click_ts <= view_ts + interval 30 minutes"
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce("user_id", "c_user_id").alias("user_id"),
+        F.unix_timestamp("view_ts").alias("view_epoch"),
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+    )
+    drained = st.run_to_memory(joined, "append", state_partitions=8)
+    return drained.filter(F.col("user_id") >= 0)
+
+
+@register(
     "stream_session_stats",
     oracle=f"""
         WITH e AS (

@@ -3186,13 +3186,30 @@ class DeltaLogReader:
         raise UnsupportedDeltaFeature(f"deletionVector storageType {st!r}")
 
     def _dv_positions_df(self, dv_rows: list[tuple]) -> DataFrame:
-        """Decode deletion vectors into a (file_path, pos) DataFrame,
+        """Decode deletion vectors into a (file_path, pos) DataFrame.
+        Small vector sets (≤4 MB of bitmap bytes ≈ ≤1M positions — the
+        overwhelmingly common DV regime) decode DRIVER-side into a
+        local DataFrame: the broadcast they feed needs the rows on the
+        driver anyway, and skipping the Python-worker path saves its
+        multi-second cold start on first read. Larger sets decode
         executor-side: one mapInPandas over the descriptor list, the
         roaring module shipped by value so external-driver workers
         need no repo import (see operators/multimodal)."""
         from pyspark import cloudpickle  # the instance pyspark pickles with
 
         from ..functions import roaring
+
+        if sum(int(r[5]) for r in dv_rows) <= (4 << 20):
+            pairs = [
+                (r[0], int(p))
+                for r in dv_rows
+                for p in roaring.positions_from_descriptor(
+                    r[1], r[2], r[3], r[4], int(r[5])
+                )
+            ]
+            return self.spark.createDataFrame(
+                pairs, "file_path string, pos long"
+            )
 
         try:
             cloudpickle.register_pickle_by_value(roaring)
