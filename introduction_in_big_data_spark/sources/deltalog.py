@@ -2436,12 +2436,20 @@ class DeltaLogReader:
         small CDC-batch side by construction (it broadcasts); at 100 TB
         the table side never shuffles — it is scanned once for hit
         detection and only hit files are read again. Returns the
-        committed version."""
+        committed version.
+
+        Deletion-vector tables merge correctly (round 7): every scan
+        of a hit file applies its vector first — hit detection never
+        fires on tombstoned rows, survivors and CDF preimages exclude
+        them — so rewriting a vectored file can never resurrect
+        deleted rows; the rewrite itself then retires the vector
+        (remove + plain add)."""
         from . import skipping
 
         v = self.latest_version()
         meta, live = self._replay(v)
-        self._guard_plain_table(meta, live, "merge")
+        if self._mapping_mode(meta) != "none":
+            raise UnsupportedDeltaFeature("merge on a column-mapped table")
         schema = self._schema_from_meta(meta)
         if key not in schema.fieldNames():
             raise ValueError(f"merge key {key!r} not in table schema")
@@ -2457,6 +2465,30 @@ class DeltaLogReader:
         def abspath(p: str) -> str:
             p = unquote(p)
             return p if p.startswith("/") else os.path.join(self.path, p)
+
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+
+        def drop_dv(df: DataFrame, live_keys) -> DataFrame:
+            """Anti-join the given live files' tombstoned positions
+            off a scan frame carrying __fp / __pos — every merge-side
+            read of a vectored file goes through this."""
+            rows = [
+                self._dv_descriptor(live[k], abspath)
+                for k in live_keys
+                if live[k].get("deletionVector")
+            ]
+            if not rows:
+                return df
+            pos_df = self._dv_positions_df(rows).select(
+                norm(F.col("file_path")).alias("__del_path"),
+                F.col("pos").alias("__del_pos"),
+            )
+            return df.join(
+                F.broadcast(pos_df),
+                (norm(F.col("__fp")) == F.col("__del_path"))
+                & (F.col("__pos") == F.col("__del_pos")),
+                "left_anti",
+            )
 
         keys = source.select(key).distinct()
         hit_keys: set[str] = set()
@@ -2492,11 +2524,15 @@ class DeltaLogReader:
             if cands:
                 by_abs = {abspath(a["path"]): k for k, a in cands.items()}
                 hits = (
-                    self.spark.read.schema(data_schema)
-                    .parquet(*sorted(by_abs))
-                    .select(
-                        F.col("_metadata.file_path").alias("__fp"),
-                        F.col(key),
+                    drop_dv(
+                        self.spark.read.schema(data_schema)
+                        .parquet(*sorted(by_abs))
+                        .select(
+                            F.col("_metadata.file_path").alias("__fp"),
+                            F.col("_metadata.row_index").alias("__pos"),
+                            F.col(key),
+                        ),
+                        cands,
                     )
                     .join(F.broadcast(keys), key, "left_semi")
                     .select("__fp")
@@ -2507,20 +2543,50 @@ class DeltaLogReader:
                     hit_keys.add(by_abs[r["__fp"].removeprefix("file:")])
 
         carries_stats = any("stats" in a for a in live.values())
+
+        def hit_scan() -> DataFrame | None:
+            """Hit files as LOGICAL rows: vectors applied, partition
+            columns attached (typed, via a tiny path->values
+            broadcast), __fp retained for callers that still need the
+            provenance. None when there are no hit files."""
+            if not hit_keys:
+                return None
+            by_abs_h = {abspath(live[k]["path"]): k for k in hit_keys}
+            df = drop_dv(
+                self.spark.read.schema(data_schema)
+                .parquet(*sorted(by_abs_h))
+                .withColumn("__fp", F.col("_metadata.file_path"))
+                .withColumn("__pos", F.col("_metadata.row_index")),
+                hit_keys,
+            ).drop("__pos")
+            if part_cols:
+                pv_rows = []
+                for p, k in by_abs_h.items():
+                    pv = live[k].get("partitionValues") or {}
+                    pv_rows.append(
+                        (f"file:{p}",)
+                        + tuple(
+                            self._py_partition_value(
+                                pv.get(c), fields_by_name[c].dataType
+                            )
+                            for c in part_cols
+                        )
+                    )
+                pv_schema = T.StructType(
+                    [T.StructField("__fp", T.StringType())]
+                    + [fields_by_name[c] for c in part_cols]
+                )
+                pv_df = self.spark.createDataFrame(pv_rows, pv_schema)
+                df = df.join(F.broadcast(pv_df), "__fp")
+            return df
+
         cdc_actions: list[dict] = []
         if self._cdf_enabled(meta):
             # CDF: matched old rows are update_preimages, their source
             # rows update_postimages, unmatched source rows inserts
-            pre = self._scan_with_parts(
-                [
-                    (
-                        abspath(live[k]["path"]),
-                        live[k].get("partitionValues") or {},
-                    )
-                    for k in hit_keys
-                ],
-                data_fields, schema.fields, part_cols, fields_by_name,
-            )
+            pre = hit_scan()
+            if pre is not None:
+                pre = pre.select(*schema.fieldNames())
             if pre is not None and key in part_cols:
                 # partition-key merge replaces whole key GROUPS — old
                 # and new rows are not 1:1, so the honest row-level
@@ -2557,35 +2623,7 @@ class DeltaLogReader:
         # partition-column key: a hit file's EVERY row carries a matched
         # key, so hit files have no survivors — pure metadata delete
         if hit_keys and key not in part_cols:
-            by_abs = {abspath(live[k]["path"]): k for k in hit_keys}
-            survivors = (
-                self.spark.read.schema(data_schema)
-                .parquet(*sorted(by_abs))
-                # bind the metadata column on the scan BEFORE any join
-                .withColumn("__fp", F.col("_metadata.file_path"))
-                .join(F.broadcast(keys), key, "left_anti")
-            )
-            if part_cols:
-                # attach each hit file's typed partition values via a
-                # tiny broadcast (path -> values) mapping
-                pv_rows = []
-                for p, k in by_abs.items():
-                    pv = live[k].get("partitionValues") or {}
-                    pv_rows.append(
-                        (f"file:{p}",)
-                        + tuple(
-                            self._py_partition_value(
-                                pv.get(c), fields_by_name[c].dataType
-                            )
-                            for c in part_cols
-                        )
-                    )
-                pv_schema = T.StructType(
-                    [T.StructField("__fp", T.StringType())]
-                    + [fields_by_name[c] for c in part_cols]
-                )
-                pv_df = self.spark.createDataFrame(pv_rows, pv_schema)
-                survivors = survivors.join(F.broadcast(pv_df), "__fp")
+            survivors = hit_scan().join(F.broadcast(keys), key, "left_anti")
             merged_parts.append(survivors.select(*schema.fieldNames()))
         merged_parts.append(source)
         merged = merged_parts[0]

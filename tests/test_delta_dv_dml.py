@@ -258,6 +258,55 @@ def test_changes_renders_dv_update_as_delete_plus_insert(spark, tmp_path):
     assert ins == [(k, float(k) + 100) for k in range(5)]
 
 
+def test_merge_on_dv_table_never_resurrects(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark).repartitionByRange(4, "k"), stats=True
+    )
+    r = DeltaLogReader(spark, path)
+    r.delete_where_dv([("k", ">=", 100), ("k", "<", 200)])
+    # source hits the vectored file's range: upsert k=150 (tombstoned:
+    # behaves as INSERT) and k=50 (live: whole-row update)
+    src = spark.createDataFrame(
+        [(150, 0, -1.0), (50, 2, -2.0)], "k long, p int, v double"
+    )
+    r.merge(src, "k")
+    got = r.read()
+    assert got.count() == 1200 - 100 + 1  # 100 deleted, 150 re-inserted
+    assert [x.v for x in got.filter(F.col("k") == 150).collect()] == [-1.0]
+    assert [x.v for x in got.filter(F.col("k") == 50).collect()] == [-2.0]
+    # no other tombstoned row came back
+    assert got.filter((F.col("k") >= 100) & (F.col("k") < 200)).count() == 1
+    # rewriting the hit file retired its vector
+    _m, live = r._replay(r.latest_version())
+    cards = [
+        a["deletionVector"]["cardinality"]
+        for a in live.values()
+        if a.get("deletionVector")
+    ]
+    assert cards == []  # the only vectored file was the hit file
+
+
+def test_merge_on_dv_table_cdf_preimages_exclude_tombstones(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark).repartition(1), stats=True, cdf=True
+    )
+    r = DeltaLogReader(spark, path)
+    # rewriting update_where (CDF) first, then a DV delete, then merge
+    v1 = r.delete_where_dv([("k", "<", 5)])
+    src = spark.createDataFrame([(3, 0, -3.0)], "k long, p int, v double")
+    v2 = r.merge(src, "k")
+    ch = [x for x in r.changes(v1, v2).collect()]
+    # k=3 was tombstoned: the merge sees NO matched row, so the feed
+    # is a pure insert — no preimage for a row that logically did not
+    # exist
+    assert sorted(x["_change_type"] for x in ch if x.k == 3) == ["insert"]
+    assert not [x for x in ch if x["_change_type"] == "update_preimage" and x.k < 5]
+
+
 def test_optimize_purges_deletion_vectors(spark, tmp_path):
     path = str(tmp_path / "t")
     create_minimal_table(
