@@ -1636,6 +1636,73 @@ class DeltaLogReader:
             os.unlink(tmp)
         return version
 
+    _WRITER_FEATURES_OK = frozenset(
+        {
+            "deletionVectors",
+            "changeDataFeed",
+            "appendOnly",
+            "invariants",
+            "columnMapping",
+            "v2Checkpoint",
+        }
+    )
+
+    def _guard_writer_protocol(
+        self, meta: dict, op: str, removes_data: bool
+    ) -> None:
+        """Refuse writes the table's protocol obliges a writer to
+        handle and this engine does not — corrupting an external
+        table is the one unforgivable interop failure, so every DML /
+        maintenance path gates here after _replay. Enforced by USAGE,
+        the way delta-spark treats legacy writer versions: a
+        capability only blocks when the table actually relies on it.
+
+        - `delta.appendOnly = true`: any data-removing operation
+          refuses (appends stay legal).
+        - Column invariants / CHECK constraints / generated columns /
+          identity columns: refused outright — this writer does not
+          validate rows against them, so it must not produce rows.
+        - minWriterVersion 7 feature lists: any feature outside the
+          implemented set refuses; minWriterVersion > 7 refuses."""
+        p = getattr(self, "_last_protocol", None) or {}
+        mwv = int(p.get("minWriterVersion") or 2)
+        if mwv > 7:
+            raise UnsupportedDeltaFeature(
+                f"{op}: minWriterVersion {mwv} is newer than this writer"
+            )
+        feats = set(p.get("writerFeatures") or [])
+        unknown = feats - self._WRITER_FEATURES_OK
+        if mwv == 7 and unknown:
+            raise UnsupportedDeltaFeature(
+                f"{op}: table requires writer features "
+                f"{sorted(unknown)} this engine does not implement"
+            )
+        conf = meta.get("configuration") or {}
+        if removes_data and conf.get("delta.appendOnly") == "true":
+            raise UnsupportedDeltaFeature(
+                f"{op}: table is delta.appendOnly = true"
+            )
+        checks = sorted(
+            k for k in conf if k.startswith("delta.constraints.")
+        )
+        if checks:
+            raise UnsupportedDeltaFeature(
+                f"{op}: table carries CHECK constraints {checks} this "
+                "writer does not validate"
+            )
+        for f in self._schema_from_meta(meta).fields:
+            md = f.metadata or {}
+            for key, what in (
+                ("delta.invariants", "an invariant"),
+                ("delta.generationExpression", "a generation expression"),
+                ("delta.identity.start", "identity-column metadata"),
+            ):
+                if key in md:
+                    raise UnsupportedDeltaFeature(
+                        f"{op}: column {f.name!r} carries {what} this "
+                        "writer does not enforce"
+                    )
+
     def _guard_plain_table(self, meta: dict, live: dict, what: str) -> None:
         if self._mapping_mode(meta) != "none":
             raise UnsupportedDeltaFeature(
@@ -1662,6 +1729,7 @@ class DeltaLogReader:
         v = self.latest_version()
         meta, live = self._replay(v)
         self._guard_plain_table(meta, live, "delete_where")
+        self._guard_writer_protocol(meta, "delete_where", removes_data=True)
         schema = self._schema_from_meta(meta)
         skipping.validate(predicates, [f.name for f in schema.fields])
         part_cols = list(meta.get("partitionColumns") or [])
@@ -1862,6 +1930,9 @@ class DeltaLogReader:
             raise UnsupportedDeltaFeature(
                 "delete_where_dv on a column-mapped table"
             )
+        self._guard_writer_protocol(
+            meta, "delete_where_dv", removes_data=True
+        )
         schema = self._schema_from_meta(meta)
         skipping.validate(predicates, [f.name for f in schema.fields])
         part_cols = list(meta.get("partitionColumns") or [])
@@ -2067,6 +2138,9 @@ class DeltaLogReader:
             raise UnsupportedDeltaFeature(
                 "update_where_dv on a column-mapped table"
             )
+        self._guard_writer_protocol(
+            meta, "update_where_dv", removes_data=True
+        )
         schema = self._schema_from_meta(meta)
         skipping.validate(predicates, [f.name for f in schema.fields])
         part_cols = list(meta.get("partitionColumns") or [])
@@ -2258,6 +2332,7 @@ class DeltaLogReader:
         v = self.latest_version()
         meta, live = self._replay(v)
         self._guard_plain_table(meta, live, "update_where")
+        self._guard_writer_protocol(meta, "update_where", removes_data=True)
         schema = self._schema_from_meta(meta)
         skipping.validate(predicates, [f.name for f in schema.fields])
         part_cols = list(meta.get("partitionColumns") or [])
@@ -2450,6 +2525,7 @@ class DeltaLogReader:
         meta, live = self._replay(v)
         if self._mapping_mode(meta) != "none":
             raise UnsupportedDeltaFeature("merge on a column-mapped table")
+        self._guard_writer_protocol(meta, "merge", removes_data=True)
         schema = self._schema_from_meta(meta)
         if key not in schema.fieldNames():
             raise ValueError(f"merge key {key!r} not in table schema")
@@ -2723,6 +2799,9 @@ class DeltaLogReader:
         meta, live = self._replay(v)
         if self._mapping_mode(meta) != "none":
             raise UnsupportedDeltaFeature("optimize on a column-mapped table")
+        # OPTIMIZE removes only dataChange=false file references —
+        # legal on appendOnly tables, so removes_data=False
+        self._guard_writer_protocol(meta, "optimize", removes_data=False)
         schema = self._schema_from_meta(meta)
         part_cols = list(meta.get("partitionColumns") or [])
         data_fields = [f for f in schema.fields if f.name not in part_cols]
@@ -2873,6 +2952,7 @@ class DeltaLogReader:
         _m_old, old_live = self._replay(version)
         meta, cur_live = self._replay(cur_v)
         self._guard_plain_table(meta, cur_live, "restore")
+        self._guard_writer_protocol(meta, "restore", removes_data=True)
         # the TARGET snapshot must be plain too: republishing DV adds
         # would render the restore's CDC from raw physical rows
         # (ignoring tombstones) and wedge later DML behind the guard

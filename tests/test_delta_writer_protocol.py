@@ -1,0 +1,120 @@
+"""Writer-protocol gating on externally-written Delta tables: DML
+refuses loudly when the table's protocol obliges a writer to enforce
+something this engine does not (appendOnly, invariants, CHECK
+constraints, generated/identity columns, unknown writer features) —
+corrupting an external table being the one unforgivable interop
+failure."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from introduction_in_big_data_spark.sources.deltalog import (
+    DeltaLogReader,
+    UnsupportedDeltaFeature,
+    create_minimal_table,
+)
+
+
+def _df(spark):
+    return spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+
+
+def _patch_commit0(path, protocol=None, configuration=None, field_md=None):
+    """Rewrite commit 0 with a modified protocol / metaData."""
+    c0 = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    actions = [json.loads(ln) for ln in open(c0) if ln.strip()]
+    for a in actions:
+        if protocol and "protocol" in a:
+            a["protocol"] = protocol
+        if "metaData" in a:
+            if configuration is not None:
+                a["metaData"]["configuration"] = configuration
+            if field_md is not None:
+                sch = json.loads(a["metaData"]["schemaString"])
+                sch["fields"][0]["metadata"] = field_md
+                a["metaData"]["schemaString"] = json.dumps(sch)
+    with open(c0, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def test_append_only_blocks_data_removal_not_optimize(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark).repartition(3))
+    _patch_commit0(path, configuration={"delta.appendOnly": "true"})
+    r = DeltaLogReader(spark, path)
+    for op in (
+        lambda: r.delete_where([("k", "<", 5)]),
+        lambda: r.delete_where_dv([("k", "<", 5)]),
+        lambda: r.update_where([("k", "<", 5)], {"v": "0.0"}),
+        lambda: r.update_where_dv([("k", "<", 5)], {"v": "0.0"}),
+        lambda: r.merge(
+            spark.createDataFrame([(1, -1.0)], "k long, v double"), "k"
+        ),
+    ):
+        with pytest.raises(UnsupportedDeltaFeature, match="appendOnly"):
+            op()
+    # OPTIMIZE only removes dataChange=false references: legal
+    v = r.optimize(target_bytes=1 << 30)
+    assert DeltaLogReader(spark, path).read().count() == 50
+    assert v >= 0
+
+
+def test_check_constraints_refuse(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark))
+    _patch_commit0(
+        path, configuration={"delta.constraints.positive_k": "k >= 0"}
+    )
+    with pytest.raises(UnsupportedDeltaFeature, match="CHECK"):
+        DeltaLogReader(spark, path).delete_where([("k", "<", 5)])
+
+
+def test_invariants_and_generated_columns_refuse(spark, tmp_path):
+    for md, msg in (
+        ({"delta.invariants": '{"expression":{"expression":"k > 0"}}'},
+         "invariant"),
+        ({"delta.generationExpression": "k + 1"}, "generation"),
+        ({"delta.identity.start": 1}, "identity"),
+    ):
+        path = str(tmp_path / f"t_{msg}")
+        create_minimal_table(spark, path, _df(spark))
+        _patch_commit0(path, field_md=md)
+        with pytest.raises(UnsupportedDeltaFeature, match=msg):
+            DeltaLogReader(spark, path).merge(
+                spark.createDataFrame([(1, -1.0)], "k long, v double"),
+                "k",
+            )
+
+
+def test_unknown_writer_feature_refuses(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark))
+    _patch_commit0(
+        path,
+        protocol={
+            "minReaderVersion": 1,
+            "minWriterVersion": 7,
+            "writerFeatures": ["rowTracking"],
+        },
+    )
+    r = DeltaLogReader(spark, path)
+    with pytest.raises(UnsupportedDeltaFeature, match="rowTracking"):
+        r.delete_where([("k", "<", 5)])
+    # reading stays legal: writer features bind writers, not readers
+    assert r.read().count() == 50
+
+
+def test_plain_tables_still_write(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark), stats=True)
+    r = DeltaLogReader(spark, path)
+    r.delete_where_dv([("k", "<", 5)])
+    assert r.read().count() == 45
