@@ -2139,6 +2139,59 @@ def iceberg_name_mapping_read(spark, sf_dir):
 
 
 @register(
+    "iceberg_snapshot_import_read",
+    oracle="""
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(p_partkey) AS BIGINT) AS sum_key
+        FROM part
+        WHERE p_partkey <= 500
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
+    tags=("iceberg", "lakehouse", "interop", "migration", "skipping"),
+)
+def iceberg_snapshot_import_read(spark, sf_dir):
+    """ZERO-COPY MIGRATION into Iceberg
+    (sources/iceberg.snapshot_parquet_dir, round 7 — the spec
+    ecosystem's `snapshot` / `add_files` story): register an existing
+    parquet directory as an Iceberg table without copying or
+    rewriting a byte — metadata points at the original files by
+    absolute URI, an auto-generated name mapping keeps the
+    field-id-less files projectable, and per-file bounds compute in
+    one grouped scan so predicate skipping works from the first read
+    (import cost ∝ metadata, the property that makes migration viable
+    at 100 TB). The read prunes on the imported bounds and the DuckDB
+    oracle recomputes from the same raw parquet, so import → mapping
+    → bounds → pruned read is value-hash checked end to end."""
+    import tempfile
+
+    from ..sources.iceberg import (
+        IcebergTableReader,
+        snapshot_parquet_dir,
+    )
+
+    base = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_import_")
+    raw = root + "/raw"
+    base.repartitionByRange(4, "p_partkey").write.parquet(raw)
+    path = root + "/t"
+    snapshot_parquet_dir(spark, raw, path)
+    r = IcebergTableReader(spark, path)
+    snap = r.read(predicates=[("p_partkey", "<=", 500)])
+    return (
+        snap.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("p_partkey").alias("sum_key"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
     "iceberg_schema_evolution_read",
     oracle="""
         WITH evolved AS (

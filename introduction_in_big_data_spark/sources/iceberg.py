@@ -147,6 +147,47 @@ def _attach_field_ids(df: DataFrame, fields: list[dict]) -> DataFrame:
     )
 
 
+def snapshot_parquet_dir(
+    spark: SparkSession, src_dir: str, path: str, bounds: bool = True
+) -> None:
+    """Iceberg's MIGRATE-IN-PLACE story (`snapshot` / `add_files`):
+    register a directory of existing parquet files as a new Iceberg
+    table WITHOUT copying or rewriting a byte — the metadata tree
+    (manifest → manifest list → vN.metadata.json) points at the
+    original files by absolute URI, a `schema.name-mapping.default`
+    property binds each file column name to its assigned field id
+    (imported files rarely carry parquet field ids, and the mapping
+    keeps them projectable across future renames), and per-file
+    bounds compute in ONE grouped scan so skipping works from day
+    one. Import cost ∝ metadata, not data — the property that makes
+    migration viable at 100 TB."""
+    import pyarrow.parquet  # noqa: F401 — fail fast if staging can't stat
+
+    files = sorted(
+        os.path.join(root, f)
+        for root, _dirs, fs in os.walk(src_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {src_dir}")
+    df = spark.read.parquet(*files)
+    mapping = json.dumps(
+        [
+            {"field-id": i, "names": [f.name]}
+            for i, f in enumerate(df.schema.fields, start=1)
+        ]
+    )
+    create_minimal_table(
+        spark,
+        path,
+        df,
+        bounds=bounds,
+        properties={"schema.name-mapping.default": mapping},
+        existing_files=files,
+    )
+
+
 def create_minimal_table(
     spark: SparkSession,
     path: str,
@@ -154,6 +195,7 @@ def create_minimal_table(
     bounds: bool = False,
     field_ids: bool = True,
     properties: dict | None = None,
+    existing_files: list[str] | None = None,
 ) -> None:
     """Stage `df` as a minimal format-v1 Iceberg table (one snapshot:
     parquet data files + one Avro manifest + one Avro manifest list +
@@ -167,7 +209,10 @@ def create_minimal_table(
     — the shape of a Hive-migrated / `add_files`-imported table —
     pair it with a `schema.name-mapping.default` entry in
     `properties` (written into the metadata verbatim) so the reader's
-    name-mapping projection has something to resolve against."""
+    name-mapping projection has something to resolve against.
+    `existing_files` skips staging entirely and registers the given
+    parquet files IN PLACE (df supplies only the schema) — the
+    zero-copy import path `snapshot_parquet_dir` builds on."""
     import uuid
 
     from ..functions import avrocodec
@@ -176,29 +221,33 @@ def create_minimal_table(
     meta_dir = os.path.join(path, "metadata")
     data_dir = os.path.join(path, "data")
     os.makedirs(meta_dir, exist_ok=False)
-    tmp = os.path.join(path, "_stage")
-    # data files carry their Iceberg field ids (spec requirement; what
-    # field-id projection reads back after schema evolution) — unless
-    # staging a migrated table on purpose (field_ids=False)
-    staged = (
-        _attach_field_ids(
-            df,
-            [
-                {"id": i, "name": f.name}
-                for i, f in enumerate(df.schema.fields, start=1)
-            ],
+    if existing_files is not None:
+        data_files = sorted(existing_files)
+    else:
+        tmp = os.path.join(path, "_stage")
+        # data files carry their Iceberg field ids (spec requirement;
+        # what field-id projection reads back after schema evolution)
+        # — unless staging a migrated table on purpose
+        # (field_ids=False)
+        staged = (
+            _attach_field_ids(
+                df,
+                [
+                    {"id": i, "name": f.name}
+                    for i, f in enumerate(df.schema.fields, start=1)
+                ],
+            )
+            if field_ids
+            else df
         )
-        if field_ids
-        else df
-    )
-    staged.write.parquet(tmp)
-    os.makedirs(data_dir, exist_ok=True)
-    data_files = []
-    for f in sorted(os.listdir(tmp)):
-        if f.endswith(".parquet"):
-            dst = os.path.join(data_dir, f)
-            os.rename(os.path.join(tmp, f), dst)
-            data_files.append(dst)
+        staged.write.parquet(tmp)
+        os.makedirs(data_dir, exist_ok=True)
+        data_files = []
+        for f in sorted(os.listdir(tmp)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(data_dir, f)
+                os.rename(os.path.join(tmp, f), dst)
+                data_files.append(dst)
     # per-file column bounds (bounds=True): ONE grouped scan computes
     # min/max/nullCount/count per data file; bounds serialize per the
     # spec's Appendix-D single-value format into field-id keyed maps

@@ -157,6 +157,53 @@ def test_nested_mapping_refuses(spark, tmp_path):
         IcebergTableReader(spark, path).read().collect()
 
 
+def test_snapshot_parquet_dir_zero_copy_migration(spark, tmp_path):
+    from introduction_in_big_data_spark.sources.iceberg import (
+        snapshot_parquet_dir,
+    )
+
+    src = str(tmp_path / "raw")
+    _base(spark).repartitionByRange(3, "cust_id").write.parquet(src)
+    import os
+
+    before = {
+        p: os.path.getmtime(os.path.join(src, p))
+        for p in os.listdir(src)
+        if p.endswith(".parquet")
+    }
+    path = str(tmp_path / "t")
+    snapshot_parquet_dir(spark, src, path)
+    # zero copy: originals untouched, no data files under the table
+    after = {
+        p: os.path.getmtime(os.path.join(src, p))
+        for p in os.listdir(src)
+        if p.endswith(".parquet")
+    }
+    assert after == before
+    assert not os.path.isdir(os.path.join(path, "data"))
+    r = IcebergTableReader(spark, path)
+    got = r.read()
+    assert got.columns == ["cust_id", "bal"]
+    assert got.agg(F.sum("cust_id")).first()[0] == sum(range(100))
+    # imported bounds drive skipping from day one
+    r.read(predicates=[("cust_id", "<", 10)])
+    assert r.last_scan["skipped_files"] >= 1
+    # the migrated table evolves like any other: rename + id append
+    r.update_schema(renames={"bal": "balance"})
+    append_data_snapshot(
+        spark,
+        path,
+        spark.range(100, 110).select(
+            F.col("id").alias("cust_id"),
+            (F.col("id") * 2.0).alias("balance"),
+        ),
+        sequence=1,
+    )
+    got = IcebergTableReader(spark, path).read()
+    assert got.count() == 110
+    assert got.agg(F.sum("balance")).first()[0] == sum(range(110)) * 2.0
+
+
 def test_tables_without_mapping_unchanged(spark, tmp_path):
     path = str(tmp_path / "t")
     create_minimal_table(spark, path, _base(spark))
