@@ -67,7 +67,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # queries each round (regression coverage under prefix sampling). Local
 # verification is unaffected — tests/test_oracle.py and the sweep
 # artifacts always run every query.
-_ROTATION_SALT = "r7"
+_ROTATION_SALT = "r8"
 
 _R1_DRIVER_GREEN = frozenset(
     {
@@ -203,9 +203,28 @@ _R6_DRIVER_GREEN = frozenset(
     }
 )
 
+_R7_DRIVER_GREEN = frozenset(
+    {
+        "cf_knn_dimsum", "delta_dv_cdf_feed", "delta_dv_delete_read",
+        "delta_dv_update_read", "delta_shallow_clone_read",
+        "delta_v2_checkpoint_read", "iceberg_changelog_read",
+        "iceberg_hour_partitioned_events", "iceberg_name_mapping_read",
+        "iceberg_partition_evolution_read", "iceberg_partitioned_pruned_read",
+        "iceberg_partitions_metadata_table", "iceberg_schema_evolution_read",
+        "iceberg_snapshot_import_read", "iceberg_wap_publish_read",
+        "stream_iceberg_partitioned_sink", "stream_stream_view_click_full",
+        "stream_stream_view_click_outer",
+        # Deliberately oracle-less bench twin — got its rows-only driver
+        # row in r7; folded in so it rotates instead of pinning a prefix
+        # slot every round.
+        "embedding_near_dup_lsh_bench",
+    }
+)
+
 _DRIVER_GREEN = (
     _R1_DRIVER_GREEN | _R2_DRIVER_GREEN | _R3_DRIVER_GREEN
     | _R4_DRIVER_GREEN | _R5_DRIVER_GREEN | _R6_DRIVER_GREEN
+    | _R7_DRIVER_GREEN
 )
 
 # Queries added in the round-3 continuation sessions, AFTER the older

@@ -86,6 +86,47 @@ _STATS_TYPES = (
 )
 
 
+#: Writer features IMPLIED by each legacy minWriterVersion (the spec's
+#: "Table Features" appendix): a legacy protocol has no explicit
+#: writerFeatures list, so an upgrade to writer version 7 must seed
+#: the new list with everything the old version number granted.
+_LEGACY_WRITER_FEATURES: dict[int, frozenset[str]] = {
+    2: frozenset({"appendOnly", "invariants"}),
+    3: frozenset({"checkConstraints"}),
+    4: frozenset({"changeDataFeed", "generatedColumns"}),
+    5: frozenset({"columnMapping"}),
+    6: frozenset({"identityColumns"}),
+}
+
+#: Reader features implied by each legacy minReaderVersion.
+_LEGACY_READER_FEATURES: dict[int, frozenset[str]] = {
+    2: frozenset({"columnMapping"}),
+}
+
+
+def _legacy_writer_features(min_writer_version: int) -> set[str]:
+    """Every writer feature implied by a legacy minWriterVersion
+    (cumulative: v4 implies v2's and v3's features too). Version 7
+    tables list features explicitly, so this contributes nothing."""
+    if min_writer_version >= 7:
+        return set()
+    out: set[str] = set()
+    for v, feats in _LEGACY_WRITER_FEATURES.items():
+        if v <= min_writer_version:
+            out |= feats
+    return out
+
+
+def _legacy_reader_features(min_reader_version: int) -> set[str]:
+    if min_reader_version >= 3:
+        return set()
+    out: set[str] = set()
+    for v, feats in _LEGACY_READER_FEATURES.items():
+        if v <= min_reader_version:
+            out |= feats
+    return out
+
+
 def _hive_partition_values(rel: str) -> dict:
     """Decode the hive directory segments of a path (relative to its
     write root) into a Delta partitionValues dict: `col=value` dirs,
@@ -844,10 +885,23 @@ class DeltaLogReader:
         live: dict[str, dict] = {}
         protocol: dict | None = None
 
+        # Within ONE commit (or checkpoint), add and remove of the same
+        # path reconcile with ADD winning regardless of serialization
+        # order — external DV writers pair add(path, newDV) with
+        # remove(path), and the remove refers to the pre-commit state.
+        # So each unit buffers: removes apply first, adds after.
+        def apply(adds: list[dict], removes: list[dict]) -> None:
+            for r in removes:
+                live.pop(r["path"], None)
+            for a in adds:
+                live[a["path"]] = a
+
         cp = self._checkpoint_at_or_below(version)
         start = 0
         if cp is not None:
             cp_version, kind, files = cp
+            cp_adds: list[dict] = []
+            cp_removes: list[dict] = []
             for d in self._checkpoint_action_rows(kind, files):
                 if d.get("protocol") and d["protocol"].get(
                     "minReaderVersion"
@@ -857,9 +911,10 @@ class DeltaLogReader:
                 if d.get("metaData") and d["metaData"].get("id"):
                     meta = d["metaData"]
                 if d.get("add") and d["add"].get("path"):
-                    live[d["add"]["path"]] = d["add"]
+                    cp_adds.append(d["add"])
                 if d.get("remove") and d["remove"].get("path"):
-                    live.pop(d["remove"]["path"], None)
+                    cp_removes.append(d["remove"])
+            apply(cp_adds, cp_removes)
             start = cp_version + 1
 
         for v in range(start, version + 1):
@@ -868,6 +923,8 @@ class DeltaLogReader:
                 raise FileNotFoundError(
                     f"missing commit {v} of {self.path} (vacuumed?)"
                 )
+            adds: list[dict] = []
+            removes: list[dict] = []
             with open(commit) as fh:
                 for line in fh:
                     line = line.strip()
@@ -880,9 +937,10 @@ class DeltaLogReader:
                     elif "metaData" in action:
                         meta = action["metaData"]
                     elif "add" in action:
-                        live[action["add"]["path"]] = action["add"]
+                        adds.append(action["add"])
                     elif "remove" in action:
-                        live.pop(action["remove"]["path"], None)
+                        removes.append(action["remove"])
+            apply(adds, removes)
         if meta is None:
             raise ValueError(f"no metaData action found in {self.log_dir}")
         # stashed (not returned) so write_checkpoint can carry the
@@ -1435,15 +1493,26 @@ class DeltaLogReader:
                 )
                 dels = None
                 if plain_removes:
+                    # whole-file removes of files that already carry a
+                    # deletion vector render only their LIVE rows: the
+                    # tombstoned positions were already emitted as
+                    # deletes by the commit that grew the vector, so
+                    # re-scanning the full file would double-count them
+                    # in the feed (exactly what read() avoids by
+                    # applying the vector).
                     ents = []
+                    dv_removed: list[dict] = []
                     for r in plain_removes:
                         a = prev_live.get(r["path"]) or r
-                        ents.append(
-                            (
-                                abspath(r["path"]),
-                                a.get("partitionValues") or {},
+                        if a.get("deletionVector"):
+                            dv_removed.append(a)
+                        else:
+                            ents.append(
+                                (
+                                    abspath(r["path"]),
+                                    a.get("partitionValues") or {},
+                                )
                             )
-                        )
                     dels = self._scan_with_parts(
                         ents,
                         data_fields,
@@ -1451,6 +1520,16 @@ class DeltaLogReader:
                         part_cols,
                         fields_by_name,
                     )
+                    live_dels = self._removed_dv_file_deletes(
+                        dv_removed, schema, data_fields, part_cols,
+                        fields_by_name, abspath,
+                    )
+                    if live_dels is not None:
+                        dels = (
+                            live_dels
+                            if dels is None
+                            else dels.unionByName(live_dels)
+                        )
                 dv_dels = self._dv_transition_deletes(
                     dv_transitions, schema, data_fields, part_cols,
                     fields_by_name, abspath,
@@ -1465,11 +1544,17 @@ class DeltaLogReader:
                 df = None
                 for p in parts:
                     df = p if df is None else df.unionByName(p)
-            for a in actions:  # advance the live-set tracker
+            # advance the live-set tracker: removes first, then adds —
+            # Delta's within-commit reconciliation (add supersedes a
+            # remove of the same path regardless of serialization
+            # order, so an external writer's remove-after-add DV
+            # commit must not pop the freshly-added entry)
+            for a in actions:
+                if "remove" in a:
+                    prev_live.pop(a["remove"]["path"], None)
+            for a in actions:
                 if "add" in a:
                     prev_live[a["add"]["path"]] = a["add"]
-                elif "remove" in a:
-                    prev_live.pop(a["remove"]["path"], None)
             if df is None:
                 continue
             frames.append(df.withColumn("_commit_version", F.lit(v)))
@@ -1644,6 +1729,14 @@ class DeltaLogReader:
             "invariants",
             "columnMapping",
             "v2Checkpoint",
+            # Usage-gated below (conf / column metadata): listing the
+            # feature obliges a writer to handle it WHEN USED, and the
+            # per-column / per-conf checks are exactly that — so a
+            # legacy-version upgrade seeding these (spec upgrade rule)
+            # must not brick protocol-level acceptance.
+            "checkConstraints",
+            "generatedColumns",
+            "identityColumns",
         }
     )
 
@@ -2060,6 +2153,18 @@ class DeltaLogReader:
             or "deletionVectors" not in feats_r
         ):
             feats_w = set(proto.get("writerFeatures") or [])
+            # Upgrading a LEGACY protocol to (3, 7): legacy versions
+            # have no explicit feature lists, so the spec's upgrade
+            # rule requires seeding the new lists with every feature
+            # the old version numbers implied — otherwise a conformant
+            # external writer would stop honoring e.g.
+            # delta.enableChangeDataFeed on the upgraded table.
+            feats_w |= _legacy_writer_features(
+                int(proto.get("minWriterVersion", 1))
+            )
+            feats_r |= _legacy_reader_features(
+                int(proto.get("minReaderVersion", 1))
+            )
             actions.append(
                 {
                     "protocol": {
@@ -3442,6 +3547,73 @@ class DeltaLogReader:
             )
             .select(*[f.name for f in schema.fields])
             .withColumn("_change_type", F.lit("delete"))
+        )
+
+    def _removed_dv_file_deletes(
+        self,
+        prev_adds: list[dict],
+        schema: T.StructType,
+        data_fields: list[T.StructField],
+        part_cols: list[str],
+        fields_by_name: dict[str, T.StructField],
+        abspath,
+    ) -> DataFrame | None:
+        """Render a whole-file remove of a vector-carrying file as the
+        file's LIVE rows only: scan the removed file with
+        `_metadata.row_index` and anti-join out the previous deletion
+        vector's positions (those rows were already emitted as deletes
+        by the commit that tombstoned them — re-emitting would
+        double-count them in the CDF feed). Mirrors how read()
+        applies vectors on the snapshot path."""
+        if not prev_adds:
+            return None
+        pairs: list[tuple[str, int]] = []
+        groups: dict[tuple, list[str]] = {}
+        for a in prev_adds:
+            ap = abspath(a["path"])
+            pairs.extend(
+                (ap, int(p))
+                for p in self._decode_dv_positions(a, abspath)
+            )
+            pv = a.get("partitionValues") or {}
+            groups.setdefault(
+                tuple(pv.get(c) for c in part_cols), []
+            ).append(ap)
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        data_schema = T.StructType(data_fields)
+        scanned: DataFrame | None = None
+        for key in sorted(
+            groups,
+            key=lambda kv: tuple((x is not None, x or "") for x in kv),
+        ):
+            g = self.spark.read.schema(data_schema).parquet(
+                *sorted(groups[key])
+            )
+            g = g.select(
+                *[F.col(f.name) for f in data_fields],
+                norm(F.col("_metadata.file_path")).alias("__path"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+            for c, raw in zip(part_cols, key):
+                dt = fields_by_name[c].dataType
+                g = g.withColumn(
+                    c,
+                    F.lit(raw).cast(dt)
+                    if raw is not None
+                    else F.lit(None).cast(dt),
+                )
+            scanned = g if scanned is None else scanned.unionByName(g)
+        pairs_df = self.spark.createDataFrame(
+            pairs, "__del_path string, __del_pos long"
+        )
+        return (
+            scanned.join(
+                F.broadcast(pairs_df),
+                (F.col("__path") == F.col("__del_path"))
+                & (F.col("__pos") == F.col("__del_pos")),
+                "left_anti",
+            )
+            .select(*[f.name for f in schema.fields])
         )
 
     def history(self) -> list[dict]:

@@ -172,6 +172,30 @@ def snapshot_parquet_dir(
     if not files:
         raise FileNotFoundError(f"no parquet files under {src_dir}")
     df = spark.read.parquet(*files)
+    # Imported files USUALLY carry no parquet field ids (the shape the
+    # name mapping exists for), but a file written with the field-id
+    # property enabled routes to _data_scan's id-projection branch —
+    # if its embedded ids disagree with the 1..N assignment below,
+    # that branch would silently misproject columns. Inspect each
+    # footer and refuse conflicts loudly (ids that happen to MATCH the
+    # assignment are fine: the id branch then projects correctly).
+    import pyarrow.parquet as _pq
+
+    assigned = {f.name: i for i, f in enumerate(df.schema.fields, start=1)}
+    for fp in files:
+        for fld in _pq.ParquetFile(fp).schema_arrow:
+            raw = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if raw is None:
+                continue
+            if assigned.get(fld.name) != int(raw):
+                raise UnsupportedIcebergFeature(
+                    f"snapshot_parquet_dir: {fp} already carries parquet "
+                    f"field id {int(raw)} for column {fld.name!r}, which "
+                    f"conflicts with the assigned id "
+                    f"{assigned.get(fld.name)} — re-import after "
+                    "stripping ids or register the file under a schema "
+                    "matching its embedded ids"
+                )
     mapping = json.dumps(
         [
             {"field-id": i, "names": [f.name]}

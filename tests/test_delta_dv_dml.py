@@ -377,3 +377,107 @@ def test_vacuum_keeps_referenced_dv_bin(spark, tmp_path):
     r.vacuum(keep_last=1)
     assert os.path.exists(os.path.join(path, bins[0]))
     assert r.read().count() == 1100
+
+
+def test_changes_removed_dv_file_emits_only_live_rows(spark, tmp_path):
+    """A whole-file remove of a file that already carries a deletion
+    vector renders ONLY the file's live rows as deletes: the
+    tombstoned positions were emitted by the commit that grew the
+    vector, and re-emitting them would double-count in the feed
+    (ADVICE r7, high)."""
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark), partition_by=["p"], stats=True
+    )
+    r = DeltaLogReader(spark, path)
+    # tombstone k < 30 within p=1 via a vector (10 rows: 1,4,...,28)
+    v1 = r.delete_where_dv([("p", "=", 1), ("k", "<", 30)])
+    # whole-partition drop: metadata-only removes of the SAME files,
+    # which now carry vectors
+    v2 = r.delete_where_dv([("p", "=", 1)])
+    ch = r.changes(v1, v2).collect()
+    assert all(x["_change_type"] == "delete" for x in ch)
+    got = sorted(x.k for x in ch)
+    expected = [k for k in range(1, 1200, 3) if k >= 30]
+    assert got == expected
+    # and the full feed from v0 emits every p=1 row exactly once
+    full = r.changes(0, v2).collect()
+    all_ks = sorted(x.k for x in full)
+    assert all_ks == list(range(1, 1200, 3))
+
+
+def test_changes_and_replay_survive_remove_after_add_dv_commit(
+    spark, tmp_path
+):
+    """External DV writers pair add(path, newDV) with remove(path) in
+    one commit; when the remove serializes AFTER the add, within-
+    commit reconciliation still keeps the path live with the new
+    vector (add supersedes remove) — in the snapshot replay AND the
+    feed's live-set tracker (ADVICE r7, medium)."""
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark).repartition(1), stats=True
+    )
+    r = DeltaLogReader(spark, path)
+    v1 = r.delete_where_dv([("k", "<", 5)])
+    c1 = os.path.join(path, "_delta_log", f"{v1:020d}.json")
+    acts = [json.loads(ln) for ln in open(c1) if ln.strip()]
+    add = next(a["add"] for a in acts if "add" in a)
+    acts.append(
+        {
+            "remove": {
+                "path": add["path"],
+                "deletionTimestamp": 0,
+                "dataChange": True,
+            }
+        }
+    )
+    with open(c1, "w") as fh:
+        for a in acts:
+            fh.write(json.dumps(a) + "\n")
+    # snapshot replay: the file stays live under its new vector
+    assert sorted(x.k for x in r.read().collect()) == list(range(5, 1200))
+    # a later DV commit on the same path still renders in the feed
+    # (the old tracker popped the entry and raised spuriously here)
+    v2 = r.delete_where_dv([("k", ">=", 5), ("k", "<", 9)])
+    by_v: dict[int, list[int]] = {}
+    for row in r.changes(0, v2).collect():
+        by_v.setdefault(row["_commit_version"], []).append(row.k)
+    assert sorted(by_v[v1]) == list(range(5))
+    assert sorted(by_v[v2]) == list(range(5, 9))
+
+
+def test_dv_protocol_upgrade_seeds_legacy_writer_features(spark, tmp_path):
+    """Upgrading a legacy protocol to (3, 7) seeds writerFeatures with
+    everything the old version NUMBER implied (spec upgrade rule) —
+    dropping them would let a conformant external writer stop
+    honoring e.g. delta.enableChangeDataFeed (ADVICE r7, medium)."""
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark).repartition(1), stats=True
+    )
+    c0 = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    acts = [json.loads(ln) for ln in open(c0) if ln.strip()]
+    for a in acts:
+        if "protocol" in a:
+            a["protocol"] = {"minReaderVersion": 1, "minWriterVersion": 4}
+    with open(c0, "w") as fh:
+        for a in acts:
+            fh.write(json.dumps(a) + "\n")
+    r = DeltaLogReader(spark, path)
+    v = r.delete_where_dv([("k", "<", 3)])
+    proto = next(
+        a["protocol"] for a in _commit_actions(path, v) if "protocol" in a
+    )
+    assert proto["minWriterVersion"] == 7
+    assert {
+        "appendOnly", "invariants", "checkConstraints",
+        "changeDataFeed", "generatedColumns", "deletionVectors",
+    } <= set(proto["writerFeatures"])
+    # v6-only features do NOT leak into a v4 upgrade
+    assert "identityColumns" not in proto["writerFeatures"]
+    assert "columnMapping" not in proto["writerFeatures"]
+    # the upgraded table still reads and accepts further DML
+    assert r.read().count() == 1197
+    r.delete_where_dv([("k", ">=", 3), ("k", "<", 6)])
+    assert r.read().count() == 1194

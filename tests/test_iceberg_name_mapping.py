@@ -210,3 +210,33 @@ def test_tables_without_mapping_unchanged(spark, tmp_path):
     got = IcebergTableReader(spark, path).read()
     assert got.count() == 100
     assert got.agg(F.sum("bal")).first()[0] == sum(range(100)) * 2.0
+
+
+def test_snapshot_parquet_dir_field_id_conflict_refuses(spark, tmp_path):
+    """Imported files usually carry NO parquet field ids; a file that
+    does (field-id write property enabled) routes to the id-projection
+    branch, so ids conflicting with the import's 1..N assignment would
+    silently misproject — refuse loudly instead (ADVICE r7, low)."""
+    from introduction_in_big_data_spark.sources.iceberg import (
+        snapshot_parquet_dir,
+    )
+
+    src = str(tmp_path / "raw")
+    spark.range(10).select(
+        F.col("id").alias("cust_id", metadata={"parquet.field.id": 7}),
+        (F.col("id") * 1.0).alias("bal", metadata={"parquet.field.id": 8}),
+    ).write.parquet(src)
+    with pytest.raises(UnsupportedIcebergFeature, match="field id"):
+        snapshot_parquet_dir(spark, src, str(tmp_path / "t"))
+
+    # ids that MATCH the assignment are fine: the id branch projects
+    # correctly, so the import accepts them
+    src2 = str(tmp_path / "raw2")
+    spark.range(10).select(
+        F.col("id").alias("cust_id", metadata={"parquet.field.id": 1}),
+        (F.col("id") * 1.0).alias("bal", metadata={"parquet.field.id": 2}),
+    ).write.parquet(src2)
+    path2 = str(tmp_path / "t2")
+    snapshot_parquet_dir(spark, src2, path2)
+    got = IcebergTableReader(spark, path2).read()
+    assert got.agg(F.sum("cust_id")).first()[0] == sum(range(10))
