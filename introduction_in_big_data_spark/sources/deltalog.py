@@ -86,6 +86,12 @@ _STATS_TYPES = (
 )
 
 
+#: MERGE hit-detection on a partition-column key collects the distinct
+#: source keys driver-side only up to this cap; above it, hit files
+#: come from a distributed semi-join instead (never unbounded driver
+#: memory — a 100 TB table can have millions of partition values).
+_MERGE_KEY_COLLECT_CAP = 10_000
+
 #: Writer features IMPLIED by each legacy minWriterVersion (the spec's
 #: "Table Features" appendix): a legacy protocol has no explicit
 #: writerFeatures list, so an upgrade to writer version 7 must seed
@@ -562,6 +568,97 @@ def commit_deletion_vector(
         {"add": {**live[rel_path], "deletionVector": dv, "dataChange": True}},
         {"commitInfo": {"operation": "DELETE"}},
     ]
+    target = os.path.join(t.log_dir, f"{v + 1:020d}.json")
+    tmp = target + ".tmp"
+    with open(tmp, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    os.link(tmp, target)
+    os.unlink(tmp)
+    return v + 1
+
+
+def commit_add_with_dv(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    dead_positions: list[int],
+) -> int:
+    """Stage a Databricks/photon-shaped MERGE commit: ONE new data
+    file added WITH a deletion vector from birth (add + DV in the
+    same action). The vector's positions were never visible — CDF
+    renders only the live complement as inserts, and later vector
+    growth on the file diffs against this birth bitmap. Exists to
+    exercise the READER (tests + the registered query); real writers
+    produce exactly this shape when a MERGE's output file immediately
+    carries copy-suppressed rows."""
+    import uuid as _uuid
+
+    from ..functions import roaring
+
+    t = DeltaLogReader(spark, path)
+    v = t.latest_version()
+    t._replay(v)  # stashes _last_protocol for the upgrade below
+    stage = os.path.join(path, "_born_dv_stage")
+    df.coalesce(1).write.mode("errorifexists").parquet(stage)
+    part = next(
+        f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
+    )
+    rel = f"born-dv-{_uuid.uuid4().hex}.parquet"
+    os.rename(os.path.join(stage, part), os.path.join(path, rel))
+    import shutil
+
+    shutil.rmtree(stage)
+    positions = sorted(set(int(p) for p in dead_positions))
+    payload = roaring.serialize_bitmap_array(positions)
+    u = _uuid.uuid4()
+    offsets = roaring.write_dv_file(
+        os.path.join(path, f"deletion_vector_{u}.bin"), [payload]
+    )
+    dv = {
+        "storageType": "u",
+        "pathOrInlineDv": roaring.z85_encode(u.bytes),
+        "offset": offsets[0],
+        "sizeInBytes": len(payload),
+        "cardinality": len(positions),
+    }
+    proto = dict(t._last_protocol)
+    feats_r = set(proto.get("readerFeatures") or [])
+    actions: list[dict] = []
+    if (
+        proto.get("minReaderVersion", 1) < 3
+        or "deletionVectors" not in feats_r
+    ):
+        feats_w = set(proto.get("writerFeatures") or [])
+        feats_w |= _legacy_writer_features(
+            int(proto.get("minWriterVersion", 1))
+        )
+        feats_r |= _legacy_reader_features(
+            int(proto.get("minReaderVersion", 1))
+        )
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(feats_r | {"deletionVectors"}),
+                    "writerFeatures": sorted(feats_w | {"deletionVectors"}),
+                }
+            }
+        )
+    actions.append(
+        {
+            "add": {
+                "path": rel,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(path, rel)),
+                "modificationTime": 0,
+                "dataChange": True,
+                "deletionVector": dv,
+            }
+        }
+    )
+    actions.append({"commitInfo": {"operation": "MERGE"}})
     target = os.path.join(t.log_dir, f"{v + 1:020d}.json")
     tmp = target + ".tmp"
     with open(tmp, "w") as fh:
@@ -1451,20 +1548,22 @@ class DeltaLogReader:
                 # split DV transitions (an add that changes an
                 # existing path's deletionVector — delete_where_dv's
                 # commit shape) from plain file adds: the former are
-                # row-level deletes derived below, never inserts
+                # row-level deletes derived below, never inserts. A
+                # NEW path born WITH a vector (Databricks/photon MERGE
+                # shape: add+DV in one action) inserts only its live
+                # complement — the birth-tombstoned positions were
+                # never visible; later vector growth on that file
+                # diffs against the birth bitmap via the tracker.
                 dv_transitions: list[tuple[dict, dict]] = []
                 plain_adds: list[dict] = []
+                born_with_dv: list[dict] = []
                 for a in adds:
                     prev = prev_live.get(a["path"])
                     if a.get("deletionVector"):
                         if prev is None:
-                            raise UnsupportedDeltaFeature(
-                                f"changes: commit {v} adds a new file "
-                                "that already carries a deletion "
-                                "vector — its insert/delete split is "
-                                "not derivable"
-                            )
-                        dv_transitions.append((a, prev))
+                            born_with_dv.append(a)
+                        else:
+                            dv_transitions.append((a, prev))
                     else:
                         plain_adds.append(a)
                 trans_paths = {a["path"] for a, _prev in dv_transitions}
@@ -1474,7 +1573,7 @@ class DeltaLogReader:
                 plain_removes = [
                     r for r in removes if r["path"] not in trans_paths
                 ]
-                if plain_adds and plain_removes:
+                if (plain_adds or born_with_dv) and plain_removes:
                     raise UnsupportedDeltaFeature(
                         f"changes: commit {v} rewrites data files "
                         "without cdc actions (written with CDF "
@@ -1491,6 +1590,16 @@ class DeltaLogReader:
                     part_cols,
                     fields_by_name,
                 )
+                born_ins = self._dv_live_rows(
+                    born_with_dv, schema, data_fields, part_cols,
+                    fields_by_name, abspath,
+                )
+                if born_ins is not None:
+                    ins = (
+                        born_ins
+                        if ins is None
+                        else ins.unionByName(born_ins)
+                    )
                 dels = None
                 if plain_removes:
                     # whole-file removes of files that already carry a
@@ -1520,7 +1629,7 @@ class DeltaLogReader:
                         part_cols,
                         fields_by_name,
                     )
-                    live_dels = self._removed_dv_file_deletes(
+                    live_dels = self._dv_live_rows(
                         dv_removed, schema, data_fields, part_cols,
                         fields_by_name, abspath,
                     )
@@ -2675,13 +2784,50 @@ class DeltaLogReader:
         hit_keys: set[str] = set()
         if key in part_cols:
             # partition-column key: hit detection is pure metadata —
-            # a file is hit iff its partition value is in the key set
+            # a file is hit iff its partition value is in the key set.
+            # The key-set collect is CAPPED: a high-cardinality
+            # partition-key merge (unbounded at 100 TB) instead
+            # semi-joins the per-file partition values (driver
+            # metadata the replay already holds, O(files)) against
+            # the source keys DISTRIBUTED — the only collect is then
+            # the hit-file list, which the rewrite materializes anyway.
             kt = fields_by_name[key].dataType
-            key_vals = {r[0] for r in keys.collect()}
-            for k, a in live.items():
-                pv = (a.get("partitionValues") or {}).get(key)
-                if self._py_partition_value(pv, kt) in key_vals:
-                    hit_keys.add(k)
+            sample = keys.limit(_MERGE_KEY_COLLECT_CAP + 1).collect()
+            if len(sample) <= _MERGE_KEY_COLLECT_CAP:
+                key_vals = {r[0] for r in sample}
+                for k, a in live.items():
+                    pv = (a.get("partitionValues") or {}).get(key)
+                    if self._py_partition_value(pv, kt) in key_vals:
+                        hit_keys.add(k)
+            else:
+                pv_rows = [
+                    (
+                        k,
+                        self._py_partition_value(
+                            (a.get("partitionValues") or {}).get(key), kt
+                        ),
+                    )
+                    for k, a in live.items()
+                ]
+                pv_df = self.spark.createDataFrame(
+                    pv_rows,
+                    T.StructType(
+                        [
+                            T.StructField("__live_key", T.StringType()),
+                            T.StructField(key, kt),
+                        ]
+                    ),
+                )
+                hit_rows = (
+                    pv_df.join(
+                        keys,
+                        pv_df[key].eqNullSafe(keys[key]),
+                        "left_semi",
+                    )
+                    .select("__live_key")
+                    .collect()
+                )
+                hit_keys.update(r["__live_key"] for r in hit_rows)
         else:
             # stats prune to candidates, then exact semi-join check
             row = keys.agg(
@@ -3549,7 +3695,7 @@ class DeltaLogReader:
             .withColumn("_change_type", F.lit("delete"))
         )
 
-    def _removed_dv_file_deletes(
+    def _dv_live_rows(
         self,
         prev_adds: list[dict],
         schema: T.StructType,
@@ -3558,13 +3704,15 @@ class DeltaLogReader:
         fields_by_name: dict[str, T.StructField],
         abspath,
     ) -> DataFrame | None:
-        """Render a whole-file remove of a vector-carrying file as the
-        file's LIVE rows only: scan the removed file with
-        `_metadata.row_index` and anti-join out the previous deletion
-        vector's positions (those rows were already emitted as deletes
-        by the commit that tombstoned them — re-emitting would
-        double-count them in the CDF feed). Mirrors how read()
-        applies vectors on the snapshot path."""
+        """The LIVE rows of vector-carrying add actions: scan the
+        files with `_metadata.row_index` and anti-join out each
+        vector's positions — mirrors how read() applies vectors on
+        the snapshot path. Two CDF uses: a whole-file REMOVE of a
+        vectored file renders only its live rows as deletes (the
+        tombstoned positions were already emitted by the commit that
+        grew the vector — re-emitting would double-count), and a new
+        file ADDED with a birth vector renders only its live rows as
+        inserts (the tombstoned positions were never visible)."""
         if not prev_adds:
             return None
         pairs: list[tuple[str, int]] = []

@@ -695,3 +695,32 @@ def test_delta_restore_refuses_dv_target(spark, tmp_path):
         r.restore(1)  # the DV-carrying version must refuse
     r.restore(0)  # the plain original restores fine
     assert r.read().count() == 1200
+
+
+def test_merge_high_cardinality_partition_key_never_collects_keys(
+    spark, tmp_path, monkeypatch
+):
+    """Above _MERGE_KEY_COLLECT_CAP the partition-key merge routes hit
+    detection through a distributed semi-join instead of materializing
+    the distinct source keys on the driver (VERDICT r7 item 9: a 100 TB
+    partition-key merge can carry millions of keys)."""
+    from introduction_in_big_data_spark.sources import deltalog as dl
+
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark), partition_by=["p"], stats=True
+    )
+    # force the distributed path at test scale
+    monkeypatch.setattr(dl, "_MERGE_KEY_COLLECT_CAP", 1)
+    r = DeltaLogReader(spark, path)
+    source = spark.createDataFrame(
+        [(10_001, 1, 1.0), (10_002, 1, 2.0), (10_003, 2, 3.0)],
+        "k long, p int, v double",
+    )
+    r.merge(source, "p")
+    got = r.read()
+    # partitions 1 and 2 fully replaced, 0 untouched
+    assert got.filter("p = 1").count() == 2
+    assert got.filter("p = 2").count() == 1
+    assert got.filter("p = 0").count() == 400
+    assert got.count() == 403

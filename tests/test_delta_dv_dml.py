@@ -160,23 +160,40 @@ def test_changes_derives_deletes_from_dv_diff(spark, tmp_path):
     assert acts_before == 0
 
 
-def test_changes_refuses_new_file_born_with_dv(spark, tmp_path):
+def test_changes_renders_born_with_dv_file(spark, tmp_path):
+    """A NEW file added WITH a deletion vector (Databricks/photon
+    MERGE shape) inserts only its live complement — the birth-
+    tombstoned positions were never visible — and later vector growth
+    diffs against the BIRTH bitmap, not an empty one (VERDICT r7
+    item 2)."""
+    from introduction_in_big_data_spark.sources.deltalog import (
+        commit_add_with_dv,
+    )
+
     path = str(tmp_path / "t")
-    create_minimal_table(spark, path, _df(spark).repartition(1))
+    create_minimal_table(
+        spark, path, _df(spark).repartition(1), stats=True
+    )
     r = DeltaLogReader(spark, path)
-    v = r.delete_where_dv([("k", "<", 3)])
-    acts = _commit_actions(path, v)
-    add = next(a["add"] for a in acts if "add" in a)
-    # forge a commit that adds a brand-new path already carrying a DV
-    forged = {
-        "add": {**add, "path": "nonexistent-born-with-dv.parquet"}
-    }
-    with open(
-        os.path.join(path, "_delta_log", f"{v + 1:020d}.json"), "w"
-    ) as fh:
-        fh.write(json.dumps(forged) + "\n")
-    with pytest.raises(UnsupportedDeltaFeature, match="deletion"):
-        r.changes(v, v + 1).collect()
+    new_rows = spark.range(2000, 2020, 1, 1).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("p"),
+        F.lit(-1.0).alias("v"),
+    )
+    v1 = commit_add_with_dv(spark, path, new_rows, [0, 1, 2, 3, 4])
+    # snapshot read applies the birth vector
+    assert r.read().filter("k >= 2000").count() == 15
+    # CDF: only the live complement renders, as inserts
+    ch = r.changes(v1 - 1, v1).collect()
+    assert all(x["_change_type"] == "insert" for x in ch)
+    assert sorted(x.k for x in ch) == list(range(2005, 2020))
+    # later growth on the same file diffs against the birth bitmap:
+    # k in [2000, 2008) matches positions 0..7, of which 0..4 were
+    # dead from birth — only 2005..2007 newly delete
+    v2 = r.delete_where_dv([("k", ">=", 2000), ("k", "<", 2008)])
+    ch2 = r.changes(v1, v2).collect()
+    assert all(x["_change_type"] == "delete" for x in ch2)
+    assert sorted(x.k for x in ch2) == [2005, 2006, 2007]
 
 
 def test_dv_delete_refuses_column_mapped_tables(spark, tmp_path):
