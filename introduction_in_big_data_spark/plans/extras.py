@@ -711,6 +711,130 @@ def delta_column_mapping_read(spark, sf_dir):
 
 
 @register(
+    "delta_column_mapping_dml_read",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(CASE WHEN o_orderkey < 1000
+                              THEN o_totalprice * 2
+                              ELSE o_totalprice END), 2) AS total_price
+        FROM orders
+        WHERE o_totalprice < 300000.0
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("delta", "lakehouse", "dml", "column-mapping"),
+)
+def delta_column_mapping_dml_read(spark, sf_dir):
+    """DML on a COLUMN-MAPPED Delta table with a RENAMED column
+    (round 8, VERDICT r7 item 1 — the top real-user refusal closed):
+    stage orders as a `delta.columnMapping.mode = name` table, RENAME
+    o_totalprice -> price (a metaData-only commit: the physical name
+    and every data file stay untouched — the operation column mapping
+    exists for), then DELETE the high-value orders and UPDATE the
+    low-key ones THROUGH the new logical name. Hit detection reads
+    physical stats keys relabelled to logical, rewrites write
+    physical column names with fresh physical-keyed stats, and the
+    snapshot read restores logical names — the DuckDB oracle replays
+    both DML steps from raw parquet, value-hash checking the whole
+    logical<->physical round trip."""
+    import tempfile
+
+    from ..sources.deltalog import (
+        DeltaLogReader,
+        create_column_mapped_table,
+        rename_mapped_column,
+    )
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .repartitionByRange(6, "o_orderkey")
+    )
+    path = tempfile.mkdtemp(prefix="delta_cm_dml_") + "/t"
+    create_column_mapped_table(spark, path, base, stats=True)
+    rename_mapped_column(spark, path, "o_totalprice", "price")
+    reader = DeltaLogReader(spark, path)
+    reader.delete_where([("price", ">=", 300000.0)])
+    reader.update_where([("o_orderkey", "<", 1000)], {"price": "price * 2"})
+    snap = DeltaLogReader(spark, path).read()
+    return (
+        snap.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("price"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "delta_column_mapping_cdf_feed",
+    oracle="""
+        SELECT 2 AS commit_version, 'delete' AS change_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        FROM orders WHERE o_totalprice >= 300000.0
+        UNION ALL
+        SELECT 3 AS commit_version, 'update_preimage' AS change_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        FROM orders
+        WHERE o_orderkey < 1000 AND o_totalprice < 300000.0
+        UNION ALL
+        SELECT 3 AS commit_version, 'update_postimage' AS change_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        FROM orders
+        WHERE o_orderkey < 1000 AND o_totalprice < 300000.0
+        ORDER BY commit_version, change_type
+    """,
+    tags=("delta", "lakehouse", "cdf", "column-mapping"),
+)
+def delta_column_mapping_cdf_feed(spark, sf_dir):
+    """CHANGE DATA FEED over a COLUMN-MAPPED, RENAMED-column Delta
+    table (round 8 — changes() no longer refuses mapping): the change
+    files under _change_data/ carry PHYSICAL column names exactly
+    like data files, the feed read resolves them back to the CURRENT
+    logical schema (including the rename), and per-commit row sets
+    value-hash match a DuckDB replay of the DELETE and UPDATE."""
+    import tempfile
+
+    from ..sources.deltalog import (
+        DeltaLogReader,
+        create_column_mapped_table,
+        rename_mapped_column,
+    )
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .repartitionByRange(6, "o_orderkey")
+    )
+    path = tempfile.mkdtemp(prefix="delta_cm_cdf_") + "/t"
+    create_column_mapped_table(spark, path, base, stats=True, cdf=True)
+    rename_mapped_column(spark, path, "o_totalprice", "price")  # v1
+    reader = DeltaLogReader(spark, path)
+    v2 = reader.delete_where([("price", ">=", 300000.0)])
+    v3 = reader.update_where(
+        [("o_orderkey", "<", 1000)], {"price": "price * 2"}
+    )
+    assert (v2, v3) == (2, 3)
+    ch = DeltaLogReader(spark, path).changes(0, v3)
+    return (
+        ch.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("sum_key"),
+        )
+        .orderBy("commit_version", "change_type")
+    )
+
+
+@register(
     "delta_deletion_vectors_read",
     oracle="""
         WITH ranked AS (
@@ -2212,6 +2336,95 @@ def iceberg_name_mapping_read(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("customer_id").alias("sum_key"),
+        )
+        .orderBy("seg")
+    )
+
+
+@register(
+    "iceberg_nested_name_mapping_read",
+    oracle="""
+        SELECT c_mktsegment AS seg,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+               CAST(count(*) AS BIGINT) AS n_null_tier,
+               round(sum(c_acctbal), 2) AS sum_bal
+        FROM customer
+        GROUP BY seg
+        ORDER BY seg
+    """,
+    tags=("iceberg", "lakehouse", "interop", "name-mapping", "nested"),
+)
+def iceberg_nested_name_mapping_read(spark, sf_dir):
+    """NESTED name mapping (round 8, VERDICT r7 item 5 —
+    `IcebergTableReader._resolve_mapped_field`): a Hive-migrated table
+    whose id-less files carry a STRUCT column, with BOTH the struct
+    and its members renamed since migration. The mapping's nested
+    entries resolve member-by-member (file `segment`/`balance` ->
+    current `seg`/`bal`), a member the files never had (`tier`) reads
+    as typed NULLs per the spec, and the aggregate groups on a nested
+    member — so the recursive physical-schema build, the struct
+    reconstruction expression, and the null fill are all value-hash
+    checked against a raw-parquet DuckDB replay."""
+    import json as _json
+    import tempfile
+
+    from ..sources.iceberg import IcebergTableReader, create_minimal_table
+
+    raw_dir = tempfile.mkdtemp(prefix="iceberg_nested_nm_raw_") + "/raw"
+    t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.struct(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_acctbal").alias("balance"),
+        ).alias("info_raw"),
+    ).repartitionByRange(4, "ck").write.parquet(raw_dir)
+    import os as _os
+
+    files = sorted(
+        _os.path.join(raw_dir, f)
+        for f in _os.listdir(raw_dir)
+        if f.endswith(".parquet")
+    )
+    shape = spark.createDataFrame(
+        [],
+        "customer_id long, info struct<seg:string, bal:double, tier:string>",
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_nested_nm_") + "/t"
+    # ids: customer_id=1, info=2, nested seg=3, bal=4, tier=5
+    create_minimal_table(
+        spark,
+        path,
+        shape,
+        field_ids=False,
+        existing_files=files,
+        properties={
+            "schema.name-mapping.default": _json.dumps(
+                [
+                    {"field-id": 1, "names": ["ck"]},
+                    {
+                        "field-id": 2,
+                        "names": ["info_raw"],
+                        "fields": [
+                            {"field-id": 3, "names": ["segment"]},
+                            {"field-id": 4, "names": ["balance"]},
+                            {"field-id": 5, "names": ["level"]},
+                        ],
+                    },
+                ]
+            )
+        },
+    )
+    snap = IcebergTableReader(spark, path).read()
+    return (
+        snap.groupBy(F.col("info.seg").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("customer_id").alias("sum_key"),
+            F.sum(F.col("info.tier").isNull().cast("long")).alias(
+                "n_null_tier"
+            ),
+            F.round(F.sum("info.bal"), 2).alias("sum_bal"),
         )
         .orderBy("seg")
     )

@@ -68,6 +68,12 @@ class UnsupportedDeltaFeature(Exception):
     not implement (minReaderVersion > 1 / readerFeatures present)."""
 
 
+class ConstraintViolation(Exception):
+    """A DML commit would add rows violating one of the table's CHECK
+    constraints or column invariants — the commit aborts with nothing
+    published (round 8 write-side enforcement)."""
+
+
 #: primitive types whose min/max serialize losslessly into the stats
 #: JSON (dates as ISO strings — value-ordered lexicographically, the
 #: form skipping._norm compares against; timestamps excluded: their
@@ -326,40 +332,73 @@ def shallow_clone(spark: SparkSession, src_path: str, dst_path: str) -> int:
 
 
 def create_column_mapped_table(
-    spark: SparkSession, path: str, df: DataFrame
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    partition_by: list[str] = (),
+    stats: bool = False,
+    cdf: bool = False,
 ) -> None:
     """Stage a column-mapped (`delta.columnMapping.mode = name`,
     minReaderVersion 2) Delta table: data files carry deterministic
     PHYSICAL column names (`col_<i>__<fnv8(name)>`), the logical
     schema maps to them via `delta.columnMapping.physicalName` field
-    metadata — the layout modern Delta writers produce. Exists to
-    exercise the reader's name-mapping path (tests + the registered
-    query); unpartitioned by design."""
+    metadata — the layout modern Delta writers produce. Partitioned
+    staging uses hive directories with PHYSICAL partition names and
+    add actions whose partitionValues keys are physical, per the
+    protocol; `stats=True` attaches per-file stats under physical
+    keys; `cdf=True` sets delta.enableChangeDataFeed. Exists to
+    exercise the reader's name-mapping path and the round-8 mapped
+    DML/CDF paths (tests + the registered queries)."""
     import hashlib
 
+    part_cols = list(partition_by)
     phys_names = {
         f.name: "col_%d__%s"
         % (i, hashlib.sha1(f.name.encode()).hexdigest()[:8])
         for i, f in enumerate(df.schema.fields, start=1)
     }
+    data_fields = [
+        f for f in df.schema.fields if f.name not in part_cols
+    ]
     physical = df.select(
         *[F.col(f.name).alias(phys_names[f.name]) for f in df.schema.fields]
     )
-    physical.write.mode("errorifexists").parquet(path)
+    w = physical.write.mode("errorifexists")
+    if part_cols:
+        w = w.partitionBy(*[phys_names[c] for c in part_cols])
+    w.parquet(path)
+    data_files = sorted(
+        os.path.join(root, f)
+        for root, _dirs, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in root
+    )
+    stats_by: dict[str, dict] = {}
+    if stats and data_files:
+        phys_data_fields = [
+            T.StructField(phys_names[f.name], f.dataType, f.nullable)
+            for f in data_fields
+        ]
+        stats_by = _per_file_stats(
+            spark.read.schema(T.StructType(phys_data_fields)).parquet(
+                *data_files
+            ),
+            phys_data_fields,
+        )
     adds = []
-    for f in sorted(os.listdir(path)):
-        if f.endswith(".parquet"):
-            adds.append(
-                {
-                    "add": {
-                        "path": f,
-                        "partitionValues": {},
-                        "size": os.path.getsize(os.path.join(path, f)),
-                        "modificationTime": 0,
-                        "dataChange": True,
-                    }
-                }
-            )
+    for full in data_files:
+        rel = os.path.relpath(full, path)
+        add = {
+            "path": quote(rel.replace(os.sep, "/")),
+            "partitionValues": _hive_partition_values(rel),
+            "size": os.path.getsize(full),
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+        if full in stats_by:
+            add["stats"] = json.dumps(stats_by[full])
+        adds.append({"add": add})
     schema_fields = []
     for i, f in enumerate(df.schema.fields, start=1):
         fj = f.jsonValue()
@@ -368,6 +407,12 @@ def create_column_mapped_table(
             "delta.columnMapping.physicalName": phys_names[f.name],
         }
         schema_fields.append(fj)
+    configuration = {
+        "delta.columnMapping.mode": "name",
+        "delta.columnMapping.maxColumnId": str(len(schema_fields)),
+    }
+    if cdf:
+        configuration["delta.enableChangeDataFeed"] = "true"
     actions = [
         {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
         {
@@ -377,11 +422,8 @@ def create_column_mapped_table(
                 "schemaString": json.dumps(
                     {"type": "struct", "fields": schema_fields}
                 ),
-                "partitionColumns": [],
-                "configuration": {
-                    "delta.columnMapping.mode": "name",
-                    "delta.columnMapping.maxColumnId": str(len(schema_fields)),
-                },
+                "partitionColumns": [phys_names[c] for c in part_cols],
+                "configuration": configuration,
                 "createdTime": 0,
             }
         },
@@ -396,6 +438,44 @@ def create_column_mapped_table(
             fh.write(json.dumps(a) + "\n")
     os.link(tmp, target)
     os.unlink(tmp)
+
+
+def rename_mapped_column(
+    spark: SparkSession, path: str, old: str, new: str
+) -> int:
+    """RENAME COLUMN on a column-mapped Delta table — the operation
+    column mapping exists for: one commit whose metaData carries the
+    new LOGICAL name while `delta.columnMapping.physicalName` (and the
+    data files) stay untouched. Existing files keep projecting."""
+    t = DeltaLogReader(spark, path)
+    v = t.latest_version()
+    meta, _live = t._replay(v)
+    if t._mapping_mode(meta) == "none":
+        raise UnsupportedDeltaFeature(
+            "rename_mapped_column on an unmapped table (renames "
+            "require column mapping)"
+        )
+    sch = json.loads(meta["schemaString"])
+    hit = [f for f in sch["fields"] if f["name"] == old]
+    if not hit:
+        raise ValueError(f"no column {old!r} in {path}")
+    hit[0]["name"] = new
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(sch)
+    # logical partition column names live only in metaData here;
+    # partitionColumns stores PHYSICAL names in this staging layout,
+    # so a logical rename never touches them
+    target = os.path.join(t.log_dir, f"{v + 1:020d}.json")
+    tmp = target + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps({"metaData": new_meta}) + "\n")
+        fh.write(
+            json.dumps({"commitInfo": {"operation": "RENAME COLUMN"}})
+            + "\n"
+        )
+    os.link(tmp, target)
+    os.unlink(tmp)
+    return v + 1
 
 
 def commit_append(
@@ -1197,7 +1277,7 @@ class DeltaLogReader:
             if mode != "none"
             else (lambda f: f.name)
         )
-        part_cols = list(meta.get("partitionColumns") or [])
+        part_cols = self._logical_part_cols(meta, schema)
         fields_by_name = {f.name: f for f in schema.fields}
         data_fields = [f for f in schema.fields if f.name not in part_cols]
 
@@ -1385,6 +1465,83 @@ class DeltaLogReader:
             == "true"
         )
 
+    def _file_schema_and_logical(
+        self, file_fields: list[T.StructField], mode: str
+    ) -> tuple[T.StructType, list]:
+        """(read schema, logical select list) for data files under the
+        table's column-mapping mode: name mode scans PHYSICAL names
+        (renamed at every nesting level) and casts back to logical;
+        id mode scans logical names matched by parquet field id;
+        none scans as-is. Fields without mapping metadata (synthetic
+        columns like `_change_type`) pass through by name in every
+        mode — the protocol stores them unmapped."""
+        if mode == "id":
+            fs = [
+                self._id_field(f)
+                if (f.metadata or {}).get("delta.columnMapping.id")
+                is not None
+                else f
+                for f in file_fields
+            ]
+            self.spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
+            return T.StructType(fs), [F.col(f.name) for f in file_fields]
+        if mode == "name":
+            fs = T.StructType(
+                [
+                    T.StructField(
+                        self._phys_name(f),
+                        self._phys_type(f.dataType),
+                        f.nullable,
+                    )
+                    for f in file_fields
+                ]
+            )
+            sel = [
+                F.col(self._phys_name(f)).cast(f.dataType).alias(f.name)
+                for f in file_fields
+            ]
+            return fs, sel
+        return T.StructType(file_fields), [
+            F.col(f.name) for f in file_fields
+        ]
+
+    def _pv_key(
+        self, fields_by_name: dict[str, T.StructField], mode: str
+    ):
+        """partitionValues dict keys use PHYSICAL names under either
+        mapping mode (PROTOCOL.md) — returns the logical-column →
+        pv-key resolver."""
+        if mode == "none":
+            return lambda c: c
+        return lambda c: self._phys_name(fields_by_name[c])
+
+    def _logical_part_cols(
+        self, meta: dict, schema: T.StructType
+    ) -> list[str]:
+        """metaData.partitionColumns entries are PHYSICAL names under
+        column mapping (delta-spark's layout, matching partitionValues
+        keys) — resolve them to logical field names. Tolerates either
+        convention: a name with no physical match passes through (an
+        unmapped field's physical name IS its logical name)."""
+        cols = list(meta.get("partitionColumns") or [])
+        if self._mapping_mode(meta) == "none":
+            return cols
+        by_phys = {self._phys_name(f): f.name for f in schema.fields}
+        return [by_phys.get(c, c) for c in cols]
+
+    def _stats_relabel(self, data_fields: list, mode: str):
+        """Stats JSON keys use PHYSICAL names under column mapping
+        (PROTOCOL.md) — returns a dict relabeler onto logical names
+        for the skipping evaluator (identity under mode 'none')."""
+        if mode == "none":
+            return lambda d: d
+        to_logical = {self._phys_name(f): f.name for f in data_fields}
+        return lambda d: {
+            to_logical[k]: v for k, v in d.items() if k in to_logical
+        }
+
     def _scan_with_parts(
         self,
         entries: list[tuple[str, dict]],
@@ -1392,21 +1549,24 @@ class DeltaLogReader:
         out_fields: list[T.StructField],
         part_cols: list[str],
         fields_by_name: dict[str, T.StructField],
+        mode: str = "none",
     ) -> DataFrame | None:
         """Scan (abs_path, partitionValues) pairs into logical rows:
         group files by partition tuple, one scan per group with the
         partition columns attached as typed literals (the same shape
         as read()'s grouped scan, factored for the CDF paths).
-        `file_fields` is what the files physically contain;
+        `file_fields` is the LOGICAL form of what the files contain
+        (physical names resolve from the column-mapping `mode`);
         `out_fields` the projection (partition columns resolved from
         the pv dicts). Returns None when `entries` is empty."""
         if not entries:
             return None
-        file_schema = T.StructType(file_fields)
+        file_schema, sel = self._file_schema_and_logical(file_fields, mode)
+        pv_key = self._pv_key(fields_by_name, mode)
         groups: dict[tuple, list[str]] = {}
         for p, pv in entries:
             groups.setdefault(
-                tuple(pv.get(c) for c in part_cols), []
+                tuple(pv.get(pv_key(c)) for c in part_cols), []
             ).append(p)
         out: DataFrame | None = None
         for key, files in sorted(
@@ -1415,7 +1575,7 @@ class DeltaLogReader:
         ):
             part = self.spark.read.schema(file_schema).parquet(
                 *sorted(files)
-            )
+            ).select(*sel)
             for c, raw in zip(part_cols, key):
                 dt = fields_by_name[c].dataType
                 part = part.withColumn(
@@ -1429,20 +1589,42 @@ class DeltaLogReader:
         return out
 
     def _stage_cdc(
-        self, cdc_df: DataFrame, part_cols: list[str]
+        self,
+        cdc_df: DataFrame,
+        part_cols: list[str],
+        fields_by_name: dict[str, T.StructField] | None = None,
+        mode: str = "none",
     ) -> list[dict]:
         """Write change rows (logical columns + `_change_type`) under
         `_change_data/` in hive layout and return the commit's `cdc`
         actions (PROTOCOL.md "Add CDC File": path + partitionValues +
         size, dataChange false). Partition columns live in directory
         names, `_change_type` travels IN the files — Delta's CDF
-        storage shape. Zero-row part files are dropped."""
+        storage shape. Zero-row part files are dropped. Under column
+        mapping the change files carry PHYSICAL column names (and
+        hive directories physical partition names), exactly like data
+        files — `_change_type` stays literal in every mode."""
         import pyarrow.parquet as pq
 
+        write_part_cols = list(part_cols)
+        if mode != "none":
+            cdc_df = cdc_df.select(
+                *[
+                    F.col(c)
+                    .cast(self._phys_type(fields_by_name[c].dataType))
+                    .alias(self._phys_name(fields_by_name[c]))
+                    if c in fields_by_name
+                    else F.col(c)
+                    for c in cdc_df.columns
+                ]
+            )
+            write_part_cols = [
+                self._phys_name(fields_by_name[c]) for c in part_cols
+            ]
         out_dir = os.path.join(self.path, "_change_data", uuid4().hex)
         w = cdc_df.write.mode("errorifexists")
-        if part_cols:
-            w = w.partitionBy(*part_cols)
+        if write_part_cols:
+            w = w.partitionBy(*write_part_cols)
         w.parquet(out_dir)
         actions: list[dict] = []
         for root, _dirs, files in os.walk(out_dir):
@@ -1493,10 +1675,12 @@ class DeltaLogReader:
         never the table."""
         v_to = self.latest_version() if v_to is None else v_to
         meta, _live = self._replay(v_to)
-        if self._mapping_mode(meta) != "none":
-            raise UnsupportedDeltaFeature("changes on a column-mapped table")
+        # column-mapped tables feed too (round 8): every scan resolves
+        # physical names / field ids through _file_schema_and_logical,
+        # partitionValues keys resolve through _pv_key
+        mode = self._mapping_mode(meta)
         schema = self._schema_from_meta(meta)
-        part_cols = list(meta.get("partitionColumns") or [])
+        part_cols = self._logical_part_cols(meta, schema)
         fields_by_name = {f.name: f for f in schema.fields}
         data_fields = [f for f in schema.fields if f.name not in part_cols]
         ct = T.StructField("_change_type", T.StringType())
@@ -1543,6 +1727,7 @@ class DeltaLogReader:
                     out_fields,
                     part_cols,
                     fields_by_name,
+                    mode,
                 )
             else:
                 # split DV transitions (an add that changes an
@@ -1589,10 +1774,11 @@ class DeltaLogReader:
                     list(schema.fields),
                     part_cols,
                     fields_by_name,
+                    mode,
                 )
                 born_ins = self._dv_live_rows(
                     born_with_dv, schema, data_fields, part_cols,
-                    fields_by_name, abspath,
+                    fields_by_name, abspath, mode,
                 )
                 if born_ins is not None:
                     ins = (
@@ -1628,10 +1814,11 @@ class DeltaLogReader:
                         list(schema.fields),
                         part_cols,
                         fields_by_name,
+                        mode,
                     )
                     live_dels = self._dv_live_rows(
                         dv_removed, schema, data_fields, part_cols,
-                        fields_by_name, abspath,
+                        fields_by_name, abspath, mode,
                     )
                     if live_dels is not None:
                         dels = (
@@ -1641,7 +1828,7 @@ class DeltaLogReader:
                         )
                 dv_dels = self._dv_transition_deletes(
                     dv_transitions, schema, data_fields, part_cols,
-                    fields_by_name, abspath,
+                    fields_by_name, abspath, mode,
                 )
                 parts = [
                     p.withColumn("_change_type", F.lit(tag))
@@ -1736,15 +1923,18 @@ class DeltaLogReader:
         adds on this path."""
         to_v = self.latest_version() if to_version is None else to_version
         meta, _live = self._replay(to_v)
-        if self._mapping_mode(meta) != "none":
-            raise UnsupportedDeltaFeature(
-                "incremental read of a column-mapped table"
-            )
+        # column-mapped tables read incrementally too (round 8): the
+        # scan resolves physical names / field ids, partitionValues
+        # keys resolve by physical name
+        mode = self._mapping_mode(meta)
         schema = self._schema_from_meta(meta)
-        part_cols = list(meta.get("partitionColumns") or [])
+        part_cols = self._logical_part_cols(meta, schema)
         fields_by_name = {f.name: f for f in schema.fields}
         data_fields = [f for f in schema.fields if f.name not in part_cols]
-        data_schema = T.StructType(data_fields)
+        data_schema, logical_sel = self._file_schema_and_logical(
+            data_fields, mode
+        )
+        pv_key = self._pv_key(fields_by_name, mode)
 
         new_adds: dict[str, dict] = {}
         for v in range(from_version + 1, to_v + 1):
@@ -1774,18 +1964,26 @@ class DeltaLogReader:
 
         if not part_cols:
             files = sorted(abspath(a["path"]) for a in new_adds.values())
-            return self.spark.read.schema(data_schema).parquet(*files)
+            return (
+                self.spark.read.schema(data_schema)
+                .parquet(*files)
+                .select(*logical_sel)
+            )
         groups: dict[tuple, list[str]] = {}
         for a in new_adds.values():
             pv = a.get("partitionValues") or {}
-            key = tuple(pv.get(c) for c in part_cols)
+            key = tuple(pv.get(pv_key(c)) for c in part_cols)
             groups.setdefault(key, []).append(abspath(a["path"]))
         out: DataFrame | None = None
         for key, files in sorted(
             groups.items(),
             key=lambda kv: tuple((v is not None, v or "") for v in kv[0]),
         ):
-            part = self.spark.read.schema(data_schema).parquet(*sorted(files))
+            part = (
+                self.spark.read.schema(data_schema)
+                .parquet(*sorted(files))
+                .select(*logical_sel)
+            )
             for c, raw in zip(part_cols, key):
                 dt = fields_by_name[c].dataType
                 lit = (
@@ -1861,9 +2059,13 @@ class DeltaLogReader:
 
         - `delta.appendOnly = true`: any data-removing operation
           refuses (appends stay legal).
-        - Column invariants / CHECK constraints / generated columns /
-          identity columns: refused outright — this writer does not
-          validate rows against them, so it must not produce rows.
+        - CHECK constraints / column invariants: ENFORCED, not
+          refused (round 8, VERDICT r7 item 7) — every row-producing
+          path validates its new rows via
+          _enforce_write_constraints and aborts the commit on
+          violation, the full-citizen writer behavior.
+        - Generated / identity columns: still refused — this writer
+          does not compute them, so it must not produce rows.
         - minWriterVersion 7 feature lists: any feature outside the
           implemented set refuses; minWriterVersion > 7 refuses."""
         p = getattr(self, "_last_protocol", None) or {}
@@ -1884,18 +2086,9 @@ class DeltaLogReader:
             raise UnsupportedDeltaFeature(
                 f"{op}: table is delta.appendOnly = true"
             )
-        checks = sorted(
-            k for k in conf if k.startswith("delta.constraints.")
-        )
-        if checks:
-            raise UnsupportedDeltaFeature(
-                f"{op}: table carries CHECK constraints {checks} this "
-                "writer does not validate"
-            )
         for f in self._schema_from_meta(meta).fields:
             md = f.metadata or {}
             for key, what in (
-                ("delta.invariants", "an invariant"),
                 ("delta.generationExpression", "a generation expression"),
                 ("delta.identity.start", "identity-column metadata"),
             ):
@@ -1905,15 +2098,108 @@ class DeltaLogReader:
                         "writer does not enforce"
                     )
 
+    def _write_constraints(self, meta: dict) -> list[tuple[str, str]]:
+        """(name, SQL expression) of every obligation new rows must
+        satisfy: `delta.constraints.<name>` table properties (CHECK
+        constraints) plus per-column `delta.invariants` metadata (the
+        legacy writer-v2 form, a JSON-wrapped expression)."""
+        conf = meta.get("configuration") or {}
+        out = [
+            (k[len("delta.constraints."):], conf[k])
+            for k in sorted(conf)
+            if k.startswith("delta.constraints.")
+        ]
+        for f in self._schema_from_meta(meta).fields:
+            inv = (f.metadata or {}).get("delta.invariants")
+            if not inv:
+                continue
+            try:
+                expr = json.loads(inv)["expression"]["expression"]
+            except Exception as e:
+                raise UnsupportedDeltaFeature(
+                    f"unparseable delta.invariants on {f.name!r}: {inv}"
+                ) from e
+            out.append((f"invariant:{f.name}", expr))
+        return out
+
+    def _enforce_write_constraints(
+        self, meta: dict, new_rows: DataFrame | None, op: str
+    ) -> None:
+        """Validate the rows a commit would ADD against the table's
+        CHECK constraints and invariants, aborting before anything
+        publishes. Delta semantics (delta-spark's
+        CheckDeltaInvariant): a row violates when the expression
+        evaluates FALSE or NULL — stricter than the SQL standard's
+        null-passes CHECK. One aggregate pass counts violations for
+        every expression at once; cost ∝ the new rows, never the
+        table. Rows that already live in the table never re-validate
+        (constraints added after the fact are ALTER's problem, as in
+        delta-spark)."""
+        exprs = self._write_constraints(meta)
+        if not exprs or new_rows is None:
+            return
+        aggs = [
+            F.sum(
+                F.when(F.expr(e).eqNullSafe(F.lit(True)), 0)
+                .otherwise(1)
+            ).alias(f"__viol_{i}")
+            for i, (_n, e) in enumerate(exprs)
+        ]
+        row = new_rows.agg(*aggs).collect()[0]
+        for i, (name, e) in enumerate(exprs):
+            n = row[f"__viol_{i}"]
+            if n:
+                raise ConstraintViolation(
+                    f"{op}: {n} row(s) violate constraint {name!r} "
+                    f"({e}) — commit aborted, nothing published"
+                )
+
     def _guard_plain_table(self, meta: dict, live: dict, what: str) -> None:
-        if self._mapping_mode(meta) != "none":
-            raise UnsupportedDeltaFeature(
-                f"{what} on a column-mapped table"
-            )
+        """Refuse rewriting DML on tables whose live adds carry
+        deletion vectors — those paths must route through the
+        DV-aware variants. Column-mapped tables are fine (round 8):
+        every DML path resolves physical names via
+        _file_schema_and_logical / _write_side / _pv_key."""
         if any(a.get("deletionVector") for a in live.values()):
             raise UnsupportedDeltaFeature(
                 f"{what} on a table with deletion-vector adds"
             )
+
+    def _write_side(
+        self, data_fields: list[T.StructField], mode: str
+    ) -> tuple[list | None, T.StructType, list[T.StructField]]:
+        """Write-side resolvers for a column-mapped table:
+        (physical rename select list — None under mode 'none', schema
+        for re-reading freshly-written files, fields to profile for
+        stats). Rewrites WRITE physical column names (nested renames
+        via positional cast) with `parquet.field.id` attached when the
+        mapping assigns ids, so external readers in either mapping
+        mode resolve the new files; stats keys come out physical, the
+        form the read-side skipping relabels."""
+        if mode == "none":
+            return None, T.StructType(data_fields), data_fields
+        phys_fields = [
+            T.StructField(
+                self._phys_name(f), self._phys_type(f.dataType), f.nullable
+            )
+            for f in data_fields
+        ]
+        sel = []
+        for f in data_fields:
+            fid = (f.metadata or {}).get("delta.columnMapping.id")
+            sel.append(
+                F.col(f.name)
+                .cast(self._phys_type(f.dataType))
+                .alias(
+                    self._phys_name(f),
+                    metadata=(
+                        {"parquet.field.id": int(fid)}
+                        if fid is not None
+                        else {}
+                    ),
+                )
+            )
+        return sel, T.StructType(phys_fields), phys_fields
 
     def delete_where(self, predicates: list) -> int:
         """DELETE WHERE (conjunctive (column, op, literal) predicates
@@ -1934,10 +2220,18 @@ class DeltaLogReader:
         self._guard_writer_protocol(meta, "delete_where", removes_data=True)
         schema = self._schema_from_meta(meta)
         skipping.validate(predicates, [f.name for f in schema.fields])
-        part_cols = list(meta.get("partitionColumns") or [])
+        part_cols = self._logical_part_cols(meta, schema)
         fields_by_name = {f.name: f for f in schema.fields}
         data_fields = [f for f in schema.fields if f.name not in part_cols]
-        data_schema = T.StructType(data_fields)
+        mode = self._mapping_mode(meta)
+        file_schema, logical_sel = self._file_schema_and_logical(
+            data_fields, mode
+        )
+        phys_sel, write_schema, stats_fields = self._write_side(
+            data_fields, mode
+        )
+        pv_key = self._pv_key(fields_by_name, mode)
+        relabel = self._stats_relabel(data_fields, mode)
         part_preds = [p for p in predicates if p[0] in part_cols]
         data_preds = [p for p in predicates if p[0] not in part_cols]
 
@@ -1952,7 +2246,7 @@ class DeltaLogReader:
             pv = a.get("partitionValues") or {}
             part = {
                 c: self._py_partition_value(
-                    pv.get(c), fields_by_name[c].dataType
+                    pv.get(pv_key(c)), fields_by_name[c].dataType
                 )
                 for c in part_cols
             }
@@ -1972,7 +2266,8 @@ class DeltaLogReader:
                 a.get("stats")
             )
             if not skipping.file_may_match(
-                data_preds, {}, minv, maxv, nullc, rows
+                data_preds, {}, relabel(minv), relabel(maxv),
+                relabel(nullc), rows,
             ):
                 carried.append(key)  # provably no matching row
             else:
@@ -1997,11 +2292,11 @@ class DeltaLogReader:
             ]
             deleted = self._scan_with_parts(
                 ents(removes), data_fields, schema.fields, part_cols,
-                fields_by_name,
+                fields_by_name, mode,
             )
             hit = self._scan_with_parts(
                 ents(rewrite), data_fields, schema.fields, part_cols,
-                fields_by_name,
+                fields_by_name, mode,
             )
             if hit is not None:
                 hit = hit.filter(skipping.residual_filter(data_preds))
@@ -2010,7 +2305,7 @@ class DeltaLogReader:
                 )
             cdc_actions = self._stage_cdc(
                 deleted.withColumn("_change_type", F.lit("delete")),
-                part_cols,
+                part_cols, fields_by_name, mode,
             )
             if not cdc_actions:
                 # CDF just proved NO row matches (stats were merely
@@ -2036,7 +2331,7 @@ class DeltaLogReader:
         group_pv: dict[tuple, dict] = {}
         for key, a in rewrite.items():
             pv = a.get("partitionValues") or {}
-            k = tuple(pv.get(c) for c in part_cols)
+            k = tuple(pv.get(pv_key(c)) for c in part_cols)
             groups.setdefault(k, []).append(abspath(a["path"]))
             group_pv[k] = pv
         # SQL DELETE removes rows where the predicate is TRUE; rows
@@ -2051,10 +2346,13 @@ class DeltaLogReader:
             key=lambda kv: tuple((x is not None, x or "") for x in kv),
         ):
             survivors = (
-                self.spark.read.schema(data_schema)
+                self.spark.read.schema(file_schema)
                 .parquet(*sorted(groups[k]))
+                .select(*logical_sel)
                 .filter(not_matching)
             )
+            if phys_sel is not None:
+                survivors = survivors.select(*phys_sel)
             out_dir = os.path.join(
                 self.path, f"_rewrite_{uuid4().hex}"
             )
@@ -2079,8 +2377,8 @@ class DeltaLogReader:
                     new_files.append(full)
             stats_by = (
                 _per_file_stats(
-                    self.spark.read.schema(data_schema).parquet(*new_files),
-                    data_fields,
+                    self.spark.read.schema(write_schema).parquet(*new_files),
+                    stats_fields,
                 )
                 if carries_stats and new_files
                 else {}
@@ -2128,19 +2426,20 @@ class DeltaLogReader:
 
         v = self.latest_version()
         meta, live = self._replay(v)
-        if self._mapping_mode(meta) != "none":
-            raise UnsupportedDeltaFeature(
-                "delete_where_dv on a column-mapped table"
-            )
         self._guard_writer_protocol(
             meta, "delete_where_dv", removes_data=True
         )
         schema = self._schema_from_meta(meta)
         skipping.validate(predicates, [f.name for f in schema.fields])
-        part_cols = list(meta.get("partitionColumns") or [])
+        part_cols = self._logical_part_cols(meta, schema)
         fields_by_name = {f.name: f for f in schema.fields}
         data_fields = [f for f in schema.fields if f.name not in part_cols]
-        data_schema = T.StructType(data_fields)
+        mode = self._mapping_mode(meta)
+        file_schema, logical_sel = self._file_schema_and_logical(
+            data_fields, mode
+        )
+        pv_key = self._pv_key(fields_by_name, mode)
+        relabel = self._stats_relabel(data_fields, mode)
         part_preds = [p for p in predicates if p[0] in part_cols]
         data_preds = [p for p in predicates if p[0] not in part_cols]
 
@@ -2154,7 +2453,7 @@ class DeltaLogReader:
             pv = a.get("partitionValues") or {}
             part = {
                 c: self._py_partition_value(
-                    pv.get(c), fields_by_name[c].dataType
+                    pv.get(pv_key(c)), fields_by_name[c].dataType
                 )
                 for c in part_cols
             }
@@ -2170,7 +2469,8 @@ class DeltaLogReader:
                 a.get("stats")
             )
             if skipping.file_may_match(
-                data_preds, {}, minv, maxv, nullc, rows
+                data_preds, {}, relabel(minv), relabel(maxv),
+                relabel(nullc), rows,
             ):
                 candidates[key] = a
 
@@ -2180,8 +2480,12 @@ class DeltaLogReader:
         norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
         new_by_path: dict[str, list[int]] = {}
         if candidates:
-            scan = self.spark.read.schema(data_schema).parquet(
+            scan = self.spark.read.schema(file_schema).parquet(
                 *sorted(abspath(a["path"]) for a in candidates.values())
+            ).select(
+                *logical_sel,
+                norm(F.col("_metadata.file_path")).alias("__path"),
+                F.col("_metadata.row_index").alias("__pos"),
             )
             # DELETE removes rows where the predicate is TRUE; NULL
             # evaluations survive (same contract as delete_where)
@@ -2189,10 +2493,7 @@ class DeltaLogReader:
                 F.coalesce(
                     skipping.residual_filter(data_preds), F.lit(False)
                 )
-            ).select(
-                norm(F.col("_metadata.file_path")).alias("__path"),
-                F.col("_metadata.row_index").alias("__pos"),
-            )
+            ).select("__path", "__pos")
             dv_rows = [
                 self._dv_descriptor(a, abspath)
                 for a in candidates.values()
@@ -2348,16 +2649,12 @@ class DeltaLogReader:
 
         v = self.latest_version()
         meta, live = self._replay(v)
-        if self._mapping_mode(meta) != "none":
-            raise UnsupportedDeltaFeature(
-                "update_where_dv on a column-mapped table"
-            )
         self._guard_writer_protocol(
             meta, "update_where_dv", removes_data=True
         )
         schema = self._schema_from_meta(meta)
         skipping.validate(predicates, [f.name for f in schema.fields])
-        part_cols = list(meta.get("partitionColumns") or [])
+        part_cols = self._logical_part_cols(meta, schema)
         fields_by_name = {f.name: f for f in schema.fields}
         unknown = sorted(set(set_exprs) - set(fields_by_name))
         if unknown:
@@ -2370,7 +2667,15 @@ class DeltaLogReader:
                 "UPDATE — that is MERGE's job)"
             )
         data_fields = [f for f in schema.fields if f.name not in part_cols]
-        data_schema = T.StructType(data_fields)
+        mode = self._mapping_mode(meta)
+        file_schema, logical_sel = self._file_schema_and_logical(
+            data_fields, mode
+        )
+        phys_sel, write_schema, stats_fields = self._write_side(
+            data_fields, mode
+        )
+        pv_key = self._pv_key(fields_by_name, mode)
+        relabel = self._stats_relabel(data_fields, mode)
         part_preds = [p for p in predicates if p[0] in part_cols]
         data_preds = [p for p in predicates if p[0] not in part_cols]
 
@@ -2383,7 +2688,7 @@ class DeltaLogReader:
             pv = a.get("partitionValues") or {}
             part = {
                 c: self._py_partition_value(
-                    pv.get(c), fields_by_name[c].dataType
+                    pv.get(pv_key(c)), fields_by_name[c].dataType
                 )
                 for c in part_cols
             }
@@ -2397,7 +2702,8 @@ class DeltaLogReader:
                     a.get("stats")
                 )
                 if not skipping.file_may_match(
-                    data_preds, {}, minv, maxv, nullc, rows
+                    data_preds, {}, relabel(minv), relabel(maxv),
+                    relabel(nullc), rows,
                 ):
                     continue
             candidates[key] = a
@@ -2421,7 +2727,7 @@ class DeltaLogReader:
         group_pv: dict[tuple, dict] = {}
         for a in candidates.values():
             pv = a.get("partitionValues") or {}
-            k = tuple(pv.get(c) for c in part_cols)
+            k = tuple(pv.get(pv_key(c)) for c in part_cols)
             groups.setdefault(k, []).append(abspath(a["path"]))
             group_pv[k] = pv
 
@@ -2432,10 +2738,10 @@ class DeltaLogReader:
             key=lambda kv: tuple((x is not None, x or "") for x in kv),
         ):
             matched = (
-                self.spark.read.schema(data_schema)
+                self.spark.read.schema(file_schema)
                 .parquet(*sorted(groups[k]))
                 .select(
-                    *[F.col(f.name) for f in data_fields],
+                    *logical_sel,
                     norm(F.col("_metadata.file_path")).alias("__path"),
                     F.col("_metadata.row_index").alias("__pos"),
                 )
@@ -2475,19 +2781,30 @@ class DeltaLogReader:
                     if raw is not None
                     else F.lit(None).cast(dt),
                 )
+            # full-row projection first (partition columns still
+            # attached) so constraint expressions may reference them;
+            # the write then keeps only the data columns
             imaged = imaged.select(
                 *[
                     F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
                     if f.name in set_exprs
                     else F.col(f.name)
-                    for f in data_fields
+                    for f in schema.fields
                 ]
             )
+            # updated images are the commit's NEW rows: enforce the
+            # table's constraints before this group stages anything
+            self._enforce_write_constraints(
+                meta, imaged, "update_where_dv"
+            )
+            imaged = imaged.select(*[f.name for f in data_fields])
             # matched counts are known (the positions collect above):
             # size the append at ~1M rows/file instead of inheriting
             # the candidate scan's partitioning for a few rows
             n_rows = sum(len(ps) for ps in got.values())
             imaged = imaged.coalesce(max(1, -(-n_rows // 1_000_000)))
+            if phys_sel is not None:
+                imaged = imaged.select(*phys_sel)
             out_dir = os.path.join(self.path, f"_update_{uuid4().hex}")
             imaged.write.mode("errorifexists").parquet(out_dir)
             import pyarrow.parquet as _pq
@@ -2503,8 +2820,8 @@ class DeltaLogReader:
                     new_files.append(full)
             stats_by = (
                 _per_file_stats(
-                    self.spark.read.schema(data_schema).parquet(*new_files),
-                    data_fields,
+                    self.spark.read.schema(write_schema).parquet(*new_files),
+                    stats_fields,
                 )
                 if carries_stats and new_files
                 else {}
@@ -2549,7 +2866,7 @@ class DeltaLogReader:
         self._guard_writer_protocol(meta, "update_where", removes_data=True)
         schema = self._schema_from_meta(meta)
         skipping.validate(predicates, [f.name for f in schema.fields])
-        part_cols = list(meta.get("partitionColumns") or [])
+        part_cols = self._logical_part_cols(meta, schema)
         bad = sorted(set(set_exprs) & set(part_cols))
         if bad:
             raise ValueError(
@@ -2560,7 +2877,15 @@ class DeltaLogReader:
         if unknown:
             raise ValueError(f"update_where: unknown columns {unknown}")
         data_fields = [f for f in schema.fields if f.name not in part_cols]
-        data_schema = T.StructType(data_fields)
+        mode = self._mapping_mode(meta)
+        file_schema, logical_sel = self._file_schema_and_logical(
+            data_fields, mode
+        )
+        phys_sel, write_schema, stats_fields = self._write_side(
+            data_fields, mode
+        )
+        pv_key = self._pv_key(fields_by_name, mode)
+        relabel = self._stats_relabel(data_fields, mode)
         part_preds = [p for p in predicates if p[0] in part_cols]
         data_preds = [p for p in predicates if p[0] not in part_cols]
 
@@ -2573,7 +2898,7 @@ class DeltaLogReader:
             pv = a.get("partitionValues") or {}
             part = {
                 c: self._py_partition_value(
-                    pv.get(c), fields_by_name[c].dataType
+                    pv.get(pv_key(c)), fields_by_name[c].dataType
                 )
                 for c in part_cols
             }
@@ -2587,7 +2912,8 @@ class DeltaLogReader:
                     a.get("stats")
                 )
                 if not skipping.file_may_match(
-                    data_preds, {}, minv, maxv, nullc, rows
+                    data_preds, {}, relabel(minv), relabel(maxv),
+                    relabel(nullc), rows,
                 ):
                     continue  # carried: stats prove no matching row
             rewrite[key] = a
@@ -2606,6 +2932,29 @@ class DeltaLogReader:
             for p in sorted(rewrite)
         ]
         matching = skipping.residual_filter(data_preds)
+        if self._write_constraints(meta):
+            # validate the post-assignment rows BEFORE any rewrite
+            # stages to disk: one scan of the hit files, matching
+            # rows only, every assignment applied as in the rewrite
+            pre_v = self._scan_with_parts(
+                [
+                    (abspath(a["path"]), a.get("partitionValues") or {})
+                    for a in rewrite.values()
+                ],
+                data_fields, schema.fields, part_cols, fields_by_name,
+                mode,
+            ).filter(matching)
+            post_v = pre_v.select(
+                *[
+                    F.expr(set_exprs[f.name])
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    if f.name in set_exprs
+                    else F.col(f.name)
+                    for f in schema.fields
+                ]
+            )
+            self._enforce_write_constraints(meta, post_v, "update_where")
         cdc_actions: list[dict] = []
         if self._cdf_enabled(meta):
             pre = self._scan_with_parts(
@@ -2614,6 +2963,7 @@ class DeltaLogReader:
                     for a in rewrite.values()
                 ],
                 data_fields, schema.fields, part_cols, fields_by_name,
+                mode,
             ).filter(matching)
             # ONE projection: every RHS evaluates against the OLD row
             # (SQL UPDATE semantics), never a co-assigned column
@@ -2634,7 +2984,9 @@ class DeltaLogReader:
                     "_change_type", F.lit("update_postimage")
                 )
             )
-            cdc_actions = self._stage_cdc(cdc, part_cols)
+            cdc_actions = self._stage_cdc(
+                cdc, part_cols, fields_by_name, mode
+            )
             if not cdc_actions:
                 # CDF proved no row matches: skip the no-op rewrite
                 # (a cdc-less rewrite commit would break changes())
@@ -2643,7 +2995,7 @@ class DeltaLogReader:
         group_pv: dict[tuple, dict] = {}
         for key, a in rewrite.items():
             pv = a.get("partitionValues") or {}
-            k = tuple(pv.get(c) for c in part_cols)
+            k = tuple(pv.get(pv_key(c)) for c in part_cols)
             groups.setdefault(k, []).append(abspath(a["path"]))
             group_pv[k] = pv
         for k in sorted(
@@ -2654,9 +3006,9 @@ class DeltaLogReader:
             # evaluates against the OLD row, SQL UPDATE semantics.
             # Partition columns attach as typed literals so RHS may
             # reference them; the projection then drops them.
-            scan = self.spark.read.schema(data_schema).parquet(
+            scan = self.spark.read.schema(file_schema).parquet(
                 *sorted(groups[k])
-            )
+            ).select(*logical_sel)
             for c, raw in zip(part_cols, k):
                 dt = fields_by_name[c].dataType
                 scan = scan.withColumn(
@@ -2678,6 +3030,8 @@ class DeltaLogReader:
                     for f in data_fields
                 ]
             )
+            if phys_sel is not None:
+                updated = updated.select(*phys_sel)
             out_dir = os.path.join(self.path, f"_update_{uuid4().hex}")
             updated.write.mode("errorifexists").parquet(out_dir)
             new_files = sorted(
@@ -2687,8 +3041,8 @@ class DeltaLogReader:
             )
             stats_by = (
                 _per_file_stats(
-                    self.spark.read.schema(data_schema).parquet(*new_files),
-                    data_fields,
+                    self.spark.read.schema(write_schema).parquet(*new_files),
+                    stats_fields,
                 )
                 if carries_stats and new_files
                 else {}
@@ -2737,8 +3091,6 @@ class DeltaLogReader:
 
         v = self.latest_version()
         meta, live = self._replay(v)
-        if self._mapping_mode(meta) != "none":
-            raise UnsupportedDeltaFeature("merge on a column-mapped table")
         self._guard_writer_protocol(meta, "merge", removes_data=True)
         schema = self._schema_from_meta(meta)
         if key not in schema.fieldNames():
@@ -2747,10 +3099,37 @@ class DeltaLogReader:
         if missing:
             raise ValueError(f"merge source missing columns: {sorted(missing)}")
         source = source.select(*schema.fieldNames())
-        part_cols = list(meta.get("partitionColumns") or [])
+        # every matched update and insert is a source row — one
+        # validation pass over the batch enforces the table's CHECK
+        # constraints / invariants before anything writes
+        self._enforce_write_constraints(meta, source, "merge")
+        part_cols = self._logical_part_cols(meta, schema)
         fields_by_name = {f.name: f for f in schema.fields}
         data_fields = [f for f in schema.fields if f.name not in part_cols]
-        data_schema = T.StructType(data_fields)
+        mode = self._mapping_mode(meta)
+        file_schema, logical_sel = self._file_schema_and_logical(
+            data_fields, mode
+        )
+        _phys_sel, write_schema, stats_fields = self._write_side(
+            data_fields, mode
+        )
+        pv_key = self._pv_key(fields_by_name, mode)
+        relabel = self._stats_relabel(data_fields, mode)
+        # the merged output writes EVERY column (data via the files,
+        # partition via the hive dirs) physically named under mapping
+        if mode != "none":
+            all_phys_sel = [
+                F.col(f.name)
+                .cast(self._phys_type(f.dataType))
+                .alias(self._phys_name(f))
+                for f in schema.fields
+            ]
+            write_part_cols = [
+                self._phys_name(fields_by_name[c]) for c in part_cols
+            ]
+        else:
+            all_phys_sel = None
+            write_part_cols = part_cols
 
         def abspath(p: str) -> str:
             p = unquote(p)
@@ -2796,7 +3175,7 @@ class DeltaLogReader:
             if len(sample) <= _MERGE_KEY_COLLECT_CAP:
                 key_vals = {r[0] for r in sample}
                 for k, a in live.items():
-                    pv = (a.get("partitionValues") or {}).get(key)
+                    pv = (a.get("partitionValues") or {}).get(pv_key(key))
                     if self._py_partition_value(pv, kt) in key_vals:
                         hit_keys.add(k)
             else:
@@ -2804,7 +3183,10 @@ class DeltaLogReader:
                     (
                         k,
                         self._py_partition_value(
-                            (a.get("partitionValues") or {}).get(key), kt
+                            (a.get("partitionValues") or {}).get(
+                                pv_key(key)
+                            ),
+                            kt,
                         ),
                     )
                     for k, a in live.items()
@@ -2845,20 +3227,22 @@ class DeltaLogReader:
                     a.get("stats")
                 )
                 if skipping.file_may_match(
-                    range_preds, {}, minv, maxv, nullc, rows
+                    range_preds, {}, relabel(minv), relabel(maxv),
+                    relabel(nullc), rows,
                 ):
                     cands[k] = a
             if cands:
                 by_abs = {abspath(a["path"]): k for k, a in cands.items()}
                 hits = (
                     drop_dv(
-                        self.spark.read.schema(data_schema)
+                        self.spark.read.schema(file_schema)
                         .parquet(*sorted(by_abs))
                         .select(
+                            *logical_sel,
                             F.col("_metadata.file_path").alias("__fp"),
                             F.col("_metadata.row_index").alias("__pos"),
-                            F.col(key),
-                        ),
+                        )
+                        .select("__fp", "__pos", key),
                         cands,
                     )
                     .join(F.broadcast(keys), key, "left_semi")
@@ -2880,10 +3264,13 @@ class DeltaLogReader:
                 return None
             by_abs_h = {abspath(live[k]["path"]): k for k in hit_keys}
             df = drop_dv(
-                self.spark.read.schema(data_schema)
+                self.spark.read.schema(file_schema)
                 .parquet(*sorted(by_abs_h))
-                .withColumn("__fp", F.col("_metadata.file_path"))
-                .withColumn("__pos", F.col("_metadata.row_index")),
+                .select(
+                    *logical_sel,
+                    F.col("_metadata.file_path").alias("__fp"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                ),
                 hit_keys,
             ).drop("__pos")
             if part_cols:
@@ -2894,7 +3281,8 @@ class DeltaLogReader:
                         (f"file:{p}",)
                         + tuple(
                             self._py_partition_value(
-                                pv.get(c), fields_by_name[c].dataType
+                                pv.get(pv_key(c)),
+                                fields_by_name[c].dataType,
                             )
                             for c in part_cols
                         )
@@ -2945,7 +3333,9 @@ class DeltaLogReader:
                 )
             else:
                 cdc = source.withColumn("_change_type", F.lit("insert"))
-            cdc_actions = self._stage_cdc(cdc, part_cols)
+            cdc_actions = self._stage_cdc(
+                cdc, part_cols, fields_by_name, mode
+            )
         merged_parts: list[DataFrame] = []
         # partition-column key: a hit file's EVERY row carries a matched
         # key, so hit files have no survivors — pure metadata delete
@@ -2957,10 +3347,12 @@ class DeltaLogReader:
         for p in merged_parts[1:]:
             merged = merged.unionByName(p)
 
+        if all_phys_sel is not None:
+            merged = merged.select(*all_phys_sel)
         out_dir = os.path.join(self.path, f"_merge_{uuid4().hex}")
         w = merged.write.mode("errorifexists")
-        if part_cols:
-            w = w.partitionBy(*part_cols)
+        if write_part_cols:
+            w = w.partitionBy(*write_part_cols)
         w.parquet(out_dir)
         # walk the hive layout back into add actions (same decode as
         # create_minimal_table: dir segments are partitionValues);
@@ -2986,10 +3378,10 @@ class DeltaLogReader:
             return v  # empty source on no hit files: nothing changed
         stats_by = (
             _per_file_stats(
-                self.spark.read.schema(data_schema).parquet(
+                self.spark.read.schema(write_schema).parquet(
                     *[f for f, _pv in new_files]
                 ),
-                data_fields,
+                stats_fields,
             )
             if carries_stats and new_files
             else {}
@@ -3048,15 +3440,19 @@ class DeltaLogReader:
         set is unchanged, CDF and streams correctly see nothing."""
         v = self.latest_version()
         meta, live = self._replay(v)
-        if self._mapping_mode(meta) != "none":
-            raise UnsupportedDeltaFeature("optimize on a column-mapped table")
         # OPTIMIZE removes only dataChange=false file references —
         # legal on appendOnly tables, so removes_data=False
         self._guard_writer_protocol(meta, "optimize", removes_data=False)
         schema = self._schema_from_meta(meta)
-        part_cols = list(meta.get("partitionColumns") or [])
+        part_cols = self._logical_part_cols(meta, schema)
         data_fields = [f for f in schema.fields if f.name not in part_cols]
-        data_schema = T.StructType(data_fields)
+        mode = self._mapping_mode(meta)
+        file_schema, logical_sel = self._file_schema_and_logical(
+            data_fields, mode
+        )
+        phys_sel, write_schema, stats_fields = self._write_side(
+            data_fields, mode
+        )
         if zorder_by is not None:
             bad = sorted(
                 set(zorder_by) - {f.name for f in data_fields}
@@ -3106,7 +3502,7 @@ class DeltaLogReader:
                     sum(a.get("size", 0) for _k, a in small) / target_bytes
                 ),
             )
-            scan = self.spark.read.schema(data_schema).parquet(*files)
+            scan = self.spark.read.schema(file_schema).parquet(*files)
             dv_rows = [
                 self._dv_descriptor(a, abspath)
                 for _k, a in small
@@ -3122,7 +3518,7 @@ class DeltaLogReader:
                 )
                 scan = (
                     scan.select(
-                        *[F.col(f.name) for f in data_fields],
+                        *logical_sel,
                         norm(F.col("_metadata.file_path")).alias("__path"),
                         F.col("_metadata.row_index").alias("__pos"),
                     )
@@ -3134,12 +3530,16 @@ class DeltaLogReader:
                     )
                     .drop("__path", "__pos")
                 )
+            else:
+                scan = scan.select(*logical_sel)
             if zorder_by is None:
                 packed = scan.coalesce(n_out)
             else:
                 from ..functions.zorder import pack_zorder
 
                 packed = pack_zorder(scan, n_out, zorder_by)
+            if phys_sel is not None:
+                packed = packed.select(*phys_sel)
             out_dir = os.path.join(self.path, f"_optimize_{uuid4().hex}")
             packed.write.mode("errorifexists").parquet(out_dir)
             import pyarrow.parquet as _pq
@@ -3157,8 +3557,8 @@ class DeltaLogReader:
                     new_files.append(full)
             stats_by = (
                 _per_file_stats(
-                    self.spark.read.schema(data_schema).parquet(*new_files),
-                    data_fields,
+                    self.spark.read.schema(write_schema).parquet(*new_files),
+                    stats_fields,
                 )
                 if carries_stats and new_files
                 else {}
@@ -3229,7 +3629,7 @@ class DeltaLogReader:
             # (rows of dropped files = deletes, of restored files =
             # inserts) — the CDF cost of a restore
             schema = self._schema_from_meta(meta)
-            part_cols = list(meta.get("partitionColumns") or [])
+            part_cols = self._logical_part_cols(meta, schema)
             fields_by_name = {f.name: f for f in schema.fields}
             data_fields = [
                 f for f in schema.fields if f.name not in part_cols
@@ -3238,16 +3638,17 @@ class DeltaLogReader:
                 (self._abs(p), live[p].get("partitionValues") or {})
                 for p in ks
             ]
+            mode = self._mapping_mode(meta)
             dels = self._scan_with_parts(
                 ents(cur_live, gone), data_fields, schema.fields,
-                part_cols, fields_by_name,
+                part_cols, fields_by_name, mode,
             ).withColumn("_change_type", F.lit("delete"))
             ins = self._scan_with_parts(
                 ents(old_live, back), data_fields, schema.fields,
-                part_cols, fields_by_name,
+                part_cols, fields_by_name, mode,
             ).withColumn("_change_type", F.lit("insert"))
             cdc_actions = self._stage_cdc(
-                dels.unionByName(ins), part_cols
+                dels.unionByName(ins), part_cols, fields_by_name, mode
             )
         actions: list[dict] = [
             {
@@ -3632,6 +4033,7 @@ class DeltaLogReader:
         part_cols: list[str],
         fields_by_name: dict[str, T.StructField],
         abspath,
+        mode: str = "none",
     ) -> DataFrame | None:
         """Render the rows a commit's deletion-vector updates deleted:
         for each (new add, previous add) pair, the new bitmap minus
@@ -3640,6 +4042,7 @@ class DeltaLogReader:
         it at those _metadata.row_index positions recovers the
         deleted rows. Cost ∝ deleted rows + one scan of the touched
         files; the position pairs are broadcast."""
+        pv_key = self._pv_key(fields_by_name, mode)
         pairs: list[tuple[str, int]] = []
         groups: dict[tuple, list[str]] = {}
         for a, prev in dv_transitions:
@@ -3653,7 +4056,7 @@ class DeltaLogReader:
             pairs.extend((ap, int(p)) for p in sorted(newp - oldp))
             pv = a.get("partitionValues") or {}
             groups.setdefault(
-                tuple(pv.get(c) for c in part_cols), []
+                tuple(pv.get(pv_key(c)) for c in part_cols), []
             ).append(ap)
         if not pairs:
             return None
@@ -3661,7 +4064,9 @@ class DeltaLogReader:
         pairs_df = self.spark.createDataFrame(
             pairs, "__del_path string, __del_pos long"
         )
-        data_schema = T.StructType(data_fields)
+        data_schema, sel = self._file_schema_and_logical(
+            data_fields, mode
+        )
         scanned: DataFrame | None = None
         for key in sorted(
             groups,
@@ -3671,7 +4076,7 @@ class DeltaLogReader:
                 *sorted(groups[key])
             )
             g = g.select(
-                *[F.col(f.name) for f in data_fields],
+                *sel,
                 norm(F.col("_metadata.file_path")).alias("__path"),
                 F.col("_metadata.row_index").alias("__pos"),
             )
@@ -3703,6 +4108,7 @@ class DeltaLogReader:
         part_cols: list[str],
         fields_by_name: dict[str, T.StructField],
         abspath,
+        mode: str = "none",
     ) -> DataFrame | None:
         """The LIVE rows of vector-carrying add actions: scan the
         files with `_metadata.row_index` and anti-join out each
@@ -3715,6 +4121,7 @@ class DeltaLogReader:
         inserts (the tombstoned positions were never visible)."""
         if not prev_adds:
             return None
+        pv_key = self._pv_key(fields_by_name, mode)
         pairs: list[tuple[str, int]] = []
         groups: dict[tuple, list[str]] = {}
         for a in prev_adds:
@@ -3725,10 +4132,12 @@ class DeltaLogReader:
             )
             pv = a.get("partitionValues") or {}
             groups.setdefault(
-                tuple(pv.get(c) for c in part_cols), []
+                tuple(pv.get(pv_key(c)) for c in part_cols), []
             ).append(ap)
         norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
-        data_schema = T.StructType(data_fields)
+        data_schema, sel = self._file_schema_and_logical(
+            data_fields, mode
+        )
         scanned: DataFrame | None = None
         for key in sorted(
             groups,
@@ -3738,7 +4147,7 @@ class DeltaLogReader:
                 *sorted(groups[key])
             )
             g = g.select(
-                *[F.col(f.name) for f in data_fields],
+                *sel,
                 norm(F.col("_metadata.file_path")).alias("__path"),
                 F.col("_metadata.row_index").alias("__pos"),
             )

@@ -416,17 +416,65 @@ def create_minimal_table(
             }
         ],
     )
-    fields = []
-    for i, f in enumerate(df.schema.fields, start=1):
-        tname = type(f.dataType).__name__
+    # top-level fields keep ids 1..N (what the bounds computation and
+    # _attach_field_ids above assume); NESTED struct members allocate
+    # fresh ids from N+1 on, depth-first — any unique assignment is
+    # spec-legal for a fresh table, and nested name mappings address
+    # these ids (round 8)
+    def ice_node(dt, next_id):
+        if isinstance(dt, T.StructType):
+            fs = []
+            for sf in dt.fields:
+                fid = next_id
+                next_id += 1
+                sub, next_id = ice_node(sf.dataType, next_id)
+                fs.append(
+                    {
+                        "id": fid,
+                        "name": sf.name,
+                        "required": False,
+                        "type": sub,
+                    }
+                )
+            return {"type": "struct", "fields": fs}, next_id
+        if isinstance(dt, T.ArrayType):
+            eid = next_id
+            next_id += 1
+            sub, next_id = ice_node(dt.elementType, next_id)
+            return {
+                "type": "list",
+                "element-id": eid,
+                "element": sub,
+                "element-required": False,
+            }, next_id
+        if isinstance(dt, T.MapType):
+            kid, vid = next_id, next_id + 1
+            next_id += 2
+            ksub, next_id = ice_node(dt.keyType, next_id)
+            vsub, next_id = ice_node(dt.valueType, next_id)
+            return {
+                "type": "map",
+                "key-id": kid,
+                "key": ksub,
+                "value-id": vid,
+                "value": vsub,
+                "value-required": False,
+            }, next_id
+        tname = type(dt).__name__
         if tname not in spark_to_ice:
             raise UnsupportedIcebergFeature(f"staging type {tname}")
+        return spark_to_ice[tname], next_id
+
+    fields = []
+    nid = len(df.schema.fields) + 1
+    for i, f in enumerate(df.schema.fields, start=1):
+        node, nid = ice_node(f.dataType, nid)
         fields.append(
             {
                 "id": i,
                 "name": f.name,
                 "required": False,
-                "type": spark_to_ice[tname],
+                "type": node,
             }
         )
     meta = {
@@ -1092,6 +1140,9 @@ def add_position_deletes(
     import uuid
 
     data_dir = os.path.join(path, "data")
+    # zero-copy-imported tables register files in place and have no
+    # data/ dir yet — delete files are the table's first owned files
+    os.makedirs(data_dir, exist_ok=True)
     # the position-delete parquet file (spec: file_path, pos)
     tmp = os.path.join(path, "_stage_del")
     spark.createDataFrame(
@@ -1861,31 +1912,112 @@ class IcebergTableReader:
         return self._schema_struct(meta)
 
     @staticmethod
-    def _name_mapping(meta: dict) -> dict[int, tuple[str, ...]] | None:
+    def _name_mapping(
+        meta: dict,
+    ) -> dict[int, tuple[tuple[str, ...], dict]] | None:
         """Parse the `schema.name-mapping.default` table property
-        (spec "Column Projection"): field-id -> candidate file column
-        names, the fallback rule for projecting data files WITHOUT
-        parquet field ids — what Hive-migrated tables and `add_files`
-        imports contain. None when the table has no mapping. Nested
-        mappings refuse loudly (top-level-only reader, matching the
-        rest of this module's schema surface); entries without a
-        field-id are unassigned per the spec and skip."""
+        (spec "Column Projection"): field-id -> (candidate file column
+        names, nested child mapping of the same shape), the fallback
+        rule for projecting data files WITHOUT parquet field ids —
+        what Hive-migrated tables and `add_files` imports contain.
+        NESTED entries (fields within structs — round 8, VERDICT r7
+        item 5) parse recursively; entries without a field-id are
+        unassigned per the spec and skip (their children may still be
+        mapped, but without a parent binding they are unreachable, so
+        the whole subtree skips, matching the spec's unassigned-id
+        rule). None when the table has no mapping."""
         raw = (meta.get("properties") or {}).get(
             "schema.name-mapping.default"
         )
         if raw is None:
             return None
-        out: dict[int, tuple[str, ...]] = {}
-        for e in json.loads(raw):
-            if e.get("fields"):
-                raise UnsupportedIcebergFeature(
-                    "nested name mapping (fields within fields)"
+
+        def parse(entries: list) -> dict[int, tuple[tuple[str, ...], dict]]:
+            out: dict[int, tuple[tuple[str, ...], dict]] = {}
+            for e in entries:
+                fid = e.get("field-id")
+                if fid is None:
+                    continue
+                out[int(fid)] = (
+                    tuple(e.get("names") or ()),
+                    parse(e.get("fields") or []),
                 )
-            fid = e.get("field-id")
-            if fid is None:
-                continue
-            out[int(fid)] = tuple(e.get("names") or ())
-        return out
+            return out
+
+        return parse(json.loads(raw))
+
+    @classmethod
+    def _resolve_mapped_field(cls, itype, entry_children: dict, arrow_t):
+        """Resolve one mapped field of an ID-LESS data file: given the
+        field's Iceberg type node, its mapping entry's children, and
+        the file's arrow type for the matched column, return
+        (physical Spark type to READ, fn(Column) -> logical Column).
+        Structs recurse member-by-member — each nested field projects
+        by its first mapped name present in the file's struct, missing
+        or unmapped members read as typed NULLs per the spec. Arrays
+        and maps OF structs still refuse (their member renames need
+        transform-based reconstruction); flat arrays/maps and
+        primitives pass through with a cast. Returns (None, fn) when
+        nothing inside a struct resolves — the caller renders the
+        whole field as NULL."""
+        import pyarrow as pa
+
+        if isinstance(itype, dict) and itype.get("type") == "struct":
+            arrow_children = (
+                {f.name: f for f in arrow_t}
+                if arrow_t is not None and pa.types.is_struct(arrow_t)
+                else {}
+            )
+            phys_fields: list[T.StructField] = []
+            members: list[tuple] = []  # (logical name, src, dt, sub_fn)
+            for cf in itype["fields"]:
+                centry = entry_children.get(int(cf["id"]))
+                names = centry[0] if centry else ()
+                src = next(
+                    (n for n in names if n in arrow_children), None
+                )
+                logical_dt = iceberg_type_to_spark(cf["type"])
+                if src is None:
+                    members.append((cf["name"], None, logical_dt, None))
+                    continue
+                sub_phys, sub_fn = cls._resolve_mapped_field(
+                    cf["type"],
+                    centry[1],
+                    arrow_children[src].type,
+                )
+                if sub_phys is None:
+                    members.append((cf["name"], None, logical_dt, None))
+                    continue
+                phys_fields.append(T.StructField(src, sub_phys, True))
+                members.append((cf["name"], src, logical_dt, sub_fn))
+            if not phys_fields:
+                return None, None
+
+            def fn(col):
+                parts = []
+                for name, src, dt, sub_fn in members:
+                    if src is None:
+                        parts.append(F.lit(None).cast(dt).alias(name))
+                    else:
+                        parts.append(sub_fn(col.getField(src)).alias(name))
+                return F.struct(*parts)
+
+            return T.StructType(phys_fields), fn
+        if isinstance(itype, dict) and itype.get("type") in ("list", "map"):
+            inner = (
+                [itype.get("element")]
+                if itype["type"] == "list"
+                else [itype.get("key"), itype.get("value")]
+            )
+            if any(
+                isinstance(x, dict) and x.get("type") == "struct"
+                for x in inner
+            ):
+                raise UnsupportedIcebergFeature(
+                    "name mapping over structs inside arrays/maps"
+                )
+        dt = iceberg_type_to_spark(itype)
+        return dt, (lambda col: col.cast(dt))
 
     def _data_scan(
         self,
@@ -1924,7 +2056,9 @@ class IcebergTableReader:
 
         field_list = self._schema_fields(meta)
         with_ids: list[str] = []
-        without: dict[tuple, list[str]] = {}
+        # id-less files group by their RESOLVED physical shape — files
+        # from one migration batch share it, so scan grouping survives
+        without: dict[str, tuple[T.StructType, list, list[str]]] = {}
         for p in files:
             sch = pq.read_schema(p)
             if any(
@@ -1932,20 +2066,36 @@ class IcebergTableReader:
                 for f in sch
             ):
                 with_ids.append(p)
-            else:
-                have = set(sch.names)
-                resolved = tuple(
-                    next(
-                        (
-                            n
-                            for n in mapping.get(f["id"], ())
-                            if n in have
-                        ),
-                        None,
+                continue
+            arrow_by_name = {f.name: f for f in sch}
+            sel: list = []
+            phys: list[T.StructField] = []
+            for f in field_list:
+                entry = mapping.get(int(f["id"]))
+                names = entry[0] if entry else ()
+                src = next((n for n in names if n in arrow_by_name), None)
+                logical_dt = iceberg_type_to_spark(f["type"])
+                if src is None:
+                    sel.append(
+                        F.lit(None).cast(logical_dt).alias(f["name"])
                     )
-                    for f in field_list
+                    continue
+                sub_phys, sub_fn = self._resolve_mapped_field(
+                    f["type"], entry[1], arrow_by_name[src].type
                 )
-                without.setdefault(resolved, []).append(p)
+                if sub_phys is None:
+                    sel.append(
+                        F.lit(None).cast(logical_dt).alias(f["name"])
+                    )
+                    continue
+                phys.append(T.StructField(src, sub_phys, True))
+                sel.append(sub_fn(F.col(src)).alias(f["name"]))
+            phys_schema = T.StructType(phys)
+            key = phys_schema.json()
+            if key in without:
+                without[key][2].append(p)
+            else:
+                without[key] = (phys_schema, sel, [p])
         parts: list[DataFrame] = []
         if with_ids:
             scan = self.spark.read.schema(scan_schema).parquet(
@@ -1954,22 +2104,9 @@ class IcebergTableReader:
             parts.append(
                 scan.select("*", *pos_cols()) if with_pos else scan
             )
-        type_by_name = {f.name: f.dataType for f in scan_schema.fields}
-        for resolved in sorted(
-            without, key=lambda t: tuple(x or "" for x in t)
-        ):
-            sel: list = []
-            phys: list[T.StructField] = []
-            for f, src in zip(field_list, resolved):
-                dt = type_by_name[f["name"]]
-                if src is None:
-                    sel.append(F.lit(None).cast(dt).alias(f["name"]))
-                else:
-                    phys.append(T.StructField(src, dt, True))
-                    sel.append(F.col(src).alias(f["name"]))
-            g = self.spark.read.schema(T.StructType(phys)).parquet(
-                *sorted(without[resolved])
-            )
+        for key in sorted(without):
+            phys_schema, sel, grp = without[key]
+            g = self.spark.read.schema(phys_schema).parquet(*sorted(grp))
             extra = pos_cols() if with_pos else []
             parts.append(g.select(*sel, *extra))
         out = parts[0]

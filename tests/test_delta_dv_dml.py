@@ -196,13 +196,17 @@ def test_changes_renders_born_with_dv_file(spark, tmp_path):
     assert sorted(x.k for x in ch2) == [2005, 2006, 2007]
 
 
-def test_dv_delete_refuses_column_mapped_tables(spark, tmp_path):
+def test_dv_delete_on_column_mapped_tables_works(spark, tmp_path):
+    """Round 8: deletion-vector DML threads the physical-name
+    indirection — mapped tables vector-delete instead of refusing."""
     path = str(tmp_path / "t")
     create_column_mapped_table(
-        spark, path, spark.range(5).select(F.col("id").alias("k"))
+        spark, path, spark.range(5).select(F.col("id").alias("k")),
+        stats=True,
     )
-    with pytest.raises(UnsupportedDeltaFeature, match="column-mapped"):
-        DeltaLogReader(spark, path).delete_where_dv([("k", "<", 2)])
+    r = DeltaLogReader(spark, path)
+    r.delete_where_dv([("k", "<", 2)])
+    assert sorted(x.k for x in r.read().collect()) == [2, 3, 4]
 
 
 def test_update_where_dv_rewrites_nothing(spark, tmp_path):

@@ -14,6 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from introduction_in_big_data_spark.sources.deltalog import (
+    ConstraintViolation,
     DeltaLogReader,
     UnsupportedDeltaFeature,
     create_minimal_table,
@@ -67,20 +68,59 @@ def test_append_only_blocks_data_removal_not_optimize(spark, tmp_path):
     assert v >= 0
 
 
-def test_check_constraints_refuse(spark, tmp_path):
+def test_check_constraints_enforced_on_write(spark, tmp_path):
+    """Round 8 (VERDICT r7 item 7): CHECK constraints are ENFORCED on
+    row-producing writes instead of refusing the table — conforming
+    batches commit, violating ones abort with nothing published."""
     path = str(tmp_path / "t")
-    create_minimal_table(spark, path, _df(spark))
+    create_minimal_table(spark, path, _df(spark), stats=True)
     _patch_commit0(
-        path, configuration={"delta.constraints.positive_k": "k >= 0"}
+        path, configuration={"delta.constraints.positive_v": "v >= 0"}
     )
-    with pytest.raises(UnsupportedDeltaFeature, match="CHECK"):
-        DeltaLogReader(spark, path).delete_where([("k", "<", 5)])
+    r = DeltaLogReader(spark, path)
+    # non-row-producing DML no longer refuses
+    v = r.delete_where([("k", "<", 5)])
+    assert r.read().count() == 45
+    # conforming merge commits
+    r.merge(
+        spark.createDataFrame([(100, 7.0)], "k long, v double"), "k"
+    )
+    assert r.read().count() == 46
+    # violating merge aborts — including the FALSE-or-NULL rule
+    # (delta-spark treats a NULL evaluation as a violation)
+    for bad in ((101, -1.0), (101, None)):
+        with pytest.raises(ConstraintViolation, match="positive_v"):
+            r.merge(
+                spark.createDataFrame([bad], "k long, v double"), "k"
+            )
+    assert DeltaLogReader(spark, path).latest_version() == v + 1
+    # violating UPDATE aborts before anything publishes
+    with pytest.raises(ConstraintViolation, match="positive_v"):
+        r.update_where([("k", "=", 100)], {"v": "-5.0"})
+    with pytest.raises(ConstraintViolation, match="positive_v"):
+        r.update_where_dv([("k", "=", 100)], {"v": "-5.0"})
+    r.update_where([("k", "=", 100)], {"v": "v + 1"})
+    got = {x.k: x.v for x in DeltaLogReader(spark, path).read().collect()}
+    assert got[100] == 8.0
 
 
-def test_invariants_and_generated_columns_refuse(spark, tmp_path):
+def test_invariants_enforced_generated_columns_refuse(spark, tmp_path):
+    # invariants now ENFORCE (round 8); generated/identity still refuse
+    path = str(tmp_path / "t_inv")
+    create_minimal_table(spark, path, _df(spark), stats=True)
+    _patch_commit0(
+        path,
+        field_md={
+            "delta.invariants": '{"expression":{"expression":"k > 0"}}'
+        },
+    )
+    r = DeltaLogReader(spark, path)
+    r.merge(spark.createDataFrame([(7, -1.0)], "k long, v double"), "k")
+    with pytest.raises(ConstraintViolation, match="invariant:k"):
+        r.merge(
+            spark.createDataFrame([(0, 1.0)], "k long, v double"), "k"
+        )
     for md, msg in (
-        ({"delta.invariants": '{"expression":{"expression":"k > 0"}}'},
-         "invariant"),
         ({"delta.generationExpression": "k + 1"}, "generation"),
         ({"delta.identity.start": 1}, "identity"),
     ):
