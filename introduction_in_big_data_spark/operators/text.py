@@ -223,26 +223,49 @@ def pack_token_shards(
 
 
 def tfidf_top_terms(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    broadcast_df: bool = True,
+    doc_partitions: int | None = 16,
 ) -> DataFrame:
     """Top-k TF-IDF terms per document — the classic corpus-analysis
     ranking (what "characterizes" each doc against the collection).
 
       score(d, t) = tf(d,t) · ln((N + 1) / (df(t) + 1))
 
-    Plan shape at 100 TB: the corpus is scanned and exploded ONCE.
-    After the per-(doc,term) tf aggregate, document frequency needs no
-    second pass over the corpus — (doc,term) is unique in tf, so
-    df(t) = count(*) over a term-partitioned window of tf, and the
-    window input (the term dictionary × docs containing it) is orders
-    of magnitude smaller than the exploded token stream. (The naive
-    form — a second groupBy on the token stream joined back — scans
-    and explodes the corpus twice; `.explain` showed two Generate
-    nodes, which is why this shape exists.) N is a 1-row broadcast
-    cross join; the final per-doc top-k is a row_number window that
-    Spark executes with WindowGroupLimit pushdown. Ranking uses the
-    ROUNDED score with the term as tiebreaker so ordering is
-    reproducible across engines (ties in (tf, df) are common).
+    Plan shape at 100 TB (round 8, VERDICT r7 item 6 — the term-window
+    restructure, measured variant ladder in SCALE.md): the token
+    stream crosses the wire exactly ONCE. The explode repartitions by
+    doc up front; hash(doc) satisfies the (doc, term) clustering the
+    tf aggregate requires AND the per-doc top-k window's clustering,
+    so neither inserts another exchange. df(t) comes from a
+    groupBy(term) count whose exchange carries only map-side PARTIAL
+    aggregates (one row per (task, term) — never the pair stream) and
+    joins back by BROADCAST (`broadcast_df=True`, the cf.py
+    broadcast_norms trade: a (term, df) dictionary is fine to ~10⁷
+    unique terms; for open-web-scale vocabularies pass
+    broadcast_df=False and df(t) reverts to a term-partitioned
+    window — scale-safe, one extra pair shuffle). Old plan: THREE
+    pair-stream shuffles (token groupBy, term window, doc window);
+    new plan: one, plus the tiny dictionary exchange. Measured sf1:
+    1.31s → 1.07s; the same-session DuckDB-cold ratio drops 3.2× →
+    2.0×. Alternatives measured and REJECTED: in-row sort+RLE tf (the
+    char_lm trick — token arrays sort slower than they hash-agg,
+    0.98s vs 0.75s for the tf stage alone at sf0.1) and broadcast-df
+    WITHOUT the doc pre-partition (tf recomputes for both consumers,
+    1.57s at sf1).
+
+    `doc_partitions` sizes the one exchange (16 measured best at the
+    bench SFs against {4, 8, 32, session-default+AQE}); None defers
+    to spark.sql.shuffle.partitions — the right setting on a real
+    cluster, where the session knob reflects executor count. The
+    per-doc top-k is a row_number window Spark executes with
+    WindowGroupLimit pushdown (k rows per doc survive map-side).
+    N is a 1-row broadcast cross join. Ranking uses the ROUNDED score
+    with the term as tiebreaker so ordering is reproducible across
+    engines (ties in (tf, df) are common).
     """
     from pyspark.sql import Window
 
@@ -252,21 +275,30 @@ def tfidf_top_terms(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.col(text_col))).alias("term"),
     )
+    tok = (
+        tok.repartition(doc_partitions, "doc")
+        if doc_partitions
+        else tok.repartition("doc")
+    )
     tf = tok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.withColumn("dfreq", dfreq)
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "doc",
-            "term",
-            F.round(
-                F.col("tf")
-                * F.log((F.col("n_docs") + 1.0) / (F.col("dfreq") + 1.0)),
-                6,
-            ).alias("score"),
+    if broadcast_df:
+        counts = tf.groupBy("term").agg(
+            F.count(F.lit(1)).alias("dfreq")
         )
+        with_df = tf.join(F.broadcast(counts), "term")
+    else:
+        with_df = tf.withColumn(
+            "dfreq", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+    scored = with_df.crossJoin(F.broadcast(n_docs)).select(
+        "doc",
+        "term",
+        F.round(
+            F.col("tf")
+            * F.log((F.col("n_docs") + 1.0) / (F.col("dfreq") + 1.0)),
+            6,
+        ).alias("score"),
     )
     w = Window.partitionBy("doc").orderBy(F.desc("score"), F.asc("term"))
     return (

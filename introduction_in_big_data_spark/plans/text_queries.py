@@ -384,19 +384,15 @@ def token_shard_stats(spark, sf_dir):
 )
 def tfidf_top_terms_q(spark, sf_dir):
     """Top-3 TF-IDF terms per document. See
-    operators/text.tfidf_top_terms for the scale shape (shared explode,
-    broadcast vocabulary, per-doc window)."""
-    from ..functions.partitioning import spread_if_narrow
+    operators/text.tfidf_top_terms for the scale shape (round 8: one
+    pair-stream exchange — doc pre-partition rides through the tf
+    aggregate, the broadcast-df join and the top-k window; the r4-r7
+    0.25x spread knob is superseded by the operator's own
+    doc_partitions exchange sizing)."""
     from ..operators.text import tfidf_top_terms
 
-    # 0.25x spread: measured best of {1-partition scan 0.91s, 0.25x
-    # 0.81s, 0.5x 0.83s, 2x 1.03s} at sf0.1 — same shuffle-stage
-    # granularity trade as text_char_lm_quality
     return tfidf_top_terms(
-        spread_if_narrow(t(spark, sf_dir, "documents"), multiplier=0.25),
-        "doc_id",
-        "text",
-        k=3,
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=3
     )
 
 
