@@ -3439,11 +3439,13 @@ def delta_shallow_clone_read(spark, sf_dir):
             FROM documents WHERE doc_id % 4 = 0
         ),
         changes AS (
-            SELECT 'insert' AS _change_type, lang, n_chars
-            FROM appended WHERE NOT (n_chars < 200)
+            SELECT 'insert' AS _change_type, lang, n_chars FROM appended
             UNION ALL
             SELECT 'delete' AS _change_type, lang, n_chars
             FROM documents WHERE n_chars < 200
+            UNION ALL
+            SELECT 'delete' AS _change_type, lang, n_chars
+            FROM appended WHERE n_chars < 200
         )
         SELECT _change_type, lang,
                CAST(count(*) AS BIGINT) AS n_rows,
@@ -3454,17 +3456,20 @@ def delta_shallow_clone_read(spark, sf_dir):
     tags=("iceberg", "lakehouse", "cdc", "changelog"),
 )
 def iceberg_changelog_read(spark, sf_dir):
-    """Iceberg incremental CHANGELOG scan (round 7 — fills the
-    matrix's 'Iceberg CDF read' gap): the spec stores NO change feed,
-    so row-level changes are COMPUTED from the snapshots' file-set
-    diff (the Java IncrementalChangelogScan): stage documents, append
-    a derived batch, then MERGE-ON-READ DELETE the short docs — the
-    changelog from the first snapshot must render (a) appended rows
-    that survived as inserts, (b) appended rows tombstoned inside the
-    range as NOTHING (born-and-died nets out), and (c) original rows
-    hit by the new position tombstones as deletes. Cost ∝ changed
-    files + delete files, never O(table). Value-hash checked against
-    a DuckDB replay of the same insert/delete derivation."""
+    """Iceberg incremental CHANGELOG scan SPANNING A COMPACTION
+    (round 8, VERDICT r7 item 8 — the former REPLACE refusal closed):
+    the spec stores NO change feed, so row-level changes are COMPUTED
+    per snapshot pair (the Java IncrementalChangelogScan): stage
+    documents, append a derived batch, COMPACT (a REPLACE snapshot —
+    it rewrites every file and changes no rows, so the walk SKIPS it
+    and the following commit diffs against the compacted file set),
+    then MERGE-ON-READ DELETE the short docs. The changelog renders
+    (a) every appended row as an insert in its own commit, (b) every
+    short row — original AND appended, now living in compacted files —
+    as a delete in the delete commit; a row born in one commit and
+    deleted in a later one emits both (the correct signed-delta feed;
+    only same-commit birth+tombstone nets out). Value-hash checked
+    against a DuckDB replay of the same per-commit derivation."""
     import tempfile
 
     from ..sources.iceberg import (
@@ -3484,7 +3489,59 @@ def iceberg_changelog_read(spark, sf_dir):
         (F.col("n_chars") * 3).alias("n_chars"),
     )
     append_data_snapshot(spark, path, batch, sequence=1)
+    IcebergTableReader(spark, path).compact()
     IcebergTableReader(spark, path).delete_where([("n_chars", "<", 200)])
+    ch = IcebergTableReader(spark, path).changelog(v1)
+    return ch.groupBy("_change_type", "lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "iceberg_changelog_upsert_read",
+    oracle="""
+        WITH src AS (
+            SELECT doc_id, lang, n_chars + 7 AS n_chars
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        changes AS (
+            SELECT 'insert' AS _change_type, lang, n_chars FROM src
+            UNION ALL
+            SELECT 'delete' AS _change_type, d.lang, d.n_chars
+            FROM documents d WHERE d.doc_id % 5 = 0
+        )
+        SELECT _change_type, lang,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM changes
+        GROUP BY _change_type, lang
+    """,
+    tags=("iceberg", "lakehouse", "cdc", "changelog", "equality-deletes"),
+)
+def iceberg_changelog_upsert_read(spark, sf_dir):
+    """Changelog over an EQUALITY-DELETE commit (round 8 — the Flink
+    upsert shape, formerly refused): one snapshot carries an
+    equality-delete file on doc_id plus the new rows' data file at
+    the same sequence number. The changelog renders the upsert as
+    delete (old images: rows of strictly-smaller-sequence files
+    matching the keys, via the read path's own sequence-gated
+    _eq_delete_join in semi mode) + insert (the new data file — its
+    own sequence ties the delete's, so the gate correctly spares it).
+    Value-hash checked against a DuckDB replay of both halves."""
+    import tempfile
+
+    from ..sources.iceberg import IcebergTableReader, create_minimal_table
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="iceberg_cl_up_") + "/t"
+    create_minimal_table(spark, path, docs.repartitionByRange(4, "doc_id"))
+    reader = IcebergTableReader(spark, path)
+    v1 = reader.metadata()["current-snapshot-id"]
+    src = docs.filter("doc_id % 5 = 0").select(
+        "doc_id", "lang", (F.col("n_chars") + 7).alias("n_chars")
+    )
+    reader.upsert(src, "doc_id")
     ch = IcebergTableReader(spark, path).changelog(v1)
     return ch.groupBy("_change_type", "lang").agg(
         F.count(F.lit(1)).alias("n_rows"),

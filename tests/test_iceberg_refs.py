@@ -121,29 +121,39 @@ def test_branch_appends_chain_on_branch_head(spark, tmp_path):
 
 def test_changelog_inserts_and_deletes(spark, tmp_path):
     """changelog(A, B): appended files render as inserts, new position
-    tombstones on surviving files render as row deletes, and a row
-    born-and-deleted inside the range nets to nothing."""
+    tombstones render as row deletes; per-snapshot rendering (round 8,
+    the Java IncrementalChangelogScan shape) — a row born in one
+    commit and deleted in a LATER one emits both, each stamped with
+    its own _commit_snapshot_id (the correct signed-delta feed; only
+    same-commit birth+tombstone nets out)."""
     path = _stage(spark, tmp_path, "cl")
     t = IcebergTableReader(spark, path)
     v1 = t.metadata()["current-snapshot-id"]
     append_data_snapshot(spark, path, _batch(spark, 10, 14), 1)
     t = IcebergTableReader(spark, path)
+    v2 = t.metadata()["current-snapshot-id"]
     t.delete_where([("k", "in", [2, 11])])
     t = IcebergTableReader(spark, path)
+    v3 = t.metadata()["current-snapshot-id"]
     ch = t.changelog(v1)
-    rows = {(r.k, r._change_type) for r in ch.collect()}
-    # 11 was born in the range and deleted in it -> absent entirely
+    rows = {(r.k, r._change_type, r._commit_snapshot_id) for r in ch.collect()}
     assert rows == {
-        (10, "insert"),
-        (12, "insert"),
-        (13, "insert"),
-        (2, "delete"),
+        (10, "insert", v2),
+        (11, "insert", v2),
+        (12, "insert", v2),
+        (13, "insert", v2),
+        (2, "delete", v3),
+        (11, "delete", v3),
     }
-    # full-range sanity: snapshot(B) == snapshot(A) + changelog applied
-    assert t.read().count() == 3 - 1 + 3
+    # signed-delta sanity: count(A) + inserts - deletes == count(B)
+    assert t.read().count() == 3 + 4 - 2
 
 
-def test_changelog_refuses_replace_and_equality(spark, tmp_path):
+def test_changelog_spans_replace_and_renders_equality(spark, tmp_path):
+    """Round 8 (VERDICT r7 item 8): REPLACE snapshots in the range are
+    SKIPPED (compaction changes no rows; later commits diff against
+    the compacted files), and equality-delete commits render the
+    sequence-gated matched rows as deletes."""
     from introduction_in_big_data_spark.sources.iceberg import (
         add_equality_deletes,
     )
@@ -153,16 +163,27 @@ def test_changelog_refuses_replace_and_equality(spark, tmp_path):
     v1 = t.metadata()["current-snapshot-id"]
     t.compact()
     t = IcebergTableReader(spark, path)
-    with pytest.raises(UnsupportedIcebergFeature, match="REPLACE"):
-        t.changelog(v1)
+    # compaction alone: the changelog is EMPTY, not a refusal
+    assert t.changelog(v1).count() == 0
+    # a delete AFTER the compaction diffs against the compacted files
+    t.delete_where([("k", "=", 2)])
+    t = IcebergTableReader(spark, path)
+    rows = {(r.k, r._change_type) for r in t.changelog(v1).collect()}
+    assert rows == {(2, "delete")}
 
     path2 = _stage(spark, tmp_path, "cl3")
     t2 = IcebergTableReader(spark, path2)
     v1 = t2.metadata()["current-snapshot-id"]
     add_equality_deletes(spark, path2, [(2,)], ["k"], sequence=1)
     t2 = IcebergTableReader(spark, path2)
-    with pytest.raises(UnsupportedIcebergFeature, match="equality"):
-        t2.changelog(v1)
+    rows = {(r.k, r._change_type) for r in t2.changelog(v1).collect()}
+    assert rows == {(2, "delete")}
+    # overlapping upsert: a SECOND eq delete of the same key must not
+    # re-emit (the row is already dead at the previous snapshot)
+    add_equality_deletes(spark, path2, [(2,), (3,)], ["k"], sequence=2)
+    t2 = IcebergTableReader(spark, path2)
+    rows = {(r.k, r._change_type) for r in t2.changelog(v1).collect()}
+    assert rows == {(2, "delete"), (3, "delete")}
 
 
 def test_changelog_removed_files_render_deletes(spark, tmp_path):
