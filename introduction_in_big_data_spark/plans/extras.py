@@ -317,6 +317,61 @@ def iceberg_interop_read(spark, sf_dir):
 
 
 @register(
+    "iceberg_v3_dv_dml_read",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        FROM orders
+        WHERE o_totalprice < 300000.0 AND o_orderkey >= 1000
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("iceberg", "lakehouse", "dml", "deletion-vectors"),
+)
+def iceberg_v3_dv_dml_read(spark, sf_dir):
+    """Predicate-driven DELETE via FORMAT-V3 DELETION VECTORS on an
+    Iceberg table (IcebergTableReader.delete_where_dv, round 8 — the
+    Spark 4 / Iceberg 1.8+ writer shape, twin of Delta's
+    delete_where_dv): two overlapping deletes commit as
+    roaring-bitmap puffin blobs — zero data files rewritten, manifest
+    bounds prune the candidate scan, matched positions compute
+    distributed with existing tombstones anti-joined out, and the
+    second commit MERGES each hit file's previous vector (the spec's
+    one-DV-per-file rule: old entries retire from the rewritten
+    delete manifests). The snapshot read decodes the puffin blobs and
+    anti-joins them away; the DuckDB oracle recomputes the survivor
+    set from raw parquet, so prune → position-scan → puffin-encode →
+    manifest-rewrite → replay → DV-apply is value-hash checked end to
+    end."""
+    import tempfile
+
+    from ..sources.iceberg import IcebergTableReader, create_minimal_table
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .repartitionByRange(6, "o_orderkey")
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_v3dv_dml_") + "/t"
+    create_minimal_table(spark, path, base, bounds=True)
+    reader = IcebergTableReader(spark, path)
+    reader.delete_where_dv([("o_totalprice", ">=", 300000.0)])
+    IcebergTableReader(spark, path).delete_where_dv(
+        [("o_orderkey", "<", 1000)]
+    )
+    snap = IcebergTableReader(spark, path).read()
+    return (
+        snap.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "iceberg_v3_dv_read",
     oracle="""
         WITH ranked AS (

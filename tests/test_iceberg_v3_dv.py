@@ -136,3 +136,63 @@ def test_v3_dv_compact_folds_vectors(spark, tmp_path):
         )
     )
     assert pos == [] and eq == []
+
+
+def test_delete_where_dv_writes_puffin(spark, tmp_path):
+    """The v3 DV WRITE path: delete_where_dv serializes matched
+    positions as puffin vectors — zero data files rewritten, one
+    vector per hit file, previous vectors MERGED and their old
+    entries retired (the spec's one-DV-per-file rule)."""
+    import os
+
+    path = _stage(spark, tmp_path, "t", 0, 1000)
+    r = IcebergTableReader(spark, path)
+    v = r.delete_where_dv([("k", ">=", 100), ("k", "<", 150)])
+    assert v != r.metadata()["snapshots"][0]["snapshot-id"]
+    meta_dir = os.path.join(path, "metadata")
+    assert [f for f in os.listdir(meta_dir) if f.endswith(".puffin")]
+    r = IcebergTableReader(spark, path)
+    assert r.metadata()["format-version"] == 3
+    got = sorted(x.k for x in r.read().collect())
+    assert got == list(range(100)) + list(range(150, 1000))
+    # overlapping second delete MERGES: exactly one DV applies per file
+    r.delete_where_dv([("k", ">=", 120), ("k", "<", 200)])
+    r = IcebergTableReader(spark, path)
+    got = sorted(x.k for x in r.read().collect())
+    assert got == list(range(100)) + list(range(200, 1000))
+    snap = next(
+        s
+        for s in r.metadata()["snapshots"]
+        if s["snapshot-id"] == r.metadata()["current-snapshot-id"]
+    )
+    _d, pos, _e = r._live_files(snap)
+    assert len(pos) == 1 and pos[0][1] == "PUFFIN"
+    # idempotence: re-running the same predicate commits nothing
+    cur = r.metadata()["current-snapshot-id"]
+    assert r.delete_where_dv([("k", ">=", 120), ("k", "<", 200)]) == cur
+
+
+def test_delete_where_dv_prunes_and_changelogs(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(0, 1200)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .repartitionByRange(6, "k")
+        .sortWithinPartitions("k")
+    )
+    create_minimal_table(spark, path, df, bounds=True)
+    r = IcebergTableReader(spark, path)
+    v1 = r.metadata()["current-snapshot-id"]
+    r.delete_where_dv([("k", ">=", 1000), ("k", "<", 1100)])
+    r = IcebergTableReader(spark, path)
+    # bounds pruned: only the hit file(s) got vectors
+    snap = next(
+        s
+        for s in r.metadata()["snapshots"]
+        if s["snapshot-id"] == r.metadata()["current-snapshot-id"]
+    )
+    _d, pos, _e = r._live_files(snap)
+    assert 1 <= len(pos) <= 2
+    assert r.read().count() == 1100
+    rows = {(x.k, x._change_type) for x in r.changelog(v1).collect()}
+    assert rows == {(k, "delete") for k in range(1000, 1100)}
