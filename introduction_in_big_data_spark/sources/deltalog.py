@@ -2064,8 +2064,15 @@ class DeltaLogReader:
           path validates its new rows via
           _enforce_write_constraints and aborts the commit on
           violation, the full-citizen writer behavior.
-        - Generated / identity columns: still refused — this writer
-          does not compute them, so it must not produce rows.
+        - Generated columns: VALIDATED — this engine's DML sources
+          provide whole rows, so the writer obligation reduces to
+          `col <=> generationExpression` on every new row, enforced
+          through the same constraint pass (delta-spark validates
+          explicitly-provided generated values the same way).
+        - Identity columns: accepted when
+          `delta.identity.allowExplicitInsert` is true (whole-row
+          sources provide the value); otherwise refused — the
+          high-water-mark generation protocol is not implemented.
         - minWriterVersion 7 feature lists: any feature outside the
           implemented set refuses; minWriterVersion > 7 refuses."""
         p = getattr(self, "_last_protocol", None) or {}
@@ -2088,15 +2095,18 @@ class DeltaLogReader:
             )
         for f in self._schema_from_meta(meta).fields:
             md = f.metadata or {}
-            for key, what in (
-                ("delta.generationExpression", "a generation expression"),
-                ("delta.identity.start", "identity-column metadata"),
+            if (
+                "delta.identity.start" in md
+                and str(
+                    md.get("delta.identity.allowExplicitInsert")
+                ).lower()
+                != "true"
             ):
-                if key in md:
-                    raise UnsupportedDeltaFeature(
-                        f"{op}: column {f.name!r} carries {what} this "
-                        "writer does not enforce"
-                    )
+                raise UnsupportedDeltaFeature(
+                    f"{op}: identity column {f.name!r} forbids explicit "
+                    "inserts and this writer does not implement "
+                    "high-water-mark generation"
+                )
 
     def _write_constraints(self, meta: dict) -> list[tuple[str, str]]:
         """(name, SQL expression) of every obligation new rows must
@@ -2110,16 +2120,29 @@ class DeltaLogReader:
             if k.startswith("delta.constraints.")
         ]
         for f in self._schema_from_meta(meta).fields:
-            inv = (f.metadata or {}).get("delta.invariants")
-            if not inv:
-                continue
-            try:
-                expr = json.loads(inv)["expression"]["expression"]
-            except Exception as e:
-                raise UnsupportedDeltaFeature(
-                    f"unparseable delta.invariants on {f.name!r}: {inv}"
-                ) from e
-            out.append((f"invariant:{f.name}", expr))
+            md = f.metadata or {}
+            inv = md.get("delta.invariants")
+            if inv:
+                try:
+                    expr = json.loads(inv)["expression"]["expression"]
+                except Exception as e:
+                    raise UnsupportedDeltaFeature(
+                        f"unparseable delta.invariants on {f.name!r}: "
+                        f"{inv}"
+                    ) from e
+                out.append((f"invariant:{f.name}", expr))
+            gen = md.get("delta.generationExpression")
+            if gen:
+                # whole-row sources provide the generated value; the
+                # writer obligation is value == expression (null-safe
+                # — <=> never yields NULL, so the FALSE-or-NULL
+                # violation rule reduces to plain inequality here)
+                out.append(
+                    (
+                        f"generated:{f.name}",
+                        f"({f.name}) <=> ({gen})",
+                    )
+                )
         return out
 
     def _enforce_write_constraints(

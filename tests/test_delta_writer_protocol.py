@@ -120,18 +120,64 @@ def test_invariants_enforced_generated_columns_refuse(spark, tmp_path):
         r.merge(
             spark.createDataFrame([(0, 1.0)], "k long, v double"), "k"
         )
-    for md, msg in (
-        ({"delta.generationExpression": "k + 1"}, "generation"),
-        ({"delta.identity.start": 1}, "identity"),
-    ):
-        path = str(tmp_path / f"t_{msg}")
-        create_minimal_table(spark, path, _df(spark))
-        _patch_commit0(path, field_md=md)
-        with pytest.raises(UnsupportedDeltaFeature, match=msg):
-            DeltaLogReader(spark, path).merge(
-                spark.createDataFrame([(1, -1.0)], "k long, v double"),
-                "k",
-            )
+    # identity WITHOUT allowExplicitInsert still refuses (the
+    # high-water-mark generation protocol is not implemented)
+    path = str(tmp_path / "t_identity")
+    create_minimal_table(spark, path, _df(spark))
+    _patch_commit0(path, field_md={"delta.identity.start": 1})
+    with pytest.raises(UnsupportedDeltaFeature, match="identity"):
+        DeltaLogReader(spark, path).merge(
+            spark.createDataFrame([(1, -1.0)], "k long, v double"), "k"
+        )
+
+
+def test_generated_columns_validated_identity_explicit_ok(
+    spark, tmp_path
+):
+    """Round 8: generated columns VALIDATE on write (whole-row
+    sources provide the value, so the obligation is value <=>
+    expression); identity columns with allowExplicitInsert=true
+    accept provided values."""
+    path = str(tmp_path / "t_gen")
+    create_minimal_table(spark, path, _df(spark), stats=True)
+    # v is generated as k * 1.0 (true for the staged data)
+    _patch_commit0(
+        path,
+        field_md=None,
+        configuration=None,
+    )
+    import json as _json
+    import os as _os
+
+    c0 = _os.path.join(path, "_delta_log", f"{0:020d}.json")
+    acts = [_json.loads(ln) for ln in open(c0) if ln.strip()]
+    for a in acts:
+        if "metaData" in a:
+            sch = _json.loads(a["metaData"]["schemaString"])
+            # fields are (k, v): v generated, k identity-explicit
+            sch["fields"][1]["metadata"] = {
+                "delta.generationExpression": "CAST(k AS DOUBLE)"
+            }
+            sch["fields"][0]["metadata"] = {
+                "delta.identity.start": 1,
+                "delta.identity.allowExplicitInsert": True,
+            }
+            a["metaData"]["schemaString"] = _json.dumps(sch)
+    with open(c0, "w") as fh:
+        for a in acts:
+            fh.write(_json.dumps(a) + "\n")
+    r = DeltaLogReader(spark, path)
+    # conforming merge: v == CAST(k AS DOUBLE)
+    r.merge(
+        spark.createDataFrame([(100, 100.0)], "k long, v double"), "k"
+    )
+    assert r.read().count() == 51
+    # mismatched generated value aborts
+    with pytest.raises(ConstraintViolation, match="generated:v"):
+        r.merge(
+            spark.createDataFrame([(101, 5.0)], "k long, v double"), "k"
+        )
+    assert DeltaLogReader(spark, path).read().count() == 51
 
 
 def test_unknown_writer_feature_refuses(spark, tmp_path):
