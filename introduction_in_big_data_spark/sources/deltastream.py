@@ -32,8 +32,12 @@ rewrites without cdc refuse. Mirrors
 deltalog.DeltaLogReader.changes, micro-batched (the stream-batch
 parity is pinned by tests and the registered query).
 
-Scope gates (loud, tested): reader protocol must be version 1 (no
-column mapping / deletion vectors on the streaming path), the log must
+Scope gates (loud, tested): reader protocol 1 and 2 stream, and 3
+streams when readerFeatures need nothing beyond columnMapping —
+COLUMN-MAPPED tables work (round 8: the workers scan physical column
+names and partitionValues resolve by physical key; nested columns
+under mapping refuse, their member renames need the batch reader).
+Deletion-vector adds refuse on the streaming path. The log must
 still contain JSON commit 0 onward for the replayed range (vacuumed
 tails refuse), and partition column types are limited to the
 string-serializable set the worker can reconstruct.
@@ -91,16 +95,24 @@ def _commit_actions(log_dir: str, v: int) -> list[dict]:
 
 def _table_meta(log_dir: str) -> dict:
     """Latest metaData action (schemaString, partitionColumns) with the
-    protocol gate applied — walked once at query resolution."""
+    protocol gate applied — walked once at query resolution. Reader
+    versions 1/2 stream; version 3 streams when readerFeatures need
+    nothing beyond columnMapping (deletion vectors refuse at the add
+    level)."""
     meta = None
     for v in _versions(log_dir):
         for a in _commit_actions(log_dir, v):
-            if "protocol" in a and a["protocol"].get("minReaderVersion", 1) > 1:
-                raise ValueError(
-                    "delta_stream reads protocol reader version 1 only "
-                    "(no column mapping / deletion vectors on the "
-                    "streaming path); use DeltaLogReader for snapshots"
-                )
+            if "protocol" in a:
+                p = a["protocol"]
+                mrv = p.get("minReaderVersion", 1)
+                feats = set(p.get("readerFeatures") or [])
+                if mrv > 3 or (mrv == 3 and feats - {"columnMapping"}):
+                    raise ValueError(
+                        "delta_stream reads protocol reader versions "
+                        "1/2 (+3 with only the columnMapping feature); "
+                        f"this table needs v{mrv} {sorted(feats)} — "
+                        "use DeltaLogReader for snapshots"
+                    )
             if "metaData" in a and a["metaData"].get("schemaString"):
                 meta = a["metaData"]
     if meta is None:
@@ -108,12 +120,38 @@ def _table_meta(log_dir: str) -> dict:
     return meta
 
 
+def _phys_by_logical(meta: dict) -> dict[str, str]:
+    """logical -> PHYSICAL column name (identity without mapping).
+    Nested columns under mapping refuse: their member renames need the
+    batch reader's positional struct cast, which a by-value
+    stdlib-only worker cannot carry."""
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    fields = json.loads(meta["schemaString"])["fields"]
+    if mode == "none":
+        return {f["name"]: f["name"] for f in fields}
+    for f in fields:
+        if isinstance(f.get("type"), dict):
+            raise ValueError(
+                f"delta_stream: column-mapped nested column "
+                f"{f['name']!r} — nested member renames need the "
+                "batch reader (DeltaLogReader)"
+            )
+    return {
+        f["name"]: (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        for f in fields
+    }
+
+
 class _DeltaFilePartition(InputPartition):
     def __init__(
         self,
         path: str,
-        columns: list[tuple[str, str]],  # (name, simpleString type)
-        partition_values: dict[str, str | None],
+        columns: list[tuple[str, str, str]],  # (name, type, physical)
+        partition_values: dict[str, str | None],  # PHYSICAL keys
         change_type: str | None = None,  # CDF: constant tag, or
         commit_version: int | None = None,  # None = read from the file
     ):
@@ -159,25 +197,29 @@ class DeltaStreamReader(DataSourceStreamReader):
         self._starting_version = None if sv is None else int(sv)
         meta = _table_meta(self.log_dir)
         fields = json.loads(meta["schemaString"])["fields"]
-        from pyspark.sql.types import StructField, StructType
+        from pyspark.sql.types import StructType
 
         struct = StructType.fromJson(
             {"type": "struct", "fields": fields}
         )
+        phys = _phys_by_logical(meta)
         self._columns = [
-            (f.name, f.dataType.simpleString()) for f in struct.fields
+            (f.name, f.dataType.simpleString(), phys[f.name])
+            for f in struct.fields
         ]
-        self._part_cols = list(meta.get("partitionColumns") or [])
-        types = dict(self._columns)
+        # partitionColumns store PHYSICAL names under mapping
+        by_phys = {p: n for n, p in phys.items()}
+        self._part_cols = [
+            by_phys.get(c, c)
+            for c in (meta.get("partitionColumns") or [])
+        ]
+        types = {n: t for n, t, _p in self._columns}
         for c in self._part_cols:
             if types.get(c) not in _PARTITION_TYPES:
                 raise ValueError(
                     f"partition column {c!r} has type {types.get(c)!r}; "
                     f"delta_stream reconstructs {sorted(_PARTITION_TYPES)}"
                 )
-        # silence unused warning; StructField import keeps parity with
-        # fromJson's field handling
-        del StructField
 
     def initialOffset(self):
         if self._starting_version is not None:
@@ -196,7 +238,9 @@ class DeltaStreamReader(DataSourceStreamReader):
         rewrites without cdc refuse. Mirrors
         deltalog.DeltaLogReader.changes, micro-batched."""
         out: list[_DeltaFilePartition] = []
-        cdc_cols = self._columns + [("_change_type", "string")]
+        cdc_cols = self._columns + [
+            ("_change_type", "string", "_change_type")
+        ]
         # live-set tracker, one forward pass (delete rendering needs
         # each removed path's original add for its partitionValues)
         live = _adds_until(self.log_dir, v0 + 1)
@@ -349,11 +393,13 @@ class DeltaStreamReader(DataSourceStreamReader):
         names = set(table.column_names)
         n = table.num_rows
         cols = []
-        for name, t in partition.columns:
-            if name in names:
-                cols.append(table.column(name).to_pylist())
-            elif name in partition.partition_values:
-                cols.append([conv(partition.partition_values[name], t)] * n)
+        for _name, t, phys in partition.columns:
+            if phys in names:
+                cols.append(table.column(phys).to_pylist())
+            elif phys in partition.partition_values:
+                cols.append(
+                    [conv(partition.partition_values[phys], t)] * n
+                )
             else:
                 cols.append([None] * n)
         if partition.commit_version is None:

@@ -106,18 +106,87 @@ def test_ignore_deletes_skips_delete_only_commits(spark, tmp_path, df):
     assert [r["count"] for r in out.collect()] == [400]
 
 
-def test_protocol_v2_refused(spark, tmp_path, df):
+def test_column_mapped_table_streams(spark, tmp_path, df):
+    """Round 8: column-mapped tables STREAM (workers scan physical
+    column names; partitionValues resolve by physical key) — the old
+    reader-v2 refusal is gone. Unknown v3 features still refuse."""
+    import json as _json
+    import os as _os
+
     from introduction_in_big_data_spark.sources.deltalog import (
+        commit_append,
         create_column_mapped_table,
     )
 
     path = str(tmp_path / "t")
     create_column_mapped_table(spark, path, df)
     register_delta_stream(spark)
-    with pytest.raises(Exception, match="reader version 1"):
+    q = (
+        spark.readStream.format("delta_stream")
+        .option("path", path)
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cm_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("cm_stream")
+    assert sorted(got.columns) == sorted(df.columns)
+    assert got.count() == df.count()
+    # appended physical-named files tail into the stream too
+    phys = {
+        f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+        for a in (
+            _json.loads(ln)
+            for ln in open(
+                _os.path.join(path, "_delta_log", f"{0:020d}.json")
+            )
+            if ln.strip()
+        )
+        if "metaData" in a
+        for f in _json.loads(a["metaData"]["schemaString"])["fields"]
+    }
+    from pyspark.sql import functions as F
+
+    batch = df.limit(3).select(
+        *[F.col(c).alias(phys[c]) for c in df.columns]
+    )
+    commit_append(spark, path, batch)
+    q2 = (
+        spark.readStream.format("delta_stream")
+        .option("path", path)
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cm_stream2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert spark.table("cm_stream2").count() == df.count() + 3
+
+    # a v3 table needing more than columnMapping still refuses
+    path2 = str(tmp_path / "t2")
+    create_column_mapped_table(spark, path2, df)
+    c0 = _os.path.join(path2, "_delta_log", f"{0:020d}.json")
+    acts = [_json.loads(ln) for ln in open(c0) if ln.strip()]
+    for a in acts:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping", "deletionVectors"],
+                "writerFeatures": ["columnMapping", "deletionVectors"],
+            }
+    with open(c0, "w") as fh:
+        for a in acts:
+            fh.write(_json.dumps(a) + "\n")
+    with pytest.raises(Exception, match="deletionVectors"):
         (
             spark.readStream.format("delta_stream")
-            .option("path", path)
+            .option("path", path2)
             .load()
         )
 
