@@ -33,14 +33,22 @@ deltalog.DeltaLogReader.changes, micro-batched (the stream-batch
 parity is pinned by tests and the registered query).
 
 Scope gates (loud, tested): reader protocol 1 and 2 stream, and 3
-streams when readerFeatures need nothing beyond columnMapping —
-COLUMN-MAPPED tables work (round 8: the workers scan physical column
-names and partitionValues resolve by physical key; nested columns
-under mapping refuse, their member renames need the batch reader).
-Deletion-vector adds refuse on the streaming path. The log must
-still contain JSON commit 0 onward for the replayed range (vacuumed
-tails refuse), and partition column types are limited to the
-string-serializable set the worker can reconstruct.
+streams when readerFeatures need nothing beyond columnMapping and
+deletionVectors — COLUMN-MAPPED tables work (round 8: the workers
+scan physical column names and partitionValues resolve by physical
+key; nested columns under mapping refuse, their member renames need
+the batch reader), and the CDF stream renders DELETION-VECTOR
+commits (round 8): a DV transition's newly-tombstoned rows emit as
+deletes (the bitmap DIFF decodes DRIVER-side in partitions() — the
+worker just receives the position list, staying stdlib-only), files
+born WITH a vector insert only their live complement, and a
+whole-file remove of a vectored file deletes only its live rows —
+the exact batch changes() semantics, micro-batched. DV adds still
+refuse on the PLAIN streaming path (an append stream cannot render
+row-level deletes). The log must still contain JSON commit 0 onward
+for the replayed range (vacuumed tails refuse), and partition column
+types are limited to the string-serializable set the worker can
+reconstruct.
 
 Usage:
     spark.dataSource.register(DeltaStreamDataSource)
@@ -106,10 +114,13 @@ def _table_meta(log_dir: str) -> dict:
                 p = a["protocol"]
                 mrv = p.get("minReaderVersion", 1)
                 feats = set(p.get("readerFeatures") or [])
-                if mrv > 3 or (mrv == 3 and feats - {"columnMapping"}):
+                if mrv > 3 or (
+                    mrv == 3
+                    and feats - {"columnMapping", "deletionVectors"}
+                ):
                     raise ValueError(
                         "delta_stream reads protocol reader versions "
-                        "1/2 (+3 with only the columnMapping feature); "
+                        "1/2 (+3 with columnMapping/deletionVectors); "
                         f"this table needs v{mrv} {sorted(feats)} — "
                         "use DeltaLogReader for snapshots"
                     )
@@ -154,12 +165,16 @@ class _DeltaFilePartition(InputPartition):
         partition_values: dict[str, str | None],  # PHYSICAL keys
         change_type: str | None = None,  # CDF: constant tag, or
         commit_version: int | None = None,  # None = read from the file
+        include_positions: list[int] | None = None,  # DV diff deletes
+        exclude_positions: list[int] | None = None,  # live complement
     ):
         self.path = path
         self.columns = columns
         self.partition_values = partition_values
         self.change_type = change_type
         self.commit_version = commit_version
+        self.include_positions = include_positions
+        self.exclude_positions = exclude_positions
 
 
 def _adds_until(log_dir: str, v_excl: int) -> dict[str, dict]:
@@ -176,6 +191,51 @@ def _adds_until(log_dir: str, v_excl: int) -> dict[str, dict]:
             elif "remove" in a:
                 adds.pop(a["remove"]["path"], None)
     return adds
+
+
+def _decode_dv(table_path: str, add: dict) -> list[int]:
+    """Driver-side decode of one add action's deletion vector into its
+    position list (uuid / relative-path / inline storage per
+    PROTOCOL.md), via functions/roaring. Called ONLY from
+    partitions() — the driver has the package importable; the
+    by-value worker never runs this."""
+    from ..functions import roaring
+
+    dv = add["deletionVector"]
+    st = dv.get("storageType")
+    size = int(dv.get("sizeInBytes") or 0)
+    if st == "i":
+        return roaring.positions_from_descriptor(
+            "i", dv["pathOrInlineDv"], "", 0, size
+        )
+    offset = int(dv.get("offset") or 1)
+    if st == "p":
+        p = unquote(dv["pathOrInlineDv"])
+        bin_path = (
+            p if p.startswith("/") else os.path.join(table_path, p)
+        )
+        return roaring.positions_from_descriptor(
+            "p", "", bin_path, offset, size
+        )
+    if st == "u":
+        import uuid as _uuid
+
+        s = dv["pathOrInlineDv"]
+        if len(s) < 20:
+            raise ValueError(f"malformed uuid deletion vector path {s!r}")
+        prefix, z = s[:-20], s[-20:]
+        u = _uuid.UUID(bytes=roaring.z85_decode(z))
+        base = (
+            os.path.join(table_path, prefix) if prefix else table_path
+        )
+        return roaring.positions_from_descriptor(
+            "u",
+            "",
+            os.path.join(base, f"deletion_vector_{u}.bin"),
+            offset,
+            size,
+        )
+    raise ValueError(f"deletionVector storageType {st!r}")
 
 
 class DeltaStreamReader(DataSourceStreamReader):
@@ -277,18 +337,37 @@ class DeltaStreamReader(DataSourceStreamReader):
                             commit_version=v,
                         )
                     )
-                for a in actions:  # advance the tracker
+                for a in actions:  # advance: removes before adds
+                    if "remove" in a:
+                        live.pop(a["remove"]["path"], None)
+                for a in actions:
                     if "add" in a:
                         live[a["add"]["path"]] = a["add"]
-                    elif "remove" in a:
-                        live.pop(a["remove"]["path"], None)
                 continue
-            if adds and removes:
+            # split DV transitions / born-with-DV adds from plain
+            # adds — the exact batch changes() classification
+            dv_transitions: list[tuple[dict, dict]] = []
+            born_with_dv: list[dict] = []
+            plain_adds: list[dict] = []
+            for add in adds:
+                prev = live.get(add["path"])
+                if add.get("deletionVector"):
+                    if prev is None:
+                        born_with_dv.append(add)
+                    else:
+                        dv_transitions.append((add, prev))
+                else:
+                    plain_adds.append(add)
+            trans_paths = {a["path"] for a, _prev in dv_transitions}
+            plain_removes = [
+                r for r in removes if r["path"] not in trans_paths
+            ]
+            if (plain_adds or born_with_dv) and plain_removes:
                 raise ValueError(
                     f"commit {v} rewrites data files without cdc "
                     "actions — stage the table with CDF enabled"
                 )
-            for add in adds:
+            for add in plain_adds:
                 out.append(
                     _DeltaFilePartition(
                         full(add["path"]),
@@ -298,23 +377,67 @@ class DeltaStreamReader(DataSourceStreamReader):
                         commit_version=v,
                     )
                 )
-            if removes:
-                for r in removes:
-                    a = live.get(r["path"]) or r
-                    out.append(
-                        _DeltaFilePartition(
-                            full(r["path"]),
-                            self._columns,
-                            a.get("partitionValues") or {},
-                            change_type="delete",
-                            commit_version=v,
-                        )
+            for add in born_with_dv:
+                # birth-tombstoned rows were never visible: insert the
+                # live complement only
+                out.append(
+                    _DeltaFilePartition(
+                        full(add["path"]),
+                        self._columns,
+                        add.get("partitionValues") or {},
+                        change_type="insert",
+                        commit_version=v,
+                        exclude_positions=_decode_dv(self.path, add),
                     )
-            for a in actions:  # advance the tracker
+                )
+            for add, prev in dv_transitions:
+                # newly-tombstoned rows = new bitmap minus previous
+                newp = set(_decode_dv(self.path, add))
+                oldp = (
+                    set(_decode_dv(self.path, prev))
+                    if prev.get("deletionVector")
+                    else set()
+                )
+                diff = sorted(newp - oldp)
+                if not diff:
+                    continue
+                out.append(
+                    _DeltaFilePartition(
+                        full(add["path"]),
+                        self._columns,
+                        add.get("partitionValues") or {},
+                        change_type="delete",
+                        commit_version=v,
+                        include_positions=diff,
+                    )
+                )
+            for r in plain_removes:
+                a = live.get(r["path"]) or r
+                # a removed file that carried a vector deletes only
+                # its LIVE rows (tombstones already emitted)
+                exclude = (
+                    _decode_dv(self.path, a)
+                    if a.get("deletionVector")
+                    else None
+                )
+                out.append(
+                    _DeltaFilePartition(
+                        full(r["path"]),
+                        self._columns,
+                        a.get("partitionValues") or {},
+                        change_type="delete",
+                        commit_version=v,
+                        exclude_positions=exclude,
+                    )
+                )
+            # advance the tracker: removes BEFORE adds (add supersedes
+            # a same-commit remove regardless of serialization order)
+            for a in actions:
+                if "remove" in a:
+                    live.pop(a["remove"]["path"], None)
+            for a in actions:
                 if "add" in a:
                     live[a["add"]["path"]] = a["add"]
-                elif "remove" in a:
-                    live.pop(a["remove"]["path"], None)
         return out
 
     def partitions(self, start, end):
@@ -402,14 +525,33 @@ class DeltaStreamReader(DataSourceStreamReader):
                 )
             else:
                 cols.append([None] * n)
+        inc = (
+            set(partition.include_positions)
+            if partition.include_positions is not None
+            else None
+        )
+        exc = (
+            set(partition.exclude_positions)
+            if partition.exclude_positions is not None
+            else None
+        )
+
+        def rows():
+            for i, row in enumerate(zip(*cols)):
+                if inc is not None and i not in inc:
+                    continue
+                if exc is not None and i in exc:
+                    continue
+                yield row
+
         if partition.commit_version is None:
-            yield from zip(*cols)
+            yield from rows()
         elif partition.change_type is None:
             # CDF cdc file: _change_type is the last column already
-            for row in zip(*cols):
+            for row in rows():
                 yield row + (partition.commit_version,)
         else:
-            for row in zip(*cols):
+            for row in rows():
                 yield row + (
                     partition.change_type,
                     partition.commit_version,

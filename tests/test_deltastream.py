@@ -167,7 +167,8 @@ def test_column_mapped_table_streams(spark, tmp_path, df):
     q2.awaitTermination()
     assert spark.table("cm_stream2").count() == df.count() + 3
 
-    # a v3 table needing more than columnMapping still refuses
+    # a v3 table needing features beyond columnMapping/deletionVectors
+    # still refuses
     path2 = str(tmp_path / "t2")
     create_column_mapped_table(spark, path2, df)
     c0 = _os.path.join(path2, "_delta_log", f"{0:020d}.json")
@@ -177,13 +178,13 @@ def test_column_mapped_table_streams(spark, tmp_path, df):
             a["protocol"] = {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["columnMapping", "deletionVectors"],
-                "writerFeatures": ["columnMapping", "deletionVectors"],
+                "readerFeatures": ["columnMapping", "v2Checkpoint"],
+                "writerFeatures": ["columnMapping", "v2Checkpoint"],
             }
     with open(c0, "w") as fh:
         for a in acts:
             fh.write(_json.dumps(a) + "\n")
-    with pytest.raises(Exception, match="deletionVectors"):
+    with pytest.raises(Exception, match="v2Checkpoint"):
         (
             spark.readStream.format("delta_stream")
             .option("path", path2)
@@ -264,3 +265,56 @@ def test_cdf_stream_renders_appends_and_refuses_cdfless_rewrites(
         st.run_to_memory(
             s2.groupBy().count(), "complete", state_partitions=2
         )
+
+
+def test_cdf_stream_renders_deletion_vector_commits(spark, tmp_path, df):
+    """Round 8: the CDF stream renders DELETION-VECTOR commits — the
+    bitmap diff decodes driver-side in partitions(), workers receive
+    position lists. Stream == batch changes(), pinned per commit."""
+    from introduction_in_big_data_spark.sources.deltalog import (
+        DeltaLogReader,
+        commit_add_with_dv,
+        create_minimal_table,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, df.repartition(1), stats=True
+    )
+    r = DeltaLogReader(spark, path)
+    v1 = r.delete_where_dv([("k", "<", 3)])
+    v2 = r.delete_where_dv([("k", ">=", 2), ("k", "<", 6)])  # overlap
+    born = spark.range(2000, 2010, 1, 1).select(
+        F.col("id").alias("k"), F.lit(-1.0).alias("v")
+    )
+    v3 = commit_add_with_dv(spark, path, born, [0, 1])
+    register_delta_stream(spark)
+    q = (
+        spark.readStream.format("delta_stream")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+        .writeStream.format("memory")
+        .queryName("dv_cdf_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (x.k, x._change_type, x._commit_version)
+        for x in spark.table("dv_cdf_stream").collect()
+    }
+    expected = (
+        {(k, "delete", v1) for k in range(3)}
+        | {(k, "delete", v2) for k in range(3, 6)}  # overlap nets out
+        | {(k, "insert", v3) for k in range(2002, 2010)}  # complement
+    )
+    assert got == expected
+    # parity with batch changes()
+    batch = {
+        (x.k, x["_change_type"], x["_commit_version"])
+        for x in DeltaLogReader(spark, path).changes(0, v3).collect()
+    }
+    assert got == batch
