@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..streaming import stream as st
 from . import cdf_fixture as _cdf
-from .registry import register
+from .registry import register, t
 
 N_FILES = 5
 
@@ -667,6 +667,60 @@ def stream_delta_cdf_feed(spark, sf_dir):
         F.sum("o_cents").alias("sum_o_cents"),
     )
     return st.run_to_memory(agg, "complete", state_partitions=4)
+
+
+@register(
+    "stream_delta_dv_cdf_feed",
+    oracle="""
+        SELECT 'delete' AS _change_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        FROM orders
+        WHERE o_totalprice >= 300000.0
+           OR (o_orderkey < 1000 AND o_totalprice < 300000.0)
+    """,
+    tags=("streaming", "delta", "cdf", "deletion-vectors", "lakehouse"),
+)
+def stream_delta_dv_cdf_feed(spark, sf_dir):
+    """STREAMING the CDF of a DELETION-VECTOR table (round 8 —
+    delta_stream readChangeFeed over delete_where_dv commits, the
+    Delta 3.x/Databricks write shape): two overlapping DV deletes
+    write NO cdc files — each micro-batch renders its commit's
+    deleted rows from the bitmap DIFF, decoded driver-side in
+    partitions() so the stdlib-only worker just receives position
+    lists. The overlap must not re-emit (the second commit's diff
+    nets out rows the first already tombstoned); the drained
+    per-change-type aggregate hash-matches a full SQL replay of both
+    deletes — stream == batch changes() through the offset contract,
+    the bitmap decode, and the position-filtered worker reads."""
+    import tempfile
+
+    from ..sources.deltalog import DeltaLogReader, create_minimal_table
+    from ..sources.deltastream import register_delta_stream
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .repartitionByRange(6, "o_orderkey")
+    )
+    path = tempfile.mkdtemp(prefix="delta_dv_stream_") + "/t"
+    create_minimal_table(spark, path, base, stats=True)
+    reader = DeltaLogReader(spark, path)
+    reader.delete_where_dv([("o_totalprice", ">=", 300000.0)])
+    reader.delete_where_dv([("o_orderkey", "<", 1000)])
+    register_delta_stream(spark)
+    s = (
+        spark.readStream.format("delta_stream")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+    )
+    agg = s.groupBy("_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_key"),
+    )
+    return st.run_to_memory(agg, "complete", state_partitions=2)
 
 
 @register(

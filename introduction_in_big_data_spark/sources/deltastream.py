@@ -70,6 +70,12 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+# stdlib-only module, shipped BY VALUE alongside this one (see
+# register_delta_stream) — the stream reader's partitions() runs in a
+# driver-side Python worker whose sys.path may not have this package,
+# and the DV bitmap decode happens there
+from ..functions import roaring
+
 # partition-column Spark simpleStrings the worker can reconstruct from
 # the log's string serialization
 _PARTITION_TYPES = {
@@ -194,13 +200,11 @@ def _adds_until(log_dir: str, v_excl: int) -> dict[str, dict]:
 
 
 def _decode_dv(table_path: str, add: dict) -> list[int]:
-    """Driver-side decode of one add action's deletion vector into its
-    position list (uuid / relative-path / inline storage per
-    PROTOCOL.md), via functions/roaring. Called ONLY from
-    partitions() — the driver has the package importable; the
-    by-value worker never runs this."""
-    from ..functions import roaring
-
+    """Decode one add action's deletion vector into its position list
+    (uuid / relative-path / inline storage per PROTOCOL.md). Called
+    from partitions(), which runs in the DRIVER-SIDE Python worker —
+    roaring ships by value next to this module so the decode needs no
+    package import there."""
     dv = add["deletionVector"]
     st = dv.get("storageType")
     size = int(dv.get("sizeInBytes") or 0)
@@ -562,15 +566,17 @@ class DeltaStreamReader(DataSourceStreamReader):
 
 
 def register_delta_stream(spark) -> None:
-    """Register the source as `delta_stream`, shipping this module BY
-    VALUE (it is stdlib+pyspark only) so the Python workers of an
-    external driver — whose cwd may not have this package importable —
-    can unpickle the reader (same policy as operators/multimodal)."""
+    """Register the source as `delta_stream`, shipping this module —
+    AND functions/roaring, its one non-stdlib dependency (the DV
+    bitmap decode) — BY VALUE so the Python workers of an external
+    driver, whose cwd may not have this package importable, can
+    unpickle the reader (same policy as operators/multimodal)."""
     import sys
 
     from pyspark import cloudpickle
 
     try:
+        cloudpickle.register_pickle_by_value(roaring)
         cloudpickle.register_pickle_by_value(sys.modules[__name__])
     except Exception:  # pragma: no cover — same-cwd runs work anyway
         pass
