@@ -372,6 +372,58 @@ def iceberg_v3_dv_dml_read(spark, sf_dir):
 
 
 @register(
+    "iceberg_v3_dv_update_read",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(CASE WHEN o_totalprice >= 400000.0
+                              THEN o_totalprice * 2
+                              ELSE o_totalprice END), 2) AS total_price
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("iceberg", "lakehouse", "dml", "deletion-vectors"),
+)
+def iceberg_v3_dv_update_read(spark, sf_dir):
+    """MERGE-ON-READ UPDATE via FORMAT-V3 DELETION VECTORS
+    (IcebergTableReader.update_where_dv, round 8 — the v3 twin of the
+    v2 position-delete update, and the Iceberg analog of Delta's
+    update_where_dv): double every high-value order's price as ONE
+    snapshot that tombstones the matched rows with puffin
+    roaring-bitmap vectors and appends their updated images — no
+    existing data file rewrites, cost ∝ matched rows. The snapshot
+    read decodes the vectors, anti-joins them away and unions the
+    image file in; the DuckDB oracle replays the assignment from raw
+    parquet, value-hash checking skip → position-scan →
+    puffin-encode+append commit → replay end to end."""
+    import tempfile
+
+    from ..sources.iceberg import IcebergTableReader, create_minimal_table
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .repartitionByRange(6, "o_orderkey")
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_v3dv_upd_") + "/t"
+    create_minimal_table(spark, path, base, bounds=True)
+    IcebergTableReader(spark, path).update_where_dv(
+        [("o_totalprice", ">=", 400000.0)],
+        {"o_totalprice": "o_totalprice * 2"},
+    )
+    snap = IcebergTableReader(spark, path).read()
+    return (
+        snap.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "iceberg_v3_dv_read",
     oracle="""
         WITH ranked AS (

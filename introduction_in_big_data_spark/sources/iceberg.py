@@ -2890,6 +2890,29 @@ class IcebergTableReader:
                 )
             merged[p] = sorted(set(old) | set(positions))
 
+        return self._publish_dv_snapshot(meta, base, snapshot, merged)
+
+    def _publish_dv_snapshot(
+        self,
+        meta: dict,
+        base,
+        snapshot: dict,
+        merged: dict[str, list[int]],
+        extra_manifests: list[tuple[str, int]] = (),
+        operation: str = "delete",
+    ) -> int:
+        """Publish ONE format-v3 snapshot carrying a puffin deletion
+        vector per entry of `merged` (data file -> final position
+        set): write the puffin file, rewrite existing delete manifests
+        to retire replaced DV entries (one DV per data file, spec
+        rule), append the new DV manifest plus any `extra_manifests`
+        [(path, content)] — update_where_dv's image data manifest
+        rides here — and bump metadata to format-version 3. Shared by
+        delete_where_dv and update_where_dv."""
+        import uuid as _uuidmod
+
+        from ..functions import avrocodec, puffin
+
         meta_dir = os.path.join(self.path, "metadata")
         new_snap_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
         pf_path = os.path.join(meta_dir, f"dv-{_uuidmod.uuid4().hex}.puffin")
@@ -3012,21 +3035,31 @@ class IcebergTableReader:
         ml = os.path.join(
             meta_dir, f"snap-{new_snap_id}-{_uuidmod.uuid4().hex}.avro"
         )
-        avrocodec.write_container(
-            ml,
-            ml_schema,
-            kept_manifests
-            + [
+        new_entries = [
+            _pad_nullable_fields(
+                ml_schema,
+                {
+                    "manifest_path": f"file://{manifest}",
+                    "manifest_length": os.path.getsize(manifest),
+                    "partition_spec_id": 0,
+                    "content": 1,
+                },
+            )
+        ]
+        for extra_path, content in extra_manifests:
+            new_entries.append(
                 _pad_nullable_fields(
                     ml_schema,
                     {
-                        "manifest_path": f"file://{manifest}",
-                        "manifest_length": os.path.getsize(manifest),
+                        "manifest_path": f"file://{extra_path}",
+                        "manifest_length": os.path.getsize(extra_path),
                         "partition_spec_id": 0,
-                        "content": 1,
+                        "content": content,
                     },
                 )
-            ],
+            )
+        avrocodec.write_container(
+            ml, ml_schema, kept_manifests + new_entries
         )
         meta = dict(meta)
         meta["format-version"] = 3
@@ -3035,12 +3068,151 @@ class IcebergTableReader:
                 "snapshot-id": new_snap_id,
                 "timestamp-ms": 0,
                 "manifest-list": f"file://{ml}",
-                "summary": {"operation": "delete"},
+                "summary": {"operation": operation},
             }
         ]
         meta["current-snapshot-id"] = new_snap_id
         _publish_metadata(self.path, meta, base)
         return new_snap_id
+
+    def update_where_dv(
+        self, predicates: list, set_exprs: dict
+    ) -> int:
+        """UPDATE ... SET ... WHERE as ONE FORMAT-V3 snapshot:
+        deletion vectors tombstone the matched rows (puffin blobs, one
+        merged vector per hit file — delete_where_dv's kernel) and
+        their updated images append as a new data file — the v3 twin
+        of update_where's v2 position-delete shape, and the Iceberg
+        analog of DeltaLogReader.update_where_dv. Candidates prune on
+        manifest bounds, matched positions compute DISTRIBUTED,
+        already-tombstoned rows are excluded, every assignment
+        evaluates against the OLD row in one projection. Tables with
+        equality deletes refuse. Returns the new snapshot id, or the
+        current one when nothing matches."""
+        import uuid as _uuidmod
+
+        import pyarrow.parquet as pq
+
+        from ..functions import avrocodec
+
+        from . import skipping
+
+        meta, base = self._meta_and_base()
+        snap_id = meta["current-snapshot-id"]
+        snapshot = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == snap_id
+        )
+        data, pos_deletes, eq = self._live_files(snapshot)
+        if eq:
+            raise UnsupportedIcebergFeature(
+                "update_where_dv on a table with equality deletes"
+            )
+        schema = self._schema_struct(meta)
+        skipping.validate(predicates, [f.name for f in schema.fields])
+        unknown = sorted(set(set_exprs) - set(schema.fieldNames()))
+        if unknown:
+            raise ValueError(
+                f"update_where_dv: unknown columns {unknown}"
+            )
+        candidates = self._prune_data_files(data, predicates, meta)
+        if not candidates:
+            return snap_id
+        files = [p for p, _ in candidates]
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        scan = (
+            self.spark.read.schema(schema)
+            .parquet(*files)
+            .select(
+                "*",
+                norm(F.col("_metadata.file_path")).alias("__p"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+        )
+        if pos_deletes:
+            dels = self._position_deletes(pos_deletes).select(
+                norm(F.col("file_path")).alias("__dp"),
+                F.col("pos").alias("__dpos"),
+            )
+            scan = scan.join(
+                F.broadcast(dels),
+                (F.col("__p") == F.col("__dp"))
+                & (F.col("__pos") == F.col("__dpos")),
+                "left_anti",
+            )
+        matched = scan.filter(
+            skipping.residual_filter(predicates)
+        ).localCheckpoint()  # computed once: feeds positions AND images
+        new_by_path = {
+            r["__p"]: [int(x) for x in r["pos"]]
+            for r in matched.groupBy("__p")
+            .agg(F.sort_array(F.collect_list("__pos")).alias("pos"))
+            .collect()
+        }
+        if not new_by_path:
+            return snap_id
+        prev_dv: dict[str, tuple] = {}
+        for e in pos_deletes:
+            if e[1] == "PUFFIN" and e[4] in new_by_path:
+                prev_dv[e[4]] = e
+        from ..functions import puffin as _puffin
+
+        merged: dict[str, list[int]] = {}
+        for p, positions in new_by_path.items():
+            old: list[int] = []
+            if p in prev_dv:
+                _pf, _fmt, off, sz, _ref = prev_dv[p]
+                old = _puffin.decode_deletion_vector(
+                    _puffin.read_blob(_pf, off, sz)
+                )
+            merged[p] = sorted(set(old) | set(positions))
+        updated = matched.select(
+            *[
+                F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+                if f.name in set_exprs
+                else F.col(f.name)
+                for f in schema.fields
+            ]
+        )
+        data_path = _stage_parquet(
+            self.spark,
+            self.path,
+            updated,
+            fields=self._schema_fields(meta),
+        )
+        n_rows = pq.ParquetFile(data_path).metadata.num_rows
+        seqs = [s for _p, (s, _st) in data]
+        n = (max(seqs) if seqs else 0) + 1
+        meta_dir = os.path.join(self.path, "metadata")
+        data_manifest = os.path.join(
+            meta_dir, f"{_uuidmod.uuid4().hex}-m0.avro"
+        )
+        avrocodec.write_container(
+            data_manifest,
+            _MANIFEST_V2_SCHEMA,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": None,
+                    "sequence_number": n,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": f"file://{data_path}",
+                        "file_format": "PARQUET",
+                        "record_count": n_rows,
+                        "file_size_in_bytes": os.path.getsize(data_path),
+                        "equality_ids": None,
+                    },
+                }
+            ],
+        )
+        return self._publish_dv_snapshot(
+            meta,
+            base,
+            snapshot,
+            merged,
+            extra_manifests=[(data_manifest, 0)],
+            operation="overwrite",
+        )
 
     def update_where(self, predicates: list, set_exprs: dict) -> int:
         """UPDATE ... SET ... WHERE as a MERGE-ON-READ snapshot: the

@@ -196,3 +196,28 @@ def test_delete_where_dv_prunes_and_changelogs(spark, tmp_path):
     assert r.read().count() == 1100
     rows = {(x.k, x._change_type) for x in r.changelog(v1).collect()}
     assert rows == {(k, "delete") for k in range(1000, 1100)}
+
+
+def test_update_where_dv_vectors_plus_images(spark, tmp_path):
+    """v3 merge-on-read UPDATE: one snapshot = puffin vectors on the
+    matched rows + their updated images appended — zero existing data
+    files rewritten; stacked updates merge vectors."""
+    path = _stage(spark, tmp_path, "t", 0, 500)
+    r = IcebergTableReader(spark, path)
+    v = r.update_where_dv([("k", "<", 10)], {"v": "v + 1000"})
+    assert v != r.metadata()["snapshots"][0]["snapshot-id"]
+    r = IcebergTableReader(spark, path)
+    assert r.metadata()["format-version"] == 3
+    got = {x.k: x.v for x in r.read().collect()}
+    assert len(got) == 500  # UPDATE never changes cardinality
+    assert got[3] == 1006.0 and got[10] == 20.0
+    # stacked: second update touches an overlapping range
+    r.update_where_dv([("k", ">=", 5), ("k", "<", 15)], {"v": "v * 0"})
+    r = IcebergTableReader(spark, path)
+    got = {x.k: x.v for x in r.read().collect()}
+    assert len(got) == 500
+    assert got[3] == 1006.0 and got[7] == 0.0 and got[12] == 0.0
+    assert got[20] == 40.0
+    # assignments against UNKNOWN columns refuse
+    with pytest.raises(ValueError, match="unknown columns"):
+        r.update_where_dv([("k", "<", 2)], {"zzz": "1"})
