@@ -210,3 +210,44 @@ def funnel_report(
         F.sum(kept.cast("long")).alias("n_kept"),
         F.sum(F.when(kept, F.col("n_tokens")).otherwise(F.lit(0))).alias("tokens_kept"),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int,
+    num_shards: int = 16,
+) -> DataFrame:
+    """Deterministic EPOCH SHUFFLE for training export — the step
+    between a curated corpus and a dataloader: every epoch the corpus
+    is re-ordered by a seeded permutation and cut into shards so each
+    trainer rank streams its shard sequentially (random access into
+    100 TB of parquet is not a thing; a re-shuffled COPY per epoch
+    is). The permutation key is md5(seed || id) — engine-agnostic,
+    reproducible, and uniform — the shard is the key's first hex
+    nibble folded modulo `num_shards` (≤16; at real scale shards map
+    to trainer ranks, so 16ish is the regime), and `pos` is the
+    row's rank WITHIN its shard in key order.
+
+    Scale shape: ONE hash-partitioned exchange on the shard id
+    (≤16 groups) + in-partition sort — the per-shard row_number
+    window never sees a global partition, and writing shards out is
+    partitionBy("shard") on this frame. Re-seeding re-permutes
+    everything (epoch 2 is one more run, never a stateful shuffle
+    buffer). Returns (id, shard, pos, shuffle_key)."""
+    if not 1 <= num_shards <= 16:
+        raise ValueError("num_shards must be in [1, 16]")
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(str(seed)), F.lit("|"), F.col(id_col).cast("string")))
+    out = df.select(F.col(id_col), key.alias("shuffle_key")).withColumn(
+        "shard",
+        (
+            (F.instr(F.lit("0123456789abcdef"), F.substring("shuffle_key", 1, 1)) - 1)
+            % num_shards
+        ).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key")
+    return out.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("long")
+    ).select(id_col, "shard", "pos", "shuffle_key")

@@ -440,3 +440,63 @@ def curation_pipeline_e2e(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("ntok").alias("seq_tokens"),
     )
+
+
+@register(
+    "epoch_shuffle_shards",
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id,
+                   md5('7|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+            FROM documents
+        ),
+        sharded AS (
+            SELECT doc_id, shuffle_key,
+                   (strpos('0123456789abcdef', substring(shuffle_key, 1, 1))
+                    - 1) % 8 AS shard,
+                   row_number() OVER (
+                       PARTITION BY (strpos('0123456789abcdef',
+                                            substring(shuffle_key, 1, 1))
+                                     - 1) % 8
+                       ORDER BY shuffle_key
+                   ) - 1 AS pos
+            FROM keyed
+        )
+        SELECT CAST(shard AS INT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(arg_min(doc_id, shuffle_key) AS BIGINT) AS first_doc,
+               CAST(arg_max(doc_id, shuffle_key) AS BIGINT) AS last_doc,
+               CAST(sum(pos * doc_id) AS BIGINT) AS pos_weighted
+        FROM sharded
+        GROUP BY shard
+        ORDER BY shard
+    """,
+    tags=("curation", "shuffle", "export", "training"),
+)
+def epoch_shuffle_shards(spark, sf_dir):
+    """Deterministic EPOCH SHUFFLE for training export
+    (operators/curation.epoch_shuffle, round 8): seed-7 md5
+    permutation of documents into 8 shards with in-shard positions —
+    the re-shuffled-copy-per-epoch step an LLM dataloader consumes
+    (shards map to trainer ranks; random access into 100 TB of
+    parquet is not a thing). One ≤16-group exchange + in-partition
+    sort; the Σ(pos·doc_id) check pins the EXACT permutation order
+    per shard, not just membership — both engines compute the same
+    md5 keys, so the full shuffle order is value-hash checked."""
+    from ..operators.curation import epoch_shuffle
+
+    sh = epoch_shuffle(
+        t(spark, sf_dir, "documents"), "doc_id", seed=7, num_shards=8
+    )
+    return (
+        sh.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.min_by("doc_id", "shuffle_key").alias("first_doc"),
+            F.max_by("doc_id", "shuffle_key").alias("last_doc"),
+            F.sum(F.col("pos") * F.col("doc_id")).alias("pos_weighted"),
+        )
+        .orderBy("shard")
+    )
