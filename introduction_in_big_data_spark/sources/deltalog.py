@@ -139,6 +139,36 @@ def _legacy_reader_features(min_reader_version: int) -> set[str]:
     return out
 
 
+def _retry_conflicts(fn):
+    """Serializable retry for DECLARATIVE DML: every DeltaLogReader
+    write path replays the CURRENT snapshot at entry and publishes the
+    next version exclusively, so when a concurrent writer wins the
+    version race (CommitConflict from _publish), re-running the whole
+    operation against the new snapshot IS the serializable outcome —
+    as if this transaction committed after the winner. Predicate DML
+    (DELETE/UPDATE WHERE), MERGE, OPTIMIZE and RESTORE are all
+    declarative, so the re-run needs no conflict classification
+    (delta-spark's WriteSerializable fast paths are an optimization,
+    not a semantic requirement). Three attempts, then the conflict
+    propagates; staged-but-unpublished temp files from a lost attempt
+    are unreferenced and harmless."""
+    import functools
+
+    @functools.wraps(fn)
+    def inner(self, *args, **kwargs):
+        from .acidtable import CommitConflict
+
+        last: Exception | None = None
+        for _attempt in range(3):
+            try:
+                return fn(self, *args, **kwargs)
+            except CommitConflict as e:
+                last = e
+        raise last
+
+    return inner
+
+
 def _hive_partition_values(rel: str) -> dict:
     """Decode the hive directory segments of a path (relative to its
     write root) into a Delta partitionValues dict: `col=value` dirs,
@@ -2224,6 +2254,7 @@ class DeltaLogReader:
             )
         return sel, T.StructType(phys_fields), phys_fields
 
+    @_retry_conflicts
     def delete_where(self, predicates: list) -> int:
         """DELETE WHERE (conjunctive (column, op, literal) predicates
         — sources/skipping.py) as ONE Delta commit on an
@@ -2419,6 +2450,7 @@ class DeltaLogReader:
                 actions.append({"add": add})
         return self._publish(self._next_version(), cdc_actions + actions)
 
+    @_retry_conflicts
     def delete_where_dv(self, predicates: list) -> int:
         """DELETE WHERE as DELETION VECTORS — row-level delete
         WITHOUT rewriting a byte of data (PROTOCOL.md "Deletion
@@ -2648,6 +2680,7 @@ class DeltaLogReader:
             )
         return actions
 
+    @_retry_conflicts
     def update_where_dv(
         self, predicates: list, set_exprs: dict[str, str]
     ) -> int:
@@ -2865,6 +2898,7 @@ class DeltaLogReader:
         actions = self._dv_actions(candidates, new_by_path, abspath)
         return self._publish(self._next_version(), actions + image_adds)
 
+    @_retry_conflicts
     def update_where(
         self, predicates: list, set_exprs: dict[str, str]
     ) -> int:
@@ -3083,6 +3117,7 @@ class DeltaLogReader:
                 actions.append({"add": add})
         return self._publish(self._next_version(), cdc_actions + actions)
 
+    @_retry_conflicts
     def merge(self, source: DataFrame, key: str) -> int:
         """MERGE INTO an externally-written Delta table: WHEN MATCHED
         UPDATE (the source row wins whole-row), WHEN NOT MATCHED
@@ -3432,6 +3467,7 @@ class DeltaLogReader:
             actions.append({"add": add})
         return self._publish(self._next_version(), cdc_actions + actions)
 
+    @_retry_conflicts
     def optimize(
         self,
         target_bytes: int = 128 << 20,
@@ -3612,6 +3648,7 @@ class DeltaLogReader:
             return v
         return self._publish(self._next_version(), actions)
 
+    @_retry_conflicts
     def restore(self, version: int) -> int:
         """Delta's RESTORE TABLE ... TO VERSION AS OF — republish an
         older snapshot's live file set as a NEW commit (history is

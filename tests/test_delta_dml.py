@@ -729,3 +729,50 @@ def test_merge_high_cardinality_partition_key_never_collects_keys(
     assert got.filter("p = 2").count() == 1
     assert got.filter("p = 0").count() == 400
     assert got.count() == 403
+
+
+def test_dml_retries_serializably_on_commit_conflict(spark, tmp_path):
+    """Round 8: a concurrent writer winning the version race no longer
+    surfaces as CommitConflict — the declarative DML re-runs against
+    the NEW snapshot (the serializable outcome: as if it committed
+    after the winner). Simulated by injecting a competing append
+    between hit detection and publish."""
+    from introduction_in_big_data_spark.sources import deltalog as dl
+    from introduction_in_big_data_spark.sources.deltalog import (
+        commit_append,
+    )
+
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark).repartitionByRange(4, "k"), stats=True
+    )
+    r = DeltaLogReader(spark, path)
+    real_publish = dl.DeltaLogReader._publish
+    state = {"injected": False}
+
+    def racing_publish(self, version, actions):
+        if not state["injected"]:
+            state["injected"] = True
+            # a concurrent writer appends rows that ALSO match the
+            # predicate and steals this version number
+            commit_append(
+                spark,
+                path,
+                spark.createDataFrame(
+                    [(5000, 2, 5000.0), (6000, 0, 6000.0)],
+                    "k long, p int, v double",
+                ),
+                stats=True,
+            )
+        return real_publish(self, version, actions)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        dl.DeltaLogReader, "_publish", racing_publish
+    ):
+        r.delete_where([("k", ">=", 1000)])
+    got = sorted(x.k for x in DeltaLogReader(spark, path).read().collect())
+    # serializable: the delete ran AFTER the append, so the appended
+    # k=5000/6000 rows are deleted too
+    assert got == list(range(1000))
