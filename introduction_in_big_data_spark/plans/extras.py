@@ -889,6 +889,66 @@ def delta_column_mapping_read(spark, sf_dir):
 
 
 @register(
+    "delta_row_tracking_read",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_orderkey, o_orderpriority,
+                   row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(rid) AS BIGINT) AS sum_row_id,
+               CAST(min(rid) AS BIGINT) AS min_row_id,
+               CAST(max(rid) AS BIGINT) AS max_row_id
+        FROM ranked
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("delta", "lakehouse", "row-tracking"),
+)
+def delta_row_tracking_read(spark, sf_dir):
+    """ROW TRACKING read (round 8 — the `rowTracking` writer feature
+    every new Databricks table carries): stage orders as ONE
+    key-sorted file, enable row tracking (baseRowId per add,
+    defaultRowCommitVersion, the spec's enablement backfill), and
+    read with `with_row_ids=True` — each row's `_row_id` is its
+    file's baseRowId + row_index, which on the sorted single-file
+    staging equals the global o_orderkey rank, so the DuckDB oracle
+    reproduces every id with a window rank and the id assignment is
+    value-hash checked (sum/min/max per priority pins the exact id
+    set, not just the count)."""
+    import tempfile
+
+    from ..sources.deltalog import (
+        DeltaLogReader,
+        create_minimal_table,
+        enable_row_tracking,
+    )
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    path = tempfile.mkdtemp(prefix="delta_rowtrack_") + "/t"
+    create_minimal_table(spark, path, base, stats=True)
+    enable_row_tracking(spark, path)
+    snap = DeltaLogReader(spark, path).read(with_row_ids=True)
+    return (
+        snap.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("_row_id").alias("sum_row_id"),
+            F.min("_row_id").alias("min_row_id"),
+            F.max("_row_id").alias("max_row_id"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "delta_column_mapping_dml_read",
     oracle="""
         SELECT o_orderpriority,

@@ -688,6 +688,42 @@ def commit_deletion_vector(
     return v + 1
 
 
+def enable_row_tracking(spark: SparkSession, path: str) -> None:
+    """Stage ROW TRACKING on a freshly-created single-commit table:
+    rewrite commit 0 with the (1, 7) rowTracking protocol,
+    delta.enableRowTracking, and per-add fresh-id assignment
+    (baseRowId = cumulative row count, defaultRowCommitVersion = 0 —
+    the spec's enablement backfill). Exists to exercise the READER
+    (`read(with_row_ids=True)`); this engine's DML refuses
+    rowTracking tables, so the forge never composes with writes."""
+    import pyarrow.parquet as pq
+
+    c0 = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    acts = [json.loads(ln) for ln in open(c0) if ln.strip()]
+    base = 0
+    for a in acts:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["rowTracking", "domainMetadata"],
+            }
+        elif "metaData" in a:
+            a["metaData"]["configuration"] = {
+                **(a["metaData"].get("configuration") or {}),
+                "delta.enableRowTracking": "true",
+            }
+        elif "add" in a:
+            a["add"]["baseRowId"] = base
+            a["add"]["defaultRowCommitVersion"] = 0
+            base += pq.ParquetFile(
+                os.path.join(path, unquote(a["add"]["path"]))
+            ).metadata.num_rows
+    with open(c0, "w") as fh:
+        for a in acts:
+            fh.write(json.dumps(a) + "\n")
+
+
 def commit_add_with_dv(
     spark: SparkSession,
     path: str,
@@ -1262,6 +1298,7 @@ class DeltaLogReader:
         self,
         version: int | None = None,
         predicates: list | None = None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Snapshot read with Delta semantics: data files carry the
         non-partition columns; partition columns come from each add
@@ -1300,6 +1337,34 @@ class DeltaLogReader:
         meta, live = self._replay(v)
         schema = self._schema_from_meta(meta)
         mode = self._mapping_mode(meta)
+        # ROW TRACKING (round 8, writer feature `rowTracking`):
+        # `with_row_ids=True` appends `_row_id` / `_row_commit_version`
+        # — each row's id is its file's baseRowId + row_index unless a
+        # MATERIALIZED value (written by an external engine when a
+        # row's position changed) overrides it; ditto commit versions
+        # with defaultRowCommitVersion as the fresh value. Materialized
+        # values live in hidden physical columns named by the table
+        # config; files from before enablement read them as null and
+        # fall back. DML on rowTracking tables still refuses (this
+        # writer does not maintain ids); reading them is free.
+        row_meta: dict[str, tuple[int | None, int | None]] = {}
+        conf = meta.get("configuration") or {}
+        mat_id_col = conf.get(
+            "delta.rowTracking.materializedRowIdColumnName"
+        )
+        mat_rcv_col = conf.get(
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
+        )
+        if with_row_ids:
+            missing = [
+                a["path"] for a in live.values() if "baseRowId" not in a
+            ]
+            if missing:
+                raise UnsupportedDeltaFeature(
+                    "with_row_ids: add action without baseRowId "
+                    f"(first: {missing[0]}) — the table does not carry "
+                    "row tracking"
+                )
         mapped = mode == "name"
         # both mapping modes: partitionValues keys use physical names
         phys = (
@@ -1383,6 +1448,16 @@ class DeltaLogReader:
                     for f in data_fields
                 ]
             )
+        mat_cols: list[str] = []
+        if with_row_ids:
+            # hidden physical columns holding materialized row ids /
+            # commit versions; files from before enablement lack them
+            # and read null (the fallback path)
+            mat_cols = [c for c in (mat_id_col, mat_rcv_col) if c]
+            data_schema = T.StructType(
+                list(data_schema.fields)
+                + [T.StructField(c, T.LongType(), True) for c in mat_cols]
+            )
 
         if not live:
             return self.spark.createDataFrame([], schema)
@@ -1403,6 +1478,8 @@ class DeltaLogReader:
         ]
         norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
 
+        need_pos = bool(dv_rows) or with_row_ids
+
         def logical(scanned: DataFrame) -> DataFrame:
             cols = (
                 [
@@ -1412,7 +1489,8 @@ class DeltaLogReader:
                 if mapped
                 else [F.col(f.name) for f in data_fields]
             )
-            if dv_rows:
+            cols += [F.col(c) for c in mat_cols]
+            if need_pos:
                 # _metadata is only resolvable on the scan-rooted
                 # frame, so the position columns ride along from the
                 # first projection until the anti-join strips them
@@ -1421,6 +1499,44 @@ class DeltaLogReader:
                     F.col("_metadata.row_index").alias("__pos"),
                 ]
             return scanned.select(*cols)
+
+        def attach_row_ids(df: DataFrame) -> DataFrame:
+            if not with_row_ids:
+                return df
+            rid_rows = [
+                (
+                    abspath(a["path"]),
+                    int(a["baseRowId"]),
+                    (
+                        int(a["defaultRowCommitVersion"])
+                        if a.get("defaultRowCommitVersion") is not None
+                        else None
+                    ),
+                )
+                for a in live.values()
+            ]
+            rid_df = self.spark.createDataFrame(
+                rid_rows, "__path string, __base long, __default_rcv long"
+            )
+            df = df.join(F.broadcast(rid_df), "__path", "left")
+            rid = F.col("__base") + F.col("__pos")
+            rcv = F.col("__default_rcv")
+            if mat_id_col:
+                rid = F.coalesce(F.col(mat_id_col), rid)
+            if mat_rcv_col:
+                rcv = F.coalesce(F.col(mat_rcv_col), rcv)
+            return (
+                df.withColumn("_row_id", rid)
+                .withColumn("_row_commit_version", rcv)
+                .drop("__base", "__default_rcv", *mat_cols)
+            )
+
+        def finish(df: DataFrame) -> DataFrame:
+            df = attach_row_ids(df)
+            df = apply_dvs(df)
+            if need_pos and not dv_rows:
+                df = df.drop("__path", "__pos")
+            return df
 
         def apply_dvs(df: DataFrame) -> DataFrame:
             if not dv_rows:
@@ -1442,7 +1558,7 @@ class DeltaLogReader:
         if not part_cols:
             files = sorted(abspath(a["path"]) for a in live.values())
             return residual(
-                apply_dvs(
+                finish(
                     logical(
                         self.spark.read.schema(data_schema).parquet(*files)
                     )
@@ -1478,12 +1594,14 @@ class DeltaLogReader:
                     else F.lit(None).cast(dt)
                 )
                 part = part.withColumn(c, lit)
-            keep = [f.name for f in schema.fields] + (
-                ["__path", "__pos"] if dv_rows else []
+            keep = (
+                [f.name for f in schema.fields]
+                + mat_cols
+                + (["__path", "__pos"] if need_pos else [])
             )
             part = part.select(*keep)
             out = part if out is None else out.unionByName(part)
-        return residual(apply_dvs(out))
+        return residual(finish(out))
 
     # -- change data feed (CDF) ---------------------------------------------
 

@@ -1,0 +1,143 @@
+"""ROW TRACKING reads on externally-written Delta tables (round 8):
+`read(with_row_ids=True)` appends `_row_id` / `_row_commit_version` —
+baseRowId + row_index for fresh rows, overridden by MATERIALIZED
+values from the table's hidden physical columns when an external
+engine preserved ids across a rewrite. DML on rowTracking tables
+still refuses (this writer does not maintain ids); reading is free."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from introduction_in_big_data_spark.sources.deltalog import (
+    DeltaLogReader,
+    UnsupportedDeltaFeature,
+    create_minimal_table,
+)
+
+
+def _forge_row_tracking(path, mat_id_col=None, mat_rcv_col=None):
+    """Rewrite commit 0: rowTracking protocol + per-add baseRowId
+    (cumulative row counts, the spec's fresh-id assignment) and
+    defaultRowCommitVersion=0."""
+    import pyarrow.parquet as pq
+
+    c0 = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    acts = [json.loads(ln) for ln in open(c0) if ln.strip()]
+    conf = {"delta.enableRowTracking": "true"}
+    if mat_id_col:
+        conf["delta.rowTracking.materializedRowIdColumnName"] = mat_id_col
+    if mat_rcv_col:
+        conf[
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
+        ] = mat_rcv_col
+    base = 0
+    for a in acts:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["rowTracking", "domainMetadata"],
+            }
+        elif "metaData" in a:
+            a["metaData"]["configuration"] = {
+                **(a["metaData"].get("configuration") or {}),
+                **conf,
+            }
+        elif "add" in a:
+            a["add"]["baseRowId"] = base
+            a["add"]["defaultRowCommitVersion"] = 0
+            n = pq.ParquetFile(
+                os.path.join(path, a["add"]["path"])
+            ).metadata.num_rows
+            base += n
+    with open(c0, "w") as fh:
+        for a in acts:
+            fh.write(json.dumps(a) + "\n")
+
+
+def test_row_ids_from_base_plus_index(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(0, 100)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+    )
+    create_minimal_table(spark, path, df, stats=True)
+    _forge_row_tracking(path)
+    r = DeltaLogReader(spark, path)
+    got = r.read(with_row_ids=True)
+    assert "_row_id" in got.columns
+    rows = got.collect()
+    # ids are unique, dense [0, 100), and stable across reads
+    ids = sorted(x._row_id for x in rows)
+    assert ids == list(range(100))
+    assert all(x._row_commit_version == 0 for x in rows)
+    again = {
+        x.k: x._row_id
+        for x in DeltaLogReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    assert {x.k: x._row_id for x in rows} == again
+    # plain reads are unchanged
+    assert "_row_id" not in r.read().columns
+
+
+def test_materialized_ids_override_base(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # the data file carries a hidden physical column with materialized
+    # ids for HALF the rows (the external-rewrite shape)
+    df = spark.range(0, 10, 1, 1).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 5, F.col("id") + 7000).alias("_mat_rid"),
+    )
+    create_minimal_table(spark, path, df, stats=False)
+    # drop the hidden column from the LOGICAL schema
+    c0 = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    acts = [json.loads(ln) for ln in open(c0) if ln.strip()]
+    for a in acts:
+        if "metaData" in a:
+            sch = json.loads(a["metaData"]["schemaString"])
+            sch["fields"] = [
+                f for f in sch["fields"] if f["name"] != "_mat_rid"
+            ]
+            a["metaData"]["schemaString"] = json.dumps(sch)
+    with open(c0, "w") as fh:
+        for a in acts:
+            fh.write(json.dumps(a) + "\n")
+    _forge_row_tracking(path, mat_id_col="_mat_rid")
+    got = DeltaLogReader(spark, path).read(with_row_ids=True)
+    assert got.columns == ["k", "_row_id", "_row_commit_version"]
+    by_k = {x.k: x._row_id for x in got.collect()}
+    # materialized values win; un-materialized rows fall back to
+    # baseRowId + row_index
+    assert by_k[3] == 7003
+    assert by_k[8] == 8
+
+
+def test_with_row_ids_refuses_untracked_tables(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark,
+        path,
+        spark.range(5).select(F.col("id").alias("k")),
+    )
+    with pytest.raises(UnsupportedDeltaFeature, match="baseRowId"):
+        DeltaLogReader(spark, path).read(with_row_ids=True)
+
+
+def test_dml_still_refuses_row_tracking_tables(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, spark.range(50).select(F.col("id").alias("k"))
+    )
+    _forge_row_tracking(path)
+    r = DeltaLogReader(spark, path)
+    with pytest.raises(UnsupportedDeltaFeature, match="rowTracking"):
+        r.delete_where([("k", "<", 5)])
