@@ -221,3 +221,28 @@ def test_update_where_dv_vectors_plus_images(spark, tmp_path):
     # assignments against UNKNOWN columns refuse
     with pytest.raises(ValueError, match="unknown columns"):
         r.update_where_dv([("k", "<", 2)], {"zzz": "1"})
+
+
+def test_expire_snapshots_reclaims_orphaned_puffin(spark, tmp_path):
+    """compact() folds the vectors in; expire_snapshots then reclaims
+    the puffin file once no retained snapshot references it — the
+    same reclamation lifecycle as data files."""
+    import os
+
+    path = _stage(spark, tmp_path, "t")
+    r = IcebergTableReader(spark, path)
+    r.delete_where_dv([("k", "<", 10)])
+    meta_dir = os.path.join(path, "metadata")
+    puffins = [f for f in os.listdir(meta_dir) if f.endswith(".puffin")]
+    assert len(puffins) == 1
+    r = IcebergTableReader(spark, path)
+    r.compact()
+    r = IcebergTableReader(spark, path)
+    # still referenced by the pre-compaction snapshot: survives
+    r.expire_snapshots(keep_last=2)
+    assert os.path.exists(os.path.join(meta_dir, puffins[0]))
+    # only the compacted snapshot retained: the puffin reclaims
+    r = IcebergTableReader(spark, path)
+    r.expire_snapshots(keep_last=1)
+    assert not os.path.exists(os.path.join(meta_dir, puffins[0]))
+    assert IcebergTableReader(spark, path).read().count() == 90
