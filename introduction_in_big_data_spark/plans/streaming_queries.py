@@ -670,6 +670,78 @@ def stream_delta_cdf_feed(spark, sf_dir):
 
 
 @register(
+    "stream_delta_append_sink",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(user_id) AS BIGINT) AS sum_user
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("streaming", "delta", "sink", "exactly-once", "lakehouse"),
+)
+def stream_delta_append_sink(spark, sf_dir):
+    """Streaming INTO an external Delta table with EXACTLY-ONCE
+    appends (round 8 — deltalog.delta_append_sink, the write
+    direction the matrix lacked): each events micro-batch commits
+    with a SetTransaction stamp (app_id, batch_id), the protocol's
+    idempotent-writer primitive; after the bounded run, a REPLAY of
+    the last batch — foreachBatch's documented at-least-once
+    delivery after restart — is proven a no-op IN-PLAN (the
+    replayed commit count rides the txn watermark), and the final
+    table read hash-matches batch SQL over all events. At 100 TB
+    this is the standing ingest topology: stream → foreachBatch →
+    Delta table, restartable without duplicates."""
+    import tempfile
+
+    from ..sources.deltalog import (
+        DeltaLogReader,
+        create_minimal_table,
+        delta_append_sink,
+        txn_version,
+    )
+
+    s = st.events_stream(spark, sf_dir, n_files=N_FILES)
+    path = tempfile.mkdtemp(prefix="delta_sink_") + "/t"
+    empty = t(spark, sf_dir, "events").limit(0).select(
+        "event_id", "user_id", "event_type"
+    )
+    create_minimal_table(spark, path, empty)
+    sink = delta_append_sink(path, "events-ingest")
+    last = {"df": None, "bid": -1}
+
+    def write(batch_df, batch_id):
+        batch_df = batch_df.select("event_id", "user_id", "event_type")
+        sink(batch_df, batch_id)
+        last["df"], last["bid"] = batch_df, batch_id
+
+    q = (
+        s.writeStream.foreachBatch(write)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", path + "_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    # restart-replay of the final batch: the txn watermark makes it a
+    # no-op — version count unchanged
+    reader = DeltaLogReader(spark, path)
+    v_before = reader.latest_version()
+    sink(last["df"], last["bid"])
+    assert DeltaLogReader(spark, path).latest_version() == v_before
+    assert txn_version(path, "events-ingest") == last["bid"]
+    snap = DeltaLogReader(spark, path).read()
+    return (
+        snap.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("user_id").alias("sum_user"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "stream_delta_dv_cdf_feed",
     oracle="""
         SELECT 'delete' AS _change_type,

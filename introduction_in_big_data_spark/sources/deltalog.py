@@ -508,21 +508,59 @@ def rename_mapped_column(
     return v + 1
 
 
+def txn_version(path: str, app_id: str) -> int:
+    """Delta's SetTransaction watermark: the highest `txn` action
+    version committed for `app_id` across the JSON log, or -1 — the
+    protocol's idempotent-writer primitive (a streaming sink stamps
+    each micro-batch's epoch and skips batches at or below the
+    watermark on restart)."""
+    log_dir = os.path.join(path, "_delta_log")
+    best = -1
+    for f in sorted(os.listdir(log_dir)):
+        if not (f.endswith(".json") and os.path.splitext(f)[0].isdigit()):
+            continue
+        for ln in open(os.path.join(log_dir, f)):
+            if not ln.strip():
+                continue
+            a = json.loads(ln)
+            t = a.get("txn")
+            if t and t.get("appId") == app_id:
+                best = max(best, int(t.get("version", -1)))
+    return best
+
+
 def commit_append(
     spark: SparkSession,
     path: str,
     df: DataFrame,
     partition_by: list[str] = (),
     stats: bool = False,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Stage an APPEND commit on an existing minimal Delta table: new
     parquet files move into the table tree (hive layout when
     partitioned) and one commit with only `add` actions
     (dataChange=true) publishes them. Returns the version written.
-    Exists so tests and the incremental-read query can stage
+    `txn=(app_id, version)` stamps the protocol's SetTransaction
+    action and makes the append IDEMPOTENT: a version at or below the
+    app's committed watermark is a no-op (returns the current
+    version, writes nothing) — exactly Delta's streaming-sink
+    exactly-once contract under foreachBatch replay. Exists so tests,
+    the incremental-read query and the streaming Delta sink can stage
     append-only histories; the same exclusive-create publication as
     create_minimal_table."""
     import shutil
+
+    if txn is not None:
+        app_id, tv = txn
+        if txn_version(path, app_id) >= int(tv):
+            log_dir = os.path.join(path, "_delta_log")
+            return max(
+                int(os.path.splitext(f)[0])
+                for f in os.listdir(log_dir)
+                if f.endswith(".json")
+                and os.path.splitext(f)[0].isdigit()
+            )
 
     tmp = os.path.join(path, "_append_stage")
     w = df.write.mode("errorifexists")
@@ -568,6 +606,11 @@ def commit_append(
         if full in stats_by:
             add["stats"] = json.dumps(stats_by[full])
         adds.append({"add": add})
+    actions = list(adds)
+    if txn is not None:
+        actions.append(
+            {"txn": {"appId": txn[0], "version": int(txn[1])}}
+        )
     log_dir = os.path.join(path, "_delta_log")
     existing = sorted(
         int(os.path.splitext(f)[0])
@@ -578,11 +621,44 @@ def commit_append(
     target = os.path.join(log_dir, f"{v:020d}.json")
     tmpf = target + ".tmp"
     with open(tmpf, "w") as fh:
-        for a in adds:
+        for a in actions:
             fh.write(json.dumps(a) + "\n")
     os.link(tmpf, target)
     os.unlink(tmpf)
     return v
+
+
+def delta_append_sink(
+    path: str,
+    app_id: str,
+    partition_by: list[str] = (),
+    stats: bool = False,
+):
+    """foreachBatch body for streaming INTO an external Delta table
+    with EXACTLY-ONCE appends: every micro-batch commits with a
+    SetTransaction stamp (app_id, batch_id), so a replayed batch —
+    foreachBatch's documented at-least-once delivery after restart —
+    finds its version at or below the app's txn watermark and
+    becomes a no-op. This is precisely how delta-spark's own
+    streaming sink achieves idempotence (the protocol's `txn`
+    action); usage:
+
+        stream.writeStream.foreachBatch(
+            delta_append_sink(path, "my-app")
+        ).start()
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        commit_append(
+            batch_df.sparkSession,
+            path,
+            batch_df,
+            partition_by=partition_by,
+            stats=stats,
+            txn=(app_id, int(batch_id)),
+        )
+
+    return write
 
 
 def commit_remove_partition(

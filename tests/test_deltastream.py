@@ -318,3 +318,35 @@ def test_cdf_stream_renders_deletion_vector_commits(spark, tmp_path, df):
         for x in DeltaLogReader(spark, path).changes(0, v3).collect()
     }
     assert got == batch
+
+
+def test_delta_append_sink_exactly_once(spark, tmp_path, df):
+    """Streaming INTO an external Delta table (round 8): foreachBatch
+    appends stamp SetTransaction (app_id, batch_id) — a replayed
+    batch is a no-op, so restart-replay delivers exactly-once; an
+    independent app_id keeps its own watermark."""
+    from introduction_in_big_data_spark.sources.deltalog import (
+        DeltaLogReader,
+        delta_append_sink,
+        txn_version,
+    )
+
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, df.filter("k < 10"))
+    sink = delta_append_sink(path, "app-a")
+    b1 = df.filter("k >= 10 AND k < 40")
+    sink(b1, 0)
+    sink(df.filter("k >= 40 AND k < 60"), 1)
+    assert DeltaLogReader(spark, path).read().count() == 60
+    # foreachBatch replay of batch 1 after a restart: NO-OP
+    sink(df.filter("k >= 40 AND k < 60"), 1)
+    assert DeltaLogReader(spark, path).read().count() == 60
+    assert txn_version(path, "app-a") == 1
+    # stale batch 0 replay: also a no-op
+    sink(b1, 0)
+    assert DeltaLogReader(spark, path).read().count() == 60
+    # a different app appends independently
+    delta_append_sink(path, "app-b")(df.filter("k >= 60 AND k < 65"), 0)
+    assert DeltaLogReader(spark, path).read().count() == 65
+    assert txn_version(path, "app-b") == 0
+    assert txn_version(path, "nope") == -1
