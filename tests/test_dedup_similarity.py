@@ -328,3 +328,33 @@ def test_lsh_band_keys_fast_matches_repro(spark, sf_dir):
         .collect()
     }
     assert fast == repro
+
+
+def test_tfidf_broadcast_and_window_forms_agree(spark):
+    """tfidf_top_terms' scale opt-out (broadcast_df=False — the
+    term-window form for open-web-scale vocabularies) returns
+    row-identical results to the default broadcast-df plan."""
+    from pyspark.sql import functions as F
+
+    from introduction_in_big_data_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "cat dog cat"),
+            (4, "mat mat mat the"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    a = tfidf_top_terms(docs, "doc_id", "text", k=2)
+    b = tfidf_top_terms(docs, "doc_id", "text", k=2, broadcast_df=False)
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b
+    assert rows_a  # non-empty
+    # empty-text docs emit no rows in either form
+    assert not [r for r in rows_a if r[0] == 5]
