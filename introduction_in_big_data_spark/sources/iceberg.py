@@ -4014,7 +4014,19 @@ class IcebergTableReader:
         snapshot file diff. Returns None for a no-op commit."""
         d_prev, p_prev, e_prev = self._live_files(prev_s)
         d_cur, p_cur, e_cur = self._live_files(cur_s)
-        if set(p_prev) - set(p_cur):
+        gone_pos = set(p_prev) - set(p_cur)
+        # a retired PUFFIN entry whose referenced file has a NEW puffin
+        # entry at cur is a DV TRANSITION (the spec's one-vector-per-
+        # file rule: the new entry is the merged superset), not an
+        # un-delete — alive_at_prev anti-joins the old positions, so
+        # rendering the new entry emits exactly the diff
+        cur_dv_refs = {e[4] for e in p_cur if e[1] == "PUFFIN"}
+        gone_pos = {
+            e
+            for e in gone_pos
+            if not (e[1] == "PUFFIN" and e[4] in cur_dv_refs)
+        }
+        if gone_pos:
             raise UnsupportedIcebergFeature(
                 "position-delete files removed in the range without a "
                 "REPLACE snapshot — un-delete has no changelog rendering"

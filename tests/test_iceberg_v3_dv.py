@@ -246,3 +246,27 @@ def test_expire_snapshots_reclaims_orphaned_puffin(spark, tmp_path):
     r.expire_snapshots(keep_last=1)
     assert not os.path.exists(os.path.join(meta_dir, puffins[0]))
     assert IcebergTableReader(spark, path).read().count() == 90
+
+
+def test_changelog_across_stacked_dv_deletes(spark, tmp_path):
+    """Two stacked delete_where_dv commits: the second RETIRES the
+    first vector entry (one merged DV per file) — the changelog must
+    treat that as a transition, not an un-delete, and emit exactly
+    the per-commit diffs."""
+    path = _stage(spark, tmp_path, "t", 0, 200)
+    r = IcebergTableReader(spark, path)
+    v0 = r.metadata()["current-snapshot-id"]
+    r.delete_where_dv([("k", "<", 5)])
+    r = IcebergTableReader(spark, path)
+    v1 = r.metadata()["current-snapshot-id"]
+    r.delete_where_dv([("k", ">=", 3), ("k", "<", 9)])  # overlap
+    r = IcebergTableReader(spark, path)
+    v2 = r.metadata()["current-snapshot-id"]
+    by = {}
+    for x in r.changelog(v0).collect():
+        by.setdefault(x._commit_snapshot_id, []).append(
+            (x.k, x._change_type)
+        )
+    assert sorted(by[v1]) == [(k, "delete") for k in range(5)]
+    # overlap [3, 5) already dead at v1: only 5..8 newly delete
+    assert sorted(by[v2]) == [(k, "delete") for k in range(5, 9)]
