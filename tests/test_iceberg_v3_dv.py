@@ -270,3 +270,22 @@ def test_changelog_across_stacked_dv_deletes(spark, tmp_path):
     assert sorted(by[v1]) == [(k, "delete") for k in range(5)]
     # overlap [3, 5) already dead at v1: only 5..8 newly delete
     assert sorted(by[v2]) == [(k, "delete") for k in range(5, 9)]
+
+
+def test_changelog_renders_v3_dv_update(spark, tmp_path):
+    """update_where_dv's commit (vector + image file) renders in the
+    changelog as delete (old rows) + insert (updated images)."""
+    path = _stage(spark, tmp_path, "t", 0, 50)
+    r = IcebergTableReader(spark, path)
+    v0 = r.metadata()["current-snapshot-id"]
+    r.update_where_dv([("k", "<", 3)], {"v": "v + 100"})
+    r = IcebergTableReader(spark, path)
+    rows = {(x.k, x.v, x._change_type) for x in r.changelog(v0).collect()}
+    assert rows == {
+        (0, 0.0, "delete"),
+        (1, 2.0, "delete"),
+        (2, 4.0, "delete"),
+        (0, 100.0, "insert"),
+        (1, 102.0, "insert"),
+        (2, 104.0, "insert"),
+    }
