@@ -372,6 +372,63 @@ def iceberg_v3_dv_dml_read(spark, sf_dir):
 
 
 @register(
+    "iceberg_row_lineage_read",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_orderkey, o_orderpriority,
+                   row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(rid) AS BIGINT) AS sum_row_id,
+               CAST(max(rid) AS BIGINT) AS max_row_id
+        FROM ranked
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("iceberg", "lakehouse", "row-lineage"),
+)
+def iceberg_row_lineage_read(spark, sf_dir):
+    """Iceberg FORMAT-V3 ROW LINEAGE read (round 8 — the v3 twin of
+    Delta row tracking): stage orders as ONE key-sorted file, enable
+    row lineage (first_row_id per manifest entry, next-row-id in the
+    metadata — the spec's enablement backfill), and read with
+    `with_row_ids=True` — each row's `_row_id` is its file's
+    first_row_id + position, which on the sorted single-file staging
+    equals the global o_orderkey rank, so the DuckDB oracle
+    reproduces every id with a window rank (sum/max per priority pins
+    the exact id assignment)."""
+    import tempfile
+
+    from ..sources.iceberg import (
+        IcebergTableReader,
+        create_minimal_table,
+        enable_row_lineage,
+    )
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_rowlineage_") + "/t"
+    create_minimal_table(spark, path, base, bounds=True)
+    enable_row_lineage(spark, path)
+    snap = IcebergTableReader(spark, path).read(with_row_ids=True)
+    return (
+        snap.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("_row_id").alias("sum_row_id"),
+            F.max("_row_id").alias("max_row_id"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "iceberg_v3_dv_update_read",
     oracle="""
         SELECT o_orderpriority,

@@ -1161,6 +1161,69 @@ def add_position_deletes(
     _commit_position_delete_file(spark, path, del_file, len(deletes))
 
 
+def enable_row_lineage(spark: SparkSession, path: str) -> None:
+    """Stage ROW LINEAGE (format v3) on an existing table: assign each
+    data file's `first_row_id` (cumulative record counts in manifest
+    order — the spec's enablement backfill), record `next-row-id` in
+    the metadata, and bump format-version to 3. Rewrites the current
+    snapshot's manifests with the extended avro schema and repoints
+    the manifest list; exists to exercise the READER
+    (`read(with_row_ids=True)`)."""
+    import uuid
+
+    from ..functions import avrocodec
+
+    t = IcebergTableReader(spark, path)
+    meta, base = t._meta_and_base()
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    meta_dir = os.path.join(path, "metadata")
+    ml_schema, manifests = avrocodec.read_container(
+        _local_path(cur["manifest-list"])
+    )
+    next_id = 0
+    new_manifests = []
+    for m in manifests:
+        if (m.get("content") or 0) != 0:
+            new_manifests.append(m)
+            continue
+        mp = _local_path(m["manifest_path"])
+        m_schema, entries = avrocodec.read_container(mp)
+        m_schema = json.loads(json.dumps(m_schema))  # deep copy
+        df_field = next(
+            f for f in m_schema["fields"] if f["name"] == "data_file"
+        )
+        names = {f["name"] for f in df_field["type"]["fields"]}
+        if "first_row_id" not in names:
+            df_field["type"]["fields"].append(
+                {"name": "first_row_id", "type": ["null", "long"]}
+            )
+        for e in entries:
+            e["data_file"]["first_row_id"] = next_id
+            next_id += int(e["data_file"].get("record_count") or 0)
+        new_mp = os.path.join(meta_dir, f"{uuid.uuid4().hex}-rl.avro")
+        avrocodec.write_container(new_mp, m_schema, entries)
+        m = dict(m)
+        m["manifest_path"] = f"file://{new_mp}"
+        m["manifest_length"] = os.path.getsize(new_mp)
+        new_manifests.append(m)
+    new_ml = os.path.join(
+        meta_dir,
+        f"snap-{cur['snapshot-id']}-{uuid.uuid4().hex}.avro",
+    )
+    avrocodec.write_container(new_ml, ml_schema, new_manifests)
+    meta = json.loads(json.dumps(meta))
+    for s in meta["snapshots"]:
+        if s["snapshot-id"] == cur["snapshot-id"]:
+            s["manifest-list"] = f"file://{new_ml}"
+    meta["format-version"] = 3
+    meta["next-row-id"] = next_id
+    _publish_metadata(path, meta, base)
+
+
 def add_deletion_vectors(
     spark: SparkSession,
     path: str,
@@ -2380,6 +2443,9 @@ class IcebergTableReader:
                                 if m.get("partition_spec_id") is not None
                                 else 0
                             ),
+                            # format v3 row lineage: the file's first
+                            # assigned row id (None pre-v3)
+                            "first_row_id": df_rec.get("first_row_id"),
                         },
                     )
                 elif content == 2:
@@ -2478,6 +2544,7 @@ class IcebergTableReader:
         snapshot_id: int | None = None,
         predicates: list | None = None,
         ref: str | None = None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Snapshot read; `predicates` (conjunctive (column, op,
         literal) tuples — sources/skipping.py) prune data files
@@ -2546,7 +2613,34 @@ class IcebergTableReader:
             return self.spark.createDataFrame([], schema)
         files = [p for p, _seq in data]
         scan_schema = self._scan_schema(meta)
-        with_pos = bool(pos_deletes or eq_deletes)
+        # ROW LINEAGE (format v3, round 8): `with_row_ids=True`
+        # appends `_row_id` = the file's first_row_id (assigned at
+        # commit, carried in its manifest entry) + row position — the
+        # v3 twin of Delta's baseRowId derivation. Exact for tables
+        # whose files never had rows carried through a rewrite;
+        # files that MATERIALIZED row ids (a compaction under v3
+        # writers) refuse loudly rather than mis-derive.
+        if with_row_ids:
+            import pyarrow.parquet as _pq
+
+            missing = [
+                p
+                for p, (_s, st) in data
+                if st.get("first_row_id") is None
+            ]
+            if missing:
+                raise UnsupportedIcebergFeature(
+                    "with_row_ids: data file without first_row_id "
+                    f"(first: {missing[0]}) — the table does not carry "
+                    "row lineage"
+                )
+            if "_row_id" in set(_pq.read_schema(files[0]).names):
+                raise UnsupportedIcebergFeature(
+                    "with_row_ids: files carry MATERIALIZED _row_id "
+                    "columns (rewritten under a v3 writer) — the "
+                    "first_row_id derivation would mis-assign them"
+                )
+        with_pos = bool(pos_deletes or eq_deletes) or with_row_ids
         df = self._data_scan(meta, files, scan_schema, with_pos)
         if not with_pos:
             return residual(df)
@@ -2578,6 +2672,20 @@ class IcebergTableReader:
                 df, eq_deletes, meta, scan_schema, "left_anti"
             )
             df = df.drop("__seq")
+
+        if with_row_ids:
+            rid_df = self.spark.createDataFrame(
+                [
+                    (p, int(st["first_row_id"]))
+                    for p, (_s, st) in data
+                ],
+                "__path string, __first long",
+            )
+            df = df.join(F.broadcast(rid_df), "__path", "left")
+            df = df.withColumn(
+                "_row_id", F.col("__first") + F.col("__pos")
+            )
+            cols = cols + ["_row_id"]
 
         return residual(df.select(*cols))
 

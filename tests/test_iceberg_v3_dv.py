@@ -289,3 +289,49 @@ def test_changelog_renders_v3_dv_update(spark, tmp_path):
         (1, 102.0, "insert"),
         (2, 104.0, "insert"),
     }
+
+
+def test_row_lineage_read(spark, tmp_path):
+    """Format-v3 ROW LINEAGE: read(with_row_ids=True) derives _row_id
+    = first_row_id + position; DV tombstones remove ids without
+    renumbering survivors; untracked tables refuse."""
+    from introduction_in_big_data_spark.sources.iceberg import (
+        UnsupportedIcebergFeature,
+        enable_row_lineage,
+    )
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(0, 100)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .repartitionByRange(2, "k")
+        .sortWithinPartitions("k")
+    )
+    create_minimal_table(spark, path, df, bounds=True)
+    r = IcebergTableReader(spark, path)
+    with pytest.raises(UnsupportedIcebergFeature, match="first_row_id"):
+        r.read(with_row_ids=True)
+    enable_row_lineage(spark, path)
+    r = IcebergTableReader(spark, path)
+    assert r.metadata()["format-version"] == 3
+    assert r.metadata()["next-row-id"] == 100
+    got = r.read(with_row_ids=True)
+    ids = sorted(x._row_id for x in got.collect())
+    assert ids == list(range(100))
+    # stable across reads, and plain reads unchanged
+    again = sorted(
+        x._row_id
+        for x in IcebergTableReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    )
+    assert again == ids
+    assert "_row_id" not in r.read().columns
+    # a DV delete removes ids without renumbering the survivors
+    r.delete_where_dv([("k", "<", 3)])
+    r = IcebergTableReader(spark, path)
+    left = {x.k: x._row_id for x in r.read(with_row_ids=True).collect()}
+    assert sorted(left) == list(range(3, 100))
+    # k-sorted staging: row id == k; survivors keep their ids
+    assert left[50] == 50 and left[3] == 3
+    assert 0 not in left.values()
