@@ -86,3 +86,52 @@ def test_bad_magic_and_version(tmp_path):
         fh.write(b"\x02" + b"\x00" * 16)
     with pytest.raises(rb.DeletionVectorError, match="version"):
         rb.read_dv_data(p, 1)
+
+
+# -- puffin deletion-vector blobs (round 8) ---------------------------------
+
+
+def test_puffin_dv_blob_property_roundtrip():
+    """Property: any position set round-trips through the
+    deletion-vector-v1 blob encoding (length+magic+portable64+CRC)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from introduction_in_big_data_spark.functions import puffin
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=2**40),
+            min_size=0,
+            max_size=400,
+        )
+    )
+    def check(positions):
+        blob = puffin.encode_deletion_vector(positions)
+        assert puffin.decode_deletion_vector(blob) == sorted(
+            set(positions)
+        )
+
+    check()
+
+
+def test_puffin_container_many_blobs(tmp_path):
+    from introduction_in_big_data_spark.functions import puffin
+
+    p = str(tmp_path / "many.puffin")
+    sets = [list(range(i, 1000, i + 1)) for i in range(20)]
+    spans = puffin.write_puffin(
+        p,
+        [
+            {"type": "deletion-vector-v1",
+             "payload": puffin.encode_deletion_vector(s)}
+            for s in sets
+        ],
+    )
+    footer = puffin.read_footer(p)
+    assert len(footer["blobs"]) == 20
+    for s, (off, ln) in zip(sets, spans):
+        assert puffin.decode_deletion_vector(
+            puffin.read_blob(p, off, ln)
+        ) == sorted(set(s))
