@@ -142,3 +142,38 @@ def test_char_lm_scores_rank_typicality(spark):
     assert got[1]["avg_nll"] == got[2]["avg_nll"]  # identical docs, identical score
     assert got[1]["avg_nll"] < got[3]["avg_nll"], "typical text must look more likely"
     assert got[3]["n_grams"] == len("qzx#7!vb@kplm&wy") - 2
+
+
+def test_epoch_shuffle_deterministic_and_reseeds(spark):
+    from introduction_in_big_data_spark.operators.curation import (
+        epoch_shuffle,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    a = {
+        (x.doc_id): (x.shard, x.pos)
+        for x in epoch_shuffle(docs, "doc_id", seed=1, num_shards=8).collect()
+    }
+    b = {
+        (x.doc_id): (x.shard, x.pos)
+        for x in epoch_shuffle(docs, "doc_id", seed=1, num_shards=8).collect()
+    }
+    assert a == b  # same seed -> identical permutation
+    c = {
+        (x.doc_id): (x.shard, x.pos)
+        for x in epoch_shuffle(docs, "doc_id", seed=2, num_shards=8).collect()
+    }
+    assert a != c  # epoch 2 is a different permutation
+    # positions are dense [0, |shard|) within every shard
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for shard, pos in a.values():
+        by_shard[shard].append(pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="num_shards"):
+        epoch_shuffle(docs, "doc_id", seed=1, num_shards=17)
