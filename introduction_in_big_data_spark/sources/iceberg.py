@@ -1044,31 +1044,52 @@ def append_data_snapshot(
     from ..functions import avrocodec
 
     t = IcebergTableReader(spark, path)
-    p = _stage_parquet(
-        spark, path, df, fields=t._schema_fields(t.metadata())
-    )
+    meta0 = t.metadata()
+    p = _stage_parquet(spark, path, df, fields=t._schema_fields(meta0))
     meta_dir = os.path.join(path, "metadata")
     manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-a0.avro")
-    avrocodec.write_container(
-        manifest,
-        _MANIFEST_V2_SCHEMA,
-        [
-            {
-                "status": 1,
-                "snapshot_id": None,
-                "sequence_number": int(sequence),
-                "data_file": {
-                    "content": 0,
-                    "file_path": f"file://{p}",
-                    "file_format": "PARQUET",
-                    "record_count": 0,
-                    "file_size_in_bytes": os.path.getsize(p),
-                    "equality_ids": None,
-                },
-            }
-        ],
+    entry = {
+        "status": 1,
+        "snapshot_id": None,
+        "sequence_number": int(sequence),
+        "data_file": {
+            "content": 0,
+            "file_path": f"file://{p}",
+            "file_format": "PARQUET",
+            "record_count": 0,
+            "file_size_in_bytes": os.path.getsize(p),
+            "equality_ids": None,
+        },
+    }
+    m_schema = _MANIFEST_V2_SCHEMA
+    meta_updates = None
+    if meta0.get("next-row-id") is not None:
+        # ROW LINEAGE table (format v3): the append assigns the new
+        # file's first_row_id from next-row-id and advances it
+        # atomically with the snapshot
+        import pyarrow.parquet as _pq
+
+        n_rows = _pq.ParquetFile(p).metadata.num_rows
+        first = int(meta0["next-row-id"])
+        entry["data_file"]["record_count"] = n_rows
+        entry["data_file"]["first_row_id"] = first
+        m_schema = json.loads(json.dumps(_MANIFEST_V2_SCHEMA))
+        df_field = next(
+            f for f in m_schema["fields"] if f["name"] == "data_file"
+        )
+        df_field["type"]["fields"].append(
+            {"name": "first_row_id", "type": ["null", "long"]}
+        )
+        meta_updates = {"next-row-id": first + n_rows}
+    avrocodec.write_container(manifest, m_schema, [entry])
+    _commit_snapshot(
+        spark,
+        path,
+        [(manifest, 0)],
+        "append",
+        meta_updates=meta_updates,
+        branch=branch,
     )
-    _commit_snapshot(spark, path, [(manifest, 0)], "append", branch=branch)
 
 
 def add_equality_deletes(
@@ -1201,9 +1222,18 @@ def enable_row_lineage(spark: SparkSession, path: str) -> None:
             df_field["type"]["fields"].append(
                 {"name": "first_row_id", "type": ["null", "long"]}
             )
+        import pyarrow.parquet as _pq
+
         for e in entries:
             e["data_file"]["first_row_id"] = next_id
-            next_id += int(e["data_file"].get("record_count") or 0)
+            n = int(e["data_file"].get("record_count") or 0)
+            if n == 0:
+                # staging shapes without stats record 0; id ranges
+                # must still be disjoint, so count from the footer
+                n = _pq.ParquetFile(
+                    _local_path(e["data_file"]["file_path"])
+                ).metadata.num_rows
+            next_id += n
         new_mp = os.path.join(meta_dir, f"{uuid.uuid4().hex}-rl.avro")
         avrocodec.write_container(new_mp, m_schema, entries)
         m = dict(m)

@@ -335,3 +335,44 @@ def test_row_lineage_read(spark, tmp_path):
     # k-sorted staging: row id == k; survivors keep their ids
     assert left[50] == 50 and left[3] == 3
     assert 0 not in left.values()
+
+
+def test_row_lineage_appends_assign_fresh_ids(spark, tmp_path):
+    """Appends AFTER lineage enablement assign first_row_id from
+    next-row-id and advance it atomically — new rows get fresh,
+    disjoint ids."""
+    from introduction_in_big_data_spark.sources.iceberg import (
+        append_data_snapshot,
+        enable_row_lineage,
+    )
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(0, 40, 1, 1)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .sortWithinPartitions("k")
+    )
+    create_minimal_table(spark, path, df, bounds=True)
+    enable_row_lineage(spark, path)
+    batch = spark.range(100, 125, 1, 1).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    append_data_snapshot(spark, path, batch, sequence=1)
+    r = IcebergTableReader(spark, path)
+    assert r.metadata()["next-row-id"] == 65
+    got = {x.k: x._row_id for x in r.read(with_row_ids=True).collect()}
+    assert sorted(got.values()) == list(range(65))
+    assert got[100] == 40  # first appended row gets the next id
+    # a second append continues the sequence
+    append_data_snapshot(
+        spark,
+        path,
+        spark.range(200, 210, 1, 1).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ),
+        sequence=2,
+    )
+    r = IcebergTableReader(spark, path)
+    assert r.metadata()["next-row-id"] == 75
+    got = {x.k: x._row_id for x in r.read(with_row_ids=True).collect()}
+    assert sorted(got.values()) == list(range(75))
