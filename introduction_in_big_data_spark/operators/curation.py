@@ -224,30 +224,84 @@ def epoch_shuffle(
     trainer rank streams its shard sequentially (random access into
     100 TB of parquet is not a thing; a re-shuffled COPY per epoch
     is). The permutation key is md5(seed || id) — engine-agnostic,
-    reproducible, and uniform — the shard is the key's first hex
-    nibble folded modulo `num_shards` (≤16; at real scale shards map
-    to trainer ranks, so 16ish is the regime), and `pos` is the
-    row's rank WITHIN its shard in key order.
+    reproducible, and uniform. The shard id comes from the key:
 
-    Scale shape: ONE hash-partitioned exchange on the shard id
-    (≤16 groups) + in-partition sort — the per-shard row_number
-    window never sees a global partition, and writing shards out is
-    partitionBy("shard") on this frame. Re-seeding re-permutes
-    everything (epoch 2 is one more run, never a stateful shuffle
-    buffer). Returns (id, shard, pos, shuffle_key)."""
-    if not 1 <= num_shards <= 16:
-        raise ValueError("num_shards must be in [1, 16]")
+      * when num_shards divides 16, shard = first hex nibble mod
+        num_shards — exactly uniform (every residue has 16/n nibble
+        preimages) and byte-identical to the original v1 formula, so
+        pinned checksums on 2/4/8/16-shard exports never move;
+      * otherwise shard = first 32 key bits mod num_shards — the
+        nibble rule would be visibly non-uniform there (n=3 gives
+        weights 6/16, 5/16, 5/16 — a ~20% spread between trainer
+        ranks), while the 32-bit fold's residual bias is 2^-32-scale.
+
+    `pos` is the row's rank WITHIN its shard in key order, computed
+    WITHOUT a per-shard window (which would hash-partition into only
+    `num_shards` groups and cap the whole export at `num_shards`
+    tasks — fatal when shards map to trainer ranks over 100 TB).
+    Instead, the two-pass distributed-rank shape shared with
+    topk.exact_ntile:
+
+      1. `repartitionByRange(shard, shuffle_key)` — the sampled range
+         partitioner spreads the (shard, key) total order across ALL
+         shuffle partitions, so parallelism scales with the cluster,
+         not with num_shards;
+      2. one tiny count job: rows per (physical partition, shard) —
+         P·n_shards integers on the driver, nothing else;
+      3. prefix-sum those counts per shard into rank offsets,
+         broadcast them back as a small join;
+      4. row_number over a window partitioned by (physical partition,
+         shard) — never a global or shard-wide window —
+         pos = offset + local row_number - 1.
+
+    Range partitioning guarantees every key in partition i sorts
+    before every key in partition i+1, so offset + local rank IS the
+    shard-global rank; the output permutation is identical to the
+    single-window formulation row for row. The ranged exchange is
+    materialized once via localCheckpoint so the count job and the
+    rank job share it. Writing shards out is partitionBy("shard") on
+    this frame; re-seeding re-permutes everything (epoch 2 is one
+    more run, never a stateful shuffle buffer).
+    Returns (id, shard, pos, shuffle_key)."""
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
     from pyspark.sql import Window
 
     key = F.md5(F.concat(F.lit(str(seed)), F.lit("|"), F.col(id_col).cast("string")))
-    out = df.select(F.col(id_col), key.alias("shuffle_key")).withColumn(
-        "shard",
-        (
-            (F.instr(F.lit("0123456789abcdef"), F.substring("shuffle_key", 1, 1)) - 1)
-            % num_shards
-        ).cast("int"),
+    if 16 % num_shards == 0:
+        shard = (
+            F.instr(F.lit("0123456789abcdef"), F.substring("shuffle_key", 1, 1)) - 1
+        ) % num_shards
+    else:
+        shard = F.pmod(
+            F.conv(F.substring("shuffle_key", 1, 8), 16, 10).cast("long"), num_shards
+        )
+    keyed = (
+        df.select(F.col(id_col), key.alias("shuffle_key"))
+        .withColumn("shard", shard.cast("int"))
+        .repartitionByRange(F.col("shard"), F.col("shuffle_key"))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
     )
-    w = Window.partitionBy("shard").orderBy("shuffle_key")
-    return out.withColumn(
-        "pos", (F.row_number().over(w) - 1).cast("long")
-    ).select(id_col, "shard", "pos", "shuffle_key")
+    counts = (
+        keyed.groupBy("__pid", "shard").agg(F.count(F.lit(1)).alias("__n")).collect()
+    )
+    per_shard: dict[int, list[tuple[int, int]]] = {}
+    for r in counts:
+        per_shard.setdefault(r["shard"], []).append((r["__pid"], r["__n"]))
+    offsets = []
+    for sh, pid_counts in per_shard.items():
+        acc = 0
+        for pid, n in sorted(pid_counts):
+            offsets.append((pid, sh, acc))
+            acc += n
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0, 0)], schema="__pid int, shard int, __off long"
+    )
+    w = Window.partitionBy("__pid", "shard").orderBy("shuffle_key")
+    return (
+        keyed.join(F.broadcast(off_df), ["__pid", "shard"])
+        .withColumn("pos", (F.col("__off") + F.row_number().over(w) - 1).cast("long"))
+        .select(id_col, "shard", "pos", "shuffle_key")
+    )

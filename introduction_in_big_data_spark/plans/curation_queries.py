@@ -476,14 +476,17 @@ def curation_pipeline_e2e(spark, sf_dir):
 )
 def epoch_shuffle_shards(spark, sf_dir):
     """Deterministic EPOCH SHUFFLE for training export
-    (operators/curation.epoch_shuffle, round 8): seed-7 md5
+    (operators/curation.epoch_shuffle, rounds 8-9): seed-7 md5
     permutation of documents into 8 shards with in-shard positions —
     the re-shuffled-copy-per-epoch step an LLM dataloader consumes
     (shards map to trainer ranks; random access into 100 TB of
-    parquet is not a thing). One ≤16-group exchange + in-partition
-    sort; the Σ(pos·doc_id) check pins the EXACT permutation order
-    per shard, not just membership — both engines compute the same
-    md5 keys, so the full shuffle order is value-hash checked."""
+    parquet is not a thing). Since round 9 the in-shard rank is the
+    range-partition + broadcast-offset two-pass (export parallelism
+    scales with the cluster, not with num_shards), row-for-row
+    identical to the original per-shard window; the Σ(pos·doc_id)
+    check pins the EXACT permutation order per shard, not just
+    membership — both engines compute the same md5 keys, so the full
+    shuffle order is value-hash checked."""
     from ..operators.curation import epoch_shuffle
 
     sh = epoch_shuffle(

@@ -176,4 +176,73 @@ def test_epoch_shuffle_deterministic_and_reseeds(spark):
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="num_shards"):
-        epoch_shuffle(docs, "doc_id", seed=1, num_shards=17)
+        epoch_shuffle(docs, "doc_id", seed=1, num_shards=0)
+
+
+def test_epoch_shuffle_matches_single_window_formulation(spark):
+    """The range-partition + broadcast-offset two-pass must reproduce
+    the v1 per-shard-window permutation ROW FOR ROW (the driver's
+    epoch_shuffle_shards checksum is pinned to it)."""
+    from introduction_in_big_data_spark.operators.curation import epoch_shuffle
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    got = {
+        x.doc_id: (x.shard, x.pos, x.shuffle_key)
+        for x in epoch_shuffle(docs, "doc_id", seed=7, num_shards=8).collect()
+    }
+    key = F.md5(F.concat(F.lit("7"), F.lit("|"), F.col("doc_id").cast("string")))
+    ref = (
+        docs.select("doc_id", key.alias("shuffle_key"))
+        .withColumn(
+            "shard",
+            (
+                (
+                    F.instr(
+                        F.lit("0123456789abcdef"), F.substring("shuffle_key", 1, 1)
+                    )
+                    - 1
+                )
+                % 8
+            ).cast("int"),
+        )
+        .withColumn(
+            "pos",
+            (
+                F.row_number().over(Window.partitionBy("shard").orderBy("shuffle_key"))
+                - 1
+            ).cast("long"),
+        )
+    )
+    want = {x.doc_id: (x.shard, x.pos, x.shuffle_key) for x in ref.collect()}
+    assert got == want
+
+
+def test_epoch_shuffle_beyond_16_shards_and_uniformity(spark):
+    """num_shards > 16 is now supported (trainer ranks at 100 TB are
+    hundreds, not 16), positions stay dense per shard, and shard sizes
+    for n ∤ 16 are near-uniform (the 32-bit fold fixes the nibble
+    rule's 6/16-5/16-5/16 skew at n=3)."""
+    from collections import defaultdict
+
+    from introduction_in_big_data_spark.operators.curation import epoch_shuffle
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 3000).select(F.col("id").alias("doc_id"))
+    rows = epoch_shuffle(docs, "doc_id", seed=3, num_shards=24).collect()
+    assert {r.shard for r in rows} == set(range(24))
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r.shard].append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+
+    # n=3 does not divide 16: the old nibble rule gave expected shares
+    # (6/16, 5/16, 5/16); the 32-bit fold should land each shard near
+    # 1/3 (md5 is uniform; 3000 rows -> stddev ~26, allow 5 sigma).
+    sizes = defaultdict(int)
+    for r in epoch_shuffle(docs, "doc_id", seed=3, num_shards=3).collect():
+        sizes[r.shard] += 1
+    for n in sizes.values():
+        assert abs(n - 1000) < 130, sizes
