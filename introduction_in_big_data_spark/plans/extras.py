@@ -674,6 +674,70 @@ def iceberg_eq_deletes_read(spark, sf_dir):
 
 
 @register(
+    "iceberg_eq_dml_read",
+    oracle="""
+        WITH live AS (
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id % 11 <> 0 AND doc_id >= 100
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_chars < 200
+                             THEN n_chars + 1000000
+                             ELSE n_chars END) AS BIGINT) AS total_chars
+        FROM live
+        GROUP BY lang
+    """,
+    tags=("iceberg", "lakehouse", "dml", "deletes", "cdc", "v3"),
+)
+def iceberg_eq_dml_read(spark, sf_dir):
+    """Engine DML on a Flink-CDC-shaped Iceberg table (round 9,
+    VERDICT r8 item 2): stage documents at sequence 0, commit an
+    upsert stream's EQUALITY deletes (doc_id % 11 == 0) at sequence
+    1, then run engine DML on top — a v3 deletion-vector DELETE
+    (doc_id < 100) followed by a v3 DV UPDATE (+1e6 chars on short
+    docs). Both DML paths apply the existing eq-deletes
+    sequence-gated via the read path's own `_eq_delete_join` BEFORE
+    hit detection, so the puffin vectors tombstone only the live set
+    a reader sees (eq-dead rows are never re-deleted, never updated),
+    and the update's re-inserted images sequence past every live
+    eq-delete so the strictly-smaller gate can't re-kill them. The
+    final read applies eq-deletes + merged DVs + the appended images;
+    the DuckDB oracle recomputes the survivor set from raw parquet."""
+    import tempfile
+
+    from ..sources.iceberg import (
+        IcebergTableReader,
+        add_equality_deletes,
+        create_minimal_table,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="iceberg_eqdml_") + "/t"
+    create_minimal_table(
+        spark, path, docs.repartitionByRange(4, "doc_id"), bounds=True
+    )
+    del_ids = sorted(
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") % 11 == 0)
+        .select("doc_id")
+        .collect()
+    )
+    add_equality_deletes(
+        spark, path, [(i,) for i in del_ids], ["doc_id"], sequence=1
+    )
+    IcebergTableReader(spark, path).delete_where_dv([("doc_id", "<", 100)])
+    IcebergTableReader(spark, path).update_where_dv(
+        [("n_chars", "<", 200)], {"n_chars": "n_chars + 1000000"}
+    )
+    snap = IcebergTableReader(spark, path).read()
+    return snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
     "warc_ingest_stats",
     oracle=r"""
         SELECT lang,

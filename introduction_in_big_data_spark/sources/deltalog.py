@@ -508,24 +508,78 @@ def rename_mapped_column(
     return v + 1
 
 
-def txn_version(path: str, app_id: str) -> int:
-    """Delta's SetTransaction watermark: the highest `txn` action
-    version committed for `app_id` across the JSON log, or -1 — the
-    protocol's idempotent-writer primitive (a streaming sink stamps
-    each micro-batch's epoch and skips batches at or below the
-    watermark on restart)."""
+def _latest_version_no_spark(path: str) -> int:
+    """Latest table version as max(JSON commit versions, newest
+    checkpoint version), -1 on a fresh log — the spark-free twin of
+    DeltaLogReader.latest_version. A vacuumed log may hold ONLY a
+    checkpoint; a JSON-only scan there would restart versions at 0 and
+    rewrite history."""
     log_dir = os.path.join(path, "_delta_log")
     best = -1
+    for f in os.listdir(log_dir):
+        base, ext = os.path.splitext(f)
+        if ext == ".json" and base.isdigit():
+            best = max(best, int(base))
+    t = DeltaLogReader.__new__(DeltaLogReader)  # discovery only, no spark
+    t.log_dir = log_dir
+    cp = t._checkpoint_version_at_or_below(1 << 62)
+    if cp is not None:
+        best = max(best, cp)
+    return best
+
+
+def txn_version(path: str, app_id: str) -> int:
+    """Delta's SetTransaction watermark: the highest `txn` action
+    version committed for `app_id`, or -1 — the protocol's
+    idempotent-writer primitive (a streaming sink stamps each
+    micro-batch's epoch and skips batches at or below the watermark
+    on restart).
+
+    Checkpoint-aware (ADVICE r8): checkpoints carry the latest txn per
+    appId, and once pre-checkpoint JSON commits are vacuumed the
+    checkpoint is the ONLY surviving record of the watermark — reading
+    just the JSON tail would silently reset it to -1 and let a
+    replayed micro-batch re-append. So: newest checkpoint's txn rows
+    (parsed driver-side with pyarrow/json — no SparkSession needed at
+    commit time) + every JSON commit AFTER it."""
+    log_dir = os.path.join(path, "_delta_log")
+    best = -1
+    start = 0
+    t = DeltaLogReader.__new__(DeltaLogReader)  # discovery only, no spark
+    t.log_dir = log_dir
+    cp = t._checkpoint_at_or_below(1 << 62)
+    if cp is not None:
+        cp_version, kind, files = cp
+        start = cp_version + 1
+        for f in files:
+            if f.endswith(".json"):  # v2 json manifest
+                with open(f) as fh:
+                    rows = [
+                        json.loads(ln).get("txn") for ln in fh if ln.strip()
+                    ]
+            else:  # classic / multipart / v2 parquet manifest
+                import pyarrow.parquet as pq
+
+                tbl = pq.read_table(f)
+                rows = (
+                    tbl.column("txn").to_pylist()
+                    if "txn" in tbl.schema.names
+                    else []
+                )
+            for tx in rows:
+                if tx and tx.get("appId") == app_id:
+                    best = max(best, int(tx.get("version", -1)))
     for f in sorted(os.listdir(log_dir)):
-        if not (f.endswith(".json") and os.path.splitext(f)[0].isdigit()):
+        base, ext = os.path.splitext(f)
+        if not (ext == ".json" and base.isdigit() and int(base) >= start):
             continue
         for ln in open(os.path.join(log_dir, f)):
             if not ln.strip():
                 continue
             a = json.loads(ln)
-            t = a.get("txn")
-            if t and t.get("appId") == app_id:
-                best = max(best, int(t.get("version", -1)))
+            tx = a.get("txn")
+            if tx and tx.get("appId") == app_id:
+                best = max(best, int(tx.get("version", -1)))
     return best
 
 
@@ -554,13 +608,7 @@ def commit_append(
     if txn is not None:
         app_id, tv = txn
         if txn_version(path, app_id) >= int(tv):
-            log_dir = os.path.join(path, "_delta_log")
-            return max(
-                int(os.path.splitext(f)[0])
-                for f in os.listdir(log_dir)
-                if f.endswith(".json")
-                and os.path.splitext(f)[0].isdigit()
-            )
+            return _latest_version_no_spark(path)
 
     tmp = os.path.join(path, "_append_stage")
     w = df.write.mode("errorifexists")
@@ -612,12 +660,7 @@ def commit_append(
             {"txn": {"appId": txn[0], "version": int(txn[1])}}
         )
     log_dir = os.path.join(path, "_delta_log")
-    existing = sorted(
-        int(os.path.splitext(f)[0])
-        for f in os.listdir(log_dir)
-        if f.endswith(".json") and os.path.splitext(f)[0].isdigit()
-    )
-    v = (existing[-1] if existing else -1) + 1
+    v = _latest_version_no_spark(path) + 1
     target = os.path.join(log_dir, f"{v:020d}.json")
     tmpf = target + ".tmp"
     with open(tmpf, "w") as fh:
@@ -1118,7 +1161,7 @@ class DeltaLogReader:
         all, and sidecar files carry only add/remove)."""
         cols = [
             c
-            for c in ("protocol", "metaData", "add", "remove", "sidecar")
+            for c in ("protocol", "metaData", "txn", "add", "remove", "sidecar")
             if c in df.columns
         ]
         return [r.asDict(recursive=True) for r in df.select(*cols).collect()]
@@ -1203,6 +1246,7 @@ class DeltaLogReader:
         meta: dict | None = None
         live: dict[str, dict] = {}
         protocol: dict | None = None
+        txns: dict[str, int] = {}
 
         # Within ONE commit (or checkpoint), add and remove of the same
         # path reconcile with ADD winning regardless of serialization
@@ -1229,6 +1273,10 @@ class DeltaLogReader:
                     protocol = d["protocol"]
                 if d.get("metaData") and d["metaData"].get("id"):
                     meta = d["metaData"]
+                if d.get("txn") and d["txn"].get("appId"):
+                    app = d["txn"]["appId"]
+                    tv = int(d["txn"].get("version", -1))
+                    txns[app] = max(txns.get(app, -1), tv)
                 if d.get("add") and d["add"].get("path"):
                     cp_adds.append(d["add"])
                 if d.get("remove") and d["remove"].get("path"):
@@ -1255,6 +1303,11 @@ class DeltaLogReader:
                         protocol = action["protocol"]
                     elif "metaData" in action:
                         meta = action["metaData"]
+                    elif "txn" in action:
+                        app = action["txn"].get("appId")
+                        if app:
+                            tv = int(action["txn"].get("version", -1))
+                            txns[app] = max(txns.get(app, -1), tv)
                     elif "add" in action:
                         adds.append(action["add"])
                     elif "remove" in action:
@@ -1263,11 +1316,13 @@ class DeltaLogReader:
         if meta is None:
             raise ValueError(f"no metaData action found in {self.log_dir}")
         # stashed (not returned) so write_checkpoint can carry the
-        # protocol forward without changing the replay signature
+        # protocol and per-app SetTransaction watermarks forward
+        # without changing the replay signature
         self._last_protocol = protocol or {
             "minReaderVersion": 1,
             "minWriterVersion": 2,
         }
+        self._last_txns = txns
         return meta, live
 
     # -- reads --------------------------------------------------------------
@@ -3984,7 +4039,8 @@ class DeltaLogReader:
         "readerFeatures:array<string>,writerFeatures:array<string>>, "
         "metaData struct<id:string,format:struct<provider:string>,"
         "schemaString:string,partitionColumns:array<string>,"
-        "configuration:map<string,string>,createdTime:long>"
+        "configuration:map<string,string>,createdTime:long>, "
+        "txn struct<appId:string,version:long,lastUpdated:long>"
     )
     _FILE_ACTIONS_SCHEMA = (
         "add struct<path:string,partitionValues:map<string,string>,"
@@ -4080,6 +4136,16 @@ class DeltaLogReader:
                 }
             )
 
+        # PROTOCOL.md "Checkpoints": a checkpoint must carry the LATEST
+        # txn action per appId — without them, vacuuming pre-checkpoint
+        # commits silently resets every SetTransaction watermark to -1
+        # and a replayed foreachBatch micro-batch re-appends (exactly-
+        # once becomes at-least-once after the first checkpoint).
+        txn_actions = [
+            {"appId": app, "version": int(tv), "lastUpdated": None}
+            for app, tv in sorted(getattr(self, "_last_txns", {}).items())
+        ]
+
         if not v2:
             protocol_action = {
                 "minReaderVersion": protocol.get("minReaderVersion", 1),
@@ -4087,13 +4153,21 @@ class DeltaLogReader:
                 "readerFeatures": protocol.get("readerFeatures"),
                 "writerFeatures": protocol.get("writerFeatures"),
             }
-            rows = [
-                {"protocol": protocol_action, "metaData": None, "add": None, "remove": None},
-                {"protocol": None, "metaData": meta_action, "add": None, "remove": None},
-            ] + [
-                {"protocol": None, "metaData": None, "add": a, "remove": None}
-                for a in add_actions
-            ]
+            blank = {
+                "protocol": None,
+                "metaData": None,
+                "txn": None,
+                "add": None,
+                "remove": None,
+            }
+            rows = (
+                [
+                    {**blank, "protocol": protocol_action},
+                    {**blank, "metaData": meta_action},
+                ]
+                + [{**blank, "txn": tx} for tx in txn_actions]
+                + [{**blank, "add": a} for a in add_actions]
+            )
             self._write_single_parquet(
                 rows,
                 self._CHECKPOINT_SCHEMA,
@@ -4134,26 +4208,35 @@ class DeltaLogReader:
                 tmp = target + ".tmp"
                 with open(tmp, "w") as fh:
                     for action in (
-                        {"checkpointMetadata": {"version": v}},
-                        {"protocol": protocol_action},
-                        {"metaData": meta_action},
-                        {"sidecar": sidecar_action},
+                        [
+                            {"checkpointMetadata": {"version": v}},
+                            {"protocol": protocol_action},
+                            {"metaData": meta_action},
+                        ]
+                        + [{"txn": tx} for tx in txn_actions]
+                        + [{"sidecar": sidecar_action}]
                     ):
                         fh.write(json.dumps(action) + "\n")
                 os.replace(tmp, target)
             elif manifest_format == "parquet":
+                # txn actions are non-file actions: the spec keeps them
+                # in the v2 MANIFEST (sidecars hold only add/remove)
                 blank = {
                     "protocol": None,
                     "metaData": None,
+                    "txn": None,
                     "checkpointMetadata": None,
                     "sidecar": None,
                 }
-                rows = [
-                    {**blank, "checkpointMetadata": {"version": v}},
-                    {**blank, "protocol": protocol_action},
-                    {**blank, "metaData": meta_action},
-                    {**blank, "sidecar": sidecar_action},
-                ]
+                rows = (
+                    [
+                        {**blank, "checkpointMetadata": {"version": v}},
+                        {**blank, "protocol": protocol_action},
+                        {**blank, "metaData": meta_action},
+                    ]
+                    + [{**blank, "txn": tx} for tx in txn_actions]
+                    + [{**blank, "sidecar": sidecar_action}]
+                )
                 self._write_single_parquet(
                     rows,
                     self._V2_MANIFEST_SCHEMA,
@@ -4165,7 +4248,7 @@ class DeltaLogReader:
                 raise ValueError(
                     f"manifest_format {manifest_format!r}: 'parquet' or 'json'"
                 )
-            n_actions = 4 + len(add_actions)
+            n_actions = 4 + len(txn_actions) + len(add_actions)
 
         with open(os.path.join(self.log_dir, "_last_checkpoint"), "w") as fh:
             json.dump({"version": v, "size": n_actions}, fh)

@@ -2851,6 +2851,27 @@ class IcebergTableReader:
                 kept.append((path, (seq, st)))
         return kept
 
+    def _apply_eq_deletes_for_dml(
+        self, scan: DataFrame, eq, meta: dict, candidates
+    ) -> DataFrame:
+        """Apply existing equality deletes to a DML hit-detection scan
+        (columns `__p`/`__pos` + data columns): attach each candidate
+        file's data sequence and anti-join the sequence-gated delete
+        rows — the read path's own `_eq_delete_join`, so DML sees
+        exactly the live set a reader sees. A Flink-CDC table's
+        eq-deleted rows are therefore never re-tombstoned (idempotent
+        re-runs) and never counted as DML hits."""
+        scan = self._attach_seq(
+            scan.withColumnRenamed("__p", "__path"), candidates
+        )
+        return (
+            self._eq_delete_join(
+                scan, eq, meta, self._scan_schema(meta), "left_anti"
+            )
+            .drop("__seq")
+            .withColumnRenamed("__path", "__p")
+        )
+
     def delete_where(self, predicates: list) -> int:
         """DELETE WHERE as a MERGE-ON-READ commit: instead of
         rewriting data files (Delta's copy-on-write delete_where),
@@ -2862,9 +2883,12 @@ class IcebergTableReader:
         reads: files provably without matches are never scanned, and
         the delete file is written DISTRIBUTED (the matching
         positions never materialize on the driver). Tables with
-        existing equality deletes refuse (sequence interplay);
-        returns the new snapshot id, or the current one when
-        provably nothing matches."""
+        existing equality deletes (a Flink-CDC upsert shape) apply
+        them sequence-gated BEFORE hit detection — exactly the read
+        path's `_eq_delete_join` — so an engine DELETE never
+        re-tombstones a row an eq-delete already removed. Returns
+        the new snapshot id, or the current one when provably
+        nothing matches."""
         import uuid as _uuidmod
 
         from . import skipping
@@ -2875,10 +2899,6 @@ class IcebergTableReader:
             s for s in meta["snapshots"] if s["snapshot-id"] == snap_id
         )
         data, pos_deletes, eq = self._live_files(snapshot)
-        if eq:
-            raise UnsupportedIcebergFeature(
-                "delete_where on a table with equality deletes"
-            )
         schema = self._schema_struct(meta)
         skipping.validate(predicates, [f.name for f in schema.fields])
         candidates = self._prune_data_files(data, predicates, meta)
@@ -2908,6 +2928,8 @@ class IcebergTableReader:
                 & (F.col("__pos") == F.col("__dpos")),
                 "left_anti",
             )
+        if eq:
+            scan = self._apply_eq_deletes_for_dml(scan, eq, meta, candidates)
         hits = scan.filter(skipping.residual_filter(predicates)).select(
             F.concat(F.lit("file://"), F.col("__p")).alias("file_path"),
             F.col("__pos").alias("pos"),
@@ -2957,9 +2979,12 @@ class IcebergTableReader:
         leave the manifest list). Existing v2 position-delete FILES
         stay untouched and keep applying — the spec's
         migration-period mix — and their tombstones are anti-joined
-        out of the match so re-deletes commit nothing. Tables with
-        equality deletes refuse (sequence interplay). Returns the new
-        snapshot id, or the current one when nothing matches."""
+        out of the match so re-deletes commit nothing. Existing
+        equality deletes (Flink-CDC shape) apply sequence-gated
+        BEFORE hit detection via the read path's `_eq_delete_join`,
+        so the puffin vector is written against the post-eq-delete
+        live set. Returns the new snapshot id, or the current one
+        when nothing matches."""
         import uuid as _uuidmod
 
         from ..functions import avrocodec, puffin
@@ -2972,10 +2997,6 @@ class IcebergTableReader:
             s for s in meta["snapshots"] if s["snapshot-id"] == snap_id
         )
         data, pos_deletes, eq = self._live_files(snapshot)
-        if eq:
-            raise UnsupportedIcebergFeature(
-                "delete_where_dv on a table with equality deletes"
-            )
         schema = self._schema_struct(meta)
         skipping.validate(predicates, [f.name for f in schema.fields])
         candidates = self._prune_data_files(data, predicates, meta)
@@ -3003,6 +3024,8 @@ class IcebergTableReader:
                 & (F.col("__pos") == F.col("__dpos")),
                 "left_anti",
             )
+        if eq:
+            scan = self._apply_eq_deletes_for_dml(scan, eq, meta, candidates)
         new_by_path = {
             r["__p"]: [int(x) for x in r["pos"]]
             for r in scan.filter(skipping.residual_filter(predicates))
@@ -3224,8 +3247,11 @@ class IcebergTableReader:
         analog of DeltaLogReader.update_where_dv. Candidates prune on
         manifest bounds, matched positions compute DISTRIBUTED,
         already-tombstoned rows are excluded, every assignment
-        evaluates against the OLD row in one projection. Tables with
-        equality deletes refuse. Returns the new snapshot id, or the
+        evaluates against the OLD row in one projection. Existing
+        equality deletes apply sequence-gated before hit detection
+        (read-path `_eq_delete_join`), and the updated images' data
+        file sequences past EVERY live eq-delete so re-inserted rows
+        survive the gate. Returns the new snapshot id, or the
         current one when nothing matches."""
         import uuid as _uuidmod
 
@@ -3241,10 +3267,6 @@ class IcebergTableReader:
             s for s in meta["snapshots"] if s["snapshot-id"] == snap_id
         )
         data, pos_deletes, eq = self._live_files(snapshot)
-        if eq:
-            raise UnsupportedIcebergFeature(
-                "update_where_dv on a table with equality deletes"
-            )
         schema = self._schema_struct(meta)
         skipping.validate(predicates, [f.name for f in schema.fields])
         unknown = sorted(set(set_exprs) - set(schema.fieldNames()))
@@ -3277,6 +3299,8 @@ class IcebergTableReader:
                 & (F.col("__pos") == F.col("__dpos")),
                 "left_anti",
             )
+        if eq:
+            scan = self._apply_eq_deletes_for_dml(scan, eq, meta, candidates)
         matched = scan.filter(
             skipping.residual_filter(predicates)
         ).localCheckpoint()  # computed once: feeds positions AND images
@@ -3318,7 +3342,9 @@ class IcebergTableReader:
             fields=self._schema_fields(meta),
         )
         n_rows = pq.ParquetFile(data_path).metadata.num_rows
-        seqs = [s for _p, (s, _st) in data]
+        # past every eq-delete sequence too: an updated image
+        # re-inserted at n must SURVIVE the strictly-smaller gate
+        seqs = [s for _p, (s, _st) in data] + [e[2] for e in eq]
         n = (max(seqs) if seqs else 0) + 1
         meta_dir = os.path.join(self.path, "metadata")
         data_manifest = os.path.join(
@@ -3363,9 +3389,12 @@ class IcebergTableReader:
         `_metadata.row_index`, already-tombstoned rows are excluded
         (a previously deleted row never resurrects as an update), and
         every assignment evaluates against the OLD row in one
-        projection (SQL UPDATE semantics). Tables with equality
-        deletes refuse (sequence interplay). Returns the new snapshot
-        id, or the current one when provably nothing matches."""
+        projection (SQL UPDATE semantics). Existing equality deletes
+        apply sequence-gated before hit detection (read-path
+        `_eq_delete_join`), and the updated images' file sequences
+        past every live eq-delete so re-inserted rows survive the
+        gate. Returns the new snapshot id, or the current one when
+        provably nothing matches."""
         import uuid as _uuidmod
 
         import pyarrow.parquet as pq
@@ -3379,10 +3408,6 @@ class IcebergTableReader:
             s for s in meta["snapshots"] if s["snapshot-id"] == snap_id
         )
         data, pos_deletes, eq = self._live_files(snapshot)
-        if eq:
-            raise UnsupportedIcebergFeature(
-                "update_where on a table with equality deletes"
-            )
         schema = self._schema_struct(meta)
         skipping.validate(predicates, [f.name for f in schema.fields])
         unknown = sorted(set(set_exprs) - set(schema.fieldNames()))
@@ -3413,6 +3438,8 @@ class IcebergTableReader:
                 & (F.col("__pos") == F.col("__dpos")),
                 "left_anti",
             )
+        if eq:
+            scan = self._apply_eq_deletes_for_dml(scan, eq, meta, candidates)
         matched = scan.filter(
             skipping.residual_filter(predicates)
         ).localCheckpoint()  # computed once: feeds BOTH staged files
@@ -3452,7 +3479,9 @@ class IcebergTableReader:
         data_path = _stage_parquet(
             self.spark, self.path, updated, fields=self._schema_fields(meta)
         )
-        seqs = [s for _p, (s, _st) in data]
+        # past every eq-delete sequence too: an updated image
+        # re-inserted at n must SURVIVE the strictly-smaller gate
+        seqs = [s for _p, (s, _st) in data] + [e[2] for e in eq]
         n = (max(seqs) if seqs else 0) + 1
         meta_dir = os.path.join(self.path, "metadata")
         data_manifest = os.path.join(

@@ -350,3 +350,52 @@ def test_delta_append_sink_exactly_once(spark, tmp_path, df):
     assert DeltaLogReader(spark, path).read().count() == 65
     assert txn_version(path, "app-b") == 0
     assert txn_version(path, "nope") == -1
+
+
+@pytest.mark.parametrize("v2", [False, True])
+def test_txn_watermark_survives_checkpoint_and_vacuum(spark, tmp_path, df, v2):
+    """ADVICE r8 (medium): checkpoints must carry the latest txn per
+    appId — after write_checkpoint + vacuuming the pre-checkpoint JSON
+    commits, the SetTransaction watermark must NOT reset to -1, else a
+    replayed foreachBatch micro-batch re-appends (duplicates)."""
+    import os
+
+    from introduction_in_big_data_spark.sources.deltalog import (
+        DeltaLogReader,
+        delta_append_sink,
+        txn_version,
+    )
+
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, df.filter("k < 10"))
+    sink = delta_append_sink(path, "app-a")
+    sink(df.filter("k >= 10 AND k < 40"), 0)
+    sink(df.filter("k >= 40 AND k < 60"), 1)
+    delta_append_sink(path, "app-b")(df.filter("k >= 60 AND k < 65"), 0)
+
+    t = DeltaLogReader(spark, path)
+    cp_v = t.write_checkpoint(v2=v2)
+    log = os.path.join(path, "_delta_log")
+    for v in range(cp_v + 1):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+
+    # watermark survives the checkpoint handoff per appId
+    assert txn_version(path, "app-a") == 1
+    assert txn_version(path, "app-b") == 0
+    assert txn_version(path, "nope") == -1
+    # the real invariant: a replayed micro-batch is STILL a no-op
+    sink(df.filter("k >= 40 AND k < 60"), 1)
+    assert DeltaLogReader(spark, path).read().count() == 65
+    # and the next epoch appends normally, advancing the watermark
+    sink(df.filter("k >= 65 AND k < 70"), 2)
+    assert DeltaLogReader(spark, path).read().count() == 70
+    assert txn_version(path, "app-a") == 2
+    # a SECOND checkpoint re-compacts the watermarks (json tail +
+    # prior checkpoint both feed _replay's txn accumulation)
+    t2 = DeltaLogReader(spark, path)
+    cp2 = t2.write_checkpoint(v2=v2)
+    for v in range(cp_v + 1, cp2 + 1):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    assert txn_version(path, "app-a") == 2
+    sink(df.filter("k >= 65 AND k < 70"), 2)  # replay: still a no-op
+    assert DeltaLogReader(spark, path).read().count() == 70
