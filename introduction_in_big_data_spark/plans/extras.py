@@ -1070,6 +1070,88 @@ def delta_row_tracking_read(spark, sf_dir):
 
 
 @register(
+    "delta_row_tracking_dml_read",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_orderkey, o_orderpriority,
+                   row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+            FROM orders
+        ),
+        n AS (SELECT count(*) AS total FROM orders),
+        live AS (
+            SELECT o_orderpriority, rid FROM ranked
+            WHERE o_orderkey >= 1000
+            UNION ALL
+            SELECT '9-REINS' AS o_orderpriority, total + v.i AS rid
+            FROM n, (VALUES (0), (1), (2), (3), (4)) AS v(i)
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(rid) AS BIGINT) AS sum_row_id,
+               CAST(min(rid) AS BIGINT) AS min_row_id,
+               CAST(max(rid) AS BIGINT) AS max_row_id
+        FROM live
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("delta", "lakehouse", "dml", "row-tracking", "lineage"),
+)
+def delta_row_tracking_dml_read(spark, sf_dir):
+    """ROW-TRACKING DML (round 9, VERDICT r8 item 3): stage orders as
+    a rowTracking table (enablement backfill: _row_id = global
+    o_orderkey rank), then run the id-maintaining DML pair — a
+    DV DELETE (o_orderkey < 1000: survivors keep their ids because
+    the hit files re-add with their original baseRowId) and an
+    APPEND of five '9-REINS' rows whose baseRowIds allocate from the
+    rowIdHighWaterMark domain ATOMICALLY with the commit (fresh ids
+    N..N+4, disjoint from every id ever assigned — including the
+    ones the delete just retired). The read derives ids through the
+    standard v3 path; sum/min/max of _row_id per priority pins the
+    EXACT id assignment, so 'survivors stable, inserts fresh and
+    disjoint' is value-hash checked against the DuckDB rank oracle."""
+    import tempfile
+
+    from ..sources.deltalog import (
+        DeltaLogReader,
+        commit_append,
+        create_minimal_table,
+        enable_row_tracking,
+    )
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    path = tempfile.mkdtemp(prefix="delta_rt_dml_") + "/t"
+    create_minimal_table(spark, path, base, stats=True)
+    enable_row_tracking(spark, path)
+    DeltaLogReader(spark, path).delete_where_dv(
+        [("o_orderkey", "<", 1000)]
+    )
+    commit_append(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(90000001 + i, "9-REINS") for i in range(5)],
+            "o_orderkey long, o_orderpriority string",
+        ).coalesce(1).sortWithinPartitions("o_orderkey"),
+    )
+    snap = DeltaLogReader(spark, path).read(with_row_ids=True)
+    return (
+        snap.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("_row_id").alias("sum_row_id"),
+            F.min("_row_id").alias("min_row_id"),
+            F.max("_row_id").alias("max_row_id"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "delta_column_mapping_dml_read",
     oracle="""
         SELECT o_orderpriority,

@@ -655,12 +655,27 @@ def commit_append(
             add["stats"] = json.dumps(stats_by[full])
         adds.append({"add": add})
     actions = list(adds)
+    log_dir = os.path.join(path, "_delta_log")
+    v = _latest_version_no_spark(path) + 1
+    # ROW TRACKING (round 9): appends to a rowTracking table allocate
+    # fresh baseRowIds from the rowIdHighWaterMark domain and advance
+    # it ATOMICALLY with the adds (the spec's fresh-id assignment —
+    # the Iceberg first-row-id pattern in this repo is the same shape)
+    t = DeltaLogReader(spark, path)
+    meta_rt, live_rt = t._replay(v - 1)
+    if t._row_tracking_on(meta_rt):
+        hwm = t._row_id_high_water_mark(live_rt)
+        for wrapped in adds:
+            a = wrapped["add"]
+            n = t._file_num_rows(a)
+            a["baseRowId"] = hwm + 1
+            a["defaultRowCommitVersion"] = v
+            hwm += n
+        actions.append(DeltaLogReader._rt_domain_action(hwm))
     if txn is not None:
         actions.append(
             {"txn": {"appId": txn[0], "version": int(txn[1])}}
         )
-    log_dir = os.path.join(path, "_delta_log")
-    v = _latest_version_no_spark(path) + 1
     target = os.path.join(log_dir, f"{v:020d}.json")
     tmpf = target + ".tmp"
     with open(tmpf, "w") as fh:
@@ -810,11 +825,13 @@ def commit_deletion_vector(
 def enable_row_tracking(spark: SparkSession, path: str) -> None:
     """Stage ROW TRACKING on a freshly-created single-commit table:
     rewrite commit 0 with the (1, 7) rowTracking protocol,
-    delta.enableRowTracking, and per-add fresh-id assignment
+    delta.enableRowTracking, per-add fresh-id assignment
     (baseRowId = cumulative row count, defaultRowCommitVersion = 0 —
-    the spec's enablement backfill). Exists to exercise the READER
-    (`read(with_row_ids=True)`); this engine's DML refuses
-    rowTracking tables, so the forge never composes with writes."""
+    the spec's enablement backfill), and the `delta.rowTracking`
+    domainMetadata carrying the backfilled rowIdHighWaterMark.
+    Since round 9 this composes with DML: DV deletes preserve
+    survivor ids, appends allocate fresh ids from the high-water
+    mark, DV updates materialize survivor ids."""
     import pyarrow.parquet as pq
 
     c0 = os.path.join(path, "_delta_log", f"{0:020d}.json")
@@ -838,6 +855,7 @@ def enable_row_tracking(spark: SparkSession, path: str) -> None:
             base += pq.ParquetFile(
                 os.path.join(path, unquote(a["add"]["path"]))
             ).metadata.num_rows
+    acts.append(DeltaLogReader._rt_domain_action(base - 1))
     with open(c0, "w") as fh:
         for a in acts:
             fh.write(json.dumps(a) + "\n")
@@ -1161,7 +1179,15 @@ class DeltaLogReader:
         all, and sidecar files carry only add/remove)."""
         cols = [
             c
-            for c in ("protocol", "metaData", "txn", "add", "remove", "sidecar")
+            for c in (
+                "protocol",
+                "metaData",
+                "txn",
+                "domainMetadata",
+                "add",
+                "remove",
+                "sidecar",
+            )
             if c in df.columns
         ]
         return [r.asDict(recursive=True) for r in df.select(*cols).collect()]
@@ -1247,6 +1273,7 @@ class DeltaLogReader:
         live: dict[str, dict] = {}
         protocol: dict | None = None
         txns: dict[str, int] = {}
+        domains: dict[str, dict] = {}
 
         # Within ONE commit (or checkpoint), add and remove of the same
         # path reconcile with ADD winning regardless of serialization
@@ -1277,6 +1304,14 @@ class DeltaLogReader:
                     app = d["txn"]["appId"]
                     tv = int(d["txn"].get("version", -1))
                     txns[app] = max(txns.get(app, -1), tv)
+                if d.get("domainMetadata") and d["domainMetadata"].get(
+                    "domain"
+                ):
+                    dm = d["domainMetadata"]
+                    if dm.get("removed"):
+                        domains.pop(dm["domain"], None)
+                    else:
+                        domains[dm["domain"]] = dm
                 if d.get("add") and d["add"].get("path"):
                     cp_adds.append(d["add"])
                 if d.get("remove") and d["remove"].get("path"):
@@ -1308,6 +1343,13 @@ class DeltaLogReader:
                         if app:
                             tv = int(action["txn"].get("version", -1))
                             txns[app] = max(txns.get(app, -1), tv)
+                    elif "domainMetadata" in action:
+                        dm = action["domainMetadata"]
+                        if dm.get("domain"):
+                            if dm.get("removed"):
+                                domains.pop(dm["domain"], None)
+                            else:
+                                domains[dm["domain"]] = dm
                     elif "add" in action:
                         adds.append(action["add"])
                     elif "remove" in action:
@@ -1323,6 +1365,7 @@ class DeltaLogReader:
             "minWriterVersion": 2,
         }
         self._last_txns = txns
+        self._last_domains = domains
         return meta, live
 
     # -- reads --------------------------------------------------------------
@@ -2323,11 +2366,84 @@ class DeltaLogReader:
             "checkConstraints",
             "generatedColumns",
             "identityColumns",
+            # round 9: DML maintains row ids (delete_where_dv re-adds
+            # preserve baseRowId; update_where_dv materializes survivor
+            # ids; appends allocate from the rowIdHighWaterMark domain)
+            # — paths that cannot yet maintain ids gate by usage via
+            # maintains_row_ids below.
+            "rowTracking",
+            "domainMetadata",
         }
     )
 
+    @staticmethod
+    def _row_tracking_on(meta: dict) -> bool:
+        return (meta.get("configuration") or {}).get(
+            "delta.enableRowTracking"
+        ) == "true"
+
+    def _file_num_rows(self, a: dict) -> int:
+        """Row count of an add action's file: stats.numRecords when
+        present, else the parquet footer (driver-side, cheap)."""
+        st = a.get("stats")
+        if st:
+            try:
+                n = json.loads(st).get("numRecords")
+                if n is not None:
+                    return int(n)
+            except (ValueError, TypeError):
+                pass
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(
+            os.path.join(self.path, unquote(a["path"]))
+        ).metadata.num_rows
+
+    def _row_id_high_water_mark(self, live: dict[str, dict]) -> int:
+        """Highest row id ever assigned on this table: the
+        `delta.rowTracking` domain's rowIdHighWaterMark when present
+        (authoritative — a removed file's ids must never reissue),
+        else computed from live adds' baseRowId + row counts (exact
+        for tables where no id-carrying file was ever removed, e.g. a
+        freshly-enabled table; every allocation below re-persists the
+        domain, so the fallback only ever runs once per table)."""
+        dm = getattr(self, "_last_domains", {}).get("delta.rowTracking")
+        if dm and dm.get("configuration"):
+            try:
+                return int(
+                    json.loads(dm["configuration"])["rowIdHighWaterMark"]
+                )
+            except (KeyError, ValueError, TypeError):
+                pass
+        hwm = -1
+        for a in live.values():
+            base = a.get("baseRowId")
+            if base is None:
+                raise UnsupportedDeltaFeature(
+                    "rowTracking: live add action without baseRowId — "
+                    "cannot derive the row-id high-water mark"
+                )
+            hwm = max(hwm, int(base) + self._file_num_rows(a) - 1)
+        return hwm
+
+    @staticmethod
+    def _rt_domain_action(hwm: int) -> dict:
+        """The spec's rowIdHighWaterMark carrier: a `delta.rowTracking`
+        domainMetadata action committed ATOMICALLY with the adds whose
+        ids it covers."""
+        return {
+            "domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": json.dumps(
+                    {"rowIdHighWaterMark": int(hwm)}
+                ),
+                "removed": False,
+            }
+        }
+
     def _guard_writer_protocol(
-        self, meta: dict, op: str, removes_data: bool
+        self, meta: dict, op: str, removes_data: bool,
+        maintains_row_ids: bool = False,
     ) -> None:
         """Refuse writes the table's protocol obliges a writer to
         handle and this engine does not — corrupting an external
@@ -2371,6 +2487,12 @@ class DeltaLogReader:
         if removes_data and conf.get("delta.appendOnly") == "true":
             raise UnsupportedDeltaFeature(
                 f"{op}: table is delta.appendOnly = true"
+            )
+        if self._row_tracking_on(meta) and not maintains_row_ids:
+            raise UnsupportedDeltaFeature(
+                f"{op}: table has delta.enableRowTracking and this "
+                "operation does not maintain row ids (it would "
+                "silently break every survivor's lineage)"
             )
         for f in self._schema_from_meta(meta).fields:
             md = f.metadata or {}
@@ -2731,7 +2853,12 @@ class DeltaLogReader:
         v = self.latest_version()
         meta, live = self._replay(v)
         self._guard_writer_protocol(
-            meta, "delete_where_dv", removes_data=True
+            meta, "delete_where_dv", removes_data=True,
+            # survivors keep their ids for free: the hit file re-adds
+            # with its original baseRowId/defaultRowCommitVersion (the
+            # {**a} re-add), and whole-file removes retire ids without
+            # reissuing them (the high-water mark never decreases)
+            maintains_row_ids=True,
         )
         schema = self._schema_from_meta(meta)
         skipping.validate(predicates, [f.name for f in schema.fields])
@@ -2955,7 +3082,11 @@ class DeltaLogReader:
         v = self.latest_version()
         meta, live = self._replay(v)
         self._guard_writer_protocol(
-            meta, "update_where_dv", removes_data=True
+            meta, "update_where_dv", removes_data=True,
+            # PRESERVED row tracking: survivor files keep their ids
+            # (DV re-add), and each updated image carries its OLD id
+            # in the materialized row-id column written below
+            maintains_row_ids=True,
         )
         schema = self._schema_from_meta(meta)
         skipping.validate(predicates, [f.name for f in schema.fields])
@@ -3028,6 +3159,43 @@ class DeltaLogReader:
         ]
         carries_stats = any("stats" in a for a in live.values())
 
+        # ROW TRACKING (round 9): a preserved UPDATE — each image row
+        # carries its OLD id via the materialized row-id column (the
+        # name is table config; first use assigns one and commits the
+        # metaData update atomically), the image FILE still gets a
+        # fresh baseRowId range (spec: every add carries one; the
+        # materialized values override on read), and the commit's
+        # defaultRowCommitVersion marks the rows as updated at v+1.
+        rt = self._row_tracking_on(meta)
+        rt_actions: list[dict] = []
+        mat_id: str | None = None
+        rt_hwm = -1
+        if rt:
+            conf_rt = dict(meta.get("configuration") or {})
+            mat_id = conf_rt.get(
+                "delta.rowTracking.materializedRowIdColumnName"
+            )
+            if not mat_id:
+                mat_id = f"_row-id-col-{uuid4().hex}"
+                conf_rt[
+                    "delta.rowTracking.materializedRowIdColumnName"
+                ] = mat_id
+                rt_actions.append(
+                    {"metaData": {**meta, "configuration": conf_rt}}
+                )
+            base_by_path = {}
+            for a in candidates.values():
+                if a.get("baseRowId") is None:
+                    raise UnsupportedDeltaFeature(
+                        "update_where_dv: rowTracking table carries a "
+                        f"candidate add without baseRowId: {a['path']}"
+                    )
+                base_by_path[abspath(a["path"])] = int(a["baseRowId"])
+            rt_base_df = self.spark.createDataFrame(
+                sorted(base_by_path.items()), "__path string, __base long"
+            )
+            rt_hwm = self._row_id_high_water_mark(live)
+
         groups: dict[tuple, list[str]] = {}
         group_pv: dict[tuple, dict] = {}
         for a in candidates.values():
@@ -3042,16 +3210,35 @@ class DeltaLogReader:
             groups,
             key=lambda kv: tuple((x is not None, x or "") for x in kv),
         ):
+            scan_schema = file_schema
+            if rt:
+                # read any EXISTING materialized ids too (files that
+                # never materialized null-fill, falling back to
+                # baseRowId + position — the read path's exact rule)
+                scan_schema = T.StructType(
+                    list(file_schema.fields)
+                    + [T.StructField(mat_id, T.LongType(), True)]
+                )
             matched = (
-                self.spark.read.schema(file_schema)
+                self.spark.read.schema(scan_schema)
                 .parquet(*sorted(groups[k]))
                 .select(
                     *logical_sel,
+                    *([F.col(mat_id)] if rt else []),
                     norm(F.col("_metadata.file_path")).alias("__path"),
                     F.col("_metadata.row_index").alias("__pos"),
                 )
                 .filter(matching)
             )
+            if rt:
+                matched = matched.join(
+                    F.broadcast(rt_base_df), "__path", "left"
+                ).withColumn(
+                    "__rid",
+                    F.coalesce(
+                        F.col(mat_id), F.col("__base") + F.col("__pos")
+                    ),
+                )
             if dv_rows:
                 pos_df = self._dv_positions_df(dv_rows).select(
                     norm(F.col("file_path")).alias("__del_path"),
@@ -3095,21 +3282,27 @@ class DeltaLogReader:
                     if f.name in set_exprs
                     else F.col(f.name)
                     for f in schema.fields
-                ]
+                ],
+                *([F.col("__rid")] if rt else []),
             )
             # updated images are the commit's NEW rows: enforce the
             # table's constraints before this group stages anything
             self._enforce_write_constraints(
-                meta, imaged, "update_where_dv"
+                meta, imaged.drop("__rid"), "update_where_dv"
             )
-            imaged = imaged.select(*[f.name for f in data_fields])
+            imaged = imaged.select(
+                *[f.name for f in data_fields],
+                *([F.col("__rid").alias(mat_id)] if rt else []),
+            )
             # matched counts are known (the positions collect above):
             # size the append at ~1M rows/file instead of inheriting
             # the candidate scan's partitioning for a few rows
             n_rows = sum(len(ps) for ps in got.values())
             imaged = imaged.coalesce(max(1, -(-n_rows // 1_000_000)))
             if phys_sel is not None:
-                imaged = imaged.select(*phys_sel)
+                imaged = imaged.select(
+                    *phys_sel, *([F.col(mat_id)] if rt else [])
+                )
             out_dir = os.path.join(self.path, f"_update_{uuid4().hex}")
             imaged.write.mode("errorifexists").parquet(out_dir)
             import pyarrow.parquet as _pq
@@ -3141,11 +3334,22 @@ class DeltaLogReader:
                 }
                 if f in stats_by:
                     add["stats"] = json.dumps(stats_by[f])
+                if rt:
+                    import pyarrow.parquet as _pq2
+
+                    n = _pq2.ParquetFile(f).metadata.num_rows
+                    add["baseRowId"] = rt_hwm + 1
+                    add["defaultRowCommitVersion"] = v + 1
+                    rt_hwm += n
                 image_adds.append({"add": add})
         if not new_by_path:
             return v  # provably or actually no matching row
+        if rt:
+            rt_actions.append(self._rt_domain_action(rt_hwm))
         actions = self._dv_actions(candidates, new_by_path, abspath)
-        return self._publish(self._next_version(), actions + image_adds)
+        return self._publish(
+            self._next_version(), rt_actions + actions + image_adds
+        )
 
     @_retry_conflicts
     def update_where(
@@ -4040,13 +4244,16 @@ class DeltaLogReader:
         "metaData struct<id:string,format:struct<provider:string>,"
         "schemaString:string,partitionColumns:array<string>,"
         "configuration:map<string,string>,createdTime:long>, "
-        "txn struct<appId:string,version:long,lastUpdated:long>"
+        "txn struct<appId:string,version:long,lastUpdated:long>, "
+        "domainMetadata struct<domain:string,configuration:string,"
+        "removed:boolean>"
     )
     _FILE_ACTIONS_SCHEMA = (
         "add struct<path:string,partitionValues:map<string,string>,"
         "size:long,modificationTime:long,dataChange:boolean,stats:string,"
         "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
-        "offset:long,sizeInBytes:long,cardinality:long>>, "
+        "offset:long,sizeInBytes:long,cardinality:long>,"
+        "baseRowId:long,defaultRowCommitVersion:long>, "
         "remove struct<path:string,deletionTimestamp:long,dataChange:boolean>"
     )
     _CHECKPOINT_SCHEMA = f"{_TABLE_ACTIONS_SCHEMA}, {_FILE_ACTIONS_SCHEMA}"
@@ -4133,6 +4340,13 @@ class DeltaLogReader:
                         if dv
                         else None
                     ),
+                    # row lineage: dropping these in a checkpoint would
+                    # silently re-derive DIFFERENT _row_ids after the
+                    # pre-checkpoint commits are vacuumed
+                    "baseRowId": a.get("baseRowId"),
+                    "defaultRowCommitVersion": a.get(
+                        "defaultRowCommitVersion"
+                    ),
                 }
             )
 
@@ -4144,6 +4358,19 @@ class DeltaLogReader:
         txn_actions = [
             {"appId": app, "version": int(tv), "lastUpdated": None}
             for app, tv in sorted(getattr(self, "_last_txns", {}).items())
+        ]
+        # domain metadata rows are equally checkpoint-obligatory: the
+        # rowTracking high-water mark lives there, and losing it would
+        # re-issue already-assigned row ids after a vacuum
+        domain_actions = [
+            {
+                "domain": dom,
+                "configuration": dm.get("configuration"),
+                "removed": False,
+            }
+            for dom, dm in sorted(
+                getattr(self, "_last_domains", {}).items()
+            )
         ]
 
         if not v2:
@@ -4157,6 +4384,7 @@ class DeltaLogReader:
                 "protocol": None,
                 "metaData": None,
                 "txn": None,
+                "domainMetadata": None,
                 "add": None,
                 "remove": None,
             }
@@ -4166,6 +4394,7 @@ class DeltaLogReader:
                     {**blank, "metaData": meta_action},
                 ]
                 + [{**blank, "txn": tx} for tx in txn_actions]
+                + [{**blank, "domainMetadata": dm} for dm in domain_actions]
                 + [{**blank, "add": a} for a in add_actions]
             )
             self._write_single_parquet(
@@ -4214,6 +4443,7 @@ class DeltaLogReader:
                             {"metaData": meta_action},
                         ]
                         + [{"txn": tx} for tx in txn_actions]
+                        + [{"domainMetadata": dm} for dm in domain_actions]
                         + [{"sidecar": sidecar_action}]
                     ):
                         fh.write(json.dumps(action) + "\n")
@@ -4225,6 +4455,7 @@ class DeltaLogReader:
                     "protocol": None,
                     "metaData": None,
                     "txn": None,
+                    "domainMetadata": None,
                     "checkpointMetadata": None,
                     "sidecar": None,
                 }
@@ -4235,6 +4466,7 @@ class DeltaLogReader:
                         {**blank, "metaData": meta_action},
                     ]
                     + [{**blank, "txn": tx} for tx in txn_actions]
+                    + [{**blank, "domainMetadata": dm} for dm in domain_actions]
                     + [{**blank, "sidecar": sidecar_action}]
                 )
                 self._write_single_parquet(
@@ -4248,7 +4480,9 @@ class DeltaLogReader:
                 raise ValueError(
                     f"manifest_format {manifest_format!r}: 'parquet' or 'json'"
                 )
-            n_actions = 4 + len(txn_actions) + len(add_actions)
+            n_actions = (
+                4 + len(txn_actions) + len(domain_actions) + len(add_actions)
+            )
 
         with open(os.path.join(self.log_dir, "_last_checkpoint"), "w") as fh:
             json.dump({"version": v, "size": n_actions}, fh)

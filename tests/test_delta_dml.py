@@ -402,10 +402,13 @@ def test_iceberg_upsert_chains_by_sequence(spark, tmp_path):
         )
 
 
-def test_iceberg_delete_where_refuses_equality_deletes(spark, tmp_path):
+def test_iceberg_delete_where_applies_equality_deletes(spark, tmp_path):
+    """Round 9: eq-delete tables no longer refuse DML — the existing
+    equality deletes apply sequence-gated BEFORE hit detection, so an
+    engine DELETE tombstones only the live set (see
+    test_iceberg_eq_dml.py for the full Flink-CDC matrix)."""
     from introduction_in_big_data_spark.sources.iceberg import (
         IcebergTableReader,
-        UnsupportedIcebergFeature,
         add_equality_deletes,
         create_minimal_table as ice_create,
     )
@@ -413,8 +416,9 @@ def test_iceberg_delete_where_refuses_equality_deletes(spark, tmp_path):
     path = str(tmp_path / "t")
     ice_create(spark, path, _df(spark).select("k"))
     add_equality_deletes(spark, path, [(5,)], ["k"], 1)
-    with pytest.raises(UnsupportedIcebergFeature, match="equality"):
-        IcebergTableReader(spark, path).delete_where([("k", "=", 1)])
+    IcebergTableReader(spark, path).delete_where([("k", "=", 1)])
+    got = {r.k for r in IcebergTableReader(spark, path).read().collect()}
+    assert 1 not in got and 5 not in got and 2 in got
 
 
 def test_optimize_zorder_clusters_and_prunes(spark, tmp_path):

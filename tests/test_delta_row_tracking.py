@@ -132,15 +132,25 @@ def test_with_row_ids_refuses_untracked_tables(spark, tmp_path):
         DeltaLogReader(spark, path).read(with_row_ids=True)
 
 
-def test_dml_still_refuses_row_tracking_tables(spark, tmp_path):
+def test_cow_dml_still_refuses_row_tracking_tables(spark, tmp_path):
+    """Copy-on-write paths REWRITE survivors into new files without
+    materializing their ids — they refuse on rowTracking tables (the
+    id-maintaining DML is delete_where_dv / update_where_dv /
+    commit_append, tested below)."""
     path = str(tmp_path / "t")
     create_minimal_table(
         spark, path, spark.range(50).select(F.col("id").alias("k"))
     )
     _forge_row_tracking(path)
     r = DeltaLogReader(spark, path)
-    with pytest.raises(UnsupportedDeltaFeature, match="rowTracking"):
+    with pytest.raises(
+        UnsupportedDeltaFeature, match="does not maintain row ids"
+    ):
         r.delete_where([("k", "<", 5)])
+    with pytest.raises(
+        UnsupportedDeltaFeature, match="does not maintain row ids"
+    ):
+        r.update_where([("k", "<", 5)], {"k": "k + 1000"})
 
 
 def test_row_ids_survive_deletion_vectors(spark, tmp_path):
@@ -158,15 +168,8 @@ def test_row_ids_survive_deletion_vectors(spark, tmp_path):
     r = DeltaLogReader(spark, path)
     before = {x.k: x._row_id for x in r.read(with_row_ids=True).collect()}
     assert before[50] == 50  # sorted single file: id == k
-    # DV delete: rowTracking tables accept delete_where_dv? The DML
-    # guard checks writerFeatures — rowTracking is not in the OK set,
-    # so it refuses; stage the vector externally instead.
-    from introduction_in_big_data_spark.sources.deltalog import (
-        commit_deletion_vector,
-    )
-
-    rel = next(iter(r._replay(r.latest_version())[1]))
-    commit_deletion_vector(spark, path, rel, [0, 1, 50])
+    # the ENGINE's own DV delete (round 9): id-maintaining DML
+    r.delete_where_dv([("k", "in", [0, 1, 50])])
     after = {
         x.k: x._row_id
         for x in DeltaLogReader(spark, path)
@@ -175,3 +178,157 @@ def test_row_ids_survive_deletion_vectors(spark, tmp_path):
     }
     assert sorted(after) == [k for k in range(2, 100) if k != 50]
     assert after[99] == 99 and after[2] == 2  # survivors keep ids
+
+
+def test_append_allocates_fresh_disjoint_ids(spark, tmp_path):
+    """commit_append on a rowTracking table allocates baseRowIds from
+    the rowIdHighWaterMark domain atomically with the commit: new
+    rows get fresh ids disjoint from every id ever assigned — even
+    ids retired by an intervening delete are never reissued."""
+    import json as _json
+    import os as _os
+
+    from introduction_in_big_data_spark.sources.deltalog import (
+        commit_append,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 100, 1, 1).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    create_minimal_table(spark, path, df.sortWithinPartitions("k"))
+    _forge_row_tracking(path)
+    # delete retires ids {0,1,2} — the high-water mark must not reuse
+    DeltaLogReader(spark, path).delete_where_dv([("k", "<", 3)])
+    commit_append(
+        spark,
+        path,
+        spark.createDataFrame([(500, 5.0), (501, 5.1)], "k long, v double"),
+    )
+    got = {
+        x.k: x._row_id
+        for x in DeltaLogReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    survivors = {k: got[k] for k in range(3, 100)}
+    assert survivors == {k: k for k in range(3, 100)}
+    fresh = {got[500], got[501]}
+    assert fresh == {100, 101}, "fresh ids continue past the watermark"
+    # the domain metadata advanced atomically with the append
+    log = _os.path.join(path, "_delta_log")
+    last = sorted(
+        f for f in _os.listdir(log) if f.endswith(".json")
+    )[-1]
+    doms = [
+        _json.loads(ln)["domainMetadata"]
+        for ln in open(_os.path.join(log, last))
+        if ln.strip() and "domainMetadata" in _json.loads(ln)
+    ]
+    assert doms and _json.loads(doms[0]["configuration"]) == {
+        "rowIdHighWaterMark": 101
+    }
+    # a second append continues from the new mark
+    commit_append(
+        spark, path, spark.createDataFrame([(502, 5.2)], "k long, v double")
+    )
+    got2 = {
+        x.k: x._row_id
+        for x in DeltaLogReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    assert got2[502] == 102 and got2[500] == 100
+
+
+def test_update_where_dv_preserves_ids_via_materialization(spark, tmp_path):
+    """A DV UPDATE is PRESERVED row tracking: the updated image keeps
+    its OLD row id (materialized column), its commit version bumps to
+    the update's version, untouched rows are unchanged."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 100, 1, 1).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    create_minimal_table(spark, path, df.sortWithinPartitions("k"))
+    _forge_row_tracking(path)
+    ver = DeltaLogReader(spark, path).update_where_dv(
+        [("k", "=", 7)], {"v": "777.0"}
+    )
+    r = DeltaLogReader(spark, path)
+    rows = {
+        x.k: (x.v, x._row_id, x._row_commit_version)
+        for x in r.read(with_row_ids=True).collect()
+    }
+    assert rows[7] == (777.0, 7, ver), "id preserved, version bumped"
+    assert rows[8] == (8.0, 8, 0)
+    assert len(rows) == 100
+    # the update's image file also carries a fresh baseRowId range:
+    # the watermark advanced, so a later insert stays disjoint
+    from introduction_in_big_data_spark.sources.deltalog import (
+        commit_append,
+    )
+
+    commit_append(
+        spark, path, spark.createDataFrame([(900, 9.0)], "k long, v double")
+    )
+    got = {
+        x.k: x._row_id
+        for x in DeltaLogReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    assert got[900] > 100 and got[900] != got[7]
+    # a SECOND update of the same row preserves the materialized id
+    DeltaLogReader(spark, path).update_where_dv(
+        [("k", "=", 7)], {"v": "7777.0"}
+    )
+    rows3 = {
+        x.k: (x.v, x._row_id)
+        for x in DeltaLogReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    assert rows3[7] == (7777.0, 7)
+
+
+def test_row_lineage_survives_checkpoint_and_vacuum(spark, tmp_path):
+    """baseRowId / defaultRowCommitVersion on adds AND the
+    rowIdHighWaterMark domain must survive write_checkpoint + vacuum
+    of the JSON tail — dropping them would silently re-derive
+    different ids and reissue retired ones."""
+    import os as _os
+
+    from introduction_in_big_data_spark.sources.deltalog import (
+        commit_append,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 50, 1, 1).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    create_minimal_table(spark, path, df.sortWithinPartitions("k"))
+    _forge_row_tracking(path)
+    DeltaLogReader(spark, path).delete_where_dv([("k", "<", 5)])
+    t = DeltaLogReader(spark, path)
+    cp = t.write_checkpoint()
+    log = _os.path.join(path, "_delta_log")
+    for v in range(cp + 1):
+        _os.unlink(_os.path.join(log, f"{v:020d}.json"))
+    got = {
+        x.k: x._row_id
+        for x in DeltaLogReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    assert got == {k: k for k in range(5, 50)}
+    # watermark survived: a post-vacuum insert gets id 50, not 0
+    commit_append(
+        spark, path, spark.createDataFrame([(600, 6.0)], "k long, v double")
+    )
+    got2 = {
+        x.k: x._row_id
+        for x in DeltaLogReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    assert got2[600] == 50

@@ -188,14 +188,35 @@ def test_unknown_writer_feature_refuses(spark, tmp_path):
         protocol={
             "minReaderVersion": 1,
             "minWriterVersion": 7,
-            "writerFeatures": ["rowTracking"],
+            "writerFeatures": ["someFutureFeature"],
         },
     )
     r = DeltaLogReader(spark, path)
-    with pytest.raises(UnsupportedDeltaFeature, match="rowTracking"):
+    with pytest.raises(UnsupportedDeltaFeature, match="someFutureFeature"):
         r.delete_where([("k", "<", 5)])
     # reading stays legal: writer features bind writers, not readers
     assert r.read().count() == 50
+
+
+def test_row_tracking_feature_listed_but_unused_writes(spark, tmp_path):
+    """Round 9: `rowTracking` in writerFeatures WITHOUT
+    delta.enableRowTracking is the spec's supported-but-not-enabled
+    state — every write stays legal (usage-gating, like the other
+    conf-gated features); enabling the conf gates non-id-maintaining
+    paths (see test_delta_row_tracking.py)."""
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark))
+    _patch_commit0(
+        path,
+        protocol={
+            "minReaderVersion": 1,
+            "minWriterVersion": 7,
+            "writerFeatures": ["rowTracking", "domainMetadata"],
+        },
+    )
+    r = DeltaLogReader(spark, path)
+    r.delete_where([("k", "<", 5)])
+    assert DeltaLogReader(spark, path).read().count() == 45
 
 
 def test_plain_tables_still_write(spark, tmp_path):
