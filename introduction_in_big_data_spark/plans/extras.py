@@ -2268,6 +2268,60 @@ def delta_incremental_append_read(spark, sf_dir):
 
 
 @register(
+    "delta_incremental_dv_read",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders
+        WHERE o_orderkey % 3 = 1
+        GROUP BY o_orderpriority
+    """,
+    tags=("delta", "lakehouse", "incremental", "dv", "source"),
+)
+def delta_incremental_dv_read(spark, sf_dir):
+    """Delta INCREMENTAL read SPANNING a DV delete and an OPTIMIZE
+    (round 9, VERDICT r8 item 4 — reusing the CDF derivation): stage
+    a third of orders at v0, append another third at v1, DV-DELETE
+    the small keys at v2 (a transition: the hit file re-adds with a
+    bitmap, rows were deleted, none appended — so it contributes
+    nothing and must not refuse), then OPTIMIZE at v3 (dataChange=
+    false rewrite purging the vectors — a reorganization, invisible
+    by definition). incremental(0) returns exactly v1's appends,
+    captured AS OF their append commit (the later DV delete has no
+    append-only rendering, so appended-then-deleted rows still
+    appear — the documented at-append-time contract). The oracle is
+    just the appended third from raw parquet."""
+    import tempfile
+
+    from ..sources.deltalog import (
+        DeltaLogReader,
+        commit_append,
+        create_minimal_table,
+    )
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    path = tempfile.mkdtemp(prefix="delta_inc_dv_") + "/t"
+    create_minimal_table(
+        spark, path, base.filter("o_orderkey % 3 = 0"), stats=True
+    )
+    commit_append(
+        spark, path, base.filter("o_orderkey % 3 = 1"), stats=True
+    )
+    DeltaLogReader(spark, path).delete_where_dv(
+        [("o_orderkey", "<", 500)]
+    )
+    DeltaLogReader(spark, path).optimize()
+    inc = DeltaLogReader(spark, path).incremental(0)
+    return inc.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
+@register(
     "iceberg_incremental_read",
     oracle="""
         SELECT lang,

@@ -2237,12 +2237,22 @@ class DeltaLogReader:
         dataChange=true (partition values materialize from the log as
         in read()). Reorganizations (OPTIMIZE/Z-ORDER: dataChange=
         false adds+removes) are correctly invisible — they move rows,
-        they don't change them. Commits that REMOVE data
-        (dataChange=true removes: DELETE/overwrite) have no
-        insert-only rendering without the Change Data Feed's
-        _change_data files, so they refuse loudly rather than return
-        wrong rows; so do column-mapped tables and deletion-vector
-        adds on this path."""
+        they don't change them.
+
+        Deletion-vector commits (round 9, reusing the CDF
+        derivation): a DV add on a file already in the log is a
+        TRANSITION — rows were deleted, none appended — so it
+        contributes nothing here (its paired same-commit remove is
+        the transition's bookkeeping, not a data removal); a DV add
+        whose file was never seen before is BORN-WITH-DV (the
+        Databricks MERGE shape) and contributes its live complement,
+        exactly the rows CDF renders as inserts. Appended rows are
+        captured AS OF their append commit: a row appended at v1 and
+        DV-deleted at v2 still appears (it WAS appended in range —
+        the delete itself has no append-only rendering). Commits that
+        genuinely REMOVE data files (dataChange=true removes without
+        a same-commit re-add: COW DELETE/overwrite) refuse loudly
+        rather than return wrong rows."""
         to_v = self.latest_version() if to_version is None else to_version
         meta, _live = self._replay(to_v)
         # column-mapped tables read incrementally too (round 8): the
@@ -2258,65 +2268,120 @@ class DeltaLogReader:
         )
         pv_key = self._pv_key(fields_by_name, mode)
 
+        _meta0, live_before = self._replay(from_version)
+        seen: set[str] = set(live_before)
         new_adds: dict[str, dict] = {}
+        born_dv: dict[str, dict] = {}
         for v in range(from_version + 1, to_v + 1):
-            for action in self._commit_actions(v):
+            acts = list(self._commit_actions(v))
+            commit_adds = {
+                a["add"]["path"]: a["add"] for a in acts if a.get("add")
+            }
+            for action in acts:
                 if "remove" in action and action["remove"].get(
                     "dataChange", True
                 ):
+                    if action["remove"]["path"] in commit_adds:
+                        continue  # same-commit re-add: a DV transition
                     raise UnsupportedDeltaFeature(
                         f"commit {v} removes data (dataChange=true); "
                         "append-only incremental cannot render it — "
                         "re-read the snapshot instead"
                     )
-                add = action.get("add")
-                if add and add.get("dataChange", True):
-                    if add.get("deletionVector"):
-                        raise UnsupportedDeltaFeature(
-                            "incremental read of a deletion-vector add"
-                        )
-                    new_adds[add["path"]] = add
+            for p, add in commit_adds.items():
+                if not add.get("dataChange", True):
+                    seen.add(p)  # reorganization: rows moved, not new
+                    continue
+                if add.get("deletionVector"):
+                    if p in seen:
+                        seen.add(p)  # DV transition: no new rows
+                        continue
+                    born_dv[p] = add  # born-with-DV: live complement
+                else:
+                    new_adds[p] = add
+                seen.add(p)
 
-        if not new_adds:
+        if not new_adds and not born_dv:
             return self.spark.createDataFrame([], schema)
 
         def abspath(p: str) -> str:
             p = unquote(p)
             return p if p.startswith("/") else os.path.join(self.path, p)
 
-        if not part_cols:
-            files = sorted(abspath(a["path"]) for a in new_adds.values())
-            return (
-                self.spark.read.schema(data_schema)
-                .parquet(*files)
-                .select(*logical_sel)
-            )
-        groups: dict[tuple, list[str]] = {}
-        for a in new_adds.values():
-            pv = a.get("partitionValues") or {}
-            key = tuple(pv.get(pv_key(c)) for c in part_cols)
-            groups.setdefault(key, []).append(abspath(a["path"]))
-        out: DataFrame | None = None
-        for key, files in sorted(
-            groups.items(),
-            key=lambda kv: tuple((v is not None, v or "") for v in kv[0]),
-        ):
-            part = (
-                self.spark.read.schema(data_schema)
-                .parquet(*sorted(files))
-                .select(*logical_sel)
-            )
-            for c, raw in zip(part_cols, key):
-                dt = fields_by_name[c].dataType
-                lit = (
-                    F.lit(raw).cast(dt)
-                    if raw is not None
-                    else F.lit(None).cast(dt)
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+
+        def render(adds: dict[str, dict], dv: bool) -> DataFrame | None:
+            """Scan a set of adds; dv=True anti-joins each file's birth
+            bitmap out (the live complement — CDF's insert rendering
+            for born-with-DV files)."""
+            if not adds:
+                return None
+
+            def one(files: list[str]) -> DataFrame:
+                scan = self.spark.read.schema(data_schema).parquet(
+                    *sorted(files)
                 )
-                part = part.withColumn(c, lit)
-            part = part.select(*[f.name for f in schema.fields])
-            out = part if out is None else out.unionByName(part)
-        return out
+                if not dv:
+                    return scan.select(*logical_sel)
+                scan = scan.select(
+                    *logical_sel,
+                    norm(F.col("_metadata.file_path")).alias("__path"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                )
+                pos_df = self._dv_positions_df(
+                    [
+                        self._dv_descriptor(a, abspath)
+                        for a in adds.values()
+                    ]
+                ).select(
+                    norm(F.col("file_path")).alias("__del_path"),
+                    F.col("pos").alias("__del_pos"),
+                )
+                return scan.join(
+                    F.broadcast(pos_df),
+                    (F.col("__path") == F.col("__del_path"))
+                    & (F.col("__pos") == F.col("__del_pos")),
+                    "left_anti",
+                ).drop("__path", "__pos")
+
+            if not part_cols:
+                return one([abspath(a["path"]) for a in adds.values()])
+            groups: dict[tuple, list[str]] = {}
+            for p, a in adds.items():
+                pv = a.get("partitionValues") or {}
+                key = tuple(pv.get(pv_key(c)) for c in part_cols)
+                groups.setdefault(key, []).append(abspath(a["path"]))
+            out: DataFrame | None = None
+            for key, files in sorted(
+                groups.items(),
+                key=lambda kv: tuple(
+                    (v is not None, v or "") for v in kv[0]
+                ),
+            ):
+                part = one(files)
+                for c, raw in zip(part_cols, key):
+                    dt = fields_by_name[c].dataType
+                    lit = (
+                        F.lit(raw).cast(dt)
+                        if raw is not None
+                        else F.lit(None).cast(dt)
+                    )
+                    part = part.withColumn(c, lit)
+                part = part.select(*[f.name for f in schema.fields])
+                out = part if out is None else out.unionByName(part)
+            return out
+
+        plain = render(new_adds, dv=False)
+        complement = render(born_dv, dv=True)
+        if plain is not None and not part_cols:
+            plain = plain.select(*[f.name for f in schema.fields])
+        if complement is not None and not part_cols:
+            complement = complement.select(*[f.name for f in schema.fields])
+        if plain is None:
+            return complement
+        if complement is None:
+            return plain
+        return plain.unionByName(complement)
 
     # -- DML / maintenance on external tables (round 5) ---------------------
     #

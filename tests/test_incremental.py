@@ -76,6 +76,64 @@ def test_delta_incremental_refuses_data_removal(spark, tmp_path):
     assert DeltaLogReader(spark, path).incremental(0, to_version=0).count() == 0
 
 
+def test_delta_incremental_spans_dv_delete_and_optimize(spark, tmp_path):
+    """VERDICT r8 item 4: a DV delete is a TRANSITION (rows deleted,
+    none appended) — it must not refuse and must contribute nothing;
+    an OPTIMIZE (dataChange=false rewrite) is likewise a no-op. Only
+    the range's genuine appends come back."""
+    path = str(tmp_path / "t")
+    df = _df(spark)
+    delta_create(spark, path, df.filter("k < 200"), stats=True)
+    commit_append(spark, path, df.filter("k >= 200"), stats=True)  # v1
+    r = DeltaLogReader(spark, path)
+    v2 = r.delete_where_dv([("k", "<", 50)])  # DV transition on v0 file
+    assert v2 == 2
+    inc = DeltaLogReader(spark, path).incremental(0)
+    assert sorted(x.k for x in inc.collect()) == list(range(200, 300))
+    v3 = DeltaLogReader(spark, path).optimize()  # purges DVs, rewrites
+    assert v3 == 3
+    inc2 = DeltaLogReader(spark, path).incremental(0)
+    assert sorted(x.k for x in inc2.collect()) == list(range(200, 300))
+    # range starting after the append: nothing new
+    assert DeltaLogReader(spark, path).incremental(1).count() == 0
+    # a genuine COW delete still refuses
+    v4 = DeltaLogReader(spark, path).delete_where([("k", "<", 60)])
+    assert v4 == 4
+    with pytest.raises(UnsupportedDeltaFeature, match="removes data"):
+        DeltaLogReader(spark, path).incremental(0)
+
+
+def test_delta_incremental_born_with_dv_live_complement(spark, tmp_path):
+    """A file added WITH a deletion vector from birth (Databricks
+    MERGE shape) contributes exactly its live complement — the same
+    rows CDF renders as inserts."""
+    from introduction_in_big_data_spark.sources.deltalog import (
+        commit_add_with_dv,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    df = _df(spark)
+    delta_create(spark, path, df.filter("k < 100"))
+    commit_add_with_dv(
+        spark,
+        path,
+        spark.range(100, 110)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("int").alias("p"),
+            (F.col("id") * 1.0).alias("v"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("k"),
+        dead_positions=[0, 5],  # k=100 and k=105 never visible
+    )
+    inc = DeltaLogReader(spark, path).incremental(0)
+    assert sorted(x.k for x in inc.collect()) == [
+        k for k in range(100, 110) if k not in (100, 105)
+    ]
+
+
 def test_delta_incremental_ignores_compaction_commits(spark, tmp_path):
     """OPTIMIZE-shaped commits (dataChange=false adds+removes) move
     rows without changing them — incremental must not re-emit them."""
