@@ -3927,6 +3927,64 @@ def delta_shallow_clone_read(spark, sf_dir):
 
 
 @register(
+    "delta_shallow_clone_dv_read",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        WHERE o_orderstatus <> 'P'
+        GROUP BY o_orderpriority
+    """,
+    tags=("delta", "lakehouse", "clone", "dv", "column-mapping"),
+)
+def delta_shallow_clone_dv_read(spark, sf_dir):
+    """Shallow clone of a source carrying BOTH deletion vectors and a
+    renamed mapped column (round 9, VERDICT r8 item 6): stage orders
+    column-mapped, RENAME o_totalprice -> price (metaData-only; the
+    physical name travels in the schemaString, so the clone resolves
+    it with zero fixup), DV-DELETE the 'P' rows (the clone repoints
+    each vector to the absolute path of the source's .bin —
+    storageType 'p', the spec's absolute form — because u/p-relative
+    forms resolve against the table root, which changes), then clone
+    and DIVERGE the source with a second DV delete ('F' rows, which
+    REWRITES the shared file's vector on the source side). The
+    returned aggregate reads the CLONE: correct only if the clone
+    applies the birth-time vectors through the repointed absolute
+    paths AND the source's later vector growth did not leak in."""
+    import tempfile
+
+    from ..sources.deltalog import (
+        DeltaLogReader,
+        create_column_mapped_table,
+        rename_mapped_column,
+        shallow_clone,
+    )
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    root = tempfile.mkdtemp(prefix="delta_clone_dv_")
+    src, dst = root + "/src", root + "/clone"
+    create_column_mapped_table(
+        spark, src, base.repartitionByRange(4, "o_orderkey"), stats=True
+    )
+    rename_mapped_column(spark, src, "o_totalprice", "price")
+    DeltaLogReader(spark, src).delete_where_dv(
+        [("o_orderstatus", "=", "P")]
+    )
+    shallow_clone(spark, src, dst)
+    DeltaLogReader(spark, src).delete_where_dv(
+        [("o_orderstatus", "=", "F")]
+    )
+    snap = DeltaLogReader(spark, dst).read()
+    return snap.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("price"), 2).alias("total_price"),
+    )
+
+
+@register(
     "iceberg_changelog_read",
     oracle="""
         WITH appended AS (

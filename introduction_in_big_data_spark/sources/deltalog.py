@@ -313,9 +313,18 @@ def shallow_clone(spark: SparkSession, src_path: str, dst_path: str) -> int:
     clone immediately; DML on the clone logically removes shared files
     (a remove action is a tombstone, not a delete) and VACUUM never
     reclaims files outside the table's own root, so the source is
-    physically untouchable from the clone. Sources with deletion
-    vectors or column mapping refuse loudly (their sidecars/physical
-    names are table-root-relative). Returns the clone's version (0).
+    physically untouchable from the clone. Returns the clone's
+    version (0).
+
+    Column-mapped sources clone by metadata copy alone (round 9 —
+    physical names live in the schemaString, which travels with the
+    clone; nothing is table-root-relative). Deletion vectors clone by
+    REPOINTING each descriptor to storageType 'p' with the absolute
+    path of the source's .bin (the spec's absolute-path DV form —
+    the u/p-relative forms resolve against the table root, which
+    changes); inline 'i' vectors are self-contained and copy as-is.
+    The source's protocol (and its feature lists) carries over, as
+    does its domainMetadata (e.g. the rowTracking high-water mark).
 
     This is the Delta-side twin of Iceberg's branch staging
     (iceberg.create_branch + fast_forward): same dev/staging story,
@@ -325,18 +334,20 @@ def shallow_clone(spark: SparkSession, src_path: str, dst_path: str) -> int:
     src = DeltaLogReader(spark, src_path)
     v = src.latest_version()
     meta, live = src._replay(v)
-    if DeltaLogReader._mapping_mode(meta) != "none":
-        raise UnsupportedDeltaFeature(
-            "shallow clone of a column-mapped table"
-        )
-    if any(a.get("deletionVector") for a in live.values()):
-        raise UnsupportedDeltaFeature(
-            "shallow clone of a table with deletion vectors (DV "
-            "sidecars are table-root-relative)"
-        )
     adds = []
     for p in sorted(live):
         a = dict(live[p])
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") != "i":
+            (_dp, _st, _inline, bin_path, off, _sz) = src._dv_descriptor(
+                a, src._abs
+            )
+            a["deletionVector"] = {
+                **dv,
+                "storageType": "p",
+                "pathOrInlineDv": quote(bin_path, safe="/"),
+                "offset": off,
+            }
         # absolute, URL-encoded (the reader unquotes before resolving)
         a["path"] = quote(src._abs(p), safe="/")
         adds.append({"add": a})
@@ -347,8 +358,14 @@ def shallow_clone(spark: SparkSession, src_path: str, dst_path: str) -> int:
     log_dir = os.path.join(dst_path, "_delta_log")
     os.makedirs(log_dir, exist_ok=False)
     actions = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"protocol": dict(src._last_protocol)},
         {"metaData": new_meta},
+        *[
+            {"domainMetadata": dm}
+            for _dom, dm in sorted(
+                getattr(src, "_last_domains", {}).items()
+            )
+        ],
         *adds,
     ]
     target = os.path.join(log_dir, f"{0:020d}.json")
