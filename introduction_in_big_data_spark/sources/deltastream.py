@@ -138,28 +138,63 @@ def _table_meta(log_dir: str) -> dict:
 
 
 def _phys_by_logical(meta: dict) -> dict[str, str]:
-    """logical -> PHYSICAL column name (identity without mapping).
-    Nested columns under mapping refuse: their member renames need the
-    batch reader's positional struct cast, which a by-value
-    stdlib-only worker cannot carry."""
+    """logical -> PHYSICAL column name (identity without mapping)."""
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
     fields = json.loads(meta["schemaString"])["fields"]
     if mode == "none":
         return {f["name"]: f["name"] for f in fields}
-    for f in fields:
-        if isinstance(f.get("type"), dict):
-            raise ValueError(
-                f"delta_stream: column-mapped nested column "
-                f"{f['name']!r} — nested member renames need the "
-                "batch reader (DeltaLogReader)"
-            )
     return {
         f["name"]: (f.get("metadata") or {}).get(
             "delta.columnMapping.physicalName", f["name"]
         )
         for f in fields
+    }
+
+
+def _nested_spec(t):
+    """Recursive physical-member spec for a column-mapped NESTED
+    column (round 9 — the r8 refusal closed): the worker reads the
+    physical struct via pyarrow (dicts keyed by FILE member names)
+    and rebuilds logical rows as tuples in LOGICAL member order.
+    ('struct', [(phys_member_name, sub_spec), ...]) /
+    ('list', sub) / ('map', key_sub, val_sub) / ('prim',) —
+    plain data, so the by-value stdlib-only worker carries it."""
+    if isinstance(t, dict) and t.get("type") == "struct":
+        return (
+            "struct",
+            [
+                (
+                    (f.get("metadata") or {}).get(
+                        "delta.columnMapping.physicalName", f["name"]
+                    ),
+                    _nested_spec(f["type"]),
+                )
+                for f in t["fields"]
+            ],
+        )
+    if isinstance(t, dict) and t.get("type") == "array":
+        return ("list", _nested_spec(t["elementType"]))
+    if isinstance(t, dict) and t.get("type") == "map":
+        return ("map", _nested_spec(t["keyType"]), _nested_spec(t["valueType"]))
+    return ("prim",)
+
+
+def _apply_spec(value, spec):
+    """Convert one pyarrow-pylist value through a _nested_spec."""
+    if value is None or spec[0] == "prim":
+        return value
+    if spec[0] == "struct":
+        return tuple(
+            _apply_spec(value.get(pm), sub) for pm, sub in spec[1]
+        )
+    if spec[0] == "list":
+        return [_apply_spec(x, spec[1]) for x in value]
+    pairs = value.items() if isinstance(value, dict) else value
+    return {
+        _apply_spec(k, spec[1]): _apply_spec(v, spec[2])
+        for k, v in pairs
     }
 
 
@@ -267,9 +302,23 @@ class DeltaStreamReader(DataSourceStreamReader):
             {"type": "struct", "fields": fields}
         )
         phys = _phys_by_logical(meta)
+        mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
         self._columns = [
-            (f.name, f.dataType.simpleString(), phys[f.name])
-            for f in struct.fields
+            (
+                f["name"],
+                struct[f["name"]].dataType.simpleString(),
+                phys[f["name"]],
+                # nested mapped columns rebuild member-by-member in
+                # the worker; unmapped tables pass values through
+                (
+                    _nested_spec(f["type"])
+                    if mode != "none" and isinstance(f.get("type"), dict)
+                    else None
+                ),
+            )
+            for f in fields
         ]
         # partitionColumns store PHYSICAL names under mapping
         by_phys = {p: n for n, p in phys.items()}
@@ -277,7 +326,7 @@ class DeltaStreamReader(DataSourceStreamReader):
             by_phys.get(c, c)
             for c in (meta.get("partitionColumns") or [])
         ]
-        types = {n: t for n, t, _p in self._columns}
+        types = {c[0]: c[1] for c in self._columns}
         for c in self._part_cols:
             if types.get(c) not in _PARTITION_TYPES:
                 raise ValueError(
@@ -303,7 +352,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         deltalog.DeltaLogReader.changes, micro-batched."""
         out: list[_DeltaFilePartition] = []
         cdc_cols = self._columns + [
-            ("_change_type", "string", "_change_type")
+            ("_change_type", "string", "_change_type", None)
         ]
         # live-set tracker, one forward pass (delete rendering needs
         # each removed path's original add for its partitionValues)
@@ -520,9 +569,12 @@ class DeltaStreamReader(DataSourceStreamReader):
         names = set(table.column_names)
         n = table.num_rows
         cols = []
-        for _name, t, phys in partition.columns:
+        for _name, t, phys, spec in partition.columns:
             if phys in names:
-                cols.append(table.column(phys).to_pylist())
+                vals = table.column(phys).to_pylist()
+                if spec is not None:
+                    vals = [_apply_spec(v, spec) for v in vals]
+                cols.append(vals)
             elif phys in partition.partition_values:
                 cols.append(
                     [conv(partition.partition_values[phys], t)] * n
