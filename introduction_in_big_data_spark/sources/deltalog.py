@@ -525,6 +525,46 @@ def rename_mapped_column(
     return v + 1
 
 
+def _with_dense_index(df: DataFrame, col_name: str, value_fn):
+    """Attach `value_fn(dense 0-based global index)` as `col_name`,
+    DISTRIBUTED: per-partition counts + broadcast prefix-sum offsets +
+    an in-partition row_number — never a global window, so identity
+    generation scales with the cluster (the same two-pass shape as
+    topk.exact_ntile / curation.epoch_shuffle). The index assignment
+    within a partition follows arrival order (identity values are
+    unique and step-aligned, not meaningful — the spec's contract).
+    Returns (df_with_column, n_rows)."""
+    from pyspark.sql import Window
+
+    part = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    sizes = {
+        r["__pid"]: r["__n"]
+        for r in part.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }
+    n = sum(sizes.values())
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    off_df = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "__pid int, __off long"
+    )
+    w = Window.partitionBy("__pid").orderBy("__mid")
+    idx = F.col("__off") + F.row_number().over(w) - 1
+    out = (
+        part.join(F.broadcast(off_df), "__pid")
+        .withColumn(col_name, value_fn(idx))
+        .drop("__pid", "__mid", "__off")
+    )
+    return out, n
+
+
 def _latest_version_no_spark(path: str) -> int:
     """Latest table version as max(JSON commit versions, newest
     checkpoint version), -1 on a fresh log — the spark-free twin of
@@ -619,13 +659,69 @@ def commit_append(
     exactly-once contract under foreachBatch replay. Exists so tests,
     the incremental-read query and the streaming Delta sink can stage
     append-only histories; the same exclusive-create publication as
-    create_minimal_table."""
+    create_minimal_table.
+
+    IDENTITY columns (round 9): when the table schema carries
+    `delta.identity.*` metadata and the source df OMITS that column,
+    values GENERATE from the stored high-water mark (first value =
+    hwm + step, else start) with the two-pass per-partition-offset
+    rank — distributed, no global window — and the advanced
+    `delta.identity.highWaterMark` commits atomically in the SAME
+    version via an updated metaData action. Explicitly-provided
+    identity values still honor the spec gate
+    (delta.identity.allowExplicitInsert)."""
     import shutil
 
     if txn is not None:
         app_id, tv = txn
         if txn_version(path, app_id) >= int(tv):
             return _latest_version_no_spark(path)
+
+    t = DeltaLogReader(spark, path)
+    v = _latest_version_no_spark(path) + 1
+    meta_rt, live_rt = t._replay(v - 1)
+    id_meta_action: dict | None = None
+    id_fields = [
+        f
+        for f in DeltaLogReader._schema_from_meta(meta_rt).fields
+        if "delta.identity.start" in (f.metadata or {})
+    ]
+    for f in id_fields:
+        md = f.metadata or {}
+        if f.name in df.columns:
+            if str(md.get("delta.identity.allowExplicitInsert")).lower() != "true":
+                raise UnsupportedDeltaFeature(
+                    f"commit_append: identity column {f.name!r} forbids "
+                    "explicit inserts (delta.identity.allowExplicitInsert "
+                    "is not true); omit the column to generate values"
+                )
+            continue
+        start = int(md.get("delta.identity.start", 1))
+        step = int(md.get("delta.identity.step", 1))
+        if step == 0:
+            raise UnsupportedDeltaFeature(
+                f"identity column {f.name!r} has step 0"
+            )
+        hwm = md.get("delta.identity.highWaterMark")
+        first = start if hwm is None else int(hwm) + step
+        df, n_rows = _with_dense_index(
+            df,
+            f.name,
+            lambda idx, _f=first, _s=step, _dt=f.dataType: (
+                F.lit(_f) + F.lit(_s) * idx
+            ).cast(_dt),
+        )
+        if n_rows:
+            new_mark = first + step * (n_rows - 1)
+            sch = json.loads(meta_rt["schemaString"])
+            for sf in sch["fields"]:
+                if sf["name"] == f.name:
+                    sf["metadata"] = {
+                        **(sf.get("metadata") or {}),
+                        "delta.identity.highWaterMark": new_mark,
+                    }
+            meta_rt = {**meta_rt, "schemaString": json.dumps(sch)}
+            id_meta_action = {"metaData": meta_rt}
 
     tmp = os.path.join(path, "_append_stage")
     w = df.write.mode("errorifexists")
@@ -657,9 +753,11 @@ def commit_append(
         pv = {}
         for seg in rel.split(os.sep)[:-1]:
             if "=" in seg:
-                k, _, v = seg.partition("=")
+                k, _, pval = seg.partition("=")
                 pv[k] = (
-                    None if v == "__HIVE_DEFAULT_PARTITION__" else _unq(v)
+                    None
+                    if pval == "__HIVE_DEFAULT_PARTITION__"
+                    else _unq(pval)
                 )
         add = {
             "path": rel.replace(os.sep, "/"),
@@ -673,13 +771,12 @@ def commit_append(
         adds.append({"add": add})
     actions = list(adds)
     log_dir = os.path.join(path, "_delta_log")
-    v = _latest_version_no_spark(path) + 1
+    if id_meta_action is not None:
+        actions.insert(0, id_meta_action)
     # ROW TRACKING (round 9): appends to a rowTracking table allocate
     # fresh baseRowIds from the rowIdHighWaterMark domain and advance
     # it ATOMICALLY with the adds (the spec's fresh-id assignment —
     # the Iceberg first-row-id pattern in this repo is the same shape)
-    t = DeltaLogReader(spark, path)
-    meta_rt, live_rt = t._replay(v - 1)
     if t._row_tracking_on(meta_rt):
         hwm = t._row_id_high_water_mark(live_rt)
         for wrapped in adds:

