@@ -54,16 +54,14 @@ def zorder_key2(x: Column, y: Column, bits: int = 16) -> Column:
     return z_interleave16(x.bitwiseAND(F.lit(mask)), y.bitwiseAND(F.lit(mask)))
 
 
-def pack_zorder(df, n_out: int, cols: tuple[str, str]):
-    """Cluster `df` on the z-curve of two columns for an OPTIMIZE
-    ZORDER-style rewrite: each column is first RANGE-MAPPED onto the
-    16-bit grid zorder_key2 requires (min/max from one tiny aggregate;
-    raw values wider than 16 bits would wrap under the mask and turn
-    the clustering into noise — the documented caller contract, now
-    enforced here once for every maintenance path), then rows
-    range-partition into `n_out` z-ordered output partitions. Shared
-    by AcidTable.optimize, DeltaLogReader.optimize and
-    IcebergTableReader.compact."""
+def zorder_key_column(df, cols: tuple[str, str], key_col: str = "__zkey"):
+    """Attach the z-curve key of two columns as `key_col`: each column
+    RANGE-MAPS onto the 16-bit grid zorder_key2 requires (min/max from
+    one tiny aggregate; raw values wider than 16 bits would wrap under
+    the mask and turn the clustering into noise — the documented
+    caller contract, enforced here once for every maintenance path).
+    Shared by pack_zorder and the partitioned Iceberg compaction
+    (which clusters on the key WITHIN each partition)."""
     x, y = cols
     lo_x, hi_x, lo_y, hi_y = df.agg(
         F.min(x), F.max(x), F.min(y), F.max(y)
@@ -77,11 +75,19 @@ def pack_zorder(df, n_out: int, cols: tuple[str, str]):
             (c.cast("double") - F.lit(float(lo))) / F.lit(span) * 65535
         ).cast("long")
 
+    return df.withColumn(
+        key_col,
+        zorder_key2(grid(F.col(x), lo_x, hi_x), grid(F.col(y), lo_y, hi_y)),
+    )
+
+
+def pack_zorder(df, n_out: int, cols: tuple[str, str]):
+    """Cluster `df` on the z-curve of two columns for an OPTIMIZE
+    ZORDER-style rewrite: range-partition into `n_out` z-ordered
+    output partitions. Shared by AcidTable.optimize,
+    DeltaLogReader.optimize and IcebergTableReader.compact."""
     return (
-        df.withColumn(
-            "__zkey",
-            zorder_key2(grid(F.col(x), lo_x, hi_x), grid(F.col(y), lo_y, hi_y)),
-        )
+        zorder_key_column(df, cols)
         .repartitionByRange(n_out, "__zkey")
         .sortWithinPartitions("__zkey")
         .drop("__zkey")

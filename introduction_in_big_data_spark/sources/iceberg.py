@@ -1498,6 +1498,7 @@ def _stage_partitioned_files(
     part_fields,
     schema_fields: list[dict],
     repartition_to: int | None = None,
+    cluster_key: str | None = None,
 ) -> list[tuple[str, dict]]:
     """Distributed partitioned staging: derive each spec field's value
     as a `__p_i` column (builtin exprs; spec murmur3 for bucket — see
@@ -1522,12 +1523,26 @@ def _stage_partitioned_files(
         )
         pcols.append(f"__p_{i}")
     if repartition_to is not None:
-        # bin-pack: hash-cluster rows by their partition tuple so each
-        # partition lands wholly in one task — partitionBy then writes
-        # exactly one file per partition (compaction's rewrite shape)
-        staged = staged.repartition(
-            repartition_to, *[F.col(c) for c in pcols]
-        )
+        if cluster_key is not None:
+            # zorder-within-partition: contiguous (partition, zkey)
+            # ranges per task; partitionBy then splits each task into
+            # one file per partition, so a partition's files cover
+            # DISJOINT z-curve ranges and bounds stay tight per file
+            staged = staged.repartitionByRange(
+                repartition_to,
+                *[F.col(c) for c in pcols],
+                F.col(cluster_key),
+            ).sortWithinPartitions(*pcols, cluster_key)
+        else:
+            # bin-pack: hash-cluster rows by their partition tuple so
+            # each partition lands wholly in one task — partitionBy
+            # then writes exactly one file per partition (compaction's
+            # rewrite shape)
+            staged = staged.repartition(
+                repartition_to, *[F.col(c) for c in pcols]
+            )
+    if cluster_key is not None:
+        staged = staged.drop(cluster_key)
     tmp = os.path.join(path, f"_stage_part_{uuid.uuid4().hex[:8]}")
     staged.write.partitionBy(*pcols).parquet(tmp)
     data_dir = os.path.join(path, "data")
@@ -3734,12 +3749,6 @@ class IcebergTableReader:
             None,
         )
         if default_spec is not None:
-            if zorder_by is not None:
-                raise UnsupportedIcebergFeature(
-                    "zorder compaction of a partitioned table (cluster "
-                    "within partitions is not implemented; compact "
-                    "without zorder_by)"
-                )
             from . import iceberg_partitions as IP
 
             schema_fields = self._schema_fields(meta)
@@ -3753,6 +3762,18 @@ class IcebergTableReader:
                 )
             seqs_p = [s for _p, (s, _st) in data]
             n_seq = (max(seqs_p) if seqs_p else 0) + 1
+            # zorder on a partitioned table clusters WITHIN each
+            # partition (round 9, VERDICT r8 item 9 — Iceberg's
+            # rewrite_data_files zorder strategy): the staging job
+            # range-partitions on (partition tuple, zkey) and sorts,
+            # so each partition's output files cover disjoint z-curve
+            # boxes and box predicates prune per-partition too
+            cluster_key = None
+            if zorder_by is not None:
+                from ..functions.zorder import zorder_key_column
+
+                df = zorder_key_column(df, zorder_by)
+                cluster_key = "__zkey"
             staged = _stage_partitioned_files(
                 self.spark,
                 self.path,
@@ -3760,6 +3781,7 @@ class IcebergTableReader:
                 part_fields,
                 schema_fields,
                 repartition_to=n_out,
+                cluster_key=cluster_key,
             )
             meta_dir = os.path.join(self.path, "metadata")
             import uuid as _uuidc
