@@ -2711,11 +2711,23 @@ class IcebergTableReader:
                     f"(first: {missing[0]}) — the table does not carry "
                     "row lineage"
                 )
-            if "_row_id" in set(_pq.read_schema(files[0]).names):
+            # EVERY scanned file must be checked (ADVICE r8): on a
+            # partially-rewritten table only SOME files carry
+            # materialized ids, and inspecting just the first would
+            # silently mis-derive those — the exact wrong-answer path
+            # this refusal exists to prevent. Footer reads are
+            # driver-side and cheap relative to the scan they gate.
+            mat = [
+                p
+                for p in files
+                if "_row_id" in set(_pq.read_schema(p).names)
+            ]
+            if mat:
                 raise UnsupportedIcebergFeature(
                     "with_row_ids: files carry MATERIALIZED _row_id "
-                    "columns (rewritten under a v3 writer) — the "
-                    "first_row_id derivation would mis-assign them"
+                    f"columns (first: {mat[0]}; rewritten under a v3 "
+                    "writer) — the first_row_id derivation would "
+                    "mis-assign them"
                 )
         with_pos = bool(pos_deletes or eq_deletes) or with_row_ids
         df = self._data_scan(meta, files, scan_schema, with_pos)

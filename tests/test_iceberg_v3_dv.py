@@ -376,3 +376,42 @@ def test_row_lineage_appends_assign_fresh_ids(spark, tmp_path):
     assert r.metadata()["next-row-id"] == 75
     got = {x.k: x._row_id for x in r.read(with_row_ids=True).collect()}
     assert sorted(got.values()) == list(range(75))
+
+
+def test_with_row_ids_checks_every_file_for_materialized_ids(
+    spark, tmp_path
+):
+    """ADVICE r8: the materialized-_row_id refusal must inspect EVERY
+    scanned file — on a partially-rewritten table only SOME files
+    carry materialized ids, and checking just files[0] would silently
+    mis-derive first_row_id + position for the others."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from introduction_in_big_data_spark.sources.iceberg import (
+        UnsupportedIcebergFeature,
+        enable_row_lineage,
+    )
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(0, 50)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .repartitionByRange(2, "k")
+        .sortWithinPartitions("k")
+    )
+    create_minimal_table(spark, path, df, bounds=True)
+    enable_row_lineage(spark, path)
+    r = IcebergTableReader(spark, path)
+    files = [
+        p for p, _ in r._live_files(r.metadata()["snapshots"][-1])[0]
+    ]
+    assert len(files) >= 2
+    # rewrite only the LAST file with a materialized _row_id column
+    tbl = pq.read_table(files[-1])
+    tbl = tbl.append_column(
+        "_row_id", pa.array(range(7000, 7000 + tbl.num_rows), pa.int64())
+    )
+    pq.write_table(tbl, files[-1])
+    with pytest.raises(UnsupportedIcebergFeature, match="MATERIALIZED"):
+        IcebergTableReader(spark, path).read(with_row_ids=True)
