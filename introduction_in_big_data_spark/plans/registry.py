@@ -67,7 +67,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # queries each round (regression coverage under prefix sampling). Local
 # verification is unaffected — tests/test_oracle.py and the sweep
 # artifacts always run every query.
-_ROTATION_SALT = "r8"
+_ROTATION_SALT = "r9"
 
 _R1_DRIVER_GREEN = frozenset(
     {
@@ -226,11 +226,38 @@ _R7_DRIVER_GREEN = frozenset(
     }
 )
 
+_R8_DRIVER_GREEN = frozenset(
+    {
+        # CORRECTNESS_r08: 49/50 green (the 50th is the by-design
+        # oracle-less bench twin, already folded in r7).
+        "delta_column_mapping_cdf_feed", "delta_column_mapping_dml_read",
+        "delta_dv_born_cdf_feed", "delta_row_tracking_read",
+        "epoch_shuffle_shards", "iceberg_changelog_read",
+        "iceberg_changelog_upsert_read", "iceberg_nested_name_mapping_read",
+        "iceberg_row_lineage_read", "iceberg_v3_dv_dml_read",
+        "iceberg_v3_dv_read", "iceberg_v3_dv_update_read",
+        "stream_delta_append_sink", "stream_delta_dv_cdf_feed",
+    }
+)
+
+# Queries whose implementation changed in ROUND 9 (epoch_shuffle's
+# range-partition two-pass rank, incremental()'s DV-transition
+# rendering, the row-tracking forge's domain-metadata backfill,
+# shallow_clone's protocol/DV carry-over): each re-leads the sample
+# prefix until driver-checked under the new code, even though all
+# four were re-verified green by this session's driver-sim runs.
+_R9_CHANGED = frozenset(
+    {
+        "epoch_shuffle_shards", "delta_incremental_append_read",
+        "delta_row_tracking_read", "delta_shallow_clone_read",
+    }
+)
+
 _DRIVER_GREEN = (
     _R1_DRIVER_GREEN | _R2_DRIVER_GREEN | _R3_DRIVER_GREEN
     | _R4_DRIVER_GREEN | _R5_DRIVER_GREEN | _R6_DRIVER_GREEN
-    | _R7_DRIVER_GREEN
-)
+    | _R7_DRIVER_GREEN | _R8_DRIVER_GREEN
+) - _R9_CHANGED
 
 # Queries added in the round-3 continuation sessions, AFTER the older
 # never-driver-checked backlog accumulated. The driver samples a ~50
