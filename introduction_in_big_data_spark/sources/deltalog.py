@@ -4133,7 +4133,12 @@ class DeltaLogReader:
         meta, live = self._replay(v)
         # OPTIMIZE removes only dataChange=false file references —
         # legal on appendOnly tables, so removes_data=False
-        self._guard_writer_protocol(meta, "optimize", removes_data=False)
+        self._guard_writer_protocol(
+            meta, "optimize", removes_data=False,
+            # rewrites carry every survivor's id AND commit version in
+            # the materialized columns (assigned on first use below)
+            maintains_row_ids=True,
+        )
         schema = self._schema_from_meta(meta)
         part_cols = self._logical_part_cols(meta, schema)
         data_fields = [f for f in schema.fields if f.name not in part_cols]
@@ -4158,6 +4163,61 @@ class DeltaLogReader:
             return p if p.startswith("/") else os.path.join(self.path, p)
 
         carries_stats = any("stats" in a for a in live.values())
+        # ROW TRACKING (round 9): a compacted file mixes rows from
+        # files with DIFFERENT baseRowIds and commit versions, so the
+        # rewrite materializes BOTH per row (old id = materialized
+        # else base + position; old commit version = materialized else
+        # the source add's default) — the spec's preserved-rewrite
+        # obligation. New files still get fresh baseRowId ranges; the
+        # materialized values override on read.
+        rt = self._row_tracking_on(meta)
+        rt_actions: list[dict] = []
+        mat_id = mat_rcv = None
+        rt_hwm = -1
+        rt_map_df = None
+        if rt:
+            conf_rt = dict(meta.get("configuration") or {})
+            mat_id = conf_rt.get(
+                "delta.rowTracking.materializedRowIdColumnName"
+            )
+            mat_rcv = conf_rt.get(
+                "delta.rowTracking.materializedRowCommitVersionColumnName"
+            )
+            changed_conf = False
+            if not mat_id:
+                mat_id = f"_row-id-col-{uuid4().hex}"
+                conf_rt[
+                    "delta.rowTracking.materializedRowIdColumnName"
+                ] = mat_id
+                changed_conf = True
+            if not mat_rcv:
+                mat_rcv = f"_row-commit-version-col-{uuid4().hex}"
+                conf_rt[
+                    "delta.rowTracking.materializedRowCommitVersionColumnName"
+                ] = mat_rcv
+                changed_conf = True
+            if changed_conf:
+                rt_actions.append(
+                    {"metaData": {**meta, "configuration": conf_rt}}
+                )
+            rid_rows = []
+            for a in live.values():
+                if a.get("baseRowId") is None:
+                    raise UnsupportedDeltaFeature(
+                        "optimize: rowTracking table carries an add "
+                        f"without baseRowId: {a['path']}"
+                    )
+                rid_rows.append(
+                    (
+                        abspath(a["path"]),
+                        int(a["baseRowId"]),
+                        int(a.get("defaultRowCommitVersion") or 0),
+                    )
+                )
+            rt_map_df = self.spark.createDataFrame(
+                sorted(rid_rows), "__path string, __base long, __dfrcv long"
+            )
+            rt_hwm = self._row_id_high_water_mark(live)
         groups: dict[tuple, list[tuple[str, dict]]] = {}
         for key, a in live.items():
             pv = a.get("partitionValues") or {}
@@ -4193,34 +4253,59 @@ class DeltaLogReader:
                     sum(a.get("size", 0) for _k, a in small) / target_bytes
                 ),
             )
-            scan = self.spark.read.schema(file_schema).parquet(*files)
+            read_schema = file_schema
+            if rt:
+                read_schema = T.StructType(
+                    list(file_schema.fields)
+                    + [
+                        T.StructField(mat_id, T.LongType(), True),
+                        T.StructField(mat_rcv, T.LongType(), True),
+                    ]
+                )
+            scan = self.spark.read.schema(read_schema).parquet(*files)
             dv_rows = [
                 self._dv_descriptor(a, abspath)
                 for _k, a in small
                 if a.get("deletionVector")
             ]
-            if dv_rows:
+            if dv_rows or rt:
                 norm = lambda c: F.regexp_replace(  # noqa: E731
                     c, "^file:/+", "/"
                 )
-                pos_df = self._dv_positions_df(dv_rows).select(
-                    norm(F.col("file_path")).alias("__del_path"),
-                    F.col("pos").alias("__del_pos"),
+                scan = scan.select(
+                    *logical_sel,
+                    *([F.col(mat_id), F.col(mat_rcv)] if rt else []),
+                    norm(F.col("_metadata.file_path")).alias("__path"),
+                    F.col("_metadata.row_index").alias("__pos"),
                 )
-                scan = (
-                    scan.select(
-                        *logical_sel,
-                        norm(F.col("_metadata.file_path")).alias("__path"),
-                        F.col("_metadata.row_index").alias("__pos"),
+                if dv_rows:
+                    pos_df = self._dv_positions_df(dv_rows).select(
+                        norm(F.col("file_path")).alias("__del_path"),
+                        F.col("pos").alias("__del_pos"),
                     )
-                    .join(
+                    scan = scan.join(
                         F.broadcast(pos_df),
                         (F.col("__path") == F.col("__del_path"))
                         & (F.col("__pos") == F.col("__del_pos")),
                         "left_anti",
                     )
-                    .drop("__path", "__pos")
-                )
+                if rt:
+                    scan = (
+                        scan.join(F.broadcast(rt_map_df), "__path", "left")
+                        .withColumn(
+                            "__rid",
+                            F.coalesce(
+                                F.col(mat_id),
+                                F.col("__base") + F.col("__pos"),
+                            ),
+                        )
+                        .withColumn(
+                            "__rcv",
+                            F.coalesce(F.col(mat_rcv), F.col("__dfrcv")),
+                        )
+                        .drop(mat_id, mat_rcv, "__base", "__dfrcv")
+                    )
+                scan = scan.drop("__path", "__pos")
             else:
                 scan = scan.select(*logical_sel)
             if zorder_by is None:
@@ -4230,7 +4315,14 @@ class DeltaLogReader:
 
                 packed = pack_zorder(scan, n_out, zorder_by)
             if phys_sel is not None:
-                packed = packed.select(*phys_sel)
+                packed = packed.select(
+                    *phys_sel,
+                    *([F.col("__rid"), F.col("__rcv")] if rt else []),
+                )
+            if rt:
+                packed = packed.withColumnRenamed(
+                    "__rid", mat_id
+                ).withColumnRenamed("__rcv", mat_rcv)
             out_dir = os.path.join(self.path, f"_optimize_{uuid4().hex}")
             packed.write.mode("errorifexists").parquet(out_dir)
             import pyarrow.parquet as _pq
@@ -4275,10 +4367,17 @@ class DeltaLogReader:
                 }
                 if f in stats_by:
                     add["stats"] = json.dumps(stats_by[f])
+                if rt:
+                    n = _pq.ParquetFile(f).metadata.num_rows
+                    add["baseRowId"] = rt_hwm + 1
+                    add["defaultRowCommitVersion"] = v + 1
+                    rt_hwm += n
                 actions.append({"add": add})
         if not actions:
             return v
-        return self._publish(self._next_version(), actions)
+        if rt:
+            rt_actions.append(self._rt_domain_action(rt_hwm))
+        return self._publish(self._next_version(), rt_actions + actions)
 
     @_retry_conflicts
     def restore(self, version: int) -> int:

@@ -1,9 +1,11 @@
-"""ROW TRACKING reads on externally-written Delta tables (round 8):
+"""ROW TRACKING on externally-written Delta tables. Reads (round 8):
 `read(with_row_ids=True)` appends `_row_id` / `_row_commit_version` —
 baseRowId + row_index for fresh rows, overridden by MATERIALIZED
-values from the table's hidden physical columns when an external
-engine preserved ids across a rewrite. DML on rowTracking tables
-still refuses (this writer does not maintain ids); reading is free."""
+values from the table's hidden physical columns. Writes (round 9):
+DV deletes preserve survivor ids, appends allocate from the
+rowIdHighWaterMark domain, DV updates and OPTIMIZE materialize ids
+(and commit versions) into the rewritten files; only the legacy
+copy-on-write DML still refuses."""
 
 from __future__ import annotations
 
@@ -332,3 +334,74 @@ def test_row_lineage_survives_checkpoint_and_vacuum(spark, tmp_path):
         .collect()
     }
     assert got2[600] == 50
+
+
+def test_optimize_preserves_ids_and_commit_versions(spark, tmp_path):
+    """Round 9: OPTIMIZE on a rowTracking table materializes every
+    survivor's row id AND commit version into the rewritten files —
+    compaction mixes rows of files with different baseRowIds and
+    defaultRowCommitVersions, so both must ride the materialized
+    columns. DV purge composes: tombstoned rows vanish, survivors
+    keep lineage."""
+    from introduction_in_big_data_spark.sources.deltalog import (
+        commit_append,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 60, 1, 1).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    create_minimal_table(spark, path, df.sortWithinPartitions("k"))
+    _forge_row_tracking(path)
+    # append at v1: ids 60..79, commit version 1
+    commit_append(
+        spark,
+        path,
+        spark.range(100, 120, 1, 1)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .sortWithinPartitions("k"),
+    )
+    # DV delete at v2
+    DeltaLogReader(spark, path).delete_where_dv([("k", "<", 5)])
+    before = {
+        x.k: (x._row_id, x._row_commit_version)
+        for x in DeltaLogReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    assert before[100] == (60, 1) and before[10] == (10, 0)
+
+    ver = DeltaLogReader(spark, path).optimize(target_bytes=1 << 30)
+    after = {
+        x.k: (x._row_id, x._row_commit_version)
+        for x in DeltaLogReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    assert after == before, "ids and commit versions stable through OPTIMIZE"
+    # the table now reads vector-free (purge) with intact lineage
+    assert len(after) == 75  # 80 minus the 5 DV-deleted
+    # watermark advanced past the rewrite's fresh file ranges: a new
+    # append cannot collide with any id ever assigned
+    commit_append(
+        spark, path, spark.createDataFrame([(900, 9.0)], "k long, v double")
+    )
+    got = {
+        x.k: x._row_id
+        for x in DeltaLogReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    assert got[900] not in {rid for rid, _ in before.values()}
+    # second optimize after zorder also keeps lineage (mat columns
+    # in the input files now carry the ids)
+    DeltaLogReader(spark, path).optimize(
+        target_bytes=1 << 10, zorder_by=("k", "v")
+    )
+    final = {
+        x.k: (x._row_id, x._row_commit_version)
+        for x in DeltaLogReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    assert {k: rv for k, rv in final.items() if k != 900} == before
