@@ -2605,6 +2605,57 @@ class DeltaLogReader:
             hwm = max(hwm, int(base) + self._file_num_rows(a) - 1)
         return hwm
 
+    def _rt_materialized_cols(
+        self, meta: dict, need_rcv: bool = True
+    ) -> tuple[str, str | None, list[dict]]:
+        """Get-or-assign the rowTracking MATERIALIZED column names
+        (row id, and optionally commit version). Returns (mat_id,
+        mat_rcv, actions) where actions carries the metaData update
+        to commit atomically when a name was newly assigned."""
+        conf_rt = dict(meta.get("configuration") or {})
+        mat_id = conf_rt.get("delta.rowTracking.materializedRowIdColumnName")
+        mat_rcv = conf_rt.get(
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
+        )
+        changed = False
+        if not mat_id:
+            mat_id = f"_row-id-col-{uuid4().hex}"
+            conf_rt["delta.rowTracking.materializedRowIdColumnName"] = mat_id
+            changed = True
+        if need_rcv and not mat_rcv:
+            mat_rcv = f"_row-commit-version-col-{uuid4().hex}"
+            conf_rt[
+                "delta.rowTracking.materializedRowCommitVersionColumnName"
+            ] = mat_rcv
+            changed = True
+        actions = (
+            [{"metaData": {**meta, "configuration": conf_rt}}]
+            if changed
+            else []
+        )
+        return mat_id, mat_rcv, actions
+
+    def _rt_base_map_df(self, adds, abspath) -> DataFrame:
+        """(path, baseRowId, defaultRowCommitVersion) broadcast side
+        for deriving survivor lineage during a rewrite."""
+        rows = []
+        for a in adds:
+            if a.get("baseRowId") is None:
+                raise UnsupportedDeltaFeature(
+                    "rowTracking table carries an add without "
+                    f"baseRowId: {a['path']}"
+                )
+            rows.append(
+                (
+                    abspath(a["path"]),
+                    int(a["baseRowId"]),
+                    int(a.get("defaultRowCommitVersion") or 0),
+                )
+            )
+        return self.spark.createDataFrame(
+            sorted(rows), "__path string, __base long, __dfrcv long"
+        )
+
     @staticmethod
     def _rt_domain_action(hwm: int) -> dict:
         """The spec's rowIdHighWaterMark carrier: a `delta.rowTracking`
@@ -3781,7 +3832,12 @@ class DeltaLogReader:
 
         v = self.latest_version()
         meta, live = self._replay(v)
-        self._guard_writer_protocol(meta, "merge", removes_data=True)
+        self._guard_writer_protocol(
+            meta, "merge", removes_data=True,
+            # round 9: survivors and matched rows keep their ids via
+            # the materialized columns; inserts allocate fresh ranges
+            maintains_row_ids=True,
+        )
         schema = self._schema_from_meta(meta)
         if key not in schema.fieldNames():
             raise ValueError(f"merge key {key!r} not in table schema")
@@ -3945,24 +4001,69 @@ class DeltaLogReader:
 
         carries_stats = any("stats" in a for a in live.values())
 
+        # ROW TRACKING (round 9): the merge rewrite is id-preserving —
+        # survivors keep id + commit version (materialized), matched
+        # rows keep the OLD row's id with the merge's commit version
+        # (mat id carried, mat rcv null -> falls back to the new add's
+        # default), inserts get fresh base+position ids. Multiple old
+        # rows sharing a matched key collapse to one source row, which
+        # inherits the smallest of their ids (deterministic).
+        rt = self._row_tracking_on(meta)
+        rt_actions: list[dict] = []
+        mat_id = mat_rcv = None
+        rt_hwm = -1
+        rt_map_df = None
+        if rt:
+            mat_id, mat_rcv, rt_actions = self._rt_materialized_cols(meta)
+            rt_hwm = self._row_id_high_water_mark(live)
+            rt_map_df = self._rt_base_map_df(live.values(), abspath)
+
         def hit_scan() -> DataFrame | None:
             """Hit files as LOGICAL rows: vectors applied, partition
             columns attached (typed, via a tiny path->values
             broadcast), __fp retained for callers that still need the
-            provenance. None when there are no hit files."""
+            provenance (+ __rid/__rcv lineage on rowTracking tables).
+            None when there are no hit files."""
             if not hit_keys:
                 return None
             by_abs_h = {abspath(live[k]["path"]): k for k in hit_keys}
+            read_schema = file_schema
+            if rt:
+                read_schema = T.StructType(
+                    list(file_schema.fields)
+                    + [
+                        T.StructField(mat_id, T.LongType(), True),
+                        T.StructField(mat_rcv, T.LongType(), True),
+                    ]
+                )
             df = drop_dv(
-                self.spark.read.schema(file_schema)
+                self.spark.read.schema(read_schema)
                 .parquet(*sorted(by_abs_h))
                 .select(
                     *logical_sel,
+                    *([F.col(mat_id), F.col(mat_rcv)] if rt else []),
                     F.col("_metadata.file_path").alias("__fp"),
                     F.col("_metadata.row_index").alias("__pos"),
                 ),
                 hit_keys,
-            ).drop("__pos")
+            )
+            if rt:
+                df = (
+                    df.withColumn("__path", norm(F.col("__fp")))
+                    .join(F.broadcast(rt_map_df), "__path", "left")
+                    .withColumn(
+                        "__rid",
+                        F.coalesce(
+                            F.col(mat_id), F.col("__base") + F.col("__pos")
+                        ),
+                    )
+                    .withColumn(
+                        "__rcv",
+                        F.coalesce(F.col(mat_rcv), F.col("__dfrcv")),
+                    )
+                    .drop("__path", "__base", "__dfrcv", mat_id, mat_rcv)
+                )
+            df = df.drop("__pos")
             if part_cols:
                 pv_rows = []
                 for p, k in by_abs_h.items():
@@ -4026,19 +4127,51 @@ class DeltaLogReader:
             cdc_actions = self._stage_cdc(
                 cdc, part_cols, fields_by_name, mode
             )
+        rt_cols = ["__rid", "__rcv"] if rt else []
         merged_parts: list[DataFrame] = []
         # partition-column key: a hit file's EVERY row carries a matched
         # key, so hit files have no survivors — pure metadata delete
+        src = source
         if hit_keys and key not in part_cols:
-            survivors = hit_scan().join(F.broadcast(keys), key, "left_anti")
-            merged_parts.append(survivors.select(*schema.fieldNames()))
-        merged_parts.append(source)
+            hs = hit_scan()
+            survivors = hs.join(F.broadcast(keys), key, "left_anti")
+            merged_parts.append(
+                survivors.select(*schema.fieldNames(), *rt_cols)
+            )
+            if rt:
+                # matched source rows inherit the old row's id
+                matched_ids = (
+                    hs.join(F.broadcast(keys), key, "left_semi")
+                    .groupBy(key)
+                    .agg(F.min("__rid").alias("__rid"))
+                )
+                src = (
+                    source.join(F.broadcast(matched_ids), key, "left")
+                    .withColumn("__rcv", F.lit(None).cast("long"))
+                    .select(*schema.fieldNames(), *rt_cols)
+                )
+        elif rt:
+            # whole-group replace (partition key) or no hits: every
+            # source row is an insert — fresh ids from the watermark
+            src = source.withColumns(
+                {
+                    "__rid": F.lit(None).cast("long"),
+                    "__rcv": F.lit(None).cast("long"),
+                }
+            )
+        merged_parts.append(src)
         merged = merged_parts[0]
         for p in merged_parts[1:]:
             merged = merged.unionByName(p)
 
         if all_phys_sel is not None:
-            merged = merged.select(*all_phys_sel)
+            merged = merged.select(
+                *all_phys_sel, *[F.col(c) for c in rt_cols]
+            )
+        if rt:
+            merged = merged.withColumnRenamed(
+                "__rid", mat_id
+            ).withColumnRenamed("__rcv", mat_rcv)
         out_dir = os.path.join(self.path, f"_merge_{uuid4().hex}")
         w = merged.write.mode("errorifexists")
         if write_part_cols:
@@ -4096,8 +4229,17 @@ class DeltaLogReader:
             }
             if f in stats_by:
                 add["stats"] = json.dumps(stats_by[f])
+            if rt:
+                n = pq.ParquetFile(f).metadata.num_rows
+                add["baseRowId"] = rt_hwm + 1
+                add["defaultRowCommitVersion"] = v + 1
+                rt_hwm += n
             actions.append({"add": add})
-        return self._publish(self._next_version(), cdc_actions + actions)
+        if rt:
+            rt_actions.append(self._rt_domain_action(rt_hwm))
+        return self._publish(
+            self._next_version(), rt_actions + cdc_actions + actions
+        )
 
     @_retry_conflicts
     def optimize(

@@ -3,9 +3,9 @@
 baseRowId + row_index for fresh rows, overridden by MATERIALIZED
 values from the table's hidden physical columns. Writes (round 9):
 DV deletes preserve survivor ids, appends allocate from the
-rowIdHighWaterMark domain, DV updates and OPTIMIZE materialize ids
-(and commit versions) into the rewritten files; only the legacy
-copy-on-write DML still refuses."""
+rowIdHighWaterMark domain, DV updates / MERGE / OPTIMIZE materialize
+ids (and commit versions) into the rewritten files; only the legacy
+copy-on-write delete/update still refuse."""
 
 from __future__ import annotations
 
@@ -405,3 +405,50 @@ def test_optimize_preserves_ids_and_commit_versions(spark, tmp_path):
         .collect()
     }
     assert {k: rv for k, rv in final.items() if k != 900} == before
+
+
+def test_merge_preserves_matched_ids_and_allocates_inserts(spark, tmp_path):
+    """Round 9: MERGE on a rowTracking table — survivors keep id and
+    commit version, matched rows keep the OLD row's id with the
+    merge's commit version, inserts get fresh disjoint ids."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 50, 1, 1).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    create_minimal_table(spark, path, df.sortWithinPartitions("k"), stats=True)
+    _forge_row_tracking(path)
+    ver = DeltaLogReader(spark, path).merge(
+        spark.createDataFrame(
+            [(10, 1010.0), (20, 1020.0), (500, 5.0)], "k long, v double"
+        ),
+        "k",
+    )
+    got = {
+        x.k: (x.v, x._row_id, x._row_commit_version)
+        for x in DeltaLogReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    assert len(got) == 51
+    # survivors: untouched lineage
+    assert got[5] == (5.0, 5, 0)
+    assert got[49] == (49.0, 49, 0)
+    # matched: OLD id, NEW commit version
+    assert got[10] == (1010.0, 10, ver)
+    assert got[20] == (1020.0, 20, ver)
+    # insert: fresh id past the watermark, new commit version
+    assert got[500][0] == 5.0 and got[500][1] >= 50
+    assert got[500][2] == ver
+    # a second merge composes (materialized columns now in the files)
+    ver2 = DeltaLogReader(spark, path).merge(
+        spark.createDataFrame([(10, 2010.0)], "k long, v double"), "k"
+    )
+    got2 = {
+        x.k: (x.v, x._row_id, x._row_commit_version)
+        for x in DeltaLogReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    assert got2[10] == (2010.0, 10, ver2)
+    assert got2[5] == (5.0, 5, 0)
+    assert got2[500] == got[500]
