@@ -2872,7 +2872,10 @@ class DeltaLogReader:
         v = self.latest_version()
         meta, live = self._replay(v)
         self._guard_plain_table(meta, live, "delete_where")
-        self._guard_writer_protocol(meta, "delete_where", removes_data=True)
+        self._guard_writer_protocol(
+            meta, "delete_where", removes_data=True,
+            maintains_row_ids=True,  # survivors materialize id + rcv
+        )
         schema = self._schema_from_meta(meta)
         skipping.validate(predicates, [f.name for f in schema.fields])
         part_cols = self._logical_part_cols(meta, schema)
@@ -2978,6 +2981,21 @@ class DeltaLogReader:
             }
             for p in sorted(list(removes) + list(rewrite))
         ]
+        # ROW TRACKING (round 9): survivors of a COW delete keep their
+        # id + commit version via the materialized columns (coalesce of
+        # existing materialized values over baseRowId+position / the
+        # source add's default); the fresh files still get fresh
+        # baseRowId ranges, and whole-file removes retire ids without
+        # reissuing them (the watermark never decreases).
+        rt = self._row_tracking_on(meta)
+        rt_actions: list[dict] = []
+        mat_id = mat_rcv = None
+        rt_hwm = -1
+        rt_map_df = None
+        if rt:
+            mat_id, mat_rcv, rt_actions = self._rt_materialized_cols(meta)
+            rt_hwm = self._row_id_high_water_mark(live)
+            rt_map_df = self._rt_base_map_df(rewrite.values(), abspath)
         # group rewrites by partition tuple; survivors of each group
         # rewrite into fresh files whose add actions carry the group's
         # partitionValues (the log, not the directory name, is
@@ -2996,18 +3014,64 @@ class DeltaLogReader:
         not_matching = ~F.coalesce(
             skipping.residual_filter(data_preds), F.lit(False)
         )
+        norm_del = lambda c: F.regexp_replace(  # noqa: E731
+            c, "^file:/+", "/"
+        )
         for k in sorted(
             groups,
             key=lambda kv: tuple((x is not None, x or "") for x in kv),
         ):
-            survivors = (
-                self.spark.read.schema(file_schema)
-                .parquet(*sorted(groups[k]))
-                .select(*logical_sel)
-                .filter(not_matching)
+            read_schema = file_schema
+            if rt:
+                read_schema = T.StructType(
+                    list(file_schema.fields)
+                    + [
+                        T.StructField(mat_id, T.LongType(), True),
+                        T.StructField(mat_rcv, T.LongType(), True),
+                    ]
+                )
+            survivors = self.spark.read.schema(read_schema).parquet(
+                *sorted(groups[k])
             )
+            if rt:
+                survivors = (
+                    survivors.select(
+                        *logical_sel,
+                        F.col(mat_id),
+                        F.col(mat_rcv),
+                        norm_del(F.col("_metadata.file_path")).alias(
+                            "__path"
+                        ),
+                        F.col("_metadata.row_index").alias("__pos"),
+                    )
+                    .join(F.broadcast(rt_map_df), "__path", "left")
+                    .withColumn(
+                        "__rid",
+                        F.coalesce(
+                            F.col(mat_id), F.col("__base") + F.col("__pos")
+                        ),
+                    )
+                    .withColumn(
+                        "__rcv",
+                        F.coalesce(F.col(mat_rcv), F.col("__dfrcv")),
+                    )
+                    .drop(
+                        mat_id, mat_rcv, "__path", "__pos", "__base",
+                        "__dfrcv",
+                    )
+                )
+            else:
+                survivors = survivors.select(*logical_sel)
+            survivors = survivors.filter(not_matching)
             if phys_sel is not None:
-                survivors = survivors.select(*phys_sel)
+                survivors = survivors.select(
+                    *phys_sel,
+                    *([F.col("__rid"), F.col("__rcv")] if rt else []),
+                )
+            if rt:
+                survivors = survivors.withColumnRenamed(
+                    "__rid", mat_id
+                ).withColumnRenamed("__rcv", mat_rcv)
             out_dir = os.path.join(
                 self.path, f"_rewrite_{uuid4().hex}"
             )
@@ -3048,8 +3112,17 @@ class DeltaLogReader:
                 }
                 if f in stats_by:
                     add["stats"] = json.dumps(stats_by[f])
+                if rt:
+                    n = pq.ParquetFile(f).metadata.num_rows
+                    add["baseRowId"] = rt_hwm + 1
+                    add["defaultRowCommitVersion"] = v + 1
+                    rt_hwm += n
                 actions.append({"add": add})
-        return self._publish(self._next_version(), cdc_actions + actions)
+        if rt:
+            rt_actions.append(self._rt_domain_action(rt_hwm))
+        return self._publish(
+            self._next_version(), rt_actions + cdc_actions + actions
+        )
 
     @_retry_conflicts
     def delete_where_dv(self, predicates: list) -> int:
@@ -3603,7 +3676,12 @@ class DeltaLogReader:
         v = self.latest_version()
         meta, live = self._replay(v)
         self._guard_plain_table(meta, live, "update_where")
-        self._guard_writer_protocol(meta, "update_where", removes_data=True)
+        self._guard_writer_protocol(
+            meta, "update_where", removes_data=True,
+            # preserved update: every row keeps its id; matched rows'
+            # commit versions bump via the new add's default
+            maintains_row_ids=True,
+        )
         schema = self._schema_from_meta(meta)
         skipping.validate(predicates, [f.name for f in schema.fields])
         part_cols = self._logical_part_cols(meta, schema)
@@ -3731,6 +3809,23 @@ class DeltaLogReader:
                 # CDF proved no row matches: skip the no-op rewrite
                 # (a cdc-less rewrite commit would break changes())
                 return v
+        # ROW TRACKING (round 9): a COW UPDATE is PRESERVED — every
+        # rewritten row keeps its id (materialized); rows the
+        # predicate matched get a NULL materialized commit version so
+        # they fall back to the new add's default (the update's
+        # version), untouched rows materialize their old one.
+        rt = self._row_tracking_on(meta)
+        rt_actions: list[dict] = []
+        mat_id = mat_rcv = None
+        rt_hwm = -1
+        rt_map_df = None
+        if rt:
+            mat_id, mat_rcv, rt_actions = self._rt_materialized_cols(meta)
+            rt_hwm = self._row_id_high_water_mark(live)
+            rt_map_df = self._rt_base_map_df(rewrite.values(), abspath)
+        norm_upd = lambda c: F.regexp_replace(  # noqa: E731
+            c, "^file:/+", "/"
+        )
         groups: dict[tuple, list[str]] = {}
         group_pv: dict[tuple, dict] = {}
         for key, a in rewrite.items():
@@ -3746,9 +3841,52 @@ class DeltaLogReader:
             # evaluates against the OLD row, SQL UPDATE semantics.
             # Partition columns attach as typed literals so RHS may
             # reference them; the projection then drops them.
-            scan = self.spark.read.schema(file_schema).parquet(
+            read_schema = file_schema
+            if rt:
+                read_schema = T.StructType(
+                    list(file_schema.fields)
+                    + [
+                        T.StructField(mat_id, T.LongType(), True),
+                        T.StructField(mat_rcv, T.LongType(), True),
+                    ]
+                )
+            scan = self.spark.read.schema(read_schema).parquet(
                 *sorted(groups[k])
-            ).select(*logical_sel)
+            )
+            if rt:
+                scan = (
+                    scan.select(
+                        *logical_sel,
+                        F.col(mat_id),
+                        F.col(mat_rcv),
+                        norm_upd(F.col("_metadata.file_path")).alias(
+                            "__path"
+                        ),
+                        F.col("_metadata.row_index").alias("__pos"),
+                    )
+                    .join(F.broadcast(rt_map_df), "__path", "left")
+                    .withColumn(
+                        "__rid",
+                        F.coalesce(
+                            F.col(mat_id), F.col("__base") + F.col("__pos")
+                        ),
+                    )
+                    .withColumn(
+                        "__rcv",
+                        F.when(
+                            F.coalesce(matching, F.lit(False)),
+                            F.lit(None).cast("long"),
+                        ).otherwise(
+                            F.coalesce(F.col(mat_rcv), F.col("__dfrcv"))
+                        ),
+                    )
+                    .drop(
+                        mat_id, mat_rcv, "__path", "__pos", "__base",
+                        "__dfrcv",
+                    )
+                )
+            else:
+                scan = scan.select(*logical_sel)
             for c, raw in zip(part_cols, k):
                 dt = fields_by_name[c].dataType
                 scan = scan.withColumn(
@@ -3768,10 +3906,18 @@ class DeltaLogReader:
                     if f.name in set_exprs
                     else F.col(f.name)
                     for f in data_fields
-                ]
+                ],
+                *([F.col("__rid"), F.col("__rcv")] if rt else []),
             )
             if phys_sel is not None:
-                updated = updated.select(*phys_sel)
+                updated = updated.select(
+                    *phys_sel,
+                    *([F.col("__rid"), F.col("__rcv")] if rt else []),
+                )
+            if rt:
+                updated = updated.withColumnRenamed(
+                    "__rid", mat_id
+                ).withColumnRenamed("__rcv", mat_rcv)
             out_dir = os.path.join(self.path, f"_update_{uuid4().hex}")
             updated.write.mode("errorifexists").parquet(out_dir)
             new_files = sorted(
@@ -3797,8 +3943,19 @@ class DeltaLogReader:
                 }
                 if f in stats_by:
                     add["stats"] = json.dumps(stats_by[f])
+                if rt:
+                    import pyarrow.parquet as _pqrt
+
+                    n = _pqrt.ParquetFile(f).metadata.num_rows
+                    add["baseRowId"] = rt_hwm + 1
+                    add["defaultRowCommitVersion"] = v + 1
+                    rt_hwm += n
                 actions.append({"add": add})
-        return self._publish(self._next_version(), cdc_actions + actions)
+        if rt:
+            rt_actions.append(self._rt_domain_action(rt_hwm))
+        return self._publish(
+            self._next_version(), rt_actions + cdc_actions + actions
+        )
 
     @_retry_conflicts
     def merge(self, source: DataFrame, key: str) -> int:
@@ -4536,7 +4693,14 @@ class DeltaLogReader:
         _m_old, old_live = self._replay(version)
         meta, cur_live = self._replay(cur_v)
         self._guard_plain_table(meta, cur_live, "restore")
-        self._guard_writer_protocol(meta, "restore", removes_data=True)
+        self._guard_writer_protocol(
+            meta, "restore", removes_data=True,
+            # republished adds copy WHOLESALE (baseRowId and
+            # defaultRowCommitVersion ride along) and the high-water
+            # mark never decreases: restored rows come back under
+            # their original ids, per the spec's restore behavior
+            maintains_row_ids=True,
+        )
         # the TARGET snapshot must be plain too: republishing DV adds
         # would render the restore's CDC from raw physical rows
         # (ignoring tombstones) and wedge later DML behind the guard

@@ -2,10 +2,11 @@
 `read(with_row_ids=True)` appends `_row_id` / `_row_commit_version` —
 baseRowId + row_index for fresh rows, overridden by MATERIALIZED
 values from the table's hidden physical columns. Writes (round 9):
-DV deletes preserve survivor ids, appends allocate from the
-rowIdHighWaterMark domain, DV updates / MERGE / OPTIMIZE materialize
-ids (and commit versions) into the rewritten files; only the legacy
-copy-on-write delete/update still refuse."""
+every DML and maintenance path maintains lineage — DV deletes
+preserve survivor ids in place, appends allocate from the
+rowIdHighWaterMark domain, and every rewrite (DV update, COW
+delete/update, MERGE, OPTIMIZE, RESTORE) carries ids and commit
+versions through the materialized columns."""
 
 from __future__ import annotations
 
@@ -134,25 +135,37 @@ def test_with_row_ids_refuses_untracked_tables(spark, tmp_path):
         DeltaLogReader(spark, path).read(with_row_ids=True)
 
 
-def test_cow_dml_still_refuses_row_tracking_tables(spark, tmp_path):
-    """Copy-on-write paths REWRITE survivors into new files without
-    materializing their ids — they refuse on rowTracking tables (the
-    id-maintaining DML is delete_where_dv / update_where_dv /
-    commit_append, tested below)."""
+def test_cow_dml_preserves_lineage(spark, tmp_path):
+    """Round 9 completion: the COPY-ON-WRITE delete and update also
+    maintain lineage — rewritten survivors materialize id + commit
+    version; a COW update bumps only the matched rows' versions."""
     path = str(tmp_path / "t")
-    create_minimal_table(
-        spark, path, spark.range(50).select(F.col("id").alias("k"))
+    df = spark.range(0, 50, 1, 1).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
     )
+    create_minimal_table(spark, path, df.sortWithinPartitions("k"), stats=True)
     _forge_row_tracking(path)
     r = DeltaLogReader(spark, path)
-    with pytest.raises(
-        UnsupportedDeltaFeature, match="does not maintain row ids"
-    ):
-        r.delete_where([("k", "<", 5)])
-    with pytest.raises(
-        UnsupportedDeltaFeature, match="does not maintain row ids"
-    ):
-        r.update_where([("k", "<", 5)], {"k": "k + 1000"})
+    v1 = r.delete_where([("k", "<", 5)])
+    got = {
+        x.k: (x._row_id, x._row_commit_version)
+        for x in DeltaLogReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    assert got == {k: (k, 0) for k in range(5, 50)}
+    v2 = DeltaLogReader(spark, path).update_where(
+        [("k", "=", 30)], {"v": "3030.0"}
+    )
+    got2 = {
+        x.k: (x.v, x._row_id, x._row_commit_version)
+        for x in DeltaLogReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    assert got2[30] == (3030.0, 30, v2)  # matched: id kept, version bumps
+    assert got2[31] == (31.0, 31, 0)  # untouched survivor: both kept
+    assert len(got2) == 45
 
 
 def test_row_ids_survive_deletion_vectors(spark, tmp_path):
