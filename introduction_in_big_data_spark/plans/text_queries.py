@@ -478,7 +478,8 @@ def text_char_lm_quality(spark, sf_dir):
     # sf0.1-scale inputs the per-task/stage machinery dominates and
     # 0.5x wins (1.2s vs 1.7s); at 10x the CPU-bound gram kernel
     # dominates and 1x wins (3.34s vs 4.19s same-session). The
-    # threshold reads the parquet footprint — no job runs.
+    # threshold reads the parquet footprint (2 MB compressed ≈ 20x
+    # the sf0.1 bench corpus — text compresses ~10:1) — no job runs.
     p = _os.path.join(sf_dir, "documents.parquet")
     size = (
         _os.path.getsize(p)
@@ -491,7 +492,7 @@ def text_char_lm_quality(spark, sf_dir):
         if _os.path.isdir(p)
         else 0
     )
-    mult = 1 if size >= (16 << 20) else 0.5
+    mult = 1 if size >= (2 << 20) else 0.5
     return textops.char_lm_scores(
         spread_if_narrow(t(spark, sf_dir, "documents"), multiplier=mult),
         "doc_id",
