@@ -429,6 +429,82 @@ def iceberg_row_lineage_read(spark, sf_dir):
 
 
 @register(
+    "iceberg_row_lineage_dml_read",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_orderkey, o_orderpriority,
+                   row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+            FROM orders
+        ),
+        live AS (
+            SELECT o_orderpriority, rid FROM ranked
+            WHERE o_orderkey >= 1000
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(rid) AS BIGINT) AS sum_row_id,
+               CAST(min(rid) AS BIGINT) AS min_row_id,
+               CAST(max(rid) AS BIGINT) AS max_row_id
+        FROM live
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("iceberg", "lakehouse", "dml", "lineage", "v3"),
+)
+def iceberg_row_lineage_dml_read(spark, sf_dir):
+    """ROW-LINEAGE DML on Iceberg (round 9 — the v3 twin of
+    delta_row_tracking_dml_read): stage orders as a lineage table
+    (enablement backfill: _row_id = global o_orderkey rank), DV-DELETE
+    the small keys (survivors keep their ids — the DV tombstones
+    positions without renumbering), then UPDATE one priority class
+    in place via update_where_dv — a PRESERVED update whose image
+    file materializes each row's OLD _row_id (the read path's
+    override) while the o_orderpriority value itself stays the
+    GROUPING key, so a single moved or renumbered id flips the
+    sum/min/max fingerprint. The DuckDB oracle reproduces every id
+    with a window rank; the update sets o_orderpriority to itself
+    (an identity update), making 'ids stable through an image
+    rewrite' the exact property under test."""
+    import tempfile
+
+    from ..sources.iceberg import (
+        IcebergTableReader,
+        create_minimal_table,
+        enable_row_lineage,
+    )
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_rl_dml_") + "/t"
+    create_minimal_table(spark, path, base, bounds=True)
+    enable_row_lineage(spark, path)
+    IcebergTableReader(spark, path).delete_where_dv(
+        [("o_orderkey", "<", 1000)]
+    )
+    # identity update: rewrites every surviving '1-URGENT' row into an
+    # image file — values unchanged, so any id drift is isolated
+    IcebergTableReader(spark, path).update_where_dv(
+        [("o_orderpriority", "=", "1-URGENT")],
+        {"o_orderpriority": "o_orderpriority"},
+    )
+    snap = IcebergTableReader(spark, path).read(with_row_ids=True)
+    return (
+        snap.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("_row_id").alias("sum_row_id"),
+            F.min("_row_id").alias("min_row_id"),
+            F.max("_row_id").alias("max_row_id"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "iceberg_v3_dv_update_read",
     oracle="""
         SELECT o_orderpriority,

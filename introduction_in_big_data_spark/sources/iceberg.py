@@ -2690,13 +2690,19 @@ class IcebergTableReader:
             return self.spark.createDataFrame([], schema)
         files = [p for p, _seq in data]
         scan_schema = self._scan_schema(meta)
-        # ROW LINEAGE (format v3, round 8): `with_row_ids=True`
+        # ROW LINEAGE (format v3, rounds 8-9): `with_row_ids=True`
         # appends `_row_id` = the file's first_row_id (assigned at
         # commit, carried in its manifest entry) + row position — the
-        # v3 twin of Delta's baseRowId derivation. Exact for tables
-        # whose files never had rows carried through a rewrite;
-        # files that MATERIALIZED row ids (a compaction under v3
-        # writers) refuse loudly rather than mis-derive.
+        # v3 twin of Delta's baseRowId derivation. Files that
+        # MATERIALIZED row ids (this engine's lineage-preserving
+        # compact/update, or an external v3 writer's rewrite) carry a
+        # physical `_row_id` column that OVERRIDES the derivation per
+        # row (round 9 — EVERY file's footer is checked, per ADVICE
+        # r8: a partially-rewritten table materializes only some
+        # files). Name-mapped or multi-schema tables with materialized
+        # ids still refuse (the extra column cannot ride those
+        # projection paths).
+        has_mat_ids = False
         if with_row_ids:
             import pyarrow.parquet as _pq
 
@@ -2711,26 +2717,30 @@ class IcebergTableReader:
                     f"(first: {missing[0]}) — the table does not carry "
                     "row lineage"
                 )
-            # EVERY scanned file must be checked (ADVICE r8): on a
-            # partially-rewritten table only SOME files carry
-            # materialized ids, and inspecting just the first would
-            # silently mis-derive those — the exact wrong-answer path
-            # this refusal exists to prevent. Footer reads are
-            # driver-side and cheap relative to the scan they gate.
             mat = [
                 p
                 for p in files
                 if "_row_id" in set(_pq.read_schema(p).names)
             ]
-            if mat:
+            has_mat_ids = bool(mat)
+            if has_mat_ids and (
+                self._name_mapping(meta) is not None
+                or len(meta.get("schemas") or ()) > 1
+            ):
                 raise UnsupportedIcebergFeature(
-                    "with_row_ids: files carry MATERIALIZED _row_id "
-                    f"columns (first: {mat[0]}; rewritten under a v3 "
-                    "writer) — the first_row_id derivation would "
-                    "mis-assign them"
+                    "with_row_ids: MATERIALIZED _row_id columns on a "
+                    "name-mapped or schema-evolved table (first: "
+                    f"{mat[0]}) — the materialized override cannot "
+                    "ride those projection paths"
                 )
         with_pos = bool(pos_deletes or eq_deletes) or with_row_ids
-        df = self._data_scan(meta, files, scan_schema, with_pos)
+        read_schema = scan_schema
+        if has_mat_ids:
+            read_schema = T.StructType(
+                list(scan_schema.fields)
+                + [T.StructField("_row_id", T.LongType(), True)]
+            )
+        df = self._data_scan(meta, files, read_schema, with_pos)
         if not with_pos:
             return residual(df)
 
@@ -2771,8 +2781,12 @@ class IcebergTableReader:
                 "__path string, __first long",
             )
             df = df.join(F.broadcast(rid_df), "__path", "left")
+            derived = F.col("__first") + F.col("__pos")
             df = df.withColumn(
-                "_row_id", F.col("__first") + F.col("__pos")
+                "_row_id",
+                F.coalesce(F.col("_row_id"), derived)
+                if has_mat_ids
+                else derived,
             )
             cols = cols + ["_row_id"]
 
@@ -3120,6 +3134,7 @@ class IcebergTableReader:
         merged: dict[str, list[int]],
         extra_manifests: list[tuple[str, int]] = (),
         operation: str = "delete",
+        meta_updates: dict | None = None,
     ) -> int:
         """Publish ONE format-v3 snapshot carrying a puffin deletion
         vector per entry of `merged` (data file -> final position
@@ -3283,6 +3298,8 @@ class IcebergTableReader:
         )
         meta = dict(meta)
         meta["format-version"] = 3
+        if meta_updates:
+            meta.update(meta_updates)
         meta["snapshots"] = meta["snapshots"] + [
             {
                 "snapshot-id": new_snap_id,
@@ -3338,8 +3355,19 @@ class IcebergTableReader:
             return snap_id
         files = [p for p, _ in candidates]
         norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        # ROW LINEAGE (round 9): a preserved UPDATE — each image row
+        # carries its OLD _row_id (materialized into the image file;
+        # the read path's override), derived as materialized-if-
+        # present else first_row_id + position
+        lineage = meta.get("next-row-id") is not None
+        read_schema = schema
+        if lineage:
+            read_schema = T.StructType(
+                list(schema.fields)
+                + [T.StructField("_row_id", T.LongType(), True)]
+            )
         scan = (
-            self.spark.read.schema(schema)
+            self.spark.read.schema(read_schema)
             .parquet(*files)
             .select(
                 "*",
@@ -3347,6 +3375,19 @@ class IcebergTableReader:
                 F.col("_metadata.row_index").alias("__pos"),
             )
         )
+        if lineage:
+            rid_df = self.spark.createDataFrame(
+                [
+                    (p, int(st["first_row_id"]))
+                    for p, (_s, st) in candidates
+                    if st.get("first_row_id") is not None
+                ],
+                "__p string, __first long",
+            )
+            scan = scan.join(F.broadcast(rid_df), "__p", "left").withColumn(
+                "_row_id",
+                F.coalesce(F.col("_row_id"), F.col("__first") + F.col("__pos")),
+            ).drop("__first")
         if pos_deletes:
             dels = self._position_deletes(pos_deletes).select(
                 norm(F.col("file_path")).alias("__dp"),
@@ -3392,7 +3433,8 @@ class IcebergTableReader:
                 if f.name in set_exprs
                 else F.col(f.name)
                 for f in schema.fields
-            ]
+            ],
+            *([F.col("_row_id")] if lineage else []),
         )
         data_path = _stage_parquet(
             self.spark,
@@ -3409,22 +3451,35 @@ class IcebergTableReader:
         data_manifest = os.path.join(
             meta_dir, f"{_uuidmod.uuid4().hex}-m0.avro"
         )
+        dfile = {
+            "content": 0,
+            "file_path": f"file://{data_path}",
+            "file_format": "PARQUET",
+            "record_count": n_rows,
+            "file_size_in_bytes": os.path.getsize(data_path),
+            "equality_ids": None,
+        }
+        m_schema = _MANIFEST_V2_SCHEMA
+        meta_updates = None
+        if lineage:
+            first = int(meta["next-row-id"])
+            dfile["first_row_id"] = first
+            meta_updates = {"next-row-id": first + n_rows}
+            m_schema = json.loads(json.dumps(_MANIFEST_V2_SCHEMA))
+            next(
+                f for f in m_schema["fields"] if f["name"] == "data_file"
+            )["type"]["fields"].append(
+                {"name": "first_row_id", "type": ["null", "long"]}
+            )
         avrocodec.write_container(
             data_manifest,
-            _MANIFEST_V2_SCHEMA,
+            m_schema,
             [
                 {
                     "status": 1,
                     "snapshot_id": None,
                     "sequence_number": n,
-                    "data_file": {
-                        "content": 0,
-                        "file_path": f"file://{data_path}",
-                        "file_format": "PARQUET",
-                        "record_count": n_rows,
-                        "file_size_in_bytes": os.path.getsize(data_path),
-                        "equality_ids": None,
-                    },
+                    "data_file": dfile,
                 }
             ],
         )
@@ -3435,6 +3490,7 @@ class IcebergTableReader:
             merged,
             extra_manifests=[(data_manifest, 0)],
             operation="overwrite",
+            meta_updates=meta_updates,
         )
 
     def update_where(self, predicates: list, set_exprs: dict) -> int:
@@ -3477,8 +3533,17 @@ class IcebergTableReader:
             return snap_id  # provably nothing to update
         files = [p for p, _ in candidates]
         norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        # ROW LINEAGE (round 9): preserved update — images carry each
+        # row's OLD _row_id materialized (same shape as update_where_dv)
+        lineage = meta.get("next-row-id") is not None
+        read_schema = schema
+        if lineage:
+            read_schema = T.StructType(
+                list(schema.fields)
+                + [T.StructField("_row_id", T.LongType(), True)]
+            )
         scan = (
-            self.spark.read.schema(schema)
+            self.spark.read.schema(read_schema)
             .parquet(*files)
             .select(
                 "*",
@@ -3486,6 +3551,19 @@ class IcebergTableReader:
                 F.col("_metadata.row_index").alias("__pos"),
             )
         )
+        if lineage:
+            rid_df = self.spark.createDataFrame(
+                [
+                    (p, int(st["first_row_id"]))
+                    for p, (_s, st) in candidates
+                    if st.get("first_row_id") is not None
+                ],
+                "__p string, __first long",
+            )
+            scan = scan.join(F.broadcast(rid_df), "__p", "left").withColumn(
+                "_row_id",
+                F.coalesce(F.col("_row_id"), F.col("__first") + F.col("__pos")),
+            ).drop("__first")
         if pos_deletes:
             dels = self._position_deletes(pos_deletes).select(
                 norm(F.col("file_path")).alias("__dp"),
@@ -3509,7 +3587,8 @@ class IcebergTableReader:
                 if f.name in set_exprs
                 else F.col(f.name)
                 for f in schema.fields
-            ]
+            ],
+            *([F.col("_row_id")] if lineage else []),
         )
         # the position-delete file (spec order: file_path, pos)
         hits = matched.select(
@@ -3546,22 +3625,35 @@ class IcebergTableReader:
         data_manifest = os.path.join(
             meta_dir, f"{_uuidmod.uuid4().hex}-m0.avro"
         )
+        dfile = {
+            "content": 0,
+            "file_path": f"file://{data_path}",
+            "file_format": "PARQUET",
+            "record_count": n_rows,
+            "file_size_in_bytes": os.path.getsize(data_path),
+            "equality_ids": None,
+        }
+        m_schema = _MANIFEST_V2_SCHEMA
+        meta_updates = None
+        if lineage:
+            first = int(meta["next-row-id"])
+            dfile["first_row_id"] = first
+            meta_updates = {"next-row-id": first + n_rows}
+            m_schema = json.loads(json.dumps(_MANIFEST_V2_SCHEMA))
+            next(
+                f for f in m_schema["fields"] if f["name"] == "data_file"
+            )["type"]["fields"].append(
+                {"name": "first_row_id", "type": ["null", "long"]}
+            )
         avrocodec.write_container(
             data_manifest,
-            _MANIFEST_V2_SCHEMA,
+            m_schema,
             [
                 {
                     "status": 1,
                     "snapshot_id": None,
                     "sequence_number": n,
-                    "data_file": {
-                        "content": 0,
-                        "file_path": f"file://{data_path}",
-                        "file_format": "PARQUET",
-                        "record_count": n_rows,
-                        "file_size_in_bytes": os.path.getsize(data_path),
-                        "equality_ids": None,
-                    },
+                    "data_file": dfile,
                 }
             ],
         )
@@ -3592,6 +3684,7 @@ class IcebergTableReader:
             self.path,
             [(data_manifest, 0), (del_manifest, 1)],
             "overwrite",
+            meta_updates=meta_updates,
         )
 
     def upsert(self, source: DataFrame, key: str) -> int:
@@ -3651,22 +3744,39 @@ class IcebergTableReader:
         data_manifest = os.path.join(
             meta_dir, f"{_uuidmod.uuid4().hex}-m0.avro"
         )
+        # ROW LINEAGE (round 9): upsert is delete+insert by sequence
+        # semantics — every source row gets a FRESH id from
+        # next-row-id (matched keys' old rows vanish behind the eq
+        # delete, their ids retire)
+        dfile = {
+            "content": 0,
+            "file_path": f"file://{data_path}",
+            "file_format": "PARQUET",
+            "record_count": n_rows,
+            "file_size_in_bytes": os.path.getsize(data_path),
+            "equality_ids": None,
+        }
+        m_schema = _MANIFEST_V2_SCHEMA
+        meta_updates = None
+        if meta.get("next-row-id") is not None:
+            first = int(meta["next-row-id"])
+            dfile["first_row_id"] = first
+            meta_updates = {"next-row-id": first + n_rows}
+            m_schema = json.loads(json.dumps(_MANIFEST_V2_SCHEMA))
+            next(
+                f for f in m_schema["fields"] if f["name"] == "data_file"
+            )["type"]["fields"].append(
+                {"name": "first_row_id", "type": ["null", "long"]}
+            )
         avrocodec.write_container(
             data_manifest,
-            _MANIFEST_V2_SCHEMA,
+            m_schema,
             [
                 {
                     "status": 1,
                     "snapshot_id": None,
                     "sequence_number": n,
-                    "data_file": {
-                        "content": 0,
-                        "file_path": f"file://{data_path}",
-                        "file_format": "PARQUET",
-                        "record_count": n_rows,
-                        "file_size_in_bytes": os.path.getsize(data_path),
-                        "equality_ids": None,
-                    },
+                    "data_file": dfile,
                 }
             ],
         )
@@ -3697,6 +3807,7 @@ class IcebergTableReader:
             self.path,
             [(data_manifest, 0), (del_manifest, 1)],
             "overwrite",
+            meta_updates=meta_updates,
         )
 
     def compact(
@@ -3732,9 +3843,18 @@ class IcebergTableReader:
             if s["snapshot-id"] == meta["current-snapshot-id"]
         )
         data, _pos, _eq = self._live_files(snapshot)
-        df = self.read()  # deletes fold into the rewrite
+        # ROW LINEAGE (round 9): a lineage table's compaction is
+        # id-PRESERVING — the rewrite reads with_row_ids and the
+        # output files carry the MATERIALIZED `_row_id` column (the
+        # spec's rewrite obligation; the read path's override), while
+        # the new manifest entries still get fresh first_row_id
+        # ranges from next-row-id.
+        lineage = meta.get("next-row-id") is not None
+        df = (
+            self.read(with_row_ids=True) if lineage else self.read()
+        )  # deletes fold into the rewrite
         if zorder_by is not None:
-            bad = sorted(set(zorder_by) - set(df.columns))
+            bad = sorted(set(zorder_by) - (set(df.columns) - {"_row_id"}))
             if bad:
                 raise ValueError(
                     f"zorder_by columns not in the table: {bad}"
@@ -3761,6 +3881,13 @@ class IcebergTableReader:
             None,
         )
         if default_spec is not None:
+            if lineage:
+                raise UnsupportedIcebergFeature(
+                    "compact on a PARTITIONED row-lineage table (the "
+                    "partitioned staging path does not yet materialize "
+                    "_row_id; compact before enabling lineage, or use "
+                    "an unpartitioned layout)"
+                )
             from . import iceberg_partitions as IP
 
             schema_fields = self._schema_fields(meta)
@@ -3906,37 +4033,56 @@ class IcebergTableReader:
         import pyarrow.parquet as pq
 
         entries = []
+        next_rid = int(meta.get("next-row-id") or 0)
         for p in new_files:
             st = stats_by.get(p)
+            n_rows = (
+                st["record_count"]
+                if st
+                else pq.ParquetFile(p).metadata.num_rows
+            )
+            dfile = {
+                "content": 0,
+                "file_path": f"file://{p}",
+                "file_format": "PARQUET",
+                "record_count": n_rows,
+                "file_size_in_bytes": os.path.getsize(p),
+                "equality_ids": None,
+                "null_value_counts": (
+                    st["null_value_counts"] if st else None
+                ),
+                "lower_bounds": st["lower_bounds"] if st else None,
+                "upper_bounds": st["upper_bounds"] if st else None,
+            }
+            if lineage:
+                dfile["first_row_id"] = next_rid
+                next_rid += n_rows
             entries.append(
                 {
                     "status": 1,
                     "snapshot_id": None,
                     "sequence_number": n,
-                    "data_file": {
-                        "content": 0,
-                        "file_path": f"file://{p}",
-                        "file_format": "PARQUET",
-                        "record_count": (
-                            st["record_count"]
-                            if st
-                            else pq.ParquetFile(p).metadata.num_rows
-                        ),
-                        "file_size_in_bytes": os.path.getsize(p),
-                        "equality_ids": None,
-                        "null_value_counts": (
-                            st["null_value_counts"] if st else None
-                        ),
-                        "lower_bounds": st["lower_bounds"] if st else None,
-                        "upper_bounds": st["upper_bounds"] if st else None,
-                    },
+                    "data_file": dfile,
                 }
             )
-        avrocodec.write_container(
-            manifest, _MANIFEST_V2_FULL_SCHEMA, entries
-        )
+        m_schema = _MANIFEST_V2_FULL_SCHEMA
+        if lineage:
+            m_schema = json.loads(json.dumps(_MANIFEST_V2_FULL_SCHEMA))
+            next(
+                f for f in m_schema["fields"] if f["name"] == "data_file"
+            )["type"]["fields"].append(
+                {"name": "first_row_id", "type": ["null", "long"]}
+            )
+        avrocodec.write_container(manifest, m_schema, entries)
         return _commit_snapshot(
-            self.spark, self.path, [(manifest, 0)], "replace", replace=True
+            self.spark,
+            self.path,
+            [(manifest, 0)],
+            "replace",
+            replace=True,
+            meta_updates=(
+                {"next-row-id": next_rid} if lineage else None
+            ),
         )
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:

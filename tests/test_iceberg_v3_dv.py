@@ -378,18 +378,16 @@ def test_row_lineage_appends_assign_fresh_ids(spark, tmp_path):
     assert sorted(got.values()) == list(range(75))
 
 
-def test_with_row_ids_checks_every_file_for_materialized_ids(
-    spark, tmp_path
-):
-    """ADVICE r8: the materialized-_row_id refusal must inspect EVERY
-    scanned file — on a partially-rewritten table only SOME files
-    carry materialized ids, and checking just files[0] would silently
-    mis-derive first_row_id + position for the others."""
+def test_materialized_row_ids_override_per_file(spark, tmp_path):
+    """ADVICE r8 + round 9: EVERY scanned file's footer is checked for
+    a materialized _row_id column, and materialized values OVERRIDE
+    the first_row_id + position derivation per row — on a partially
+    rewritten table only the rewritten file's ids change, the rest
+    still derive."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from introduction_in_big_data_spark.sources.iceberg import (
-        UnsupportedIcebergFeature,
         enable_row_lineage,
     )
 
@@ -407,11 +405,154 @@ def test_with_row_ids_checks_every_file_for_materialized_ids(
         p for p, _ in r._live_files(r.metadata()["snapshots"][-1])[0]
     ]
     assert len(files) >= 2
+    before = {
+        x.k: x._row_id for x in r.read(with_row_ids=True).collect()
+    }
     # rewrite only the LAST file with a materialized _row_id column
     tbl = pq.read_table(files[-1])
+    ks = tbl.column("k").to_pylist()
     tbl = tbl.append_column(
         "_row_id", pa.array(range(7000, 7000 + tbl.num_rows), pa.int64())
     )
     pq.write_table(tbl, files[-1])
-    with pytest.raises(UnsupportedIcebergFeature, match="MATERIALIZED"):
-        IcebergTableReader(spark, path).read(with_row_ids=True)
+    got = {
+        x.k: x._row_id
+        for x in IcebergTableReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    for i, k in enumerate(ks):
+        assert got[k] == 7000 + i  # materialized wins
+    for k, rid in before.items():
+        if k not in set(ks):
+            assert got[k] == rid  # others still derive
+
+
+def test_compact_preserves_row_lineage(spark, tmp_path):
+    """Round 9: compact() on a row-lineage table materializes every
+    survivor's _row_id into the rewritten files (fresh first_row_id
+    ranges in the manifest, materialized values override on read) and
+    advances next-row-id atomically — ids stable through compaction,
+    disjoint for later appends."""
+    from introduction_in_big_data_spark.sources.iceberg import (
+        append_data_snapshot,
+        enable_row_lineage,
+    )
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(0, 60, 1, 1)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .sortWithinPartitions("k")
+    )
+    create_minimal_table(spark, path, df, bounds=True)
+    enable_row_lineage(spark, path)
+    append_data_snapshot(
+        spark,
+        path,
+        spark.range(100, 120, 1, 1).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ),
+        sequence=1,
+    )
+    r = IcebergTableReader(spark, path)
+    r.delete_where_dv([("k", "<", 5)])
+    before = {
+        x.k: x._row_id
+        for x in IcebergTableReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    assert before[100] == 60 and before[10] == 10
+
+    IcebergTableReader(spark, path).compact(target_bytes=1 << 30)
+    t2 = IcebergTableReader(spark, path)
+    after = {
+        x.k: x._row_id for x in t2.read(with_row_ids=True).collect()
+    }
+    assert after == before, "ids stable through compaction"
+    assert len(after) == 75
+    # next-row-id advanced past the rewrite: appended rows disjoint
+    nri = t2.metadata()["next-row-id"]
+    assert nri >= 80 + 75
+    append_data_snapshot(
+        spark,
+        path,
+        spark.createDataFrame([(900, 9.0)], "k long, v double"),
+        sequence=3,
+    )
+    got = {
+        x.k: x._row_id
+        for x in IcebergTableReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    assert got[900] == nri and got[900] not in set(before.values())
+
+
+def test_update_where_dv_preserves_row_lineage(spark, tmp_path):
+    """Round 9: the v3 DV UPDATE is a PRESERVED update on lineage
+    tables — the image file materializes each row's OLD _row_id and
+    gets a fresh first_row_id range; next-row-id advances atomically."""
+    from introduction_in_big_data_spark.sources.iceberg import (
+        enable_row_lineage,
+    )
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(0, 40, 1, 1)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .sortWithinPartitions("k")
+    )
+    create_minimal_table(spark, path, df, bounds=True)
+    enable_row_lineage(spark, path)
+    IcebergTableReader(spark, path).update_where_dv(
+        [("k", "=", 7)], {"v": "777.0"}
+    )
+    t = IcebergTableReader(spark, path)
+    got = {
+        x.k: (x.v, x._row_id)
+        for x in t.read(with_row_ids=True).collect()
+    }
+    assert got[7] == (777.0, 7), "updated row keeps its id"
+    assert got[8] == (8.0, 8)
+    assert len(got) == 40
+    assert t.metadata()["next-row-id"] == 41  # image got a fresh slot
+    # a second update of the SAME row rides the materialized id
+    IcebergTableReader(spark, path).update_where_dv(
+        [("k", "=", 7)], {"v": "7777.0"}
+    )
+    got2 = {
+        x.k: (x.v, x._row_id)
+        for x in IcebergTableReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    assert got2[7] == (7777.0, 7)
+
+
+def test_update_where_v2_preserves_row_lineage(spark, tmp_path):
+    """The v2 position-delete UPDATE shape also preserves lineage on
+    lineage-enabled tables."""
+    from introduction_in_big_data_spark.sources.iceberg import (
+        enable_row_lineage,
+    )
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(0, 30, 1, 1)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .sortWithinPartitions("k")
+    )
+    create_minimal_table(spark, path, df, bounds=True)
+    enable_row_lineage(spark, path)
+    IcebergTableReader(spark, path).update_where(
+        [("k", "=", 3)], {"v": "333.0"}
+    )
+    t = IcebergTableReader(spark, path)
+    got = {
+        x.k: (x.v, x._row_id)
+        for x in t.read(with_row_ids=True).collect()
+    }
+    assert got[3] == (333.0, 3) and got[4] == (4.0, 4)
+    assert t.metadata()["next-row-id"] == 31
