@@ -3881,13 +3881,6 @@ class IcebergTableReader:
             None,
         )
         if default_spec is not None:
-            if lineage:
-                raise UnsupportedIcebergFeature(
-                    "compact on a PARTITIONED row-lineage table (the "
-                    "partitioned staging path does not yet materialize "
-                    "_row_id; compact before enabling lineage, or use "
-                    "an unpartitioned layout)"
-                )
             from . import iceberg_partitions as IP
 
             schema_fields = self._schema_fields(meta)
@@ -3933,17 +3926,42 @@ class IcebergTableReader:
             carries_bounds = any(
                 (st or {}).get("lower_bounds") for _p, (_s, st) in data
             )
-            _avro.write_container(
-                manifest,
-                _partitioned_manifest_schema(part_fields),
-                _partition_stats_entries(
-                    self.spark,
-                    staged,
-                    schema_fields,
-                    bounds=carries_bounds,
-                    sequence=n_seq,
-                ),
+            p_entries = _partition_stats_entries(
+                self.spark,
+                staged,
+                schema_fields,
+                bounds=carries_bounds,
+                sequence=n_seq,
             )
+            p_schema = _partitioned_manifest_schema(part_fields)
+            p_meta_updates = None
+            if lineage:
+                # id-preserving rewrite (same shape as the
+                # unpartitioned branch): staged files already carry
+                # the materialized _row_id column; the entries get
+                # fresh first_row_id ranges and next-row-id advances
+                import pyarrow.parquet as _pqc
+
+                next(
+                    f
+                    for f in p_schema["fields"]
+                    if f["name"] == "data_file"
+                )["type"]["fields"].append(
+                    {"name": "first_row_id", "type": ["null", "long"]}
+                )
+                next_rid_p = int(meta["next-row-id"])
+                for e in p_entries:
+                    n_rows = e["data_file"]["record_count"] or (
+                        _pqc.ParquetFile(
+                            e["data_file"]["file_path"].removeprefix(
+                                "file://"
+                            )
+                        ).metadata.num_rows
+                    )
+                    e["data_file"]["first_row_id"] = next_rid_p
+                    next_rid_p += n_rows
+                p_meta_updates = {"next-row-id": next_rid_p}
+            _avro.write_container(manifest, p_schema, p_entries)
             return _commit_snapshot(
                 self.spark,
                 self.path,
@@ -3957,6 +3975,7 @@ class IcebergTableReader:
                 ],
                 "replace",
                 replace=True,
+                meta_updates=p_meta_updates,
             )
         if zorder_by is None:
             packed = df.coalesce(n_out)

@@ -530,3 +530,36 @@ def test_compact_zorder_within_partitions(spark, tmp_path):
     tp.read(predicates=box).count()
     assert tz.last_scan["skipped_files"] > tp.last_scan["skipped_files"]
     assert tz.last_scan["skipped_files"] > 0
+
+
+def test_partitioned_compact_preserves_row_lineage(spark, tmp_path):
+    """Round 9: compaction of a PARTITIONED lineage table materializes
+    survivor _row_ids into the per-partition rewrites and advances
+    next-row-id — ids stable across the REPLACE snapshot."""
+    from introduction_in_big_data_spark.sources.iceberg import (
+        create_minimal_table as ice_create,
+        enable_row_lineage,
+    )
+
+    base = spark.range(0, 2000, 1, 1).select(
+        (F.col("id") % 4).cast("int").alias("p"),
+        F.col("id").alias("k"),
+        (F.col("id") * 1.0).alias("v"),
+    ).sortWithinPartitions("k")
+    path = str(tmp_path / "t")
+    # unpartitioned staging, then compact INTO the partitioned spec?
+    # no — stage partitioned directly
+    create_partitioned_table(spark, path, base, spec=[("p", "identity")])
+    enable_row_lineage(spark, path)
+    t = IcebergTableReader(spark, path)
+    before = {
+        x.k: x._row_id for x in t.read(with_row_ids=True).collect()
+    }
+    assert len(before) == 2000
+    IcebergTableReader(spark, path).compact(target_bytes=16 << 10)
+    t2 = IcebergTableReader(spark, path)
+    after = {
+        x.k: x._row_id for x in t2.read(with_row_ids=True).collect()
+    }
+    assert after == before
+    assert t2.metadata()["next-row-id"] >= 4000
