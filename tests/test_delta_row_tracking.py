@@ -465,3 +465,73 @@ def test_merge_preserves_matched_ids_and_allocates_inserts(spark, tmp_path):
     assert got2[10] == (2010.0, 10, ver2)
     assert got2[5] == (5.0, 5, 0)
     assert got2[500] == got[500]
+
+
+def test_streaming_sink_composes_with_lineage(spark, tmp_path):
+    """delta_append_sink's exactly-once appends ride commit_append's
+    id allocation: batches get disjoint id ranges, and a REPLAYED
+    micro-batch neither re-appends nor re-allocates (the watermark
+    and the SetTransaction gate commit atomically)."""
+    from introduction_in_big_data_spark.sources.deltalog import (
+        delta_append_sink,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 20, 1, 1).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    create_minimal_table(spark, path, df.sortWithinPartitions("k"))
+    _forge_row_tracking(path)
+    sink = delta_append_sink(path, "app-rt")
+    b1 = spark.createDataFrame([(100, 1.0), (101, 1.1)], "k long, v double")
+    b2 = spark.createDataFrame([(200, 2.0)], "k long, v double")
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b1, 0)  # replay: no-op
+    got = {
+        x.k: x._row_id
+        for x in DeltaLogReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    assert len(got) == 23
+    assert {got[100], got[101]} == {20, 21}
+    assert got[200] == 22
+
+
+def test_cdf_composes_with_row_tracking(spark, tmp_path):
+    """changes() on a CDF + rowTracking table: the DV delete's feed
+    renders exactly the deleted rows; the extra domainMetadata /
+    metaData actions in lineage commits never leak into the feed."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 30, 1, 1).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    create_minimal_table(spark, path, df.sortWithinPartitions("k"))
+    # enable CDF in commit 0 config, then forge row tracking
+    import json as _json
+    import os as _os
+
+    c0 = _os.path.join(path, "_delta_log", f"{0:020d}.json")
+    acts = [_json.loads(ln) for ln in open(c0) if ln.strip()]
+    for a in acts:
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {
+                "delta.enableChangeDataFeed": "true"
+            }
+    with open(c0, "w") as fh:
+        for a in acts:
+            fh.write(_json.dumps(a) + "\n")
+    _forge_row_tracking(path)
+    r = DeltaLogReader(spark, path)
+    v = r.delete_where_dv([("k", "<", 3)])
+    feed = DeltaLogReader(spark, path).changes(v - 1, v)
+    rows = {(x.k, x._change_type) for x in feed.collect()}
+    assert rows == {(0, "delete"), (1, "delete"), (2, "delete")}
+    # an UPDATE's feed renders delete+insert of the matched row only
+    v2 = DeltaLogReader(spark, path).update_where_dv(
+        [("k", "=", 10)], {"v": "1010.0"}
+    )
+    feed2 = DeltaLogReader(spark, path).changes(v2 - 1, v2)
+    rows2 = {(x.k, x.v, x._change_type) for x in feed2.collect()}
+    assert rows2 == {(10, 10.0, "delete"), (10, 1010.0, "insert")}
