@@ -243,13 +243,22 @@ _R8_DRIVER_GREEN = frozenset(
 # Queries whose implementation changed in ROUND 9 (epoch_shuffle's
 # range-partition two-pass rank, incremental()'s DV-transition
 # rendering, the row-tracking forge's domain-metadata backfill,
-# shallow_clone's protocol/DV carry-over): each re-leads the sample
-# prefix until driver-checked under the new code, even though all
-# four were re-verified green by this session's driver-sim runs.
+# shallow_clone's protocol/DV carry-over, the eq-delete-aware Iceberg
+# DML, the lineage-aware update/upsert/compact on both formats, and
+# commit_append's replay-before-append): each re-leads the sample
+# prefix until driver-checked under the new code, even though every
+# one was re-verified green by this session's driver-sim runs.
 _R9_CHANGED = frozenset(
     {
         "epoch_shuffle_shards", "delta_incremental_append_read",
         "delta_row_tracking_read", "delta_shallow_clone_read",
+        "iceberg_row_lineage_read", "iceberg_v3_dv_update_read",
+        "iceberg_dml_update_read", "iceberg_dml_upsert_read",
+        "iceberg_dml_delete_read", "iceberg_maintenance_read",
+        "iceberg_eq_deletes_read", "stream_delta_append_sink",
+        "delta_dml_merge_read", "delta_dml_update_read",
+        "delta_dml_delete_read", "delta_dv_update_read",
+        "text_char_lm_quality",
     }
 )
 
