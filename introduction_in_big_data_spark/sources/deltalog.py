@@ -1353,13 +1353,53 @@ class DeltaLogReader:
 
     # -- action replay ------------------------------------------------------
 
+    #: widenings Spark's parquet reader performs natively when handed
+    #: the WIDE read schema over narrow files (probed on this Spark:
+    #: int32→long, float→double, int→double, decimal precision
+    #: growth). Anything else recorded in a delta.typeWidening history
+    #: (date→timestampNtz etc.) refuses below.
+    _SUPPORTED_WIDENINGS = frozenset(
+        {
+            ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+            ("short", "integer"), ("short", "long"),
+            ("integer", "long"),
+            ("float", "double"),
+            ("byte", "double"), ("short", "double"),
+            ("integer", "double"),
+        }
+    )
+
+    @classmethod
+    def _validate_type_widening(cls, meta: dict) -> None:
+        """TYPE WIDENING (reader v3 feature `typeWidening` — round 9):
+        the logical schema already carries the WIDE type and Spark's
+        parquet reader upcasts narrow files natively, so reads need no
+        plan change — but the spec obliges readers to verify every
+        RECORDED change (field metadata `delta.typeWidening`) is one
+        they support, refusing unknown conversions loudly instead of
+        misreading."""
+        for f in cls._schema_from_meta(meta).fields:
+            for ch in (f.metadata or {}).get("delta.typeWidening") or []:
+                frm = str(ch.get("fromType"))
+                to = str(ch.get("toType"))
+                ok = (frm, to) in cls._SUPPORTED_WIDENINGS or (
+                    frm.startswith("decimal") and to.startswith("decimal")
+                )
+                if not ok:
+                    raise UnsupportedDeltaFeature(
+                        f"typeWidening: column {f.name!r} records "
+                        f"{frm} -> {to}, which this reader cannot "
+                        "upcast"
+                    )
+
     @staticmethod
     def _check_protocol(action: dict) -> None:
         """Reader v1 (plain add/remove/metaData) and v2 (column
         mapping) replay; v3 tables replay when their readerFeatures
         need nothing beyond columnMapping + deletionVectors +
-        v2Checkpoint — timestampNtz, type widening etc. refuse
-        loudly."""
+        v2Checkpoint + typeWidening — timestampNtz etc. refuse
+        loudly. (typeWidening additionally validates its recorded
+        conversions per read via _validate_type_widening.)"""
         p = action["protocol"]
         mrv = p.get("minReaderVersion", 1)
         feats = set(p.get("readerFeatures") or [])
@@ -1367,12 +1407,15 @@ class DeltaLogReader:
             "columnMapping",
             "deletionVectors",
             "v2Checkpoint",
+            "typeWidening",
+            "typeWidening-preview",
         }:
             return
         raise UnsupportedDeltaFeature(
             f"requires reader features {p}; this replay implements "
             "reader protocol v1/v2 + the columnMapping, "
-            "deletionVectors and v2Checkpoint v3 features"
+            "deletionVectors, v2Checkpoint and typeWidening v3 "
+            "features"
         )
 
     def _replay(self, version: int) -> tuple[dict, dict[str, dict]]:
@@ -1623,6 +1666,7 @@ class DeltaLogReader:
         file counts for introspection."""
         v = self.latest_version() if version is None else version
         meta, live = self._replay(v)
+        self._validate_type_widening(meta)
         schema = self._schema_from_meta(meta)
         mode = self._mapping_mode(meta)
         # ROW TRACKING (round 8, writer feature `rowTracking`):
@@ -2552,6 +2596,13 @@ class DeltaLogReader:
             # maintains_row_ids below.
             "rowTracking",
             "domainMetadata",
+            # round 9: DML sources/rewrites project through the
+            # LOGICAL schema, which already carries the wide type —
+            # new files are written wide, exactly the writer
+            # obligation; recorded conversions validate on every
+            # guarded write via _validate_type_widening.
+            "typeWidening",
+            "typeWidening-preview",
         }
     )
 
@@ -2724,6 +2775,7 @@ class DeltaLogReader:
                 "operation does not maintain row ids (it would "
                 "silently break every survivor's lineage)"
             )
+        self._validate_type_widening(meta)
         for f in self._schema_from_meta(meta).fields:
             md = f.metadata or {}
             if (
