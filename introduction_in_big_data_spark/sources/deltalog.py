@@ -1523,6 +1523,7 @@ class DeltaLogReader:
         }
         self._last_txns = txns
         self._last_domains = domains
+        self._last_meta = meta
         return meta, live
 
     # -- reads --------------------------------------------------------------
@@ -2350,16 +2351,22 @@ class DeltaLogReader:
     def version_at(self, timestamp_ms: int) -> int:
         """Greatest version whose commit time is <= `timestamp_ms` —
         Delta's timestamp time travel (`TIMESTAMP AS OF`). The commit
-        time is the commitInfo action's `timestamp` when the writer
-        recorded one (delta-spark always does), else the commit file's
+        time is the commitInfo's `inCommitTimestamp` when present
+        (round 9 — the ICT feature's authoritative, clock-skew-proof
+        time; it overrides everything), else its `timestamp`
+        (delta-spark always records one), else the commit file's
         mtime (the protocol's own fallback for commit ordering).
         Raises when every known commit is newer than the ask."""
         best: int | None = None
         for v in self._commit_versions():
             ts = None
             for a in self._commit_actions(v):
-                if "commitInfo" in a and a["commitInfo"].get("timestamp"):
-                    ts = int(a["commitInfo"]["timestamp"])
+                ci = a.get("commitInfo")
+                if ci and ci.get("inCommitTimestamp") is not None:
+                    ts = int(ci["inCommitTimestamp"])
+                    break
+                if ci and ci.get("timestamp"):
+                    ts = int(ci["timestamp"])
                     break
             if ts is None:
                 ts = int(
@@ -2554,7 +2561,47 @@ class DeltaLogReader:
     def _next_version(self) -> int:
         return self.latest_version() + 1
 
+    def _last_commit_ict(self, below_version: int) -> int | None:
+        """The newest inCommitTimestamp at or below a version (walking
+        backwards; stops at the first commit without one — ICT is
+        monotonic from its enablement commit onward)."""
+        for v in range(below_version, -1, -1):
+            commit = os.path.join(self.log_dir, f"{v:020d}.json")
+            if not os.path.exists(commit):
+                return None  # vacuumed past: enablement predates
+            for a in self._commit_actions(v):
+                ci = a.get("commitInfo")
+                if ci and ci.get("inCommitTimestamp") is not None:
+                    return int(ci["inCommitTimestamp"])
+            return None
+        return None
+
     def _publish(self, version: int, actions: list[dict]) -> int:
+        # IN-COMMIT TIMESTAMPS (round 9, writer feature
+        # `inCommitTimestamp`): when the table enables them, every
+        # commit's FIRST action must be a commitInfo carrying a
+        # monotonically increasing inCommitTimestamp — the spec's
+        # clock-skew-proof time travel. max(now, last+1) preserves
+        # monotonicity even under clock regression.
+        conf = (getattr(self, "_last_meta", None) or {}).get(
+            "configuration"
+        ) or {}
+        if conf.get("delta.enableInCommitTimestamps") == "true" and not any(
+            "commitInfo" in a and a["commitInfo"].get("inCommitTimestamp")
+            for a in actions
+        ):
+            import time as _time
+
+            last = self._last_commit_ict(version - 1)
+            ict = max(int(_time.time() * 1000), (last or 0) + 1)
+            actions = [
+                {
+                    "commitInfo": {
+                        "timestamp": ict,
+                        "inCommitTimestamp": ict,
+                    }
+                }
+            ] + actions
         target = os.path.join(self.log_dir, f"{version:020d}.json")
         tmp = target + f".{uuid4().hex}.tmp"
         with open(tmp, "w") as fh:
@@ -2603,6 +2650,10 @@ class DeltaLogReader:
             # guarded write via _validate_type_widening.
             "typeWidening",
             "typeWidening-preview",
+            # round 9: every DeltaLogReader commit publishes through
+            # _publish, which stamps a monotonic inCommitTimestamp
+            # when delta.enableInCommitTimestamps is true
+            "inCommitTimestamp",
         }
     )
 

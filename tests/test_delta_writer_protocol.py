@@ -429,3 +429,46 @@ def test_type_widening_reads_and_writes(spark, tmp_path):
             fh.write(json.dumps(a) + "\n")
     with pytest.raises(UnsupportedDeltaFeature, match="typeWidening"):
         DeltaLogReader(spark, path2).read()
+
+
+def test_in_commit_timestamps(spark, tmp_path):
+    """Round 9: the `inCommitTimestamp` writer feature — every commit
+    this engine publishes on an ICT table leads with a commitInfo
+    carrying a monotonically increasing inCommitTimestamp, and
+    timestamp time travel prefers it over file mtimes."""
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark), stats=True)
+    _patch_commit0(
+        path,
+        protocol={
+            "minReaderVersion": 1,
+            "minWriterVersion": 7,
+            "writerFeatures": ["inCommitTimestamp"],
+        },
+        configuration={"delta.enableInCommitTimestamps": "true"},
+    )
+    r = DeltaLogReader(spark, path)
+    v1 = r.delete_where([("k", "<", 5)])
+    v2 = DeltaLogReader(spark, path).delete_where([("k", "<", 10)])
+    icts = {}
+    for v in (v1, v2):
+        acts = [
+            json.loads(ln)
+            for ln in open(
+                os.path.join(path, "_delta_log", f"{v:020d}.json")
+            )
+            if ln.strip()
+        ]
+        assert "commitInfo" in acts[0], "commitInfo must lead"
+        icts[v] = acts[0]["commitInfo"]["inCommitTimestamp"]
+    assert icts[v2] > icts[v1] > 0
+    # time travel pins to the ICT, not the file mtime: an mtime far in
+    # the future must not move the answer
+    os.utime(
+        os.path.join(path, "_delta_log", f"{v1:020d}.json"),
+        (2**31, 2**31),
+    )
+    assert DeltaLogReader(spark, path).version_at(icts[v1]) == v1
+    assert DeltaLogReader(spark, path).version_at(icts[v2] + 10) == v2
+    with pytest.raises(ValueError):
+        DeltaLogReader(spark, path).version_at(100)  # before every ICT
