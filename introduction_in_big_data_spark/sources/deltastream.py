@@ -120,15 +120,26 @@ def _table_meta(log_dir: str) -> dict:
                 p = a["protocol"]
                 mrv = p.get("minReaderVersion", 1)
                 feats = set(p.get("readerFeatures") or [])
+                # typeWidening streams for free (round 9): values pass
+                # through Python objects, where int/long and
+                # float/double are indistinguishable — the declared
+                # WIDE schema is satisfied without any upcast step
                 if mrv > 3 or (
                     mrv == 3
-                    and feats - {"columnMapping", "deletionVectors"}
+                    and feats
+                    - {
+                        "columnMapping",
+                        "deletionVectors",
+                        "typeWidening",
+                        "typeWidening-preview",
+                    }
                 ):
                     raise ValueError(
                         "delta_stream reads protocol reader versions "
-                        "1/2 (+3 with columnMapping/deletionVectors); "
-                        f"this table needs v{mrv} {sorted(feats)} — "
-                        "use DeltaLogReader for snapshots"
+                        "1/2 (+3 with columnMapping/deletionVectors/"
+                        f"typeWidening); this table needs v{mrv} "
+                        f"{sorted(feats)} — use DeltaLogReader for "
+                        "snapshots"
                     )
             if "metaData" in a and a["metaData"].get("schemaString"):
                 meta = a["metaData"]

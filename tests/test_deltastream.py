@@ -458,3 +458,43 @@ def test_column_mapped_nested_columns_stream(spark, tmp_path):
     assert len(rows) == 40
     assert rows[7].info.alpha == 14 and rows[7].info.beta == "s7"
     assert [e.alpha for e in rows[7].arr] == [70, 71]
+
+
+def test_type_widened_table_streams(spark, tmp_path):
+    """Round 9: typeWidening tables stream — the worker's Python-object
+    rows satisfy the declared wide schema with no upcast step (ints
+    are ints, floats are floats)."""
+    import json as _json
+    import os as _os
+
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark,
+        path,
+        spark.range(0, 25).selectExpr(
+            "CAST(id AS INT) AS k", "CAST(id AS FLOAT) AS w"
+        ),
+    )
+    c0 = _os.path.join(path, "_delta_log", f"{0:020d}.json")
+    acts = [_json.loads(ln) for ln in open(c0) if ln.strip()]
+    for a in acts:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["typeWidening"],
+                "writerFeatures": ["typeWidening"],
+            }
+        if "metaData" in a:
+            sch = _json.loads(a["metaData"]["schemaString"])
+            sch["fields"][0]["type"] = "long"
+            sch["fields"][1]["type"] = "double"
+            a["metaData"]["schemaString"] = _json.dumps(sch)
+    with open(c0, "w") as fh:
+        for a in acts:
+            fh.write(_json.dumps(a) + "\n")
+    s = _load(spark, path, startingVersion="0")
+    out = st.run_to_memory(s, "append", state_partitions=2)
+    assert dict(out.dtypes) == {"k": "bigint", "w": "double"}
+    rows = {r.k: r.w for r in out.collect()}
+    assert rows[7] == 7.0 and len(rows) == 25
