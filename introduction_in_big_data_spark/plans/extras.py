@@ -1228,6 +1228,94 @@ def delta_row_tracking_dml_read(spark, sf_dir):
 
 
 @register(
+    "delta_type_widening_read",
+    oracle="""
+        WITH merged AS (
+            SELECT o_orderkey, o_orderpriority FROM orders
+            WHERE o_orderkey <= 2000000000
+            UNION ALL
+            SELECT 8000000000 AS o_orderkey, '9-WIDE' AS o_orderpriority
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key
+        FROM merged
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("delta", "lakehouse", "type-widening", "v3"),
+)
+def delta_type_widening_read(spark, sf_dir):
+    """Delta v3 TYPE WIDENING (round 9): stage orders with o_orderkey
+    as INT, then forge the modern-writer shape — logical schema
+    widened to LONG with the spec's `delta.typeWidening` conversion
+    history and (3,7) feature lists. The read hands Spark the WIDE
+    schema over the narrow files (native parquet upcast — no plan
+    change, no rewrite), and a MERGE then inserts a row whose key
+    NEEDS the wide type (8e9 > int32 range) — the writer obligation:
+    new files are written wide while old narrow files keep reading
+    alongside. Aggregates are integer-exact so the oracle hash pins
+    every upcast value."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from ..sources.deltalog import DeltaLogReader, create_minimal_table
+
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        "o_orderpriority",
+    )
+    path = tempfile.mkdtemp(prefix="delta_widen_") + "/t"
+    create_minimal_table(
+        spark, path, base.repartitionByRange(3, "o_orderkey"), stats=True
+    )
+    c0 = _os.path.join(path, "_delta_log", f"{0:020d}.json")
+    acts = [_json.loads(ln) for ln in open(c0) if ln.strip()]
+    for a in acts:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["typeWidening"],
+                "writerFeatures": ["typeWidening"],
+            }
+        if "metaData" in a:
+            sch = _json.loads(a["metaData"]["schemaString"])
+            sch["fields"][0]["type"] = "long"
+            sch["fields"][0]["metadata"] = {
+                "delta.typeWidening": [
+                    {
+                        "fromType": "integer",
+                        "toType": "long",
+                        "tableVersion": 1,
+                    }
+                ]
+            }
+            a["metaData"]["schemaString"] = _json.dumps(sch)
+    with open(c0, "w") as fh:
+        for a in acts:
+            fh.write(_json.dumps(a) + "\n")
+    DeltaLogReader(spark, path).merge(
+        spark.createDataFrame(
+            [(8000000000, "9-WIDE")], "o_orderkey long, o_orderpriority string"
+        ),
+        "o_orderkey",
+    )
+    snap = DeltaLogReader(spark, path).read()
+    return (
+        snap.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "delta_column_mapping_dml_read",
     oracle="""
         SELECT o_orderpriority,
