@@ -1409,13 +1409,22 @@ class DeltaLogReader:
             "v2Checkpoint",
             "typeWidening",
             "typeWidening-preview",
+            # timestampNtz: Spark reads/writes TimestampNTZType
+            # natively (probed round 9) and the schemaString's
+            # `timestamp_ntz` parses through StructType.fromJson —
+            # nothing else is required of a reader
+            "timestampNtz",
+            # vacuumProtocolCheck only obliges VACUUM to re-check the
+            # protocol first — vacuum() replays (and therefore gates)
+            # before touching anything
+            "vacuumProtocolCheck",
         }:
             return
         raise UnsupportedDeltaFeature(
             f"requires reader features {p}; this replay implements "
             "reader protocol v1/v2 + the columnMapping, "
-            "deletionVectors, v2Checkpoint and typeWidening v3 "
-            "features"
+            "deletionVectors, v2Checkpoint, typeWidening, "
+            "timestampNtz and vacuumProtocolCheck v3 features"
         )
 
     def _replay(self, version: int) -> tuple[dict, dict[str, dict]]:
@@ -2654,6 +2663,17 @@ class DeltaLogReader:
             # _publish, which stamps a monotonic inCommitTimestamp
             # when delta.enableInCommitTimestamps is true
             "inCommitTimestamp",
+            # round 9: NTZ columns round-trip natively (see the
+            # reader-side note); vacuumProtocolCheck's obligation
+            # (protocol gate before vacuum) already holds; liquid
+            # clustering's writer obligation is to PRESERVE the
+            # clustering domain metadata, which _replay carries and
+            # every commit/checkpoint persists — this engine does not
+            # re-cluster, which the spec permits (clustering is
+            # advisory for writers that do not implement it)
+            "timestampNtz",
+            "vacuumProtocolCheck",
+            "clusteringColumns",
         }
     )
 

@@ -472,3 +472,88 @@ def test_in_commit_timestamps(spark, tmp_path):
     assert DeltaLogReader(spark, path).version_at(icts[v2] + 10) == v2
     with pytest.raises(ValueError):
         DeltaLogReader(spark, path).version_at(100)  # before every ICT
+
+
+def test_timestamp_ntz_reads_and_dml(spark, tmp_path):
+    """Round 9: the `timestampNtz` v3 feature — NTZ columns round-trip
+    natively (wall time, session-TZ independent), stats serialize, and
+    DML writes NTZ parquet back."""
+    path = str(tmp_path / "t")
+    base = spark.sql(
+        "SELECT id AS k, "
+        "TIMESTAMP_NTZ '2024-03-01 10:30:00' + make_interval(0,0,0,0,0,0,id)"
+        " AS ts FROM range(0, 20)"
+    )
+    create_minimal_table(spark, path, base, stats=True)
+    _patch_commit0(
+        path,
+        protocol={
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["timestampNtz"],
+            "writerFeatures": ["timestampNtz"],
+        },
+    )
+    r = DeltaLogReader(spark, path)
+    got = r.read()
+    assert dict(got.dtypes)["ts"] == "timestamp_ntz"
+    assert got.count() == 20
+    import datetime as dt
+
+    r.delete_where([("k", "<", 5)])
+    r2 = DeltaLogReader(spark, path)
+    rows = {x.k: x.ts for x in r2.read().collect()}
+    assert rows[7] == dt.datetime(2024, 3, 1, 10, 30, 7)
+    assert len(rows) == 15
+
+
+def test_clustering_and_vacuum_protocol_features_accepted(spark, tmp_path):
+    """Liquid-clustering (`clusteringColumns`) and vacuumProtocolCheck
+    tables accept DML; the clustering domain metadata survives commits
+    AND checkpoints (the writer's preserve obligation)."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark), stats=True)
+    c0 = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    acts = [_json.loads(ln) for ln in open(c0) if ln.strip()]
+    for a in acts:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["vacuumProtocolCheck"],
+                "writerFeatures": [
+                    "clusteringColumns",
+                    "domainMetadata",
+                    "vacuumProtocolCheck",
+                ],
+            }
+    acts.append(
+        {
+            "domainMetadata": {
+                "domain": "delta.clustering",
+                "configuration": _json.dumps(
+                    {"clusteringColumns": [["k"]]}
+                ),
+                "removed": False,
+            }
+        }
+    )
+    with open(c0, "w") as fh:
+        for a in acts:
+            fh.write(_json.dumps(a) + "\n")
+    r = DeltaLogReader(spark, path)
+    r.delete_where([("k", "<", 5)])
+    assert DeltaLogReader(spark, path).read().count() == 45
+    # the clustering domain survives a checkpoint + vacuumed tail
+    t2 = DeltaLogReader(spark, path)
+    cp = t2.write_checkpoint()
+    for v in range(cp + 1):
+        os.unlink(os.path.join(path, "_delta_log", f"{v:020d}.json"))
+    t3 = DeltaLogReader(spark, path)
+    t3._replay(t3.latest_version())
+    assert "delta.clustering" in t3._last_domains
+    assert _json.loads(
+        t3._last_domains["delta.clustering"]["configuration"]
+    ) == {"clusteringColumns": [["k"]]}
