@@ -565,6 +565,19 @@ def _with_dense_index(df: DataFrame, col_name: str, value_fn):
     return out, n
 
 
+
+def _parquet_num_rows(spark: SparkSession, path: str) -> int:
+    """Footer row count with a Spark fallback: pyarrow's thrift parser
+    predates some logical types (VARIANT — round 9), and a footer it
+    cannot open must not fail DML on an otherwise-supported table."""
+    try:
+        import pyarrow.parquet as _pqnr
+
+        return _pqnr.ParquetFile(path).metadata.num_rows
+    except OSError:
+        return spark.read.parquet(path).count()
+
+
 def _latest_version_no_spark(path: str) -> int:
     """Latest table version as max(JSON commit versions, newest
     checkpoint version), -1 on a fresh log — the spark-free twin of
@@ -966,9 +979,9 @@ def enable_row_tracking(spark: SparkSession, path: str) -> None:
         elif "add" in a:
             a["add"]["baseRowId"] = base
             a["add"]["defaultRowCommitVersion"] = 0
-            base += pq.ParquetFile(
-                os.path.join(path, unquote(a["add"]["path"]))
-            ).metadata.num_rows
+            base += _parquet_num_rows(
+                spark, os.path.join(path, unquote(a["add"]["path"]))
+            )
     acts.append(DeltaLogReader._rt_domain_action(base - 1))
     with open(c0, "w") as fh:
         for a in acts:
@@ -1418,13 +1431,19 @@ class DeltaLogReader:
             # protocol first — vacuum() replays (and therefore gates)
             # before touching anything
             "vacuumProtocolCheck",
+            # variantType: Spark's native VariantType round-trips the
+            # (metadata, value) binary pair through parquet (probed
+            # round 9); `variant` parses via StructType.fromJson
+            "variantType",
+            "variantType-preview",
         }:
             return
         raise UnsupportedDeltaFeature(
             f"requires reader features {p}; this replay implements "
             "reader protocol v1/v2 + the columnMapping, "
             "deletionVectors, v2Checkpoint, typeWidening, "
-            "timestampNtz and vacuumProtocolCheck v3 features"
+            "timestampNtz, variantType and vacuumProtocolCheck v3 "
+            "features"
         )
 
     def _replay(self, version: int) -> tuple[dict, dict[str, dict]]:
@@ -2122,7 +2141,7 @@ class DeltaLogReader:
                 if not f.endswith(".parquet"):
                     continue
                 full = os.path.join(root, f)
-                if pq.ParquetFile(full).metadata.num_rows == 0:
+                if _parquet_num_rows(self.spark, full) == 0:
                     os.remove(full)
                     continue
                 pv = _hive_partition_values(os.path.relpath(full, out_dir))
@@ -2674,6 +2693,8 @@ class DeltaLogReader:
             "timestampNtz",
             "vacuumProtocolCheck",
             "clusteringColumns",
+            "variantType",
+            "variantType-preview",
         }
     )
 
@@ -2694,11 +2715,9 @@ class DeltaLogReader:
                     return int(n)
             except (ValueError, TypeError):
                 pass
-        import pyarrow.parquet as pq
-
-        return pq.ParquetFile(
-            os.path.join(self.path, unquote(a["path"]))
-        ).metadata.num_rows
+        return _parquet_num_rows(
+            self.spark, os.path.join(self.path, unquote(a["path"]))
+        )
 
     def _row_id_high_water_mark(self, live: dict[str, dict]) -> int:
         """Highest row id ever assigned on this table: the
@@ -3213,7 +3232,7 @@ class DeltaLogReader:
                 full = os.path.join(out_dir, f)
                 if not f.endswith(".parquet"):
                     continue
-                if pq.ParquetFile(full).metadata.num_rows == 0:
+                if _parquet_num_rows(self.spark, full) == 0:
                     os.remove(full)
                 else:
                     new_files.append(full)
@@ -3236,7 +3255,7 @@ class DeltaLogReader:
                 if f in stats_by:
                     add["stats"] = json.dumps(stats_by[f])
                 if rt:
-                    n = pq.ParquetFile(f).metadata.num_rows
+                    n = _parquet_num_rows(self.spark, f)
                     add["baseRowId"] = rt_hwm + 1
                     add["defaultRowCommitVersion"] = v + 1
                     rt_hwm += n
@@ -3738,7 +3757,7 @@ class DeltaLogReader:
                 full = os.path.join(out_dir, f)
                 if not f.endswith(".parquet"):
                     continue
-                if _pq.ParquetFile(full).metadata.num_rows == 0:
+                if _parquet_num_rows(self.spark, full) == 0:
                     os.remove(full)
                 else:
                     new_files.append(full)
@@ -3763,7 +3782,7 @@ class DeltaLogReader:
                 if rt:
                     import pyarrow.parquet as _pq2
 
-                    n = _pq2.ParquetFile(f).metadata.num_rows
+                    n = _parquet_num_rows(self.spark, f)
                     add["baseRowId"] = rt_hwm + 1
                     add["defaultRowCommitVersion"] = v + 1
                     rt_hwm += n
@@ -4069,7 +4088,7 @@ class DeltaLogReader:
                 if rt:
                     import pyarrow.parquet as _pqrt
 
-                    n = _pqrt.ParquetFile(f).metadata.num_rows
+                    n = _parquet_num_rows(self.spark, f)
                     add["baseRowId"] = rt_hwm + 1
                     add["defaultRowCommitVersion"] = v + 1
                     rt_hwm += n
@@ -4469,7 +4488,7 @@ class DeltaLogReader:
                 if not f.endswith(".parquet"):
                     continue
                 full = os.path.join(root, f)
-                if pq.ParquetFile(full).metadata.num_rows == 0:
+                if _parquet_num_rows(self.spark, full) == 0:
                     os.remove(full)
                     continue
                 new_files.append(
@@ -4510,7 +4529,7 @@ class DeltaLogReader:
             if f in stats_by:
                 add["stats"] = json.dumps(stats_by[f])
             if rt:
-                n = pq.ParquetFile(f).metadata.num_rows
+                n = _parquet_num_rows(self.spark, f)
                 add["baseRowId"] = rt_hwm + 1
                 add["defaultRowCommitVersion"] = v + 1
                 rt_hwm += n
@@ -4756,7 +4775,7 @@ class DeltaLogReader:
                     continue
                 # a fully-tombstoned group compacts to 0 rows: drop the
                 # empty part files rather than reference them
-                if _pq.ParquetFile(full).metadata.num_rows == 0:
+                if _parquet_num_rows(self.spark, full) == 0:
                     os.remove(full)
                 else:
                     new_files.append(full)
@@ -4790,7 +4809,7 @@ class DeltaLogReader:
                 if f in stats_by:
                     add["stats"] = json.dumps(stats_by[f])
                 if rt:
-                    n = _pq.ParquetFile(f).metadata.num_rows
+                    n = _parquet_num_rows(self.spark, f)
                     add["baseRowId"] = rt_hwm + 1
                     add["defaultRowCommitVersion"] = v + 1
                     rt_hwm += n
