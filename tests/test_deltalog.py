@@ -197,9 +197,8 @@ def test_checkpoint_replay_and_vacuumed_commits(spark, tmp_path):
 
 
 def test_unsupported_reader_features_refused(spark, tmp_path):
-    """columnMapping, deletionVectors, v2Checkpoint and typeWidening
-    are implemented; anything beyond them (timestampNtz, ...) must
-    refuse."""
+    """The implemented v3 reader-feature set is closed; anything
+    beyond it (catalogManaged, ...) must refuse."""
     d = str(tmp_path / "t4")
     os.makedirs(d)
     f0 = _write_data(spark, d, [(1, 1.0)])
@@ -207,7 +206,7 @@ def test_unsupported_reader_features_refused(spark, tmp_path):
         d, 0,
         [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
                        "readerFeatures": ["deletionVectors",
-                                          "timestampNtz"]}},
+                                          "catalogManaged"]}},
          _meta(), _add(f0)],
     )
     with pytest.raises(UnsupportedDeltaFeature):
@@ -725,7 +724,7 @@ def test_v2_checkpoint_missing_sidecar_refuses(spark, tmp_path):
 
 def test_v2_checkpoint_unknown_reader_feature_still_refuses(spark, tmp_path):
     """v2Checkpoint is now replayable, but a manifest whose protocol
-    needs MORE (e.g. timestampNtz) keeps refusing loudly."""
+    needs MORE (e.g. catalogManaged) keeps refusing loudly."""
     d = _stage_v2_table(spark, tmp_path, "v2refuse")
     t = DeltaLogReader(spark, d)
     t.write_checkpoint(v2=True, manifest_format="json")
@@ -738,7 +737,7 @@ def test_v2_checkpoint_unknown_reader_feature_still_refuses(spark, tmp_path):
     lines = [json.loads(line) for line in open(path)]
     for a in lines:
         if "protocol" in a:
-            a["protocol"]["readerFeatures"].append("timestampNtz")
+            a["protocol"]["readerFeatures"].append("catalogManaged")
     with open(path, "w") as fh:
         for a in lines:
             fh.write(json.dumps(a) + "\n")
