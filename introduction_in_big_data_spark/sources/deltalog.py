@@ -694,6 +694,14 @@ def commit_append(
     v = _latest_version_no_spark(path) + 1
     meta_rt, live_rt = t._replay(v - 1)
     id_meta_action: dict | None = None
+    # GENERATED columns (round 9): a source that OMITS a generated
+    # column gets it computed from delta.generationExpression — the
+    # writer's generation obligation (provided values still validate
+    # via the constraint pass on guarded paths)
+    for f in DeltaLogReader._schema_from_meta(meta_rt).fields:
+        gen = (f.metadata or {}).get("delta.generationExpression")
+        if gen and f.name not in df.columns:
+            df = df.withColumn(f.name, F.expr(gen).cast(f.dataType))
     id_fields = [
         f
         for f in DeltaLogReader._schema_from_meta(meta_rt).fields

@@ -595,3 +595,38 @@ def test_variant_type_reads_and_dml(spark, tmp_path):
     assert r2.selectExpr(
         "max(variant_get(props, '$.n', 'int')) AS m"
     ).collect()[0].m == 19
+
+
+def test_generated_columns_compute_on_append(spark, tmp_path):
+    """Round 9: commit_append COMPUTES an omitted generated column
+    from delta.generationExpression (the writer's generation
+    obligation); provided values still validate elsewhere."""
+    from introduction_in_big_data_spark.sources.deltalog import (
+        commit_append,
+    )
+
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark))
+    import json as _json
+
+    c0 = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    acts = [_json.loads(ln) for ln in open(c0) if ln.strip()]
+    for a in acts:
+        if "metaData" in a:
+            sch = _json.loads(a["metaData"]["schemaString"])
+            sch["fields"][1]["metadata"] = {
+                "delta.generationExpression": "CAST(k * 2 AS DOUBLE)"
+            }
+            a["metaData"]["schemaString"] = _json.dumps(sch)
+    with open(c0, "w") as fh:
+        for a in acts:
+            fh.write(_json.dumps(a) + "\n")
+    commit_append(
+        spark, path, spark.createDataFrame([(500,), (501,)], "k long")
+    )
+    got = {
+        x.k: x.v
+        for x in DeltaLogReader(spark, path).read().collect()
+        if x.k >= 500
+    }
+    assert got == {500: 1000.0, 501: 1002.0}
