@@ -2325,6 +2325,55 @@ class IcebergTableReader:
         mapping = self._name_mapping(meta)
         if mapping is None:
             scan = self.spark.read.schema(scan_schema).parquet(*files)
+            # INITIAL DEFAULTS (spec v3 "Default values", round 9): a
+            # column added with an initial-default returns the DEFAULT
+            # from files written before it existed (the files that
+            # lack its field id) — genuine NULLs in later files stay
+            # NULL. The per-file split is a driver-side footer pass
+            # (the same metadata read the name-mapping path performs);
+            # the fill itself is a scan-stage conditional on
+            # _metadata.file_path, no extra job.
+            defaults = [
+                f
+                for f in self._schema_fields(meta)
+                if f.get("initial-default") is not None
+                and isinstance(f.get("type"), str)
+            ]
+            if defaults:
+                import pyarrow.parquet as pq
+
+                lacking: dict[str, list[str]] = {}
+                for p in files:
+                    sch = pq.read_schema(p)
+                    ids_in_file = set()
+                    names_in_file = set(sch.names)
+                    for af in sch:
+                        fid = (af.metadata or {}).get(b"PARQUET:field_id")
+                        if fid is not None:
+                            ids_in_file.add(int(fid))
+                    for f in defaults:
+                        present = (
+                            int(f["id"]) in ids_in_file
+                            if ids_in_file
+                            else f["name"] in names_in_file
+                        )
+                        if not present:
+                            lacking.setdefault(f["name"], []).append(p)
+                norm_d = lambda c: F.regexp_replace(  # noqa: E731
+                    c, "^file:/+", "/"
+                )
+                for f in defaults:
+                    lack = lacking.get(f["name"])
+                    if not lack:
+                        continue
+                    dt = iceberg_type_to_spark(f["type"])
+                    scan = scan.withColumn(
+                        f["name"],
+                        F.when(
+                            norm_d(F.col("_metadata.file_path")).isin(lack),
+                            F.lit(f["initial-default"]).cast(dt),
+                        ).otherwise(F.col(f["name"])),
+                    )
             return scan.select("*", *pos_cols()) if with_pos else scan
         import pyarrow.parquet as pq
 
@@ -4572,6 +4621,10 @@ class IcebergTableReader:
           `last-column-id` as optional columns — so a re-added name
           reads as null from files written before the add, even if a
           dropped column of the same name physically remains in them.
+          A 3-tuple (name, iceberg_type, default) additionally stores
+          the spec-v3 `initial-default` / `write-default` pair: files
+          from before the add return the DEFAULT instead of null
+          (the read path's per-file footer split applies it).
 
         The previous schema stays in `schemas` (older snapshots keep
         reading with it); `current-schema-id` moves. Returns the new
@@ -4595,7 +4648,8 @@ class IcebergTableReader:
                 raise ValueError(f"rename: column {new!r} already exists")
             by_name[old]["name"] = new
             by_name[new] = by_name.pop(old)
-        for name, ice_type in adds:
+        for add in adds:
+            name, ice_type = add[0], add[1]
             if name in by_name:
                 raise ValueError(f"add: column {name!r} already exists")
             iceberg_type_to_spark(ice_type)  # validate the type string
@@ -4606,6 +4660,9 @@ class IcebergTableReader:
                 "type": ice_type,
                 "required": False,
             }
+            if len(add) > 2 and add[2] is not None:
+                f["initial-default"] = add[2]
+                f["write-default"] = add[2]
             fields.append(f)
             by_name[name] = f
 

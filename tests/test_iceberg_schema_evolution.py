@@ -135,3 +135,32 @@ def test_incremental_read_after_rename(spark, tmp_path):
     snap1 = t2.metadata()["current-snapshot-id"]
     inc = t2.incremental(snap0, snap1)
     assert [(r.k, r.char_count) for r in inc.collect()] == [(3, 30)]
+
+
+def test_added_column_initial_default(spark, tmp_path):
+    """Spec v3 default values (round 9): a column added with an
+    initial-default returns the DEFAULT from pre-add files; files
+    written after the add keep their real values — including genuine
+    NULLs, which must NOT be replaced."""
+    path = _stage(spark, tmp_path, "ev_default")
+    t = IcebergTableReader(spark, path)
+    t.update_schema(adds=[("source", "string", "legacy")])
+    append_data_snapshot(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(3, 30, "c", "web"), (4, 40, "d", None)],
+            "k long, n_chars long, tag string, source string",
+        ),
+        sequence=1,
+    )
+    got = {
+        (r.k, r.source)
+        for r in IcebergTableReader(spark, path).read().collect()
+    }
+    assert got == {(1, "legacy"), (2, "legacy"), (3, "web"), (4, None)}
+    # predicate reads still work through the conditional fill
+    sel = IcebergTableReader(spark, path).read(
+        predicates=[("k", "<=", 2)]
+    )
+    assert {r.source for r in sel.collect()} == {"legacy"}
