@@ -3203,6 +3203,73 @@ def iceberg_nested_list_mapping_read(spark, sf_dir):
 
 
 @register(
+    "iceberg_default_values_read",
+    oracle="""
+        WITH unioned AS (
+            SELECT doc_id, lang, 'legacy' AS source FROM documents
+            WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id, lang,
+                   CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 'web' END
+                       AS source
+            FROM documents WHERE doc_id % 2 = 1
+        )
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        FROM unioned
+        GROUP BY lang, source
+        ORDER BY lang, source
+    """,
+    tags=("iceberg", "lakehouse", "schema-evolution", "defaults", "v3"),
+)
+def iceberg_default_values_read(spark, sf_dir):
+    """Iceberg spec-v3 DEFAULT VALUES (round 9): stage even documents,
+    ADD a `source` column with initial-default 'legacy', then append
+    the odd documents with REAL values — including genuine NULLs for
+    every third doc. The read must return the default for exactly the
+    pre-add files (per-file footer split, scan-stage conditional) and
+    the real values — NULLs included — for the post-add file; the
+    grouped aggregate hash-pins all three populations."""
+    import tempfile
+
+    from ..sources.iceberg import (
+        IcebergTableReader,
+        append_data_snapshot,
+        create_minimal_table,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    path = tempfile.mkdtemp(prefix="iceberg_defaults_") + "/t"
+    create_minimal_table(
+        spark, path, docs.filter(F.col("doc_id") % 2 == 0).coalesce(1)
+    )
+    IcebergTableReader(spark, path).update_schema(
+        adds=[("source", "string", "legacy")]
+    )
+    append_data_snapshot(
+        spark,
+        path,
+        docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+            "source",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(
+                F.lit("web")
+            ),
+        ),
+        sequence=1,
+    )
+    snap = IcebergTableReader(spark, path).read()
+    return (
+        snap.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
     "iceberg_snapshot_import_read",
     oracle="""
         SELECT p_brand,
