@@ -620,25 +620,34 @@ def txn_version(path: str, app_id: str) -> int:
     cp = t._checkpoint_at_or_below(1 << 62)
     if cp is not None:
         cp_version, kind, files = cp
-        start = cp_version + 1
+        # the checkpoint is AUTHORITATIVE for pre-checkpoint commits
+        # only when its format demonstrably carries txn rows (a parquet
+        # txn column, or a json manifest with a txn line) — a
+        # checkpoint written before this engine persisted txn actions
+        # must NOT shadow surviving JSON commits, or watermarks would
+        # silently reset to -1 on old-format tables (code review r9)
+        cp_carries_txn = False
         for f in files:
             if f.endswith(".json"):  # v2 json manifest
                 with open(f) as fh:
                     rows = [
                         json.loads(ln).get("txn") for ln in fh if ln.strip()
                     ]
+                cp_carries_txn = cp_carries_txn or any(rows)
             else:  # classic / multipart / v2 parquet manifest
                 import pyarrow.parquet as pq
 
                 tbl = pq.read_table(f)
-                rows = (
-                    tbl.column("txn").to_pylist()
-                    if "txn" in tbl.schema.names
-                    else []
-                )
+                if "txn" in tbl.schema.names:
+                    cp_carries_txn = True
+                    rows = tbl.column("txn").to_pylist()
+                else:
+                    rows = []
             for tx in rows:
                 if tx and tx.get("appId") == app_id:
                     best = max(best, int(tx.get("version", -1)))
+        if cp_carries_txn:
+            start = cp_version + 1
     for f in sorted(os.listdir(log_dir)):
         base, ext = os.path.splitext(f)
         if not (ext == ".json" and base.isdigit() and int(base) >= start):
@@ -709,14 +718,6 @@ def commit_append(
     ]
     for f in id_fields:
         md = f.metadata or {}
-        if f.name in df.columns:
-            if str(md.get("delta.identity.allowExplicitInsert")).lower() != "true":
-                raise UnsupportedDeltaFeature(
-                    f"commit_append: identity column {f.name!r} forbids "
-                    "explicit inserts (delta.identity.allowExplicitInsert "
-                    "is not true); omit the column to generate values"
-                )
-            continue
         start = int(md.get("delta.identity.start", 1))
         step = int(md.get("delta.identity.step", 1))
         if step == 0:
@@ -724,6 +725,36 @@ def commit_append(
                 f"identity column {f.name!r} has step 0"
             )
         hwm = md.get("delta.identity.highWaterMark")
+        if f.name in df.columns:
+            if str(md.get("delta.identity.allowExplicitInsert")).lower() != "true":
+                raise UnsupportedDeltaFeature(
+                    f"commit_append: identity column {f.name!r} forbids "
+                    "explicit inserts (delta.identity.allowExplicitInsert "
+                    "is not true); omit the column to generate values"
+                )
+            # explicit values must still ADVANCE the mark past
+            # themselves (spec: later generation may never reissue an
+            # explicitly inserted value) — one tiny agg per append
+            agg = F.max(f.name) if step > 0 else F.min(f.name)
+            extreme = df.agg(agg.alias("__m")).collect()[0]["__m"]
+            if extreme is not None:
+                ahead = hwm is None or (
+                    (step > 0 and int(extreme) > int(hwm))
+                    or (step < 0 and int(extreme) < int(hwm))
+                )
+                if ahead:
+                    sch = json.loads(meta_rt["schemaString"])
+                    for sf in sch["fields"]:
+                        if sf["name"] == f.name:
+                            sf["metadata"] = {
+                                **(sf.get("metadata") or {}),
+                                "delta.identity.highWaterMark": int(
+                                    extreme
+                                ),
+                            }
+                    meta_rt = {**meta_rt, "schemaString": json.dumps(sch)}
+                    id_meta_action = {"metaData": meta_rt}
+            continue
         first = start if hwm is None else int(hwm) + step
         df, n_rows = _with_dense_index(
             df,
@@ -810,6 +841,17 @@ def commit_append(
     if txn is not None:
         actions.append(
             {"txn": {"appId": txn[0], "version": int(txn[1])}}
+        )
+    if (meta_rt.get("configuration") or {}).get(
+        "delta.enableInCommitTimestamps"
+    ) == "true":
+        import time as _time
+
+        t.log_dir = log_dir  # ensure discovery fields are set
+        last = t._last_commit_ict(v - 1)
+        ict = max(int(_time.time() * 1000), (last or 0) + 1)
+        actions.insert(
+            0, {"commitInfo": {"timestamp": ict, "inCommitTimestamp": ict}}
         )
     target = os.path.join(log_dir, f"{v:020d}.json")
     tmpf = target + ".tmp"
@@ -2598,19 +2640,21 @@ class DeltaLogReader:
         return self.latest_version() + 1
 
     def _last_commit_ict(self, below_version: int) -> int | None:
-        """The newest inCommitTimestamp at or below a version (walking
-        backwards; stops at the first commit without one — ICT is
-        monotonic from its enablement commit onward)."""
+        """The newest inCommitTimestamp at or below a version. Walks
+        PAST commits without one (an externally-written or staged
+        commit may lack the stamp even on an enabled table — code
+        review r9): one ICT-less commit must not let the next stamp
+        regress below an earlier commit's ICT."""
+        best: int | None = None
         for v in range(below_version, -1, -1):
             commit = os.path.join(self.log_dir, f"{v:020d}.json")
             if not os.path.exists(commit):
-                return None  # vacuumed past: enablement predates
+                break  # vacuumed past; newest surviving ICT wins
             for a in self._commit_actions(v):
                 ci = a.get("commitInfo")
                 if ci and ci.get("inCommitTimestamp") is not None:
                     return int(ci["inCommitTimestamp"])
-            return None
-        return None
+        return best
 
     def _publish(self, version: int, actions: list[dict]) -> int:
         # IN-COMMIT TIMESTAMPS (round 9, writer feature
@@ -3624,29 +3668,12 @@ class DeltaLogReader:
         mat_id: str | None = None
         rt_hwm = -1
         if rt:
-            conf_rt = dict(meta.get("configuration") or {})
-            mat_id = conf_rt.get(
-                "delta.rowTracking.materializedRowIdColumnName"
+            mat_id, _mat_rcv, rt_actions = self._rt_materialized_cols(
+                meta, need_rcv=False
             )
-            if not mat_id:
-                mat_id = f"_row-id-col-{uuid4().hex}"
-                conf_rt[
-                    "delta.rowTracking.materializedRowIdColumnName"
-                ] = mat_id
-                rt_actions.append(
-                    {"metaData": {**meta, "configuration": conf_rt}}
-                )
-            base_by_path = {}
-            for a in candidates.values():
-                if a.get("baseRowId") is None:
-                    raise UnsupportedDeltaFeature(
-                        "update_where_dv: rowTracking table carries a "
-                        f"candidate add without baseRowId: {a['path']}"
-                    )
-                base_by_path[abspath(a["path"])] = int(a["baseRowId"])
-            rt_base_df = self.spark.createDataFrame(
-                sorted(base_by_path.items()), "__path string, __base long"
-            )
+            rt_base_df = self._rt_base_map_df(
+                candidates.values(), abspath
+            ).drop("__dfrcv")
             rt_hwm = self._row_id_high_water_mark(live)
 
         groups: dict[tuple, list[str]] = {}
@@ -3788,8 +3815,6 @@ class DeltaLogReader:
                 if f in stats_by:
                     add["stats"] = json.dumps(stats_by[f])
                 if rt:
-                    import pyarrow.parquet as _pq2
-
                     n = _parquet_num_rows(self.spark, f)
                     add["baseRowId"] = rt_hwm + 1
                     add["defaultRowCommitVersion"] = v + 1
@@ -4094,8 +4119,6 @@ class DeltaLogReader:
                 if f in stats_by:
                     add["stats"] = json.dumps(stats_by[f])
                 if rt:
-                    import pyarrow.parquet as _pqrt
-
                     n = _parquet_num_rows(self.spark, f)
                     add["baseRowId"] = rt_hwm + 1
                     add["defaultRowCommitVersion"] = v + 1
@@ -4625,47 +4648,8 @@ class DeltaLogReader:
         rt_hwm = -1
         rt_map_df = None
         if rt:
-            conf_rt = dict(meta.get("configuration") or {})
-            mat_id = conf_rt.get(
-                "delta.rowTracking.materializedRowIdColumnName"
-            )
-            mat_rcv = conf_rt.get(
-                "delta.rowTracking.materializedRowCommitVersionColumnName"
-            )
-            changed_conf = False
-            if not mat_id:
-                mat_id = f"_row-id-col-{uuid4().hex}"
-                conf_rt[
-                    "delta.rowTracking.materializedRowIdColumnName"
-                ] = mat_id
-                changed_conf = True
-            if not mat_rcv:
-                mat_rcv = f"_row-commit-version-col-{uuid4().hex}"
-                conf_rt[
-                    "delta.rowTracking.materializedRowCommitVersionColumnName"
-                ] = mat_rcv
-                changed_conf = True
-            if changed_conf:
-                rt_actions.append(
-                    {"metaData": {**meta, "configuration": conf_rt}}
-                )
-            rid_rows = []
-            for a in live.values():
-                if a.get("baseRowId") is None:
-                    raise UnsupportedDeltaFeature(
-                        "optimize: rowTracking table carries an add "
-                        f"without baseRowId: {a['path']}"
-                    )
-                rid_rows.append(
-                    (
-                        abspath(a["path"]),
-                        int(a["baseRowId"]),
-                        int(a.get("defaultRowCommitVersion") or 0),
-                    )
-                )
-            rt_map_df = self.spark.createDataFrame(
-                sorted(rid_rows), "__path string, __base long, __dfrcv long"
-            )
+            mat_id, mat_rcv, rt_actions = self._rt_materialized_cols(meta)
+            rt_map_df = self._rt_base_map_df(live.values(), abspath)
             rt_hwm = self._row_id_high_water_mark(live)
         groups: dict[tuple, list[tuple[str, dict]]] = {}
         for key, a in live.items():

@@ -145,6 +145,14 @@ def _table_meta(log_dir: str) -> dict:
                 meta = a["metaData"]
     if meta is None:
         raise ValueError(f"no metaData action found in {log_dir}")
+    # the batch reader's recorded-conversion validation applies here
+    # too (code review r9): a widening it refuses must refuse loudly
+    # BEFORE the stream starts, not fail mid-batch in a worker.
+    # Function-local import: _table_meta runs only in the DRIVER-side
+    # planner, so the by-value worker pickle never sees deltalog.
+    from .deltalog import DeltaLogReader
+
+    DeltaLogReader._validate_type_widening(meta)
     return meta
 
 

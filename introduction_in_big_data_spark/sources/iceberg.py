@@ -843,6 +843,18 @@ _MANIFEST_V2_FULL_SCHEMA = {
 }
 
 
+
+def _with_first_row_id_field(manifest_schema: dict) -> dict:
+    """Deep-copy a manifest entry schema and append the spec-v3
+    `first_row_id` data_file field — the ONE place the lineage
+    manifest field is defined (every lineage-writing path shares it)."""
+    m = json.loads(json.dumps(manifest_schema))
+    next(f for f in m["fields"] if f["name"] == "data_file")["type"][
+        "fields"
+    ].append({"name": "first_row_id", "type": ["null", "long"]})
+    return m
+
+
 def _publish_metadata(
     path: str, meta: dict, base_version: int | None = None
 ) -> int:
@@ -1073,13 +1085,7 @@ def append_data_snapshot(
         first = int(meta0["next-row-id"])
         entry["data_file"]["record_count"] = n_rows
         entry["data_file"]["first_row_id"] = first
-        m_schema = json.loads(json.dumps(_MANIFEST_V2_SCHEMA))
-        df_field = next(
-            f for f in m_schema["fields"] if f["name"] == "data_file"
-        )
-        df_field["type"]["fields"].append(
-            {"name": "first_row_id", "type": ["null", "long"]}
-        )
+        m_schema = _with_first_row_id_field(_MANIFEST_V2_SCHEMA)
         meta_updates = {"next-row-id": first + n_rows}
     avrocodec.write_container(manifest, m_schema, [entry])
     _commit_snapshot(
@@ -2333,12 +2339,17 @@ class IcebergTableReader:
             # (the same metadata read the name-mapping path performs);
             # the fill itself is a scan-stage conditional on
             # _metadata.file_path, no extra job.
-            defaults = [
-                f
-                for f in self._schema_fields(meta)
-                if f.get("initial-default") is not None
-                and isinstance(f.get("type"), str)
-            ]
+            defaults = []
+            for f in self._schema_fields(meta):
+                if f.get("initial-default") is None:
+                    continue
+                if not isinstance(f.get("type"), str):
+                    raise UnsupportedIcebergFeature(
+                        f"initial-default on non-primitive column "
+                        f"{f['name']!r} — this reader fills primitive "
+                        "defaults only"
+                    )
+                defaults.append(f)
             if defaults:
                 import pyarrow.parquet as pq
 
@@ -2398,18 +2409,23 @@ class IcebergTableReader:
                 names = entry[0] if entry else ()
                 src = next((n for n in names if n in arrow_by_name), None)
                 logical_dt = iceberg_type_to_spark(f["type"])
+                # spec v3 default values apply on the mapped path too
+                # (code review r9): a field absent from the file
+                # renders its initial-default, not NULL
+                absent = (
+                    F.lit(f["initial-default"]).cast(logical_dt)
+                    if f.get("initial-default") is not None
+                    and isinstance(f.get("type"), str)
+                    else F.lit(None).cast(logical_dt)
+                )
                 if src is None:
-                    sel.append(
-                        F.lit(None).cast(logical_dt).alias(f["name"])
-                    )
+                    sel.append(absent.alias(f["name"]))
                     continue
                 sub_phys, sub_fn = self._resolve_mapped_field(
                     f["type"], entry[1], arrow_by_name[src].type
                 )
                 if sub_phys is None:
-                    sel.append(
-                        F.lit(None).cast(logical_dt).alias(f["name"])
-                    )
+                    sel.append(absent.alias(f["name"]))
                     continue
                 phys.append(T.StructField(src, sub_phys, True))
                 sel.append(sub_fn(F.col(src)).alias(f["name"]))
@@ -3514,12 +3530,7 @@ class IcebergTableReader:
             first = int(meta["next-row-id"])
             dfile["first_row_id"] = first
             meta_updates = {"next-row-id": first + n_rows}
-            m_schema = json.loads(json.dumps(_MANIFEST_V2_SCHEMA))
-            next(
-                f for f in m_schema["fields"] if f["name"] == "data_file"
-            )["type"]["fields"].append(
-                {"name": "first_row_id", "type": ["null", "long"]}
-            )
+            m_schema = _with_first_row_id_field(_MANIFEST_V2_SCHEMA)
         avrocodec.write_container(
             data_manifest,
             m_schema,
@@ -3688,12 +3699,7 @@ class IcebergTableReader:
             first = int(meta["next-row-id"])
             dfile["first_row_id"] = first
             meta_updates = {"next-row-id": first + n_rows}
-            m_schema = json.loads(json.dumps(_MANIFEST_V2_SCHEMA))
-            next(
-                f for f in m_schema["fields"] if f["name"] == "data_file"
-            )["type"]["fields"].append(
-                {"name": "first_row_id", "type": ["null", "long"]}
-            )
+            m_schema = _with_first_row_id_field(_MANIFEST_V2_SCHEMA)
         avrocodec.write_container(
             data_manifest,
             m_schema,
@@ -3811,12 +3817,7 @@ class IcebergTableReader:
             first = int(meta["next-row-id"])
             dfile["first_row_id"] = first
             meta_updates = {"next-row-id": first + n_rows}
-            m_schema = json.loads(json.dumps(_MANIFEST_V2_SCHEMA))
-            next(
-                f for f in m_schema["fields"] if f["name"] == "data_file"
-            )["type"]["fields"].append(
-                {"name": "first_row_id", "type": ["null", "long"]}
-            )
+            m_schema = _with_first_row_id_field(_MANIFEST_V2_SCHEMA)
         avrocodec.write_container(
             data_manifest,
             m_schema,
@@ -3991,13 +3992,7 @@ class IcebergTableReader:
                 # fresh first_row_id ranges and next-row-id advances
                 import pyarrow.parquet as _pqc
 
-                next(
-                    f
-                    for f in p_schema["fields"]
-                    if f["name"] == "data_file"
-                )["type"]["fields"].append(
-                    {"name": "first_row_id", "type": ["null", "long"]}
-                )
+                p_schema = _with_first_row_id_field(p_schema)
                 next_rid_p = int(meta["next-row-id"])
                 for e in p_entries:
                     n_rows = e["data_file"]["record_count"] or (
@@ -4135,12 +4130,7 @@ class IcebergTableReader:
             )
         m_schema = _MANIFEST_V2_FULL_SCHEMA
         if lineage:
-            m_schema = json.loads(json.dumps(_MANIFEST_V2_FULL_SCHEMA))
-            next(
-                f for f in m_schema["fields"] if f["name"] == "data_file"
-            )["type"]["fields"].append(
-                {"name": "first_row_id", "type": ["null", "long"]}
-            )
+            m_schema = _with_first_row_id_field(_MANIFEST_V2_FULL_SCHEMA)
         avrocodec.write_container(manifest, m_schema, entries)
         return _commit_snapshot(
             self.spark,
@@ -4661,6 +4651,10 @@ class IcebergTableReader:
                 "required": False,
             }
             if len(add) > 2 and add[2] is not None:
+                if not isinstance(ice_type, str):
+                    raise UnsupportedIcebergFeature(
+                        f"add: default on non-primitive column {name!r}"
+                    )
                 f["initial-default"] = add[2]
                 f["write-default"] = add[2]
             fields.append(f)

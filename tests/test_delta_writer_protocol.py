@@ -291,8 +291,9 @@ def test_identity_generation_on_append(spark, tmp_path):
 
 def test_identity_explicit_insert_allowed_when_configured(spark, tmp_path):
     """allowExplicitInsert=true: whole-row appends pass through
-    unchanged; omission still generates from the start (no prior
-    mark)."""
+    unchanged AND advance the high-water mark past themselves (code
+    review r9: generation must never reissue an explicit value), so
+    omission generates from beyond the explicit insert."""
     from introduction_in_big_data_spark.sources.deltalog import (
         commit_append,
     )
@@ -313,13 +314,19 @@ def test_identity_explicit_insert_allowed_when_configured(spark, tmp_path):
     assert (
         DeltaLogReader(spark, path).read().filter("k = 7777").count() == 1
     )
-    # omitted column: generation starts AT start (no prior mark)
+    # omitted column: the explicit 7777 advanced the mark, so the
+    # generated value is 7778 — NOT a reissue of anything at/below it
     commit_append(
         spark, path, spark.createDataFrame([(42.0,)], "v double")
     )
-    assert (
-        DeltaLogReader(spark, path).read().filter("k = 1000").count() == 1
-    )
+    got = {
+        x.k
+        for x in DeltaLogReader(spark, path)
+        .read()
+        .filter("v = 42.0 AND k > 100")
+        .collect()
+    }
+    assert got == {7778}
 
 
 def test_type_widening_reads_and_writes(spark, tmp_path):
