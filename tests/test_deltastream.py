@@ -498,3 +498,37 @@ def test_type_widened_table_streams(spark, tmp_path):
     assert dict(out.dtypes) == {"k": "bigint", "w": "double"}
     rows = {r.k: r.w for r in out.collect()}
     assert rows[7] == 7.0 and len(rows) == 25
+
+
+def test_txn_watermark_survives_old_format_checkpoint(spark, tmp_path, df):
+    """Code review r9: a checkpoint written WITHOUT txn rows (the
+    pre-round-9 schema) must not shadow surviving JSON commits — the
+    watermark keeps reading from the log tail, and replayed batches
+    stay no-ops."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from introduction_in_big_data_spark.sources.deltalog import (
+        DeltaLogReader,
+        delta_append_sink,
+        txn_version,
+    )
+
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, df.filter("k < 10"))
+    sink = delta_append_sink(path, "app-a")
+    sink(df.filter("k >= 10 AND k < 40"), 0)
+    t = DeltaLogReader(spark, path)
+    cp_v = t.write_checkpoint()
+    # forge the OLD checkpoint format: rewrite without the txn column
+    cp_file = os.path.join(
+        path, "_delta_log", f"{cp_v:020d}.checkpoint.parquet"
+    )
+    tbl = pq.read_table(cp_file)
+    assert "txn" in tbl.schema.names
+    pq.write_table(tbl.drop_columns(["txn", "domainMetadata"]), cp_file)
+    # JSON commits survive (no vacuum): the watermark must NOT reset
+    assert txn_version(path, "app-a") == 0
+    sink(df.filter("k >= 10 AND k < 40"), 0)  # replay: still a no-op
+    assert DeltaLogReader(spark, path).read().count() == 40
