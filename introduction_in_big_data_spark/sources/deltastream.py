@@ -107,6 +107,21 @@ def _commit_actions(log_dir: str, v: int) -> list[dict]:
         return [json.loads(ln) for ln in fh if ln.strip()]
 
 
+#: lockstep with deltalog.DeltaLogReader._SUPPORTED_WIDENINGS (this
+#: module cannot import deltalog — it ships by value into planner
+#: workers where relative imports don't resolve)
+_SUPPORTED_WIDENINGS = frozenset(
+    {
+        ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+        ("short", "integer"), ("short", "long"),
+        ("integer", "long"),
+        ("float", "double"),
+        ("byte", "double"), ("short", "double"),
+        ("integer", "double"),
+    }
+)
+
+
 def _table_meta(log_dir: str) -> dict:
     """Latest metaData action (schemaString, partitionColumns) with the
     protocol gate applied — walked once at query resolution. Reader
@@ -147,12 +162,22 @@ def _table_meta(log_dir: str) -> dict:
         raise ValueError(f"no metaData action found in {log_dir}")
     # the batch reader's recorded-conversion validation applies here
     # too (code review r9): a widening it refuses must refuse loudly
-    # BEFORE the stream starts, not fail mid-batch in a worker.
-    # Function-local import: _table_meta runs only in the DRIVER-side
-    # planner, so the by-value worker pickle never sees deltalog.
-    from .deltalog import DeltaLogReader
-
-    DeltaLogReader._validate_type_widening(meta)
+    # BEFORE the stream starts, not fail mid-batch. Inlined (NOT
+    # imported from deltalog): _table_meta runs inside the PLANNER's
+    # by-value Python worker, where relative imports don't resolve —
+    # keep _SUPPORTED_WIDENINGS in lockstep with deltalog's.
+    for f in json.loads(meta["schemaString"])["fields"]:
+        for ch in (f.get("metadata") or {}).get("delta.typeWidening") or []:
+            frm, to = str(ch.get("fromType")), str(ch.get("toType"))
+            ok = (frm, to) in _SUPPORTED_WIDENINGS or (
+                frm.startswith("decimal") and to.startswith("decimal")
+            )
+            if not ok:
+                raise ValueError(
+                    f"delta_stream: typeWidening records {frm} -> {to} "
+                    f"on column {f['name']!r}, which this reader cannot "
+                    "upcast"
+                )
     return meta
 
 
