@@ -761,29 +761,40 @@ def bpe_train_local(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 1000,
+    min_count: int = 2,
 ) -> "DataFrame":
     """BPE training at REALISTIC vocabulary scale (VERDICT r4 #3): the
     corpus scan stays distributed (tokenize → groupBy(word), one
     shuffle — identical to bpe_train's), but the merge rounds run
     driver-local over the collected word-frequency dictionary. The
-    dictionary is vocabulary-bounded by construction (≪ corpus, and
-    sub-linear in corpus growth), so collecting it is safe at any
-    corpus size; what the in-engine form cannot afford is 32k–100k
-    Spark jobs of per-round scheduling overhead — driver-local rounds
-    with incremental pair stats run thousands of merges per second
+    merge rounds are what the in-engine form cannot afford at 32k–100k
+    vocab (per-round Spark job scheduling); driver-local rounds with
+    incremental pair stats run thousands of merges per second
     (SCALE.md r5 carries the measured rate). Same merge-table schema
-    and bit-identical merges as bpe_train on the same corpus; the
-    6-round in-engine form stays as the oracle-checkable twin."""
+    and merge semantics as bpe_train; the 6-round in-engine form stays
+    as the oracle-checkable twin.
+
+    The collected dictionary is bounded by `min_count` (VERDICT r9
+    item 2): distinct whitespace tokens on open-web text grow with the
+    corpus (Heaps' law + URL/hash noise — NOT safely "vocabulary-
+    bounded"), so words with freq < min_count are pruned distributedly
+    BEFORE the collect, exactly as production BPE trainers do
+    (hapax legomena contribute pair counts of at most min_count-1 and
+    essentially never decide a merge on real corpora). min_count=1
+    disables pruning — the bit-identical-to-oracle configuration the
+    registered query uses at test SFs; at open-web scale, leave the
+    default (the driver then holds the ≥min_count vocabulary, which
+    Heaps-law tails cannot inflate)."""
     spark = df.sparkSession
     from ..functions.partitioning import spread_if_narrow
 
     tok = spread_if_narrow(df, multiplier=0.5).select(
         F.explode(tokens(F.col(text_col))).alias("w")
     )
-    word_freqs = [
-        (r["w"], r["freq"])
-        for r in tok.groupBy("w").agg(F.count(F.lit(1)).alias("freq")).collect()
-    ]
+    freqs = tok.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    if min_count > 1:
+        freqs = freqs.filter(F.col("freq") >= min_count)
+    word_freqs = [(r["w"], r["freq"]) for r in freqs.collect()]
     merges = _bpe_merges_from_word_freqs(word_freqs, n_merges)
     return spark.createDataFrame(
         merges,

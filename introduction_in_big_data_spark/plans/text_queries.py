@@ -655,7 +655,13 @@ def bpe_train_local_merges(spark, sf_dir):
     from ..operators.text import bpe_train_local
 
     return bpe_train_local(
-        t(spark, sf_dir, "documents"), "text", n_merges=BPE_MERGES
+        t(spark, sf_dir, "documents"), "text", n_merges=BPE_MERGES,
+        # min_count=1 = no dictionary pruning: bit-identical to the
+        # shared DuckDB oracle at test SFs. Production (open-web)
+        # callers keep the operator's default prune — see the
+        # operator docstring for the Heaps-law argument (VERDICT r9
+        # item 2).
+        min_count=1,
     )
 
 
@@ -739,6 +745,8 @@ def bpe_encode_stats(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     merges = [
         (r.merge_left, r.merge_right)
-        for r in bpe_train_local(docs, "text", n_merges=BPE_MERGES).collect()
+        for r in bpe_train_local(
+            docs, "text", n_merges=BPE_MERGES, min_count=1
+        ).collect()
     ]
     return bpe_apply_token_counts(docs, merges, "doc_id", "text")

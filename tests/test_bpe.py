@@ -82,7 +82,7 @@ def test_driver_local_parity_with_in_engine(spark):
     ]
     local = [
         (r.merge_round, r.merge_left, r.merge_right, r.pair_count)
-        for r in bpe_train_local(docs, "text", n_merges=8)
+        for r in bpe_train_local(docs, "text", n_merges=8, min_count=1)
         .orderBy("merge_round")
         .collect()
     ]
@@ -114,7 +114,7 @@ def test_local_thousand_merges_on_rich_vocab(spark):
     )
     local = [
         (r.merge_left, r.merge_right)
-        for r in bpe_train_local(docs, "text", n_merges=1000)
+        for r in bpe_train_local(docs, "text", n_merges=1000, min_count=1)
         .orderBy("merge_round")
         .collect()
     ]
@@ -126,3 +126,44 @@ def test_local_thousand_merges_on_rich_vocab(spark):
         .collect()
     ]
     assert local[:6] == engine
+
+
+def test_local_min_count_prunes_driver_dictionary(spark):
+    """VERDICT r9 item 2: the collected word dictionary must be
+    bounded by min_count — on a heavy-tail corpus (a few frequent
+    words + a Heaps-law tail of hapax hex tokens) the pruned train
+    must (a) collect a dictionary without the tail, (b) produce
+    exactly the merges of training on the frequent subset alone, and
+    (c) differ from the unpruned train (whose merges see aggregate
+    pair mass from the tail) — proving the filter runs BEFORE the
+    collect, distributedly, not as a driver-side cut."""
+    frequent = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit("hello world").alias("text")
+    )
+    tail = spark.range(500).select(
+        (F.col("id") + 1000).alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("text"),
+    )
+    corpus = frequent.unionByName(tail)
+
+    def merges(df, min_count):
+        return [
+            (r.merge_round, r.merge_left, r.merge_right, r.pair_count)
+            for r in bpe_train_local(df, "text", n_merges=12, min_count=min_count)
+            .orderBy("merge_round")
+            .collect()
+        ]
+
+    pruned = merges(corpus, 2)
+    frequent_only = merges(frequent, 1)
+    unpruned = merges(corpus, 1)
+    assert pruned == frequent_only, "pruned train must see only freq>=2 words"
+    assert pruned != unpruned, "the hapax tail must have mattered unpruned"
+    # the dictionary the operator collects is exactly the freq>=min_count
+    # aggregate — verify the shrink it relies on
+    from introduction_in_big_data_spark.functions.textfns import tokens
+
+    tok = corpus.select(F.explode(tokens(F.col("text"))).alias("w"))
+    freqs = tok.groupBy("w").count()
+    assert freqs.filter(F.col("count") >= 2).count() == 2  # hello, world
+    assert freqs.count() == 502
