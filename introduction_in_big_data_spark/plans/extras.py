@@ -505,6 +505,85 @@ def iceberg_row_lineage_dml_read(spark, sf_dir):
 
 
 @register(
+    "iceberg_row_lineage_mapped_read",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_orderkey, o_orderpriority,
+                   row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+            FROM orders
+        )
+        SELECT o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(rid) AS BIGINT) AS sum_row_id,
+               CAST(min(rid) AS BIGINT) AS min_row_id,
+               CAST(max(rid) AS BIGINT) AS max_row_id
+        FROM ranked
+        GROUP BY o_orderpriority
+        ORDER BY priority
+    """,
+    tags=("iceberg", "lakehouse", "lineage", "name-mapping", "v3"),
+)
+def iceberg_row_lineage_mapped_read(spark, sf_dir):
+    """ROW LINEAGE on the HIVE-MIGRATED shape (round 10, VERDICT r9
+    item 4): orders imported zero-copy via snapshot_parquet_dir (an
+    ID-LESS file under schema.name-mapping.default), lineage enabled
+    (enablement backfill: _row_id = global o_orderkey rank), then a
+    lineage-MATERIALIZING writer touches it (update_where_dv identity
+    update on one priority class — its image file embeds field ids
+    AND a physical _row_id) and the schema EVOLVES on top (rename
+    o_orderpriority -> priority, multi-schema + field-id projection).
+    read(with_row_ids=True) must project all three file shapes
+    correctly: the mapped id-less original (mapping projection + null
+    _row_id -> first_row_id derivation), the id-carrying image
+    (field-id projection + materialized override), under the renamed
+    column. A single misprojected value or drifted id flips the
+    per-priority sum/min/max fingerprint the window-rank oracle
+    pins."""
+    import tempfile
+
+    from ..sources.iceberg import (
+        IcebergTableReader,
+        enable_row_lineage,
+        snapshot_parquet_dir,
+    )
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_rl_mapped_")
+    src = root + "/src"
+    base.write.parquet(src)
+    path = root + "/t"
+    snapshot_parquet_dir(spark, src, path)
+    enable_row_lineage(spark, path)
+    # materializing identity update: image file carries field ids and
+    # each row's OLD _row_id; values unchanged so any drift is isolated
+    IcebergTableReader(spark, path).update_where_dv(
+        [("o_orderpriority", "=", "1-URGENT")],
+        {"o_orderpriority": "o_orderpriority"},
+    )
+    IcebergTableReader(spark, path).update_schema(
+        renames={"o_orderpriority": "priority"}
+    )
+    # NOTE: src must outlive the returned frame — the zero-copy import
+    # points the table's manifests at the src file itself
+    snap = IcebergTableReader(spark, path).read(with_row_ids=True)
+    return (
+        snap.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("_row_id").alias("sum_row_id"),
+            F.min("_row_id").alias("min_row_id"),
+            F.max("_row_id").alias("max_row_id"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
     "iceberg_v3_dv_update_read",
     oracle="""
         SELECT o_orderpriority,

@@ -3019,6 +3019,35 @@ class IcebergTableReader:
             .withColumnRenamed("__path", "__p")
         )
 
+    def _dml_scan(
+        self, meta: dict, files: list[str], with_lineage_col: bool
+    ) -> DataFrame:
+        """The candidate-file scan every DML path hit-detects over —
+        routed through _data_scan (round 10) so DML projects files
+        EXACTLY as reads do: field-id projection on schema-evolved
+        tables (a renamed column resolves out of old files by id —
+        the name-matched scan this replaces silently read nulls
+        there), the per-file name-mapping projection for id-less
+        Hive-migrated files, and materialized `_row_id` passthrough.
+        Emits the logical columns under their CURRENT names plus
+        `__p` (normalized file path) / `__pos` (row index), and — when
+        `with_lineage_col` — a `_row_id` column (materialized value or
+        null, for the caller's first_row_id-derivation coalesce)."""
+        read_schema = self._scan_schema(meta)
+        if with_lineage_col:
+            read_schema = T.StructType(
+                list(read_schema.fields)
+                + [T.StructField("_row_id", T.LongType(), True)]
+            )
+        scan = self._data_scan(
+            meta,
+            files,
+            read_schema,
+            with_pos=True,
+            mat_row_ids=with_lineage_col,
+        )
+        return scan.withColumnRenamed("__path", "__p")
+
     def delete_where(self, predicates: list) -> int:
         """DELETE WHERE as a MERGE-ON-READ commit: instead of
         rewriting data files (Delta's copy-on-write delete_where),
@@ -3053,15 +3082,7 @@ class IcebergTableReader:
             return snap_id  # provably nothing to delete
         files = [p for p, _ in candidates]
         norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
-        scan = (
-            self.spark.read.schema(schema)
-            .parquet(*files)
-            .select(
-                "*",
-                norm(F.col("_metadata.file_path")).alias("__p"),
-                F.col("_metadata.row_index").alias("__pos"),
-            )
-        )
+        scan = self._dml_scan(meta, files, with_lineage_col=False)
         if pos_deletes:
             # rows already tombstoned must not re-delete (idempotence:
             # re-running the same predicate commits nothing)
@@ -3151,15 +3172,7 @@ class IcebergTableReader:
             return snap_id
         files = [p for p, _ in candidates]
         norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
-        scan = (
-            self.spark.read.schema(schema)
-            .parquet(*files)
-            .select(
-                "*",
-                norm(F.col("_metadata.file_path")).alias("__p"),
-                F.col("_metadata.row_index").alias("__pos"),
-            )
-        )
+        scan = self._dml_scan(meta, files, with_lineage_col=False)
         if pos_deletes:
             dels = self._position_deletes(pos_deletes).select(
                 norm(F.col("file_path")).alias("__dp"),
@@ -3434,21 +3447,7 @@ class IcebergTableReader:
         # the read path's override), derived as materialized-if-
         # present else first_row_id + position
         lineage = meta.get("next-row-id") is not None
-        read_schema = schema
-        if lineage:
-            read_schema = T.StructType(
-                list(schema.fields)
-                + [T.StructField("_row_id", T.LongType(), True)]
-            )
-        scan = (
-            self.spark.read.schema(read_schema)
-            .parquet(*files)
-            .select(
-                "*",
-                norm(F.col("_metadata.file_path")).alias("__p"),
-                F.col("_metadata.row_index").alias("__pos"),
-            )
-        )
+        scan = self._dml_scan(meta, files, with_lineage_col=lineage)
         if lineage:
             rid_df = self.spark.createDataFrame(
                 [
@@ -3605,21 +3604,7 @@ class IcebergTableReader:
         # ROW LINEAGE (round 9): preserved update — images carry each
         # row's OLD _row_id materialized (same shape as update_where_dv)
         lineage = meta.get("next-row-id") is not None
-        read_schema = schema
-        if lineage:
-            read_schema = T.StructType(
-                list(schema.fields)
-                + [T.StructField("_row_id", T.LongType(), True)]
-            )
-        scan = (
-            self.spark.read.schema(read_schema)
-            .parquet(*files)
-            .select(
-                "*",
-                norm(F.col("_metadata.file_path")).alias("__p"),
-                F.col("_metadata.row_index").alias("__pos"),
-            )
-        )
+        scan = self._dml_scan(meta, files, with_lineage_col=lineage)
         if lineage:
             rid_df = self.spark.createDataFrame(
                 [

@@ -164,3 +164,43 @@ def test_added_column_initial_default(spark, tmp_path):
         predicates=[("k", "<=", 2)]
     )
     assert {r.source for r in sel.collect()} == {"legacy"}
+
+
+def test_dml_after_rename_projects_old_files_by_field_id(spark, tmp_path):
+    """Round 10: DML hit-detection scans route through the same
+    field-id projection as reads (_dml_scan). Before this, every DML
+    path read candidate files NAME-matched — on a renamed table the
+    old files' column silently read null, so predicates on it never
+    matched and assignments wrote nulls. Pin: update/delete on the
+    renamed column see the old files' real values."""
+    path = _stage(spark, tmp_path, "ev_dml", rows=((1, 10, "a"), (2, 20, "b"), (3, 30, "c")))
+    IcebergTableReader(spark, path).update_schema(
+        renames={"n_chars": "char_count"}
+    )
+    # UPDATE keyed on the renamed column: must see 20, not null
+    IcebergTableReader(spark, path).update_where(
+        [("char_count", "=", 20)], {"char_count": "char_count + 1"}
+    )
+    got = {
+        r.k: r.char_count
+        for r in IcebergTableReader(spark, path).read().collect()
+    }
+    assert got == {1: 10, 2: 21, 3: 30}
+    # DELETE keyed on the renamed column (DV path)
+    IcebergTableReader(spark, path).delete_where_dv(
+        [("char_count", ">=", 30)]
+    )
+    got2 = {
+        r.k: r.char_count
+        for r in IcebergTableReader(spark, path).read().collect()
+    }
+    assert got2 == {1: 10, 2: 21}
+    # v2 position-delete path too
+    IcebergTableReader(spark, path).delete_where(
+        [("char_count", "=", 10)]
+    )
+    got3 = {
+        r.k: r.char_count
+        for r in IcebergTableReader(spark, path).read().collect()
+    }
+    assert got3 == {2: 21}

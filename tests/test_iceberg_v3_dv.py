@@ -556,3 +556,66 @@ def test_update_where_v2_preserves_row_lineage(spark, tmp_path):
     }
     assert got[3] == (333.0, 3) and got[4] == (4.0, 4)
     assert t.metadata()["next-row-id"] == 31
+
+
+def test_materialized_row_ids_under_name_mapping_and_evolution(
+    spark, tmp_path
+):
+    """Round 10 (VERDICT r9 item 4): the Hive-migrated shape — a
+    name-mapped table of ID-LESS files, later touched by a
+    lineage-MATERIALIZING writer and schema-evolved — must read
+    with_row_ids: materialized `_row_id` columns ride the same
+    per-file projection the data columns do (mapped id-less files
+    pass the physical column through or read null into the
+    first_row_id derivation; field-id image files name-match the
+    id-less `_row_id` request under the fieldId reader)."""
+    from introduction_in_big_data_spark.sources.iceberg import (
+        enable_row_lineage,
+        snapshot_parquet_dir,
+    )
+
+    src = str(tmp_path / "src")
+    (
+        spark.range(0, 80, 1, 1)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("bal"))
+        .sortWithinPartitions("k")
+        .write.parquet(src)
+    )
+    path = str(tmp_path / "t")
+    snapshot_parquet_dir(spark, src, path)
+    r = IcebergTableReader(spark, path)
+    assert r._name_mapping(r.metadata()), "staging must be name-mapped"
+    enable_row_lineage(spark, path)
+
+    # materializing DML: the image file carries ids + a physical
+    # _row_id; the original mapped file is untouched
+    IcebergTableReader(spark, path).update_where_dv(
+        [("k", ">=", 10), ("k", "<", 20)], {"bal": "bal + 1000.0"}
+    )
+    # schema evolution on top: multi-schema + rename (field id kept)
+    IcebergTableReader(spark, path).update_schema(
+        renames={"bal": "balance"}
+    )
+    t2 = IcebergTableReader(spark, path)
+    assert len(t2.metadata()["schemas"]) > 1
+    got = {
+        x.k: (x.balance, x._row_id)
+        for x in t2.read(with_row_ids=True).collect()
+    }
+    assert len(got) == 80
+    # ids: k-sorted single-file staging => _row_id == k everywhere,
+    # INCLUDING the updated rows (preserved update materialized them)
+    assert all(rid == k for k, (_b, rid) in got.items())
+    assert got[15] == (1015.0, 15)
+    assert got[5] == (5.0, 5)
+    # second materializing pass rides the already-materialized ids
+    IcebergTableReader(spark, path).update_where_dv(
+        [("k", "=", 15)], {"balance": "balance + 1.0"}
+    )
+    got2 = {
+        x.k: (x.balance, x._row_id)
+        for x in IcebergTableReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    assert got2[15] == (1016.0, 15) and got2[16] == (1016.0, 16)
