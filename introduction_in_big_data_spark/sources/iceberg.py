@@ -130,21 +130,155 @@ def iceberg_type_to_spark(t, with_field_ids: bool = False) -> T.DataType:
     raise UnsupportedIcebergFeature(f"iceberg type {kind!r}")
 
 
+def default_literal(itype, v):
+    """Render an Iceberg SINGLE-VALUE JSON default (spec Appendix D —
+    the `initial-default` / `write-default` storage form) as a typed
+    Spark literal Column, recursively (round 10, VERDICT r9 item 5):
+
+    - primitive: the JSON scalar, cast to the Spark type
+    - struct: JSON object keyed by FIELD ID as a string; absent ids
+      render null of the child type
+    - list: JSON array of element single-values
+    - map: {"keys": [...], "values": [...]} parallel arrays (the form
+      that supports non-string keys)
+
+    Pure column construction — no job, no UDF; the literal folds into
+    the scan-stage conditional that applies defaults per file."""
+    dt = iceberg_type_to_spark(itype)
+    if isinstance(itype, str):
+        return F.lit(v).cast(dt)
+    kind = itype["type"]
+    if kind == "struct":
+        if not isinstance(v, dict):
+            raise UnsupportedIcebergFeature(
+                f"struct default must be a JSON object keyed by field "
+                f"id, got {v!r}"
+            )
+        cols = []
+        for f in itype["fields"]:
+            sv = v.get(str(f["id"]))
+            child = (
+                default_literal(f["type"], sv)
+                if sv is not None
+                else F.lit(None).cast(iceberg_type_to_spark(f["type"]))
+            )
+            cols.append(child.alias(f["name"]))
+        return F.struct(*cols).cast(dt)
+    if kind == "list":
+        if not isinstance(v, list):
+            raise UnsupportedIcebergFeature(
+                f"list default must be a JSON array, got {v!r}"
+            )
+        if not v:
+            return F.expr("array()").cast(dt)
+        return F.array(
+            *[default_literal(itype["element"], x) for x in v]
+        ).cast(dt)
+    if kind == "map":
+        keys = (v or {}).get("keys") if isinstance(v, dict) else None
+        vals = (v or {}).get("values") if isinstance(v, dict) else None
+        if keys is None or vals is None or len(keys) != len(vals):
+            raise UnsupportedIcebergFeature(
+                'map default must be {"keys": [...], "values": [...]} '
+                f"with equal lengths, got {v!r}"
+            )
+        if not keys:
+            return F.expr("map()").cast(dt)
+        return F.map_from_arrays(
+            F.array(*[default_literal(itype["key"], k) for k in keys]),
+            F.array(*[default_literal(itype["value"], x) for x in vals]),
+        ).cast(dt)
+    raise UnsupportedIcebergFeature(f"default on iceberg type {kind!r}")
+
+
 def _attach_field_ids(df: DataFrame, fields: list[dict]) -> DataFrame:
-    """Alias every top-level column with its Iceberg field id as
-    `parquet.field.id` metadata so WRITTEN data files carry the ids
-    the spec requires (Spark's parquet writer embeds them —
-    spark.sql.parquet.fieldId.write.enabled, default on). Columns not
-    in `fields` (e.g. staging helpers' temp columns) pass through."""
-    ids = {f["name"]: int(f["id"]) for f in fields if "id" in f}
-    return df.select(
+    """Rewrite the frame's schema so every column — NESTED struct
+    members included (round 10) — carries its Iceberg field id as
+    `parquet.field.id` metadata; Spark's parquet writer embeds ids at
+    every level it finds them (spark.sql.parquet.fieldId.write.enabled,
+    default on), which the spec requires and the field-id projection
+    of evolved tables depends on. Columns not in `fields` (staging
+    helpers' temp columns) pass through. Top-level metadata rides an
+    alias; nested metadata rides DataFrame.to() with a target schema
+    built by iceberg_type_to_spark(with_field_ids=True)."""
+    by_name = {f["name"]: f for f in fields if "id" in f}
+    out = df.select(
         *[
-            F.col(c).alias(c, metadata={"parquet.field.id": ids[c]})
-            if c in ids
+            F.col(c).alias(
+                c,
+                metadata={"parquet.field.id": int(by_name[c]["id"])},
+            )
+            if c in by_name
             else F.col(c)
             for c in df.columns
         ]
     )
+    def merge_ids(dt: T.DataType, node) -> T.DataType:
+        """The SOURCE Spark type with iceberg ids merged in as nested
+        `parquet.field.id` metadata — types and nullability untouched,
+        so DataFrame.to() stamps metadata without inserting casts
+        (casts silently DROP nested metadata)."""
+        if not isinstance(node, dict):
+            return dt
+        k = node["type"]
+        if k == "struct" and isinstance(dt, T.StructType):
+            by = {f["name"]: f for f in node["fields"]}
+            return T.StructType(
+                [
+                    T.StructField(
+                        sf.name,
+                        merge_ids(sf.dataType, by[sf.name]["type"])
+                        if sf.name in by
+                        else sf.dataType,
+                        sf.nullable,
+                        metadata=(
+                            dict(sf.metadata or {})
+                            | {
+                                "parquet.field.id": int(
+                                    by[sf.name]["id"]
+                                )
+                            }
+                            if sf.name in by and "id" in by[sf.name]
+                            else sf.metadata
+                        ),
+                    )
+                    for sf in dt.fields
+                ]
+            )
+        if k == "list" and isinstance(dt, T.ArrayType):
+            return T.ArrayType(
+                merge_ids(dt.elementType, node["element"]),
+                dt.containsNull,
+            )
+        if k == "map" and isinstance(dt, T.MapType):
+            return T.MapType(
+                merge_ids(dt.keyType, node["key"]),
+                merge_ids(dt.valueType, node["value"]),
+                dt.valueContainsNull,
+            )
+        return dt
+
+    def nested(c: str) -> bool:
+        return c in by_name and isinstance(by_name[c].get("type"), dict)
+
+    if any(nested(c) for c in df.columns):
+        target = T.StructType(
+            [
+                T.StructField(
+                    sf.name,
+                    merge_ids(sf.dataType, by_name[sf.name]["type"]),
+                    sf.nullable,
+                    metadata={
+                        "parquet.field.id": int(by_name[sf.name]["id"])
+                    },
+                )
+                if nested(sf.name)
+                else sf
+                for sf in out.schema.fields
+            ]
+        )
+        out = out.to(target)
+    return out
 
 
 def snapshot_parquet_dir(
@@ -2340,17 +2474,11 @@ class IcebergTableReader:
             # (the same metadata read the name-mapping path performs);
             # the fill itself is a scan-stage conditional on
             # _metadata.file_path, no extra job.
-            defaults = []
-            for f in self._schema_fields(meta):
-                if f.get("initial-default") is None:
-                    continue
-                if not isinstance(f.get("type"), str):
-                    raise UnsupportedIcebergFeature(
-                        f"initial-default on non-primitive column "
-                        f"{f['name']!r} — this reader fills primitive "
-                        "defaults only"
-                    )
-                defaults.append(f)
+            defaults = [
+                f
+                for f in self._schema_fields(meta)
+                if f.get("initial-default") is not None
+            ]
             if defaults:
                 import pyarrow.parquet as pq
 
@@ -2378,12 +2506,13 @@ class IcebergTableReader:
                     lack = lacking.get(f["name"])
                     if not lack:
                         continue
-                    dt = iceberg_type_to_spark(f["type"])
                     scan = scan.withColumn(
                         f["name"],
                         F.when(
                             norm_d(F.col("_metadata.file_path")).isin(lack),
-                            F.lit(f["initial-default"]).cast(dt),
+                            default_literal(
+                                f["type"], f["initial-default"]
+                            ),
                         ).otherwise(F.col(f["name"])),
                     )
             return scan.select("*", *pos_cols()) if with_pos else scan
@@ -2426,11 +2555,11 @@ class IcebergTableReader:
                 logical_dt = iceberg_type_to_spark(f["type"])
                 # spec v3 default values apply on the mapped path too
                 # (code review r9): a field absent from the file
-                # renders its initial-default, not NULL
+                # renders its initial-default, not NULL — non-primitive
+                # defaults included (round 10)
                 absent = (
-                    F.lit(f["initial-default"]).cast(logical_dt)
+                    default_literal(f["type"], f["initial-default"])
                     if f.get("initial-default") is not None
-                    and isinstance(f.get("type"), str)
                     else F.lit(None).cast(logical_dt)
                 )
                 if src is None:
@@ -4632,11 +4761,47 @@ class IcebergTableReader:
                 raise ValueError(f"rename: column {new!r} already exists")
             by_name[old]["name"] = new
             by_name[new] = by_name.pop(old)
+        def assign_nested_ids(node):
+            """Fresh ids for a non-primitive add's inner members (the
+            spec allocates every nested field/element/key/value an id
+            past last-column-id); caller-specified ids pass through."""
+            nonlocal last_id
+            if isinstance(node, str):
+                return
+            k = node["type"]
+            if k == "struct":
+                for sf in node["fields"]:
+                    if "id" not in sf:
+                        last_id += 1
+                        sf["id"] = last_id
+                    else:  # caller-specified: last-column-id only grows
+                        last_id = max(last_id, int(sf["id"]))
+                    assign_nested_ids(sf["type"])
+            elif k == "list":
+                if "element-id" not in node:
+                    last_id += 1
+                    node["element-id"] = last_id
+                else:
+                    last_id = max(last_id, int(node["element-id"]))
+                assign_nested_ids(node["element"])
+            elif k == "map":
+                for idk in ("key-id", "value-id"):
+                    if idk not in node:
+                        last_id += 1
+                        node[idk] = last_id
+                    else:
+                        last_id = max(last_id, int(node[idk]))
+                assign_nested_ids(node["key"])
+                assign_nested_ids(node["value"])
+
         for add in adds:
             name, ice_type = add[0], add[1]
             if name in by_name:
                 raise ValueError(f"add: column {name!r} already exists")
-            iceberg_type_to_spark(ice_type)  # validate the type string
+            if isinstance(ice_type, dict):
+                ice_type = json.loads(json.dumps(ice_type))  # deep copy
+                assign_nested_ids(ice_type)
+            iceberg_type_to_spark(ice_type)  # validate the type node
             last_id += 1
             f = {
                 "id": last_id,
@@ -4645,10 +4810,10 @@ class IcebergTableReader:
                 "required": False,
             }
             if len(add) > 2 and add[2] is not None:
-                if not isinstance(ice_type, str):
-                    raise UnsupportedIcebergFeature(
-                        f"add: default on non-primitive column {name!r}"
-                    )
+                # validate the single-value JSON shape against the
+                # type by rendering the literal (driver-side, no job);
+                # struct/list/map defaults are legal spec v3 (round 10)
+                default_literal(ice_type, add[2])
                 f["initial-default"] = add[2]
                 f["write-default"] = add[2]
             fields.append(f)

