@@ -563,3 +563,104 @@ def test_partitioned_compact_preserves_row_lineage(spark, tmp_path):
     }
     assert after == before
     assert t2.metadata()["next-row-id"] >= 4000
+
+
+def _doctor_transform(path, old, new):
+    """Rewrite a transform string in the CURRENT metadata json —
+    simulates a table partitioned by a transform this engine cannot
+    re-derive (a future/unknown transform written by another engine);
+    the recorded per-file partition tuples stay valid."""
+    import json as _json
+    import os as _os
+
+    meta_dir = _os.path.join(path, "metadata")
+    with open(_os.path.join(meta_dir, "version-hint.text")) as fh:
+        v = fh.read().strip()
+    mf = _os.path.join(meta_dir, f"v{v}.metadata.json")
+    with open(mf) as fh:
+        meta = _json.load(fh)
+    def fix(spec_fields):
+        for f in spec_fields:
+            if f.get("transform") == old:
+                f["transform"] = new
+    for s in meta.get("partition-specs", []):
+        fix(s.get("fields", []))
+    fix(meta.get("partition-spec", []))
+    with open(mf, "w") as fh:
+        _json.dump(meta, fh)
+
+
+def test_compact_by_recorded_tuples_for_underivable_transform(
+    spark, tmp_path
+):
+    """Round 10 (VERDICT r9 item 7): compaction of a partitioned table
+    whose default spec carries a transform the engine cannot re-derive
+    groups the rewrite by the partition tuples RECORDED in the
+    manifests — values correct, deletes folded, per-entry partition
+    tuples + manifest summaries preserved so identity pruning still
+    works after the rewrite."""
+    base = spark.range(0, 1200, 1, 6).select(
+        (F.col("id") % 3).cast("int").alias("p"),
+        F.col("id").alias("k"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    path = str(tmp_path / "t")
+    create_partitioned_table(
+        spark, path, base, spec=[("p", "identity"), ("k", "bucket[4]")]
+    )
+    _doctor_transform(path, "bucket[4]", "bucket_v9[4]")
+    t = IcebergTableReader(spark, path)
+    # a row-level delete that must fold into the rewrite
+    t.delete_where([("k", "<", 100)])
+    def _cur_snap(rdr):
+        m = rdr.metadata()
+        return next(
+            s for s in m["snapshots"]
+            if s["snapshot-id"] == m["current-snapshot-id"]
+        )
+
+    tb = IcebergTableReader(spark, path)
+    n_files_before = len(tb._live_files(_cur_snap(tb))[0])
+    IcebergTableReader(spark, path).compact(target_bytes=1 << 30)
+    t2 = IcebergTableReader(spark, path)
+    got = {x.k: (x.p, x.v) for x in t2.read().collect()}
+    assert sorted(got) == list(range(100, 1200))
+    assert got[100] == (100 % 3, 100.0)
+    # rewrote into one file per recorded (p, bucket) group, deletes gone
+    data, pos, eq = t2._live_files(_cur_snap(t2))
+    assert not pos and not eq
+    assert len(data) <= 12 < n_files_before  # 3 idents x 4 buckets
+    # recorded tuples survived: every entry carries both values
+    for _p, (_s, st) in data:
+        rec = st["partition"]
+        assert set(rec) == {"p", "k_bucket"} and rec["p"] in (0, 1, 2)
+    # identity pruning still works post-compaction
+    sel = t2.read(predicates=[("p", "=", 1)])
+    assert {r.p for r in sel.collect()} == {1}
+    assert t2.last_scan["scanned_files"] < len(data)
+
+
+def test_compact_recorded_tuples_preserves_row_lineage(spark, tmp_path):
+    """The recorded-tuple fallback is id-preserving on lineage tables,
+    like the derivable path."""
+    from introduction_in_big_data_spark.sources.iceberg import (
+        enable_row_lineage,
+    )
+
+    base = spark.range(0, 400, 1, 1).select(
+        (F.col("id") % 2).cast("int").alias("p"),
+        F.col("id").alias("k"),
+    ).sortWithinPartitions("k")
+    path = str(tmp_path / "t")
+    create_partitioned_table(
+        spark, path, base, spec=[("k", "bucket[2]")]
+    )
+    _doctor_transform(path, "bucket[2]", "xxbucket[2]")
+    enable_row_lineage(spark, path)
+    t = IcebergTableReader(spark, path)
+    before = {x.k: x._row_id for x in t.read(with_row_ids=True).collect()}
+    IcebergTableReader(spark, path).compact(target_bytes=1 << 30)
+    t2 = IcebergTableReader(spark, path)
+    after = {x.k: x._row_id for x in t2.read(with_row_ids=True).collect()}
+    assert after == before
+    assert t2.metadata()["next-row-id"] >= 800
