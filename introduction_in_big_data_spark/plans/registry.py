@@ -67,7 +67,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # queries each round (regression coverage under prefix sampling). Local
 # verification is unaffected — tests/test_oracle.py and the sweep
 # artifacts always run every query.
-_ROTATION_SALT = "r9"
+_ROTATION_SALT = "r10"
 
 _R1_DRIVER_GREEN = frozenset(
     {
@@ -240,33 +240,63 @@ _R8_DRIVER_GREEN = frozenset(
     }
 )
 
-# Queries whose implementation changed in ROUND 9 (epoch_shuffle's
-# range-partition two-pass rank, incremental()'s DV-transition
-# rendering, the row-tracking forge's domain-metadata backfill,
-# shallow_clone's protocol/DV carry-over, the eq-delete-aware Iceberg
-# DML, the lineage-aware update/upsert/compact on both formats, and
-# commit_append's replay-before-append): each re-leads the sample
-# prefix until driver-checked under the new code, even though every
-# one was re-verified green by this session's driver-sim runs.
-_R9_CHANGED = frozenset(
+_R9_DRIVER_GREEN = frozenset(
     {
-        "epoch_shuffle_shards", "delta_incremental_append_read",
-        "delta_row_tracking_read", "delta_shallow_clone_read",
+        # CORRECTNESS_r09: 50/50 green.
+        "ann_pq_refined_topk", "asof_last_signup",
+        "corr_quantity_price", "decontam_overlap",
+        "dedup_simhash", "delta_column_mapping_cdf_feed",
+        "delta_dml_delete_read", "delta_dml_merge_read",
+        "delta_dml_update_read", "delta_dv_delete_read",
+        "delta_dv_update_read", "delta_incremental_append_read",
+        "delta_incremental_dv_read", "delta_interop_read",
+        "delta_row_tracking_dml_read", "delta_row_tracking_read",
+        "delta_shallow_clone_dv_read", "delta_shallow_clone_read",
+        "delta_type_widening_read", "embedding_near_dup_lsh",
+        "epoch_shuffle_shards", "iceberg_bounds_skipping_read",
+        "iceberg_changelog_upsert_read", "iceberg_default_values_read",
+        "iceberg_dml_delete_read", "iceberg_dml_update_read",
+        "iceberg_dml_upsert_read", "iceberg_eq_deletes_read",
+        "iceberg_eq_dml_read", "iceberg_export_roundtrip",
+        "iceberg_hour_partitioned_events", "iceberg_incremental_read",
+        "iceberg_maintenance_read", "iceberg_nested_list_mapping_read",
+        "iceberg_partitioned_pruned_read", "iceberg_row_lineage_dml_read",
         "iceberg_row_lineage_read", "iceberg_v3_dv_update_read",
-        "iceberg_dml_update_read", "iceberg_dml_upsert_read",
-        "iceberg_dml_delete_read", "iceberg_maintenance_read",
-        "iceberg_eq_deletes_read", "stream_delta_append_sink",
-        "delta_dml_merge_read", "delta_dml_update_read",
-        "delta_dml_delete_read", "delta_dv_update_read",
-        "text_char_lm_quality",
+        "multimodal_png_stats", "q22_idle_customer_balance",
+        "q2_min_cost_supplier", "q3_shipping_priority",
+        "quantity_percentiles_by_flag", "quantity_summary",
+        "session_stats_by_user", "stream_delta_append_sink",
+        "substring_dup_stats", "text_char_lm_quality",
+        "text_ngram_freq", "triangle_count_copurchase",
+    }
+)
+
+# Queries whose implementation changed in ROUND 10 (the char-LM
+# adaptive gram kernel, bpe_train_local's min_count plumbing,
+# cf_knn_pruned's dropped second checkpoint, the _dml_scan rewiring of
+# every Iceberg DML hit-detection scan, the materialized-row-id
+# projection rework, the non-primitive default fill, and
+# _attach_field_ids' nested-id stamping): each re-leads the sample
+# prefix until driver-checked under the new code, even though all were
+# re-verified green by this session's targeted driver sims at both
+# probe timezones.
+_R10_CHANGED = frozenset(
+    {
+        "text_char_lm_quality", "bpe_train_local_merges",
+        "bpe_encode_stats", "cf_knn_pruned",
+        "iceberg_dml_delete_read", "iceberg_dml_update_read",
+        "iceberg_maintenance_read", "iceberg_eq_dml_read",
+        "iceberg_v3_dv_dml_read", "iceberg_v3_dv_update_read",
+        "iceberg_row_lineage_read", "iceberg_row_lineage_dml_read",
+        "iceberg_default_values_read",
     }
 )
 
 _DRIVER_GREEN = (
     _R1_DRIVER_GREEN | _R2_DRIVER_GREEN | _R3_DRIVER_GREEN
     | _R4_DRIVER_GREEN | _R5_DRIVER_GREEN | _R6_DRIVER_GREEN
-    | _R7_DRIVER_GREEN | _R8_DRIVER_GREEN
-) - _R9_CHANGED
+    | _R7_DRIVER_GREEN | _R8_DRIVER_GREEN | _R9_DRIVER_GREEN
+) - _R10_CHANGED
 
 # Queries added in the round-3 continuation sessions, AFTER the older
 # never-driver-checked backlog accumulated. The driver samples a ~50
