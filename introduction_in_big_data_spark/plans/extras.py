@@ -584,6 +584,96 @@ def iceberg_row_lineage_mapped_read(spark, sf_dir):
 
 
 @register(
+    "iceberg_lineage_seq_read",
+    oracle="""
+        WITH evens AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (ORDER BY doc_id) - 1 AS rid
+            FROM documents WHERE doc_id % 2 = 0
+        ),
+        odds AS (
+            SELECT doc_id, lang,
+                   (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
+                   + row_number() OVER (ORDER BY doc_id) - 1 AS rid
+            FROM documents WHERE doc_id % 2 = 1
+        ),
+        u AS (
+            SELECT doc_id, lang, rid,
+                   CASE WHEN lang = 'de' THEN 2
+                        WHEN doc_id % 2 = 1 THEN 1
+                        ELSE 0 END AS lus
+            FROM (SELECT * FROM evens UNION ALL SELECT * FROM odds)
+        )
+        SELECT CAST(doc_id % 2 AS BIGINT) AS parity, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(rid) AS BIGINT) AS sum_row_id,
+               CAST(sum(lus) AS BIGINT) AS sum_last_updated
+        FROM u
+        GROUP BY parity, lang
+        ORDER BY parity, lang
+    """,
+    tags=("iceberg", "lakehouse", "lineage", "v3"),
+)
+def iceberg_lineage_seq_read(spark, sf_dir):
+    """The PAIRED v3 row-lineage column (round 10):
+    `_last_updated_sequence_number` inherits each file's data sequence
+    number (create=0, append=1), an UPDATE's image rows pick up the
+    update commit's sequence (2), and a COMPACTION materializes both
+    lineage columns into the rewrite — a compaction is NOT an update,
+    so the fingerprint must be identical before and after it. Staging:
+    even docs (seq 0, ids = even rank), odd docs appended (seq 1, ids
+    offset past the evens), identity-update of lang='de' (seq 2),
+    then compact. One drifted id or sequence flips the per-(parity,
+    lang) sums the window-rank oracle pins."""
+    import tempfile
+
+    from ..sources.iceberg import (
+        IcebergTableReader,
+        append_data_snapshot,
+        create_minimal_table,
+        enable_row_lineage,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    path = tempfile.mkdtemp(prefix="iceberg_lus_") + "/t"
+    create_minimal_table(
+        spark,
+        path,
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .repartition(1)
+        .sortWithinPartitions("doc_id"),
+        bounds=True,
+    )
+    enable_row_lineage(spark, path)
+    append_data_snapshot(
+        spark,
+        path,
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .repartition(1)
+        .sortWithinPartitions("doc_id"),
+        sequence=1,
+    )
+    IcebergTableReader(spark, path).update_where_dv(
+        [("lang", "=", "de")], {"lang": "lang"}
+    )
+    IcebergTableReader(spark, path).compact(target_bytes=1 << 30)
+    snap = IcebergTableReader(spark, path).read(with_row_ids=True)
+    return (
+        snap.groupBy(
+            (F.col("doc_id") % 2).alias("parity"), F.col("lang")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_row_id").alias("sum_row_id"),
+            F.sum("_last_updated_sequence_number").alias(
+                "sum_last_updated"
+            ),
+        )
+        .orderBy("parity", "lang")
+    )
+
+
+@register(
     "iceberg_v3_dv_update_read",
     oracle="""
         SELECT o_orderpriority,

@@ -2440,6 +2440,7 @@ class IcebergTableReader:
         scan_schema: T.StructType,
         with_pos: bool,
         mat_row_ids: bool = False,
+        mat_seq: bool = False,
     ) -> DataFrame:
         """One logical scan of the snapshot's data files. Without a
         name mapping this is a plain (or field-id-projected) parquet
@@ -2540,14 +2541,17 @@ class IcebergTableReader:
             # `_row_id` passes it through; one that doesn't reads null
             # (read()'s coalesce then falls back to the first_row_id
             # derivation for its rows)
-            if mat_row_ids:
-                if "_row_id" in arrow_by_name:
-                    phys.append(T.StructField("_row_id", T.LongType(), True))
-                    sel.append(F.col("_row_id"))
+            for flag, lc in (
+                (mat_row_ids, "_row_id"),
+                (mat_seq, "_last_updated_sequence_number"),
+            ):
+                if not flag:
+                    continue
+                if lc in arrow_by_name:
+                    phys.append(T.StructField(lc, T.LongType(), True))
+                    sel.append(F.col(lc))
                 else:
-                    sel.append(
-                        F.lit(None).cast(T.LongType()).alias("_row_id")
-                    )
+                    sel.append(F.lit(None).cast(T.LongType()).alias(lc))
             for f in field_list:
                 entry = mapping.get(int(f["id"]))
                 names = entry[0] if entry else ()
@@ -2931,18 +2935,35 @@ class IcebergTableReader:
                     f"(first: {missing[0]}) — the table does not carry "
                     "row lineage"
                 )
-            has_mat_ids = any(
-                "_row_id" in set(_pq.read_schema(p).names) for p in files
+            footer_names = [set(_pq.read_schema(p).names) for p in files]
+            has_mat_ids = any("_row_id" in ns for ns in footer_names)
+            has_mat_seq = any(
+                "_last_updated_sequence_number" in ns
+                for ns in footer_names
             )
+        else:
+            has_mat_seq = False
         with_pos = bool(pos_deletes or eq_deletes) or with_row_ids
         read_schema = scan_schema
-        if has_mat_ids:
+        extra_lineage = [
+            T.StructField(lc, T.LongType(), True)
+            for flag, lc in (
+                (has_mat_ids, "_row_id"),
+                (has_mat_seq, "_last_updated_sequence_number"),
+            )
+            if flag
+        ]
+        if extra_lineage:
             read_schema = T.StructType(
-                list(scan_schema.fields)
-                + [T.StructField("_row_id", T.LongType(), True)]
+                list(scan_schema.fields) + extra_lineage
             )
         df = self._data_scan(
-            meta, files, read_schema, with_pos, mat_row_ids=has_mat_ids
+            meta,
+            files,
+            read_schema,
+            with_pos,
+            mat_row_ids=has_mat_ids,
+            mat_seq=has_mat_seq,
         )
         if not with_pos:
             return residual(df)
@@ -2978,10 +2999,10 @@ class IcebergTableReader:
         if with_row_ids:
             rid_df = self.spark.createDataFrame(
                 [
-                    (p, int(st["first_row_id"]))
-                    for p, (_s, st) in data
+                    (p, int(st["first_row_id"]), int(s))
+                    for p, (s, st) in data
                 ],
-                "__path string, __first long",
+                "__path string, __first long, __fseq long",
             )
             df = df.join(F.broadcast(rid_df), "__path", "left")
             derived = F.col("__first") + F.col("__pos")
@@ -2991,7 +3012,20 @@ class IcebergTableReader:
                 if has_mat_ids
                 else derived,
             )
-            cols = cols + ["_row_id"]
+            # the PAIRED lineage column (spec v3 "Row Lineage"):
+            # _last_updated_sequence_number inherits the file's data
+            # sequence number unless a rewrite materialized the
+            # original (compact does — a compaction is not an update)
+            df = df.withColumn(
+                "_last_updated_sequence_number",
+                F.coalesce(
+                    F.col("_last_updated_sequence_number"),
+                    F.col("__fseq"),
+                )
+                if has_mat_seq
+                else F.col("__fseq"),
+            )
+            cols = cols + ["_row_id", "_last_updated_sequence_number"]
 
         return residual(df.select(*cols))
 
@@ -3166,7 +3200,12 @@ class IcebergTableReader:
         if with_lineage_col:
             read_schema = T.StructType(
                 list(read_schema.fields)
-                + [T.StructField("_row_id", T.LongType(), True)]
+                + [
+                    T.StructField("_row_id", T.LongType(), True),
+                    T.StructField(
+                        "_last_updated_sequence_number", T.LongType(), True
+                    ),
+                ]
             )
         scan = self._data_scan(
             meta,
@@ -3174,6 +3213,7 @@ class IcebergTableReader:
             read_schema,
             with_pos=True,
             mat_row_ids=with_lineage_col,
+            mat_seq=with_lineage_col,
         )
         return scan.withColumnRenamed("__path", "__p")
 
@@ -4086,9 +4126,9 @@ class IcebergTableReader:
             key = _json.dumps(rec, sort_keys=True, default=str)
             groups.setdefault(key, (rec, []))[1].append(p)
         norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
-        out_cols = [
-            f.name for f in self._schema_struct(meta).fields
-        ] + (["_row_id"] if lineage else [])
+        out_cols = [f.name for f in self._schema_struct(meta).fields] + (
+            ["_row_id", "_last_updated_sequence_number"] if lineage else []
+        )
         staged: list[tuple[str, dict]] = []
         for key in sorted(groups):
             rec, files = groups[key]
@@ -4114,11 +4154,11 @@ class IcebergTableReader:
             if lineage:
                 rid_df = self.spark.createDataFrame(
                     [
-                        (p, int(st["first_row_id"]))
-                        for p, (_s, st) in cand
+                        (p, int(st["first_row_id"]), int(s))
+                        for p, (s, st) in cand
                         if st.get("first_row_id") is not None
                     ],
-                    "__p string, __first long",
+                    "__p string, __first long, __fseq long",
                 )
                 scan = (
                     scan.join(F.broadcast(rid_df), "__p", "left")
@@ -4129,7 +4169,17 @@ class IcebergTableReader:
                             F.col("__first") + F.col("__pos"),
                         ),
                     )
-                    .drop("__first")
+                    # a compaction is NOT an update: the rewrite
+                    # materializes each row's original last-updated
+                    # sequence (spec v3 rewrite obligation)
+                    .withColumn(
+                        "_last_updated_sequence_number",
+                        F.coalesce(
+                            F.col("_last_updated_sequence_number"),
+                            F.col("__fseq"),
+                        ),
+                    )
+                    .drop("__first", "__fseq")
                 )
             staged.append(
                 (
@@ -4233,7 +4283,13 @@ class IcebergTableReader:
             self.read(with_row_ids=True) if lineage else self.read()
         )  # deletes fold into the rewrite
         if zorder_by is not None:
-            bad = sorted(set(zorder_by) - (set(df.columns) - {"_row_id"}))
+            bad = sorted(
+                set(zorder_by)
+                - (
+                    set(df.columns)
+                    - {"_row_id", "_last_updated_sequence_number"}
+                )
+            )
             if bad:
                 raise ValueError(
                     f"zorder_by columns not in the table: {bad}"

@@ -619,3 +619,69 @@ def test_materialized_row_ids_under_name_mapping_and_evolution(
         .collect()
     }
     assert got2[15] == (1016.0, 15) and got2[16] == (1016.0, 16)
+
+
+def test_last_updated_sequence_number_lifecycle(spark, tmp_path):
+    """Round 10: the PAIRED v3 lineage column. Derivation: a row's
+    _last_updated_sequence_number inherits its file's data sequence
+    number; an UPDATE's image rows pick up the update commit's
+    sequence (derived — an update IS a last-update); a COMPACTION
+    materializes the original values into the rewrite (a compaction
+    is NOT an update), exactly like _row_id."""
+    from introduction_in_big_data_spark.sources.iceberg import (
+        append_data_snapshot,
+        enable_row_lineage,
+    )
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(0, 60, 1, 1)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .sortWithinPartitions("k")
+    )
+    create_minimal_table(spark, path, df, bounds=True)
+    enable_row_lineage(spark, path)
+    append_data_snapshot(
+        spark,
+        path,
+        spark.range(100, 110, 1, 1).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ),
+        sequence=1,
+    )
+    got = {
+        x.k: (x._row_id, x._last_updated_sequence_number)
+        for x in IcebergTableReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    assert got[10] == (10, 0), "original file inherits its seq"
+    assert got[100] == (60, 1), "appended file inherits its seq"
+
+    IcebergTableReader(spark, path).update_where_dv(
+        [("k", "=", 7)], {"v": "777.0"}
+    )
+    got2 = {
+        x.k: (x.v, x._row_id, x._last_updated_sequence_number)
+        for x in IcebergTableReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    assert got2[7][0] == 777.0 and got2[7][1] == 7
+    assert got2[7][2] > 1, "updated row's last-update is the new commit"
+    assert got2[8] == (8.0, 8, 0), "untouched rows keep theirs"
+    before = {
+        k: (rid, seq) for k, (_v, rid, seq) in got2.items()
+    }
+
+    IcebergTableReader(spark, path).compact(target_bytes=1 << 30)
+    after = {
+        x.k: (x._row_id, x._last_updated_sequence_number)
+        for x in IcebergTableReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    assert after == before, (
+        "compaction must materialize BOTH lineage columns — ids and "
+        "last-updated sequences survive the rewrite"
+    )
