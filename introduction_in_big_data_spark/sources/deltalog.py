@@ -4843,34 +4843,80 @@ class DeltaLogReader:
         cur_v = self.latest_version()
         _m_old, old_live = self._replay(version)
         meta, cur_live = self._replay(cur_v)
-        self._guard_plain_table(meta, cur_live, "restore")
         self._guard_writer_protocol(
             meta, "restore", removes_data=True,
-            # republished adds copy WHOLESALE (baseRowId and
-            # defaultRowCommitVersion ride along) and the high-water
-            # mark never decreases: restored rows come back under
-            # their original ids, per the spec's restore behavior
+            # republished adds copy WHOLESALE (baseRowId, DV
+            # descriptors, and defaultRowCommitVersion ride along) and
+            # the high-water mark never decreases: restored rows come
+            # back under their original ids, per the spec's restore
+            # behavior
             maintains_row_ids=True,
         )
-        # the TARGET snapshot must be plain too: republishing DV adds
-        # would render the restore's CDC from raw physical rows
-        # (ignoring tombstones) and wedge later DML behind the guard
-        self._guard_plain_table(_m_old, old_live, "restore target")
+
+        # file identity is (path, deletion-vector state) — round 10:
+        # the same path under a different vector IS a different live
+        # row set, so it must flip (remove + re-add with the target
+        # descriptor; removes precede adds, so replay lands on the add)
+        def dv_sig(a: dict):
+            dv = a.get("deletionVector")
+            if not dv:
+                return None
+            return (
+                dv.get("storageType"),
+                dv.get("pathOrInlineDv"),
+                dv.get("offset"),
+                dv.get("sizeInBytes"),
+                dv.get("cardinality"),
+            )
+
+        cur_sig = {p: dv_sig(a) for p, a in cur_live.items()}
+        old_sig = {p: dv_sig(a) for p, a in old_live.items()}
         missing = [
             p
             for p in old_live
             if not os.path.exists(self._abs(p))
         ]
+        for p, a in old_live.items():
+            if a.get("deletionVector"):
+                b = self._dv_descriptor(a, self._abs)[3]
+                if b and not os.path.exists(b):
+                    missing.append(b)
         if missing:
             raise UnsupportedDeltaFeature(
-                f"restore to version {version}: {len(missing)} data "
-                f"file(s) were vacuumed (first: {missing[0]})"
+                f"restore to version {version}: {len(missing)} data/"
+                f"vector file(s) were vacuumed (first: {missing[0]})"
             )
-        if set(old_live) == set(cur_live):
+        if cur_sig == old_sig:
             return cur_v  # already in the target state
-        gone = sorted(set(cur_live) - set(old_live))
-        back = sorted(set(old_live) - set(cur_live))
+        _absent = object()
+        gone = sorted(
+            p
+            for p in cur_live
+            if old_sig.get(p, _absent) != cur_sig[p]
+        )
+        back = sorted(
+            p
+            for p in old_live
+            if cur_sig.get(p, _absent) != old_sig[p]
+        )
         cdc_actions: list[dict] = []
+        if self._cdf_enabled(meta) and (gone or back):
+            dv_diff = [
+                p
+                for p in set(gone) | set(back)
+                if (cur_live.get(p) or {}).get("deletionVector")
+                or (old_live.get(p) or {}).get("deletionVector")
+            ]
+            if dv_diff:
+                # rendering a DV-diff restore's row-level feed needs
+                # the bitmap-transition scan in BOTH directions plus
+                # DV-applied scans of wholly-flipped files — not wired
+                # yet; refuse rather than publish a wrong feed
+                raise UnsupportedDeltaFeature(
+                    "restore on a CDF-enabled table where the diff "
+                    f"involves deletion vectors (first: {dv_diff[0]}) "
+                    "— disable CDF or restore DV-less versions"
+                )
         if self._cdf_enabled(meta) and gone and back:
             # a mixed adds+removes commit without cdc actions would
             # break changes(); render the restore's row-level feed

@@ -700,10 +700,25 @@ def test_delta_restore_refuses_dv_target(spark, tmp_path):
         ],
     )
     assert r.read().count() == 1198  # current snapshot is plain
-    with pytest.raises(UnsupportedDeltaFeature, match="restore target"):
-        r.restore(1)  # the DV-carrying version must refuse
+    # round 10: a DV-carrying version RESTORES — the republished add
+    # carries its vector descriptor wholesale, so the restored state
+    # applies the tombstones exactly as the original version did
+    r.restore(1)
+    assert r.read().count() == 1198
+    assert sorted(x.k for x in r.read().collect()) == list(range(2, 1200))
+    live = r._replay(r.latest_version())[1]
+    assert any(a.get("deletionVector") for a in live.values())
     r.restore(0)  # the plain original restores fine
     assert r.read().count() == 1200
+    # ...and restoring BETWEEN DV states of the SAME path flips the
+    # vector: identity is (path, dv), not path alone
+    r2 = DeltaLogReader(spark, path)
+    r2.delete_where_dv([("k", "<", 5)])  # fresh DV on the same file
+    assert r2.read().count() == 1195
+    r2.restore(1)  # back to the [0,1]-tombstoned state
+    assert sorted(x.k for x in r2.read().collect()) == list(
+        range(2, 1200)
+    )
 
 
 def test_merge_high_cardinality_partition_key_never_collects_keys(
@@ -780,3 +795,19 @@ def test_dml_retries_serializably_on_commit_conflict(spark, tmp_path):
     # serializable: the delete ran AFTER the append, so the appended
     # k=5000/6000 rows are deleted too
     assert got == list(range(1000))
+
+
+def test_delta_restore_cdf_dv_diff_refuses(spark, tmp_path):
+    """The one remaining restore boundary (round 10): on a
+    CDF-ENABLED table a restore whose diff involves deletion vectors
+    refuses — rendering that feed needs bidirectional bitmap
+    transitions — rather than publish a wrong change feed. DV-less
+    diffs on the same table keep rendering."""
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark).coalesce(1), stats=True, cdf=True
+    )
+    r = DeltaLogReader(spark, path)
+    r.delete_where_dv([("k", "<", 3)])
+    with pytest.raises(UnsupportedDeltaFeature, match="deletion vectors"):
+        r.restore(0)
