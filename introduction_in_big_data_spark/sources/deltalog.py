@@ -4900,50 +4900,91 @@ class DeltaLogReader:
             if cur_sig.get(p, _absent) != old_sig[p]
         )
         cdc_actions: list[dict] = []
-        if self._cdf_enabled(meta) and (gone or back):
-            dv_diff = [
-                p
-                for p in set(gone) | set(back)
-                if (cur_live.get(p) or {}).get("deletionVector")
-                or (old_live.get(p) or {}).get("deletionVector")
-            ]
-            if dv_diff:
-                # rendering a DV-diff restore's row-level feed needs
-                # the bitmap-transition scan in BOTH directions plus
-                # DV-applied scans of wholly-flipped files — not wired
-                # yet; refuse rather than publish a wrong feed
-                raise UnsupportedDeltaFeature(
-                    "restore on a CDF-enabled table where the diff "
-                    f"involves deletion vectors (first: {dv_diff[0]}) "
-                    "— disable CDF or restore DV-less versions"
-                )
         if self._cdf_enabled(meta) and gone and back:
             # a mixed adds+removes commit without cdc actions would
-            # break changes(); render the restore's row-level feed
-            # (rows of dropped files = deletes, of restored files =
-            # inserts) — the CDF cost of a restore
+            # break changes(); render the restore's row-level feed —
+            # the CDF cost of a restore. DV-aware (round 10): a
+            # wholly-dropped/restored vectored file contributes only
+            # its LIVE rows (the tombstoned positions were never part
+            # of that state), and a same-path vector FLIP renders the
+            # two bitmap differences — target−current as deletes
+            # (rows the restore re-tombstones), current−target as
+            # inserts (rows it resurrects).
             schema = self._schema_from_meta(meta)
             part_cols = self._logical_part_cols(meta, schema)
             fields_by_name = {f.name: f for f in schema.fields}
             data_fields = [
                 f for f in schema.fields if f.name not in part_cols
             ]
-            ents = lambda live, ks: [  # noqa: E731
-                (self._abs(p), live[p].get("partitionValues") or {})
-                for p in ks
-            ]
             mode = self._mapping_mode(meta)
-            dels = self._scan_with_parts(
-                ents(cur_live, gone), data_fields, schema.fields,
-                part_cols, fields_by_name, mode,
-            ).withColumn("_change_type", F.lit("delete"))
-            ins = self._scan_with_parts(
-                ents(old_live, back), data_fields, schema.fields,
-                part_cols, fields_by_name, mode,
-            ).withColumn("_change_type", F.lit("insert"))
-            cdc_actions = self._stage_cdc(
-                dels.unionByName(ins), part_cols, fields_by_name, mode
+            gone_set, back_set = set(gone), set(back)
+            flips = sorted(gone_set & back_set)
+
+            def whole(live: dict, ks: list[str], tag: str):
+                plain_ents, dv_adds = [], []
+                for p in ks:
+                    a = live[p]
+                    if a.get("deletionVector"):
+                        dv_adds.append(a)
+                    else:
+                        plain_ents.append(
+                            (self._abs(p), a.get("partitionValues") or {})
+                        )
+                out = self._scan_with_parts(
+                    plain_ents, data_fields, list(schema.fields),
+                    part_cols, fields_by_name, mode,
+                )
+                live_part = self._dv_live_rows(
+                    dv_adds, schema, data_fields, part_cols,
+                    fields_by_name, self._abs, mode,
+                )
+                if live_part is not None:
+                    out = (
+                        live_part
+                        if out is None
+                        else out.unionByName(live_part)
+                    )
+                return (
+                    out.withColumn("_change_type", F.lit(tag))
+                    if out is not None
+                    else None
+                )
+
+            parts = [
+                whole(cur_live, [p for p in gone if p not in back_set], "delete"),
+                whole(old_live, [p for p in back if p not in gone_set], "insert"),
+                self._dv_transition_deletes(
+                    [
+                        (old_live[p], cur_live[p])
+                        for p in flips
+                        if old_live[p].get("deletionVector")
+                    ],
+                    schema, data_fields, part_cols, fields_by_name,
+                    self._abs, mode,
+                ),  # target − current: re-tombstoned (tagged delete)
+            ]
+            resurrect = self._dv_transition_deletes(
+                [
+                    (cur_live[p], old_live[p])
+                    for p in flips
+                    if cur_live[p].get("deletionVector")
+                ],
+                schema, data_fields, part_cols, fields_by_name,
+                self._abs, mode,
             )
+            if resurrect is not None:  # current − target: resurrected
+                parts.append(
+                    resurrect.withColumn("_change_type", F.lit("insert"))
+                )
+            cdc_df = None
+            for p in parts:
+                if p is None:
+                    continue
+                cdc_df = p if cdc_df is None else cdc_df.unionByName(p)
+            if cdc_df is not None:
+                cdc_actions = self._stage_cdc(
+                    cdc_df, part_cols, fields_by_name, mode
+                )
         actions: list[dict] = [
             {
                 "remove": {

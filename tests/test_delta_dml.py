@@ -797,17 +797,43 @@ def test_dml_retries_serializably_on_commit_conflict(spark, tmp_path):
     assert got == list(range(1000))
 
 
-def test_delta_restore_cdf_dv_diff_refuses(spark, tmp_path):
-    """The one remaining restore boundary (round 10): on a
-    CDF-ENABLED table a restore whose diff involves deletion vectors
-    refuses — rendering that feed needs bidirectional bitmap
-    transitions — rather than publish a wrong change feed. DV-less
-    diffs on the same table keep rendering."""
+def test_delta_restore_cdf_renders_dv_flips(spark, tmp_path):
+    """Round 10: a CDF-enabled restore whose diff involves deletion
+    vectors renders the row-level feed from the bitmap differences —
+    restoring PAST a DV delete emits the tombstoned rows as inserts
+    (resurrected), restoring back onto the vector emits them as
+    deletes (re-tombstoned); untouched rows never appear in the feed."""
     path = str(tmp_path / "t")
     create_minimal_table(
         spark, path, _df(spark).coalesce(1), stats=True, cdf=True
     )
     r = DeltaLogReader(spark, path)
-    r.delete_where_dv([("k", "<", 3)])
-    with pytest.raises(UnsupportedDeltaFeature, match="deletion vectors"):
-        r.restore(0)
+    r.delete_where_dv([("k", "<", 3)])  # v1
+    v2 = r.restore(0)  # resurrect rows 0..2 via a vector flip
+    assert r.read().count() == 1200
+    feed = {
+        (x.k, x._change_type)
+        for x in r.changes(v2 - 1, v2).select("k", "_change_type").collect()
+    }
+    assert feed == {(0, "insert"), (1, "insert"), (2, "insert")}
+    v3 = r.restore(1)  # re-tombstone them
+    assert r.read().count() == 1197
+    feed3 = {
+        (x.k, x._change_type)
+        for x in r.changes(v3 - 1, v3).select("k", "_change_type").collect()
+    }
+    assert feed3 == {(0, "delete"), (1, "delete"), (2, "delete")}
+    # wholly-flipped vectored files render only LIVE rows: replace the
+    # DV'd file with a plain rewrite, then restore across it
+    r.optimize()  # v4: rewrite retires the vector
+    v5 = r.restore(1)  # back to the original file + its vector
+    feed5 = sorted(
+        (x.k, x._change_type)
+        for x in r.changes(v5 - 1, v5).select("k", "_change_type").collect()
+    )
+    ks = {k for k, _t in feed5}
+    assert (0, "insert") not in feed5 and (0, "delete") not in feed5
+    assert {t for _k, t in feed5} == {"insert", "delete"}
+    assert len([1 for k, t in feed5 if t == "insert"]) == 1197
+    assert len([1 for k, t in feed5 if t == "delete"]) == 1197
+    assert 0 not in ks and 1 not in ks and 2 not in ks
