@@ -3287,6 +3287,9 @@ class IcebergTableReader:
             shutil.rmtree(tmp, ignore_errors=True)
             return snap_id  # predicate matched no row: no empty commit
         data_dir = os.path.join(self.path, "data")
+        # zero-copy imported tables have no data/ yet (their files
+        # live at the source paths) — first engine write creates it
+        os.makedirs(data_dir, exist_ok=True)
         del_file = os.path.join(
             data_dir, f"delete-{_uuidmod.uuid4().hex}.parquet"
         )
@@ -4759,7 +4762,14 @@ class IcebergTableReader:
         schema = self._schema_struct(meta)
         if not new:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(self._scan_schema(meta)).parquet(*new)
+        # routed through _data_scan (round 10): appended files project
+        # exactly as snapshot reads do — field-id projection on evolved
+        # tables and the per-file name-mapping branch for id-less
+        # imports (the plain name-matched scan this replaces would
+        # silently null renamed columns out of id-less files)
+        return self._data_scan(
+            meta, new, self._scan_schema(meta), with_pos=False
+        )
 
     def changelog(
         self,
@@ -4885,14 +4895,11 @@ class IcebergTableReader:
         snap_id = int(cur_s["snapshot-id"])
 
         def scan_with_pos(paths):
-            return (
-                self.spark.read.schema(scan_schema)
-                .parquet(*paths)
-                .select(
-                    "*",
-                    norm(F.col("_metadata.file_path")).alias("__path"),
-                    F.col("_metadata.row_index").alias("__pos"),
-                )
+            # routed through _data_scan (round 10): changelog scans
+            # project exactly as snapshot reads do (field-id + per-file
+            # name-mapping branches), instead of name-matching
+            return self._data_scan(
+                meta, list(paths), scan_schema, with_pos=True
             )
 
         def tombstones(del_files):

@@ -449,3 +449,54 @@ def test_snapshot_parquet_dir_field_id_conflict_refuses(spark, tmp_path):
     snapshot_parquet_dir(spark, src2, path2)
     got = IcebergTableReader(spark, path2).read()
     assert got.agg(F.sum("cust_id")).first()[0] == sum(range(10))
+
+
+def test_changelog_and_incremental_on_renamed_mapped_table(
+    spark, tmp_path
+):
+    """Round 10: changelog/incremental scans route through _data_scan,
+    so a Hive-migrated (name-mapped, id-less) table whose column was
+    since RENAMED renders its row-level changes with real values —
+    the old name-matched scan read nulls out of the id-less file."""
+    import pyspark.sql.functions as F
+
+    from introduction_in_big_data_spark.sources.iceberg import (
+        IcebergTableReader,
+        append_data_snapshot,
+        snapshot_parquet_dir,
+    )
+
+    src = str(tmp_path / "src")
+    (
+        spark.range(0, 40, 1, 1)
+        .select(F.col("id").alias("k"), (F.col("id") * 10).alias("bal"))
+        .write.parquet(src)
+    )
+    path = str(tmp_path / "t")
+    snapshot_parquet_dir(spark, src, path)
+    IcebergTableReader(spark, path).update_schema(
+        renames={"bal": "balance"}
+    )
+    t = IcebergTableReader(spark, path)
+    s1 = t.metadata()["current-snapshot-id"]
+    # a delete whose changelog rendering must SCAN the id-less file
+    t.delete_where([("balance", ">=", 350)])
+    t2 = IcebergTableReader(spark, path)
+    s2 = t2.metadata()["current-snapshot-id"]
+    ch = {
+        (r.k, r.balance, r._change_type)
+        for r in t2.changelog(s1, s2).collect()
+    }
+    assert ch == {(k, k * 10, "delete") for k in range(35, 40)}
+    # incremental: an append lands with field ids, but the routing is
+    # shared — renamed values must come through on a mapped table
+    append_data_snapshot(
+        spark,
+        path,
+        spark.createDataFrame([(100, 1000)], "k long, balance long"),
+        sequence=2,
+    )
+    t3 = IcebergTableReader(spark, path)
+    s3 = t3.metadata()["current-snapshot-id"]
+    inc = [(r.k, r.balance) for r in t3.incremental(s2, s3).collect()]
+    assert inc == [(100, 1000)]
