@@ -288,7 +288,8 @@ _R10_CHANGED = frozenset(
         "iceberg_maintenance_read", "iceberg_eq_dml_read",
         "iceberg_v3_dv_dml_read", "iceberg_v3_dv_update_read",
         "iceberg_row_lineage_read", "iceberg_row_lineage_dml_read",
-        "iceberg_default_values_read",
+        "iceberg_default_values_read", "iceberg_changelog_read",
+        "iceberg_changelog_upsert_read", "iceberg_incremental_read",
     }
 )
 
