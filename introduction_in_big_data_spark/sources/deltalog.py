@@ -1756,8 +1756,10 @@ class DeltaLogReader:
         # with defaultRowCommitVersion as the fresh value. Materialized
         # values live in hidden physical columns named by the table
         # config; files from before enablement read them as null and
-        # fall back. DML on rowTracking tables still refuses (this
-        # writer does not maintain ids); reading them is free.
+        # fall back. DML on rowTracking tables is PRESERVED since
+        # round 9 (delete/update/merge maintain ids through the
+        # materialized columns — see update_where_dv / merge); this
+        # read path resolves whatever a writer materialized.
         row_meta: dict[str, tuple[int | None, int | None]] = {}
         conf = meta.get("configuration") or {}
         mat_id_col = conf.get(
@@ -3002,21 +3004,6 @@ class DeltaLogReader:
                     f"({e}) — commit aborted, nothing published"
                 )
 
-    def _guard_plain_table(self, meta: dict, live: dict, what: str) -> None:
-        """Refuse rewriting operations on tables whose live adds carry
-        deletion vectors when no DV-aware variant can take over
-        (restore's version flip-flop). DML entry points do NOT call
-        this anymore: delete_where/update_where auto-route to their
-        merge-on-read variants via _live_has_dvs (round 10, VERDICT r9
-        item 6) and merge has been DV-correct since round 7. Column-
-        mapped tables are fine (round 8): every DML path resolves
-        physical names via _file_schema_and_logical / _write_side /
-        _pv_key."""
-        if self._live_has_dvs(live):
-            raise UnsupportedDeltaFeature(
-                f"{what} on a table with deletion-vector adds"
-            )
-
     @staticmethod
     def _live_has_dvs(live: dict) -> bool:
         return any(a.get("deletionVector") for a in live.values())
@@ -3582,12 +3569,15 @@ class DeltaLogReader:
         writes a bitmap and a 1-row file. Assignment semantics match
         update_where exactly (every RHS evaluates against the OLD
         row, one projection; partition columns refuse assignment;
-        NULL predicate evaluations don't match). CDF derivation:
-        changes() renders such a commit as delete (bitmap diff) +
-        insert (the appended images) — row-level equivalent to
-        update_pre/postimage for signed-delta maintenance; callers
-        needing the pre/postimage tagging use the rewriting
-        update_where on a CDF table, which stages cdc files."""
+        NULL predicate evaluations don't match). CDF: on a
+        CDF-enabled table the commit STAGES cdc files tagging the
+        matched rows update_preimage / update_postimage — the same
+        tagging the rewriting update_where emits and the tagging
+        delta-spark writes for DV updates — so the feed's change
+        types do not depend on the table's physical state (ADVICE
+        r10). With CDF off, changes() derives delete (bitmap diff) +
+        insert (the appended images), the row-level equivalent for
+        signed-delta maintenance."""
         from . import skipping
 
         v = self.latest_version()
@@ -3700,6 +3690,8 @@ class DeltaLogReader:
 
         new_by_path: dict[str, list[int]] = {}
         image_adds: list[dict] = []
+        cdf = self._cdf_enabled(meta)
+        cdc_src: DataFrame | None = None
         for k in sorted(
             groups,
             key=lambda kv: tuple((x is not None, x or "") for x in kv),
@@ -3770,6 +3762,7 @@ class DeltaLogReader:
             # full-row projection first (partition columns still
             # attached) so constraint expressions may reference them;
             # the write then keeps only the data columns
+            old_full = imaged
             imaged = imaged.select(
                 *[
                     F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
@@ -3784,6 +3777,31 @@ class DeltaLogReader:
             self._enforce_write_constraints(
                 meta, imaged.drop("__rid"), "update_where_dv"
             )
+            if cdf:
+                # CDF tagging (ADVICE r10): the matched OLD rows are
+                # update_preimages, their assigned images
+                # update_postimages — staged as cdc files so changes()
+                # renders this DV commit exactly like a rewriting
+                # update_where's (change types independent of the
+                # table's physical state)
+                grp_cdc = (
+                    old_full.select(
+                        *[F.col(f.name) for f in schema.fields]
+                    )
+                    .withColumn("_change_type", F.lit("update_preimage"))
+                    .unionByName(
+                        imaged.select(
+                            *[F.col(f.name) for f in schema.fields]
+                        ).withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+                )
+                cdc_src = (
+                    grp_cdc
+                    if cdc_src is None
+                    else cdc_src.unionByName(grp_cdc)
+                )
             imaged = imaged.select(
                 *[f.name for f in data_fields],
                 *([F.col("__rid").alias(mat_id)] if rt else []),
@@ -3836,11 +3854,17 @@ class DeltaLogReader:
                 image_adds.append({"add": add})
         if not new_by_path:
             return v  # provably or actually no matching row
+        cdc_actions: list[dict] = []
+        if cdf and cdc_src is not None:
+            cdc_actions = self._stage_cdc(
+                cdc_src, part_cols, fields_by_name, mode
+            )
         if rt:
             rt_actions.append(self._rt_domain_action(rt_hwm))
         actions = self._dv_actions(candidates, new_by_path, abspath)
         return self._publish(
-            self._next_version(), rt_actions + actions + image_adds
+            self._next_version(),
+            rt_actions + cdc_actions + actions + image_adds,
         )
 
     @_retry_conflicts
@@ -3857,9 +3881,12 @@ class DeltaLogReader:
         rows in a mixed file pass through byte-identical. Assignments
         are SQL expression strings over the data columns; partition
         columns cannot be assigned (rows never move between partition
-        directories on UPDATE — that is MERGE's job). Returns the
-        committed version (the current one when provably no row
-        matches: no empty commit)."""
+        directories on UPDATE — that is MERGE's job). On a table whose
+        live adds already carry deletion vectors this auto-routes to
+        update_where_dv (merge-on-read; same assignment semantics and,
+        on CDF tables, the same update_pre/postimage cdc tagging).
+        Returns the committed version (the current one when provably
+        no row matches: no empty commit)."""
         from . import skipping
 
         v = self.latest_version()

@@ -191,6 +191,36 @@ def default_literal(itype, v):
     raise UnsupportedIcebergFeature(f"default on iceberg type {kind!r}")
 
 
+# Reserved field ids the v3 spec assigns to the row-lineage metadata
+# columns (spec "Reserved Field IDs"; java MetadataColumns.ROW_ID /
+# LAST_UPDATED_SEQUENCE_NUMBER) — reference readers resolve
+# materialized lineage BY ID, so files this engine writes must stamp
+# them (ADVICE r10), and read-side detection prefers the id so a user
+# data column that merely shares the name is never misread as lineage.
+_LINEAGE_FIELD_IDS = {
+    "_row_id": 2147483540,
+    "_last_updated_sequence_number": 2147483539,
+}
+
+
+def _footer_lineage_names(sch) -> set[str]:
+    """Which v3 row-lineage columns a parquet footer carries AS
+    lineage: a column counts when stamped with the spec's reserved
+    field id, or when it carries no field id at all (files written
+    before this engine stamped ids; external writers that omit them).
+    A user data column that shares the name carries its own
+    non-reserved schema field id and is NOT lineage."""
+    out: set[str] = set()
+    for name, rid in _LINEAGE_FIELD_IDS.items():
+        idx = sch.get_field_index(name)
+        if idx < 0:
+            continue
+        fid = (sch.field(idx).metadata or {}).get(b"PARQUET:field_id")
+        if fid is None or int(fid) == rid:
+            out.add(name)
+    return out
+
+
 def _attach_field_ids(df: DataFrame, fields: list[dict]) -> DataFrame:
     """Rewrite the frame's schema so every column — NESTED struct
     members included (round 10) — carries its Iceberg field id as
@@ -202,13 +232,19 @@ def _attach_field_ids(df: DataFrame, fields: list[dict]) -> DataFrame:
     alias; nested metadata rides DataFrame.to() with a target schema
     built by iceberg_type_to_spark(with_field_ids=True)."""
     by_name = {f["name"]: f for f in fields if "id" in f}
+
+    def _top_id(c: str) -> int | None:
+        if c in by_name:
+            return int(by_name[c]["id"])
+        # materialized row-lineage columns ride staging frames without
+        # being schema fields: stamp the spec's reserved ids (ADVICE
+        # r10) so reference readers resolve them by id
+        return _LINEAGE_FIELD_IDS.get(c)
+
     out = df.select(
         *[
-            F.col(c).alias(
-                c,
-                metadata={"parquet.field.id": int(by_name[c]["id"])},
-            )
-            if c in by_name
+            F.col(c).alias(c, metadata={"parquet.field.id": _top_id(c)})
+            if _top_id(c) is not None
             else F.col(c)
             for c in df.columns
         ]
@@ -2935,11 +2971,13 @@ class IcebergTableReader:
                     f"(first: {missing[0]}) — the table does not carry "
                     "row lineage"
                 )
-            footer_names = [set(_pq.read_schema(p).names) for p in files]
-            has_mat_ids = any("_row_id" in ns for ns in footer_names)
+            footer_lineage = [
+                _footer_lineage_names(_pq.read_schema(p)) for p in files
+            ]
+            has_mat_ids = any("_row_id" in ns for ns in footer_lineage)
             has_mat_seq = any(
                 "_last_updated_sequence_number" in ns
-                for ns in footer_names
+                for ns in footer_lineage
             )
         else:
             has_mat_seq = False
@@ -4042,7 +4080,11 @@ class IcebergTableReader:
         id-preserving (materialized _row_id + fresh first_row_id
         ranges). One staging job per partition group — compaction is
         a maintenance operation and groups are the unit a real
-        rewrite_data_files parallelizes over anyway."""
+        rewrite_data_files parallelizes over anyway. Unlike the
+        derivable path, `target_bytes` is not honored here: each
+        group emits exactly ONE output file (recorded tuples give no
+        ordering to size-split on); groups emptied by deletes emit
+        nothing (ADVICE r10)."""
         import json as _json
         import uuid as _uuidmod
 
@@ -4184,17 +4226,19 @@ class IcebergTableReader:
                     )
                     .drop("__first", "__fseq")
                 )
-            staged.append(
-                (
-                    _stage_parquet(
-                        self.spark,
-                        self.path,
-                        scan.select(*out_cols),
-                        fields=self._schema_fields(meta),
-                    ),
-                    rec,
-                )
+            staged_path = _stage_parquet(
+                self.spark,
+                self.path,
+                scan.select(*out_cols),
+                fields=self._schema_fields(meta),
             )
+            # a group whose rows were ALL removed by deletes stages an
+            # empty file: drop it rather than committing a 0-row data
+            # file + record_count=0 manifest entry (ADVICE r10)
+            if _pq.ParquetFile(staged_path).metadata.num_rows == 0:
+                os.remove(staged_path)
+                continue
+            staged.append((staged_path, rec))
         seqs = [s for _p, (s, _st) in data]
         n_seq = (max(seqs) if seqs else 0) + 1
         carries_bounds = any(

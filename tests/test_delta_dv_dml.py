@@ -266,6 +266,8 @@ def test_update_where_dv_refuses_partition_assignment(spark, tmp_path):
 
 
 def test_changes_renders_dv_update_as_delete_plus_insert(spark, tmp_path):
+    # CDF OFF: no cdc files to write — the feed derives delete (bitmap
+    # diff) + insert (appended images), the signed-delta equivalent
     path = str(tmp_path / "t")
     create_minimal_table(
         spark, path, _df(spark).repartition(2), stats=True
@@ -277,6 +279,45 @@ def test_changes_renders_dv_update_as_delete_plus_insert(spark, tmp_path):
     ins = sorted((x.k, x.v) for x in ch if x["_change_type"] == "insert")
     assert dels == [(k, float(k)) for k in range(5)]
     assert ins == [(k, float(k) + 100) for k in range(5)]
+
+
+def test_dv_update_on_cdf_table_stages_pre_postimages(spark, tmp_path):
+    """CDF ON: update_where_dv stages update_preimage/update_postimage
+    cdc files (the tagging delta-spark writes for DV updates), so the
+    feed's change types do not depend on the table's physical state —
+    and the auto-routed plain update_where emits the SAME tagging on a
+    DV-carrying table (ADVICE r10)."""
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark).repartition(2), stats=True, cdf=True
+    )
+    r = DeltaLogReader(spark, path)
+    v1 = r.update_where_dv([("k", "<", 5)], {"v": "v + 100"})
+    acts = _commit_actions(path, v1)
+    assert [a for a in acts if "cdc" in a], "DV update on CDF staged cdc"
+    ch = r.changes(v1 - 1, v1).collect()
+    pre = sorted((x.k, x.v) for x in ch if x["_change_type"] == "update_preimage")
+    post = sorted((x.k, x.v) for x in ch if x["_change_type"] == "update_postimage")
+    assert pre == [(k, float(k)) for k in range(5)]
+    assert post == [(k, float(k) + 100) for k in range(5)]
+    # nothing renders as delete/insert for this commit (cdc is the
+    # complete change description)
+    assert not [x for x in ch if x["_change_type"] in ("delete", "insert")]
+    # the table now carries DVs: plain update_where auto-routes and
+    # must keep the SAME CDF contract
+    v2 = r.update_where([("k", ">=", 5), ("k", "<", 8)], {"v": "v * -1"})
+    ch2 = r.changes(v1, v2).collect()
+    pre2 = sorted(x.k for x in ch2 if x["_change_type"] == "update_preimage")
+    post2 = sorted((x.k, x.v) for x in ch2 if x["_change_type"] == "update_postimage")
+    assert pre2 == [5, 6, 7]
+    assert post2 == [(k, -float(k)) for k in range(5, 8)]
+    # snapshot correctness after both commits
+    got = {x.k: x.v for x in r.read().filter(F.col("k") < 10).collect()}
+    assert got == {
+        **{k: float(k) + 100 for k in range(5)},
+        **{k: -float(k) for k in range(5, 8)},
+        **{k: float(k) for k in range(8, 10)},
+    }
 
 
 def test_merge_on_dv_table_never_resurrects(spark, tmp_path):

@@ -640,6 +640,39 @@ def test_compact_by_recorded_tuples_for_underivable_transform(
     assert t2.last_scan["scanned_files"] < len(data)
 
 
+def test_compact_recorded_tuples_skips_emptied_groups(spark, tmp_path):
+    """ADVICE r10: a recorded-tuple group whose rows were ALL removed
+    by deletes emits NO output — no 0-row data file, no
+    record_count=0 manifest entry."""
+    base = spark.range(0, 300, 1, 3).select(
+        (F.col("id") % 3).cast("int").alias("p"),
+        F.col("id").alias("k"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    path = str(tmp_path / "t")
+    create_partitioned_table(
+        spark, path, base, spec=[("p", "identity"), ("k", "bucket[2]")]
+    )
+    _doctor_transform(path, "bucket[2]", "bucket_v9[2]")
+    # empty out partition p=1 entirely (both its bucket groups)
+    IcebergTableReader(spark, path).delete_where([("p", "=", 1)])
+    IcebergTableReader(spark, path).compact()
+    t2 = IcebergTableReader(spark, path)
+    m = t2.metadata()
+    snap = next(
+        s for s in m["snapshots"]
+        if s["snapshot-id"] == m["current-snapshot-id"]
+    )
+    data, pos, eq = t2._live_files(snap)
+    assert not pos and not eq
+    assert data, "survivor groups still compacted"
+    for _p, (_s, st) in data:
+        assert st["record_count"] > 0
+        assert st["partition"]["p"] in (0, 2)
+    got = sorted(x.k for x in t2.read().collect())
+    assert got == [k for k in range(300) if k % 3 != 1]
+
+
 def test_compact_recorded_tuples_preserves_row_lineage(spark, tmp_path):
     """The recorded-tuple fallback is id-preserving on lineage tables,
     like the derivable path."""

@@ -531,6 +531,69 @@ def test_update_where_dv_preserves_row_lineage(spark, tmp_path):
     assert got2[7] == (7777.0, 7)
 
 
+def test_materialized_lineage_columns_carry_reserved_field_ids(
+    spark, tmp_path
+):
+    """ADVICE r10: files this engine materializes lineage into stamp
+    the spec's reserved field ids (2147483540 / 2147483539) so
+    reference readers resolve the columns BY ID, and read-side
+    detection prefers the id so a user data column named `_row_id`
+    (which carries its own schema field id) is never misread."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from introduction_in_big_data_spark.sources.iceberg import (
+        _footer_lineage_names,
+        enable_row_lineage,
+    )
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(0, 30, 1, 1)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .sortWithinPartitions("k")
+    )
+    create_minimal_table(spark, path, df, bounds=True)
+    enable_row_lineage(spark, path)
+    IcebergTableReader(spark, path).update_where_dv(
+        [("k", "<", 3)], {"v": "v + 100"}
+    )
+    data_dir = os.path.join(path, "data")
+    stamped = []
+    for f in sorted(os.listdir(data_dir)):
+        sch = pq.read_schema(os.path.join(data_dir, f))
+        if "_row_id" in sch.names:
+            idx = sch.get_field_index("_row_id")
+            fid = (sch.field(idx).metadata or {}).get(b"PARQUET:field_id")
+            stamped.append(fid)
+            # detection helper sees it as lineage
+            assert "_row_id" in _footer_lineage_names(sch)
+    assert stamped and all(int(x) == 2147483540 for x in stamped)
+    # detection rejects a user column that merely shares the name: a
+    # footer whose `_row_id` carries a NON-reserved schema field id
+    import pyarrow as pa
+
+    user = pa.schema(
+        [
+            pa.field(
+                "_row_id",
+                pa.int64(),
+                metadata={b"PARQUET:field_id": b"17"},
+            )
+        ]
+    )
+    assert _footer_lineage_names(user) == set()
+    # and the ids still read back through the normal lineage path
+    got = {
+        x.k: (x.v, x._row_id)
+        for x in IcebergTableReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    assert got[1] == (101.0, 1) and got[5] == (5.0, 5)
+
+
 def test_update_where_v2_preserves_row_lineage(spark, tmp_path):
     """The v2 position-delete UPDATE shape also preserves lineage on
     lineage-enabled tables."""
