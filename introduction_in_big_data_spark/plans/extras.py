@@ -3683,6 +3683,61 @@ def iceberg_dml_delete_read(spark, sf_dir):
 
 
 @register(
+    "iceberg_avro_data_read",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_chars >= 1000
+                             THEN n_chars + 1000000
+                             ELSE n_chars END) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE NOT (n_chars < 200)
+        GROUP BY lang
+    """,
+    tags=("iceberg", "lakehouse", "avro", "dml", "formats"),
+)
+def iceberg_avro_data_read(spark, sf_dir):
+    """AVRO data files in an Iceberg table (round 11, VERDICT r10
+    item 3 — `file_format: AVRO`, content=0, the Flink-written /
+    migrated-warehouse shape): stage documents as Avro container
+    files whose writer schemas carry the spec's `field-id`
+    properties, RENAME a column (projection must resolve the current
+    name out of the files by id), DELETE the short documents (the
+    position-delete write hit-detects over the Avro scan — row
+    positions synthesize from record order, exactly the spec's
+    `pos`), then UPDATE the long ones (the v2 image file appends as
+    parquet, so the final snapshot unions BOTH format branches). The
+    scan is one task per Avro file through a by-value mapInPandas
+    kernel (deflate blocks are not splittable — spark-avro's own
+    granularity); no footer stats exist for Avro files, so the
+    file-skipping tier does not apply to them (documented boundary).
+    Oracle replays rename+delete+update from raw parquet."""
+    import tempfile
+
+    from ..sources.iceberg import IcebergTableReader, create_minimal_table
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="iceberg_avro_") + "/t"
+    create_minimal_table(
+        spark, path, docs.repartitionByRange(4, "doc_id"),
+        data_format="AVRO",
+    )
+    IcebergTableReader(spark, path).update_schema(
+        renames={"n_chars": "char_count"}
+    )
+    IcebergTableReader(spark, path).delete_where([("char_count", "<", 200)])
+    IcebergTableReader(spark, path).update_where(
+        [("char_count", ">=", 1000)],
+        {"char_count": "char_count + 1000000"},
+    )
+    snap = IcebergTableReader(spark, path).read()
+    return snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("char_count").alias("total_chars"),
+    )
+
+
+@register(
     "delta_dml_update_read",
     oracle="""
         SELECT o_orderpriority,

