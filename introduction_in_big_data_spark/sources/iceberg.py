@@ -1358,11 +1358,15 @@ def add_equality_deletes(
     rows: list[tuple],
     columns: list[str],
     sequence: int,
+    file_format: str = "PARQUET",
 ) -> None:
-    """Stage a v2 EQUALITY-DELETE snapshot: the delete parquet holds
+    """Stage a v2 EQUALITY-DELETE snapshot: the delete file holds
     `rows` over `columns`, the delete manifest entry carries
     content=2, the columns' Iceberg field ids as equality_ids, and the
-    given data sequence number."""
+    given data sequence number. `file_format="AVRO"` stages the delete
+    rows as an Avro container whose writer schema carries `field-id`
+    properties (round 11 — the shape external Avro-writing engines
+    emit)."""
     import uuid
 
     from ..functions import avrocodec
@@ -1377,12 +1381,43 @@ def add_equality_deletes(
         ) from exc
     schema = t._schema_struct(t.metadata())
     sub = T.StructType([schema[c] for c in columns])  # caller's order
-    p = _stage_parquet(
-        spark,
-        path,
-        spark.createDataFrame(rows, sub),
-        fields=[fields[c] for c in columns],
-    )
+    if file_format == "AVRO":
+        _from_spark = {
+            "BooleanType": "boolean",
+            "IntegerType": "int",
+            "LongType": "long",
+            "FloatType": "float",
+            "DoubleType": "double",
+            "BinaryType": "bytes",
+            "StringType": "string",
+        }
+        avro_schema = {
+            "type": "record",
+            "name": "eq_delete",
+            "fields": [
+                {
+                    "name": c,
+                    "type": [
+                        "null",
+                        _from_spark[type(schema[c].dataType).__name__],
+                    ],
+                    "field-id": int(fields[c]["id"]),
+                }
+                for c in columns
+            ],
+        }
+        p = os.path.join(path, "data", f"{uuid.uuid4().hex}.avro")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        avrocodec.write_container(
+            p, avro_schema, [dict(zip(columns, r)) for r in rows]
+        )
+    else:
+        p = _stage_parquet(
+            spark,
+            path,
+            spark.createDataFrame(rows, sub),
+            fields=[fields[c] for c in columns],
+        )
     meta_dir = os.path.join(path, "metadata")
     manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-e0.avro")
     avrocodec.write_container(
@@ -1396,7 +1431,7 @@ def add_equality_deletes(
                 "data_file": {
                     "content": 2,
                     "file_path": f"file://{p}",
-                    "file_format": "PARQUET",
+                    "file_format": file_format,
                     "record_count": len(rows),
                     "file_size_in_bytes": os.path.getsize(p),
                     "equality_ids": ids,
@@ -3040,9 +3075,10 @@ class IcebergTableReader:
                         raise UnsupportedIcebergFeature(
                             "equality delete file without equality_ids"
                         )
-                    if fmt != "PARQUET":
+                    if fmt not in ("PARQUET", "AVRO"):
                         raise UnsupportedIcebergFeature(
-                            f"equality-delete file format {fmt}"
+                            f"equality-delete file format {fmt}; only "
+                            "PARQUET and AVRO are read"
                         )
                     eq_deletes.append((path, fmt, int(seq), ids))
                 else:  # position delete (delete manifest or content=1)
@@ -3343,6 +3379,70 @@ class IcebergTableReader:
         )
         return df.join(F.broadcast(seq_df), "__path", "left")
 
+    def _eq_delete_avro_rows(
+        self, p: str, names: list[str], ids, meta: dict
+    ) -> list[tuple]:
+        """Decode an AVRO equality-delete file driver-side, projecting
+        the equality_ids against the writer schema's `field-id`
+        properties (name fallback for property-less files) — the Avro
+        twin of the parquet delete scan in _eq_delete_join. Driver
+        decode is the right cost class: delete files are compact by
+        construction and the join side broadcasts regardless. Date /
+        timestamp logicals convert off their wire ints (timestamptz
+        tz-aware, so values stay session-timezone independent)."""
+        import datetime as dt
+
+        from ..functions import avrocodec
+
+        wsch, rows = avrocodec.read_container(p)
+        by_id: dict[int, str] = {}
+        file_names: set[str] = set()
+        any_ids = False
+        for af in wsch.get("fields", ()):
+            file_names.add(af["name"])
+            fid = af.get("field-id")
+            if fid is not None:
+                any_ids = True
+                by_id[int(fid)] = af["name"]
+        fdict = {f["name"]: f for f in self._schema_fields(meta)}
+        srcs: list[str] = []
+        convs: list[str | None] = []
+        for c, i in zip(names, ids):
+            src = (
+                by_id.get(int(i))
+                if any_ids
+                else (c if c in file_names else None)
+            )
+            if src is None:
+                raise UnsupportedIcebergFeature(
+                    f"equality-delete avro file {p} lacks field id "
+                    f"{i} ({c})"
+                )
+            srcs.append(src)
+            it = fdict[c]["type"]
+            convs.append(
+                it
+                if isinstance(it, str)
+                and it in ("date", "timestamp", "timestamptz")
+                else None
+            )
+
+        def conv(kind, v):
+            if v is None or kind is None:
+                return v
+            if kind == "date":
+                return dt.date(1970, 1, 1) + dt.timedelta(days=v)
+            if kind == "timestamptz":
+                return dt.datetime(
+                    1970, 1, 1, tzinfo=dt.timezone.utc
+                ) + dt.timedelta(microseconds=v)
+            return dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=v)
+
+        return [
+            tuple(conv(k, r.get(s)) for s, k in zip(srcs, convs))
+            for r in rows
+        ]
+
     def _eq_delete_join(
         self,
         df: DataFrame,
@@ -3379,25 +3479,30 @@ class IcebergTableReader:
                     f"equality_ids {ids} reference fields missing from "
                     "the top-level schema"
                 ) from exc
-            parts = [
-                self.spark.read.schema(
-                    # scan_schema fields: on an evolved table the
-                    # delete files project by field id too
-                    T.StructType(
-                        [
-                            f
-                            for f in scan_schema.fields
-                            if f.name in set(names)
-                        ]
+            del_schema = T.StructType(
+                # scan_schema fields: on an evolved table the
+                # delete files project by field id too
+                [f for f in scan_schema.fields if f.name in set(names)]
+            )
+            parts = []
+            for p, seq in dels:
+                if _is_avro_data_file(p):
+                    # AVRO equality-delete file (round 11): decoded
+                    # driver-side — delete files are compact by
+                    # construction and this join side broadcasts
+                    # regardless, so the cost class is unchanged
+                    src = self.spark.createDataFrame(
+                        self._eq_delete_avro_rows(p, names, ids, meta),
+                        T.StructType([scan_schema[c] for c in names]),
+                    )
+                else:
+                    src = self.spark.read.schema(del_schema).parquet(p)
+                parts.append(
+                    src.select(
+                        *[F.col(c).alias(f"__del_{c}") for c in names],
+                        F.lit(seq).alias("__del_seq"),
                     )
                 )
-                .parquet(p)
-                .select(
-                    *[F.col(c).alias(f"__del_{c}") for c in names],
-                    F.lit(seq).alias("__del_seq"),
-                )
-                for p, seq in dels
-            ]
             del_df = parts[0]
             for extra in parts[1:]:
                 del_df = del_df.unionByName(extra)

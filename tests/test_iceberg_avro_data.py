@@ -155,6 +155,44 @@ def test_avro_data_timestamptz_decodes_utc(spark, tmp_path):
         spark.conf.set("spark.sql.session.timeZone", tz0)
 
 
+def test_avro_equality_deletes_apply_sequence_gated(spark, tmp_path):
+    """AVRO equality-delete files (field-id-projected, decoded through
+    the in-repo codec) apply with the spec's strictly-smaller-sequence
+    gate — including after a rename, where the delete column resolves
+    by id — over an all-Avro table (Avro data + Avro deletes)."""
+    from introduction_in_big_data_spark.sources.iceberg import (
+        add_equality_deletes,
+        append_data_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark, 60), data_format="AVRO")
+    add_equality_deletes(
+        spark, path, [(5,), (7,), (999,)], ["k"], sequence=1,
+        file_format="AVRO",
+    )
+    got = sorted(x.k for x in IcebergTableReader(spark, path).read().collect())
+    assert got == [k for k in range(60) if k not in (5, 7)]
+    # re-insert k=5 at a LATER sequence: it must survive the delete
+    append_data_snapshot(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(5, 10, 7.5, "d5b")], "k long, n_chars long, score double, tag string"
+        ),
+        sequence=3,
+    )
+    got2 = sorted(x.k for x in IcebergTableReader(spark, path).read().collect())
+    assert got2.count(5) == 1 and 7 not in got2
+    # rename: the avro delete file still resolves its column by id
+    IcebergTableReader(spark, path).update_schema(renames={"k": "key"})
+    add_equality_deletes(
+        spark, path, [(11,)], ["key"], sequence=5, file_format="AVRO"
+    )
+    got3 = sorted(x.key for x in IcebergTableReader(spark, path).read().collect())
+    assert 11 not in got3 and got3.count(5) == 1
+
+
 def test_orc_data_files_refuse_as_declared_boundary(spark, tmp_path):
     """VERDICT r10 item 5: ORC data files are a DECLARED boundary —
     Parquet and Avro are the formats this engine reads; the refusal is
