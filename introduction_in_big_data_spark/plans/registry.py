@@ -67,7 +67,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # queries each round (regression coverage under prefix sampling). Local
 # verification is unaffected — tests/test_oracle.py and the sweep
 # artifacts always run every query.
-_ROTATION_SALT = "r10"
+_ROTATION_SALT = "r11"
 
 _R1_DRIVER_GREEN = frozenset(
     {
@@ -271,25 +271,69 @@ _R9_DRIVER_GREEN = frozenset(
     }
 )
 
-# Queries whose implementation changed in ROUND 10 (the char-LM
-# adaptive gram kernel, bpe_train_local's min_count plumbing,
-# cf_knn_pruned's dropped second checkpoint, the _dml_scan rewiring of
-# every Iceberg DML hit-detection scan, the materialized-row-id
-# projection rework, the non-primitive default fill, and
-# _attach_field_ids' nested-id stamping): each re-leads the sample
-# prefix until driver-checked under the new code, even though all were
-# re-verified green by this session's targeted driver sims at both
-# probe timezones.
-_R10_CHANGED = frozenset(
+_R10_DRIVER_GREEN = frozenset(
     {
-        "text_char_lm_quality", "bpe_train_local_merges",
-        "bpe_encode_stats", "cf_knn_pruned",
+        # CORRECTNESS_r10: 50/50 green — covers all 16 round-10
+        # changed queries plus the round's 2 new ones.
+        "acid_schema_evolution", "ann_ivf_topk", "bpe_encode_stats",
+        "bpe_train_local_merges", "cf_knn", "cf_knn_pruned",
+        "clean_parts", "daily_revenue_anomalies",
+        "delta_column_mapping_cdf_feed", "delta_column_mapping_read",
+        "delta_dv_cdf_feed", "delta_type_widening_read",
+        "epoch_shuffle_shards", "events_props_map",
+        "iceberg_changelog_read", "iceberg_changelog_upsert_read",
+        "iceberg_default_values_read", "iceberg_dml_delete_read",
+        "iceberg_dml_update_read", "iceberg_dml_upsert_read",
+        "iceberg_eq_dml_read", "iceberg_incremental_read",
+        "iceberg_lineage_seq_read", "iceberg_maintenance_read",
+        "iceberg_row_lineage_dml_read", "iceberg_row_lineage_mapped_read",
+        "iceberg_row_lineage_read", "iceberg_struct_default_read",
+        "iceberg_v3_dv_dml_read", "iceberg_v3_dv_read",
+        "iceberg_v3_dv_update_read", "multimodal_bmp_stats",
+        "profile_customer_columns", "q10_returned_revenue_top20",
+        "q13_order_count_distribution", "q16_supplier_variety",
+        "q17_below_avg_qty_revenue", "q18_large_orders",
+        "q20_bulk_suppliers", "q3_shipping_priority",
+        "quantity_histogram", "session_stats_by_user",
+        "sketch_approx_quantiles", "stream_cdf_standing_aggregate",
+        "stream_session_stats", "text_char_lm_quality",
+        "text_language_id", "tfidf_top_terms", "top3_parts_per_brand",
+        "top_parts_per_brand_with_ties",
+    }
+)
+
+# Queries whose implementation changed in ROUND 11 (the Avro data-file
+# split in _data_scan touches EVERY Iceberg scan; _eq_delete_join's
+# per-file format branch; _live_files' format acceptance +
+# file_format stats key; reserved-field-id stamping on materialized
+# lineage columns; update_where_dv's CDF cdc staging on the Delta
+# side; recorded-tuple compaction's empty-group skip): each re-leads
+# the sample prefix until driver-checked under the new code, even
+# though all were re-verified green by this session's targeted driver
+# sims at both probe timezones.
+_R11_CHANGED = frozenset(
+    {
+        "delta_dv_update_read",
+        "iceberg_bounds_skipping_read", "iceberg_changelog_read",
+        "iceberg_changelog_upsert_read", "iceberg_default_values_read",
         "iceberg_dml_delete_read", "iceberg_dml_update_read",
-        "iceberg_maintenance_read", "iceberg_eq_dml_read",
-        "iceberg_v3_dv_dml_read", "iceberg_v3_dv_update_read",
-        "iceberg_row_lineage_read", "iceberg_row_lineage_dml_read",
-        "iceberg_default_values_read", "iceberg_changelog_read",
-        "iceberg_changelog_upsert_read", "iceberg_incremental_read",
+        "iceberg_dml_upsert_read", "iceberg_eq_deletes_read",
+        "iceberg_eq_dml_read", "iceberg_export_roundtrip",
+        "iceberg_hour_partitioned_events", "iceberg_incremental_read",
+        "iceberg_interop_read", "iceberg_lineage_seq_read",
+        "iceberg_maintenance_read", "iceberg_name_mapping_read",
+        "iceberg_nested_list_mapping_read",
+        "iceberg_nested_name_mapping_read",
+        "iceberg_partition_evolution_read",
+        "iceberg_partitioned_pruned_read",
+        "iceberg_partitions_metadata_table",
+        "iceberg_row_lineage_dml_read", "iceberg_row_lineage_mapped_read",
+        "iceberg_row_lineage_read", "iceberg_schema_evolution_read",
+        "iceberg_snapshot_import_read", "iceberg_struct_default_read",
+        "iceberg_v2_deletes_read", "iceberg_v3_dv_dml_read",
+        "iceberg_v3_dv_read", "iceberg_v3_dv_update_read",
+        "iceberg_wap_publish_read", "stream_iceberg_partitioned_sink",
+        "stream_iceberg_source_counts",
     }
 )
 
@@ -297,7 +341,8 @@ _DRIVER_GREEN = (
     _R1_DRIVER_GREEN | _R2_DRIVER_GREEN | _R3_DRIVER_GREEN
     | _R4_DRIVER_GREEN | _R5_DRIVER_GREEN | _R6_DRIVER_GREEN
     | _R7_DRIVER_GREEN | _R8_DRIVER_GREEN | _R9_DRIVER_GREEN
-) - _R10_CHANGED
+    | _R10_DRIVER_GREEN
+) - _R11_CHANGED
 
 # Queries added in the round-3 continuation sessions, AFTER the older
 # never-driver-checked backlog accumulated. The driver samples a ~50
