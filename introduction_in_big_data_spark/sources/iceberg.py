@@ -1524,10 +1524,15 @@ def enable_row_lineage(spark: SparkSession, path: str) -> None:
             n = int(e["data_file"].get("record_count") or 0)
             if n == 0:
                 # staging shapes without stats record 0; id ranges
-                # must still be disjoint, so count from the footer
-                n = _pq.ParquetFile(
-                    _local_path(e["data_file"]["file_path"])
-                ).metadata.num_rows
+                # must still be disjoint, so count from the file
+                # (parquet footer, or a codec pass for AVRO data)
+                fp = _local_path(e["data_file"]["file_path"])
+                if _is_avro_data_file(fp):
+                    from ..functions import avrocodec as _ac
+
+                    n = len(_ac.read_container(fp)[1])
+                else:
+                    n = _pq.ParquetFile(fp).metadata.num_rows
             next_id += n
         new_mp = os.path.join(meta_dir, f"{uuid.uuid4().hex}-rl.avro")
         avrocodec.write_container(new_mp, m_schema, entries)

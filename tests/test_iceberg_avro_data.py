@@ -193,6 +193,78 @@ def test_avro_equality_deletes_apply_sequence_gated(spark, tmp_path):
     assert 11 not in got3 and got3.count(5) == 1
 
 
+def test_avro_data_row_lineage_derivation(spark, tmp_path):
+    """Row lineage over Avro data files: _row_id derives as the
+    file's first_row_id + record position (the Avro scan's synthetic
+    __pos), and a DV update preserves ids through a parquet image —
+    the mixed-format lineage read."""
+    from introduction_in_big_data_spark.sources.iceberg import (
+        enable_row_lineage,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 40, 1, 1).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    create_minimal_table(spark, path, base, data_format="AVRO")
+    enable_row_lineage(spark, path)
+    got = {
+        x.k: x._row_id
+        for x in IcebergTableReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    assert len(got) == 40 and len(set(got.values())) == 40
+    IcebergTableReader(spark, path).update_where_dv(
+        [("k", "=", 7)], {"v": "777.0"}
+    )
+    got2 = {
+        x.k: (x.v, x._row_id)
+        for x in IcebergTableReader(spark, path)
+        .read(with_row_ids=True)
+        .collect()
+    }
+    assert got2[7] == (777.0, got[7]), "updated row keeps its id"
+    assert got2[8] == (8.0, got[8])
+
+
+def test_avro_data_changelog_and_incremental(spark, tmp_path):
+    """changelog()/incremental() route through the same format-split
+    scan: an Avro table's delete commit renders its matched rows."""
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark, 50), data_format="AVRO")
+    t0 = IcebergTableReader(spark, path)
+    m = t0.metadata()
+    s0 = m["current-snapshot-id"]
+    t0.delete_where([("k", "<", 5)])
+    t1 = IcebergTableReader(spark, path)
+    s1 = t1.metadata()["current-snapshot-id"]
+    ch = t1.changelog(s0, s1).collect()
+    dels = sorted(x.k for x in ch if x["_change_type"] == "delete")
+    assert dels == [0, 1, 2, 3, 4]
+
+
+def test_compact_migrates_avro_table_to_parquet(spark, tmp_path):
+    """compact() over an Avro-data table reads through the format
+    split and REWRITES as parquet — maintenance doubles as a
+    format-migration path (deletes folded, values identical)."""
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark, 80), data_format="AVRO")
+    IcebergTableReader(spark, path).delete_where([("k", ">=", 70)])
+    IcebergTableReader(spark, path).compact()
+    t2 = IcebergTableReader(spark, path)
+    m = t2.metadata()
+    snap = next(
+        s for s in m["snapshots"]
+        if s["snapshot-id"] == m["current-snapshot-id"]
+    )
+    data, pos, eq = t2._live_files(snap)
+    assert not pos and not eq
+    assert all(p.endswith(".parquet") for p, _ in data), "all parquet now"
+    got = {x.k: x.tag for x in t2.read().collect()}
+    assert sorted(got) == list(range(70)) and got[3] == "d3"
+
+
 def test_orc_data_files_refuse_as_declared_boundary(spark, tmp_path):
     """VERDICT r10 item 5: ORC data files are a DECLARED boundary —
     Parquet and Avro are the formats this engine reads; the refusal is
