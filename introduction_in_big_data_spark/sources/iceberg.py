@@ -2837,6 +2837,7 @@ class IcebergTableReader:
             )
         plan_by_path: dict[str, list] = {}
         lacking: dict[str, list[str]] = {}  # default-fill: field -> files
+        mapping = self._name_mapping(meta)
         for p in files:
             wsch = read_avro_schema(p)
             by_id: dict[int, str] = {}
@@ -2860,11 +2861,17 @@ class IcebergTableReader:
                 if f is None:
                     sel.append(None)
                     continue
-                src = (
-                    by_id.get(int(f["id"]))
-                    if any_ids
-                    else (sf.name if sf.name in names else None)
-                )
+                if any_ids:
+                    src = by_id.get(int(f["id"]))
+                elif mapping is not None:
+                    # spec: schema.name-mapping.default IS the
+                    # resolution rule for field-id-less files — same
+                    # precedence as the parquet mapped branch
+                    entry = mapping.get(int(f["id"]))
+                    m_names = entry[0] if entry else ()
+                    src = next((n for n in m_names if n in names), None)
+                else:
+                    src = sf.name if sf.name in names else None
                 if src is None and f.get("initial-default") is not None:
                     lacking.setdefault(f["name"], []).append(p)
                 sel.append(src)

@@ -111,6 +111,36 @@ def test_avro_data_name_fallback_without_field_ids(spark, tmp_path):
     assert len(got) == 40 and got[3] == "d3"
 
 
+def test_avro_data_name_mapping_resolves_renames(spark, tmp_path):
+    """With `schema.name-mapping.default` set, field-id-less Avro
+    files project by the MAPPING (the spec's resolution rule for
+    migrated files) — a renamed column resolves out of the old file
+    names, like the parquet mapped branch."""
+    import json
+
+    path = str(tmp_path / "t")
+    create_minimal_table(
+        spark, path, _df(spark, 30), data_format="AVRO",
+        field_ids=False,
+        properties={
+            "schema.name-mapping.default": json.dumps(
+                [
+                    {"field-id": 1, "names": ["k"]},
+                    {"field-id": 2, "names": ["n_chars"]},
+                    {"field-id": 3, "names": ["score"]},
+                    {"field-id": 4, "names": ["tag"]},
+                ]
+            )
+        },
+    )
+    IcebergTableReader(spark, path).update_schema(
+        renames={"tag": "label"}
+    )
+    got = {x.k: x.label for x in
+           IcebergTableReader(spark, path).read().collect()}
+    assert len(got) == 30 and got[3] == "d3"
+
+
 def test_avro_data_timestamptz_decodes_utc(spark, tmp_path):
     """Iceberg stores timestamptz as UTC micros on the Avro wire; the
     kernel must emit tz-AWARE datetimes so the value is
