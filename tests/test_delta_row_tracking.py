@@ -528,10 +528,15 @@ def test_cdf_composes_with_row_tracking(spark, tmp_path):
     feed = DeltaLogReader(spark, path).changes(v - 1, v)
     rows = {(x.k, x._change_type) for x in feed.collect()}
     assert rows == {(0, "delete"), (1, "delete"), (2, "delete")}
-    # an UPDATE's feed renders delete+insert of the matched row only
+    # an UPDATE's feed on this CDF table renders pre/postimages of the
+    # matched row only (round 11, ADVICE r10: DV updates stage cdc on
+    # CDF tables — same tagging as the rewriting update_where)
     v2 = DeltaLogReader(spark, path).update_where_dv(
         [("k", "=", 10)], {"v": "1010.0"}
     )
     feed2 = DeltaLogReader(spark, path).changes(v2 - 1, v2)
     rows2 = {(x.k, x.v, x._change_type) for x in feed2.collect()}
-    assert rows2 == {(10, 10.0, "delete"), (10, 1010.0, "insert")}
+    assert rows2 == {
+        (10, 10.0, "update_preimage"),
+        (10, 1010.0, "update_postimage"),
+    }
