@@ -90,9 +90,21 @@ def _spark_schema(path: str):
 
 
 class _IcebergFilePartition(InputPartition):
-    def __init__(self, path: str, columns: list[str]):
+    def __init__(
+        self,
+        path: str,
+        columns: list[str],
+        avro_srcs: list | None = None,
+        avro_convs: list | None = None,
+    ):
         self.path = path
         self.columns = columns
+        # AVRO data file (round 11): per-column source field names
+        # (field-id-projected DRIVER-side from the writer schema, like
+        # the batch scan) and date/timestamp conversion kinds; None →
+        # plain parquet partition
+        self.avro_srcs = avro_srcs
+        self.avro_convs = avro_convs
 
 
 class IcebergStreamReader(DataSourceStreamReader):
@@ -102,6 +114,13 @@ class IcebergStreamReader(DataSourceStreamReader):
             raise ValueError("iceberg_stream requires .option('path', ...)")
         meta = _meta(self.path)
         self._columns = [f.name for f in _spark_schema(self.path).fields]
+        # AVRO data files (round 11): the stdlib container decoder is
+        # captured BY VALUE at construction (driver-side), so worker
+        # read() of an Avro partition needs no importable package —
+        # the avro_io/multimodal codec pattern
+        from .avro_io import _avrocodec_by_value
+
+        self._read_container = _avrocodec_by_value().read_container
         si = options.get("startingSnapshotIndex")
         snaps = meta.get("snapshots", [])
         # offset = the snapshot-ID consumed up to (0 = nothing yet);
@@ -177,11 +196,93 @@ class IcebergStreamReader(DataSourceStreamReader):
                     "only append-only tables stream"
                 )
             for p in sorted(data - prev_data):
-                out.append(_IcebergFilePartition(p, self._columns))
+                out.append(self._partition_for(p))
             prev_data, prev_pos, prev_eq = data, pos, eq
         return out
 
+    def _partition_for(self, p: str) -> _IcebergFilePartition:
+        """Driver-side partition planning: Avro data files get their
+        per-column source names resolved HERE (field-id projection
+        from the writer schema — renames resolve; name-mapping, then
+        current-name fallback for property-less files, mirroring the
+        batch scan) plus date/timestamp conversion kinds, so the
+        worker read stays import-free."""
+        ice = _pkg()
+        if not ice._is_avro_data_file(p):
+            return _IcebergFilePartition(p, self._columns)
+        from .avro_io import read_avro_schema
+
+        meta = _meta(self.path)
+        fields = ice.IcebergTableReader._schema_fields(meta)
+        fd = {f["name"]: f for f in fields}
+        mapping = None
+        nm = (meta.get("properties") or {}).get(
+            "schema.name-mapping.default"
+        )
+        wsch = read_avro_schema(p)
+        by_id: dict[int, str] = {}
+        names: set = set()
+        any_ids = False
+        for af in wsch.get("fields", ()):
+            names.add(af["name"])
+            if af.get("field-id") is not None:
+                any_ids = True
+                by_id[int(af["field-id"])] = af["name"]
+        if nm and not any_ids:
+            mapping = {
+                int(e["field-id"]): e.get("names", ())
+                for e in json.loads(nm)
+                if "field-id" in e
+            }
+        srcs, convs = [], []
+        for c in self._columns:
+            f = fd.get(c)
+            if f is None:
+                src = None
+            elif any_ids:
+                src = by_id.get(int(f["id"]))
+            elif mapping is not None:
+                src = next(
+                    (n for n in mapping.get(int(f["id"]), ()) if n in names),
+                    None,
+                )
+            else:
+                src = c if c in names else None
+            srcs.append(src)
+            it = f["type"] if f else None
+            convs.append(
+                it
+                if isinstance(it, str)
+                and it in ("date", "timestamp", "timestamptz")
+                else None
+            )
+        return _IcebergFilePartition(p, self._columns, srcs, convs)
+
     def read(self, partition: _IcebergFilePartition):
+        if partition.avro_srcs is not None:
+            # AVRO data file: stdlib decode via the by-value codec
+            import datetime as dt
+
+            def conv(kind, v):
+                if v is None or kind is None:
+                    return v
+                if kind == "date":
+                    return dt.date(1970, 1, 1) + dt.timedelta(days=v)
+                if kind == "timestamptz":
+                    return dt.datetime(
+                        1970, 1, 1, tzinfo=dt.timezone.utc
+                    ) + dt.timedelta(microseconds=v)
+                return dt.datetime(1970, 1, 1) + dt.timedelta(
+                    microseconds=v
+                )
+
+            _s, rows = self._read_container(partition.path)
+            for r in rows:
+                yield tuple(
+                    conv(k, r.get(s)) if s is not None else None
+                    for s, k in zip(partition.avro_srcs, partition.avro_convs)
+                )
+            return
         # worker side: stdlib + pyarrow only
         import pyarrow.parquet as pq
 

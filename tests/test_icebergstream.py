@@ -99,3 +99,87 @@ def test_replace_snapshot_refuses(spark, tmp_path):
     s = _load(spark, path, startingSnapshotIndex="0")
     with pytest.raises(Exception, match="removes|append-only"):
         st.run_to_memory(s.groupBy().count(), "complete", state_partitions=2)
+
+
+def test_streams_avro_data_files(spark, tmp_path):
+    """AVRO data files stream (round 11): the appended Avro container
+    decodes worker-side through the by-value codec, field-id-projected
+    driver-side — including after a rename — and mixes with parquet
+    appends in one replay."""
+    import json as _json
+    import os as _os
+
+    from introduction_in_big_data_spark.functions import avrocodec
+
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark, 0, 100), data_format="AVRO")
+    IcebergTableReader(spark, path).update_schema(renames={"v": "val"})
+    # append one MORE avro file (id-projected across the rename) and
+    # one parquet file: a mixed-format replay
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "k", "type": ["null", "long"], "field-id": 1},
+            {"name": "v", "type": ["null", "long"], "field-id": 2},
+        ],
+    }
+    p2 = _os.path.join(path, "data", "extra.avro")
+    avrocodec.write_container(
+        p2, schema, [{"k": k, "v": k * 10} for k in range(100, 160)]
+    )
+    _register_existing_file(spark, path, p2, "AVRO", 60, sequence=1)
+    append_data_snapshot(
+        spark, path,
+        spark.range(160, 200).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+        ),
+        sequence=2,
+    )
+    s = _load(spark, path, startingSnapshotIndex="0")
+    out = st.run_to_memory(
+        s.groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.sum("val").alias("sv")
+        ),
+        "complete",
+        state_partitions=2,
+    )
+    got = out.collect()[0]
+    batch = IcebergTableReader(spark, path).read().agg(
+        F.count(F.lit(1)), F.sum("val")
+    ).collect()[0]
+    assert (got.n, got.sv) == (batch[0], batch[1]) == (200, 199000)
+
+
+def _register_existing_file(spark, path, p, fmt, n_rows, sequence):
+    """Commit an already-written data file as an append snapshot."""
+    import os as _os
+    import uuid as _uuid
+
+    from introduction_in_big_data_spark.functions import avrocodec
+    from introduction_in_big_data_spark.sources.iceberg import (
+        _MANIFEST_V2_SCHEMA,
+        _commit_snapshot,
+        _pad_nullable_fields,
+    )
+
+    meta_dir = _os.path.join(path, "metadata")
+    manifest = _os.path.join(meta_dir, f"{_uuid.uuid4().hex}-m0.avro")
+    entry = {
+        "status": 1,
+        "snapshot_id": None,
+        "sequence_number": int(sequence),
+        "data_file": {
+            "content": 0,
+            "file_path": f"file://{p}",
+            "file_format": fmt,
+            "record_count": n_rows,
+            "file_size_in_bytes": _os.path.getsize(p),
+        },
+    }
+    df_schema = next(
+        f for f in _MANIFEST_V2_SCHEMA["fields"] if f["name"] == "data_file"
+    )["type"]
+    entry["data_file"] = _pad_nullable_fields(df_schema, entry["data_file"])
+    avrocodec.write_container(manifest, _MANIFEST_V2_SCHEMA, [entry])
+    _commit_snapshot(spark, path, [(manifest, 0)], "append")
