@@ -168,7 +168,8 @@ class IcebergStreamReader(DataSourceStreamReader):
         return ({p for p, _ in data}, pos, eq)
 
     def partitions(self, start, end):
-        snaps = _meta(self.path).get("snapshots", [])
+        meta = _meta(self.path)
+        snaps = meta.get("snapshots", [])
         i0 = self._pos_after(snaps, int(start["sid"]))
         i1 = self._pos_after(snaps, int(end["sid"]))
         if i0 >= i1:
@@ -196,11 +197,13 @@ class IcebergStreamReader(DataSourceStreamReader):
                     "only append-only tables stream"
                 )
             for p in sorted(data - prev_data):
-                out.append(self._partition_for(p))
+                out.append(self._partition_for(p, meta))
             prev_data, prev_pos, prev_eq = data, pos, eq
         return out
 
-    def _partition_for(self, p: str) -> _IcebergFilePartition:
+    def _partition_for(
+        self, p: str, meta: dict | None = None
+    ) -> _IcebergFilePartition:
         """Driver-side partition planning: Avro data files get their
         per-column source names resolved HERE (field-id projection
         from the writer schema — renames resolve; name-mapping, then
@@ -212,7 +215,8 @@ class IcebergStreamReader(DataSourceStreamReader):
             return _IcebergFilePartition(p, self._columns)
         from .avro_io import read_avro_schema
 
-        meta = _meta(self.path)
+        if meta is None:
+            meta = _meta(self.path)
         fields = ice.IcebergTableReader._schema_fields(meta)
         fd = {f["name"]: f for f in fields}
         mapping = None
