@@ -428,7 +428,7 @@ def char_lm_scores(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    materialize_grams: bool = True,
+    materialize_grams: bool | None = None,
     gram_kernel: str = "sql",
 ) -> DataFrame:
     """Statistical LM quality scoring (round 3): train a character-
@@ -477,9 +477,13 @@ def char_lm_scores(
     # computing it twice costs more than checkpointing 7M rows; for
     # the arrow kernel the measured tradeoff flips (x10: 3.06s
     # uncheckpointed vs 3.53s checkpointed — the kernel re-run is
-    # cheaper than materializing its output), so the arrow path
-    # recomputes instead of checkpointing.
-    if materialize_grams and gram_kernel != "arrow":
+    # cheaper than materializing its output), so the default
+    # (materialize_grams=None, "auto") checkpoints only the JVM
+    # kernel. Pass an explicit True/False to force either choice —
+    # the calibration ladders use this to measure both arms.
+    if materialize_grams is None:
+        materialize_grams = gram_kernel != "arrow"
+    if materialize_grams:
         dg = dg.localCheckpoint(eager=False)
     counts = dg.groupBy("g").agg(F.sum("cnt").alias("c"))
     scal = counts.agg(

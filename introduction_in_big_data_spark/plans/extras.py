@@ -3738,6 +3738,64 @@ def iceberg_avro_data_read(spark, sf_dir):
 
 
 @register(
+    "iceberg_orc_data_read",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_chars >= 1000
+                             THEN n_chars + 1000000
+                             ELSE n_chars END) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE NOT (n_chars < 200)
+        GROUP BY lang
+    """,
+    tags=("iceberg", "lakehouse", "orc", "dml", "formats"),
+)
+def iceberg_orc_data_read(spark, sf_dir):
+    """ORC data files in an Iceberg table (round 12, VERDICT r11 item
+    4 — `file_format: ORC`, content=0, the Hive-migrated-warehouse
+    shape, previously a pinned refusal): stage documents as ORC files
+    whose columns carry the spec's `iceberg.id` attributes, RENAME a
+    column (projection resolves the current name by attribute id),
+    DELETE the short documents (position-delete hit-detection over the
+    ORC scan's synthesized record-order positions), then UPDATE the
+    long ones (the v2 image appends as parquet — the final snapshot
+    unions both format branches). The scan is HYBRID: plain reads
+    ride Spark's NATIVE JVM ORC reader (codegen, vectorized, stripe
+    splits — zero Python workers); once row-level deletes exist (as
+    here), positions synthesize through a SELF-CONTAINED mapInPandas
+    kernel over pyarrow's C++ ORC reader (vectorized, column-pruned —
+    unlike the Avro leg, nothing ships by value because pyarrow is a
+    PySpark install dependency), because Spark's _metadata.row_index
+    is parquet-only. Oracle replays rename+delete+update from raw
+    parquet. Same aggregate shape as iceberg_avro_data_read so the
+    two format legs are directly comparable."""
+    import tempfile
+
+    from ..sources.iceberg import IcebergTableReader, create_minimal_table
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="iceberg_orc_") + "/t"
+    create_minimal_table(
+        spark, path, docs.repartitionByRange(4, "doc_id"),
+        data_format="ORC",
+    )
+    IcebergTableReader(spark, path).update_schema(
+        renames={"n_chars": "char_count"}
+    )
+    IcebergTableReader(spark, path).delete_where([("char_count", "<", 200)])
+    IcebergTableReader(spark, path).update_where(
+        [("char_count", ">=", 1000)],
+        {"char_count": "char_count + 1000000"},
+    )
+    snap = IcebergTableReader(spark, path).read()
+    return snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("char_count").alias("total_chars"),
+    )
+
+
+@register(
     "delta_dml_update_read",
     oracle="""
         SELECT o_orderpriority,

@@ -67,7 +67,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # queries each round (regression coverage under prefix sampling). Local
 # verification is unaffected — tests/test_oracle.py and the sweep
 # artifacts always run every query.
-_ROTATION_SALT = "r11"
+_ROTATION_SALT = "r12"
 
 _R1_DRIVER_GREEN = frozenset(
     {
@@ -302,6 +302,12 @@ _R10_DRIVER_GREEN = frozenset(
     }
 )
 
+# ROUND 11 greens: every query in _R11_CHANGED below went driver-green
+# in CORRECTNESS_r11 (50/50, all 35 code-changed + the new
+# iceberg_avro_data_read led the prefix and got real rows), so the
+# whole set folds back into the rotating tail for round 12.
+_R11_DRIVER_GREEN = frozenset({"iceberg_avro_data_read"})
+
 # Queries whose implementation changed in ROUND 11 (the Avro data-file
 # split in _data_scan touches EVERY Iceberg scan; _eq_delete_join's
 # per-file format branch; _live_files' format acceptance +
@@ -337,12 +343,33 @@ _R11_CHANGED = frozenset(
     }
 )
 
+# Queries whose implementation changed in ROUND 12: the ORC data-file
+# leg restructures _data_scan's format split (touching EVERY Iceberg
+# scan — the same blast radius as r11's Avro split, hence the same
+# query set), the Avro eq-delete driver-decode cap touches
+# _eq_delete_join, the streaming source grew an ORC partition leg,
+# and the char-LM query's kernel dispatch changed. Each re-leads the
+# sample prefix until driver-checked under the new code. (The new
+# iceberg_orc_data_read is not listed: never-green queries lead
+# automatically.)
+_R12_CHANGED = _R11_CHANGED | frozenset(
+    {
+        # char-LM kernel dispatch rework (plans/text_queries.py):
+        # single SQL kernel at every footprint per the calibrated
+        # x20 evidence (VERDICT r11 item 1)
+        "text_char_lm_quality",
+        # new-in-r11 query, re-led because the r12 format-split
+        # restructure changed its scan path too
+        "iceberg_avro_data_read",
+    }
+)
+
 _DRIVER_GREEN = (
     _R1_DRIVER_GREEN | _R2_DRIVER_GREEN | _R3_DRIVER_GREEN
     | _R4_DRIVER_GREEN | _R5_DRIVER_GREEN | _R6_DRIVER_GREEN
     | _R7_DRIVER_GREEN | _R8_DRIVER_GREEN | _R9_DRIVER_GREEN
-    | _R10_DRIVER_GREEN
-) - _R11_CHANGED
+    | _R10_DRIVER_GREEN | _R11_CHANGED | _R11_DRIVER_GREEN
+) - _R12_CHANGED
 
 # Queries added in the round-3 continuation sessions, AFTER the older
 # never-driver-checked backlog accumulated. The driver samples a ~50

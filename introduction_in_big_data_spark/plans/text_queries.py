@@ -474,16 +474,26 @@ def text_char_lm_quality(spark, sf_dir):
 
     from ..functions.partitioning import spread_if_narrow
 
-    # SIZE-ADAPTIVE parallelism AND gram kernel (rounds 9-10): at
-    # sf0.1-scale inputs the per-task/stage machinery dominates, so
-    # 0.5x parallelism + the pure-JVM sort+RLE kernel win (mapInPandas
-    # worker spin-up costs more than it earns on 5k docs: 1.70s vs
-    # 2.13s min-of-4 same-session). At 10x+ the CPU-bound gram kernel
-    # dominates and the numpy mapInPandas kernel wins (x10 paired
-    # min-of-5: arrow 2.67s vs sql 3.15s vs DuckDB 1.56s — the 1.71x
-    # that closes VERDICT r9 item 1; SCALE.md round-10). The threshold
-    # reads the parquet footprint (2 MB compressed ≈ 20x the sf0.1
-    # bench corpus — text compresses ~10:1) — no job runs.
+    # SIZE-ADAPTIVE parallelism, SINGLE (pure-JVM sort+RLE) kernel
+    # (round 12, VERDICT r11 item 1): rounds 9-11 dispatched the
+    # numpy/Arrow gram kernel above a 2 MB footprint on the strength
+    # of its x10 win (1.59x vs sql 1.78x, calibrated), but every
+    # calibrated x20 measurement — r11's two surviving rounds (sql
+    # 0.81x/1.71x vs arrow 0.99x/2.21x) and r12's 4-arm diagnostic
+    # session (sql 7.0-16.5s vs arrow 13.8-48.9s in ALL six rounds;
+    # arrow+checkpoint lands between, so kernel recompute is only
+    # part of arrow's degradation — the kernel itself scales worse) —
+    # shows the SQL kernel winning at the scales a 100x scale-up
+    # cares about, and it also wins below 2 MB (sf0.1 bench). The
+    # arrow kernel's one narrow win (x10, 12% over sql, both under
+    # the 2x budget) does not justify a fragile two-threshold window
+    # that dispatches a 2x-worse kernel when the host crosses it; the
+    # robust plan is ONE kernel, <=2x at every measured xN (SCALE.md
+    # round-12 ladder). The arrow kernel remains available via
+    # char_lm_scores(gram_kernel="arrow") for mid-scale callers.
+    # Parallelism stays footprint-adaptive: 0.5x below 2 MB (per-task
+    # machinery dominates 5k-doc inputs), 1x above — footprint read
+    # from the parquet file size, no job runs.
     p = _os.path.join(sf_dir, "documents.parquet")
     size = (
         _os.path.getsize(p)
@@ -503,7 +513,7 @@ def text_char_lm_quality(spark, sf_dir):
         ),
         "doc_id",
         "text",
-        gram_kernel="arrow" if big else "sql",
+        gram_kernel="sql",
     )
 
 

@@ -96,6 +96,7 @@ class _IcebergFilePartition(InputPartition):
         columns: list[str],
         avro_srcs: list | None = None,
         avro_convs: list | None = None,
+        orc_srcs: list | None = None,
     ):
         self.path = path
         self.columns = columns
@@ -105,6 +106,10 @@ class _IcebergFilePartition(InputPartition):
         # plain parquet partition
         self.avro_srcs = avro_srcs
         self.avro_convs = avro_convs
+        # ORC data file (round 12): per-column source names resolved
+        # driver-side from the file's `iceberg.id` attributes /
+        # name mapping, read worker-side via pyarrow.orc
+        self.orc_srcs = orc_srcs
 
 
 class IcebergStreamReader(DataSourceStreamReader):
@@ -211,6 +216,8 @@ class IcebergStreamReader(DataSourceStreamReader):
         batch scan) plus date/timestamp conversion kinds, so the
         worker read stays import-free."""
         ice = _pkg()
+        if ice._is_orc_data_file(p):
+            return self._orc_partition_for(p, meta, ice)
         if not ice._is_avro_data_file(p):
             return _IcebergFilePartition(p, self._columns)
         from .avro_io import read_avro_schema
@@ -262,6 +269,59 @@ class IcebergStreamReader(DataSourceStreamReader):
             )
         return _IcebergFilePartition(p, self._columns, srcs, convs)
 
+    def _orc_partition_for(
+        self, p: str, meta: dict | None, ice
+    ) -> _IcebergFilePartition:
+        """ORC leg of driver-side partition planning (round 12): the
+        file's `iceberg.id` column attributes resolve the current
+        field ids (renames project correctly); name-mapping, then
+        current-name fallback for attribute-less files — mirroring
+        the batch _orc_data_scan."""
+        from .orc_io import read_orc_schema
+
+        if meta is None:
+            meta = _meta(self.path)
+        fields = ice.IcebergTableReader._schema_fields(meta)
+        fd = {f["name"]: f for f in fields}
+        sch = read_orc_schema(p)
+        by_id: dict[int, str] = {}
+        names: set = set()
+        any_ids = False
+        for af in sch:
+            names.add(af.name)
+            fid = (af.metadata or {}).get(b"iceberg.id")
+            if fid is not None:
+                any_ids = True
+                by_id[int(fid)] = af.name
+        mapping = None
+        nm = (meta.get("properties") or {}).get(
+            "schema.name-mapping.default"
+        )
+        if nm and not any_ids:
+            mapping = {
+                int(e["field-id"]): e.get("names", ())
+                for e in json.loads(nm)
+                if "field-id" in e
+            }
+        srcs = []
+        for c in self._columns:
+            f = fd.get(c)
+            if f is None:
+                src = None
+            elif any_ids:
+                src = by_id.get(int(f["id"]))
+            elif mapping is not None:
+                src = next(
+                    (n for n in mapping.get(int(f["id"]), ()) if n in names),
+                    None,
+                )
+            else:
+                src = c if c in names else None
+            srcs.append(src)
+        return _IcebergFilePartition(
+            p, self._columns, orc_srcs=srcs
+        )
+
     def read(self, partition: _IcebergFilePartition):
         if partition.avro_srcs is not None:
             # AVRO data file: stdlib decode via the by-value codec
@@ -286,6 +346,26 @@ class IcebergStreamReader(DataSourceStreamReader):
                     conv(k, r.get(s)) if s is not None else None
                     for s, k in zip(partition.avro_srcs, partition.avro_convs)
                 )
+            return
+        if getattr(partition, "orc_srcs", None) is not None:
+            # ORC data file (round 12): pyarrow's C++ ORC reader with
+            # column pruning; sources resolved driver-side by
+            # `iceberg.id` attribute, renamed to current columns here
+            import pyarrow.orc as orc
+
+            srcs = partition.orc_srcs
+            need = sorted({s for s in srcs if s is not None})
+            f = orc.ORCFile(partition.path)
+            if need:
+                tbl = f.read(columns=need)
+                n = tbl.num_rows
+                got = {c: tbl.column(c).to_pylist() for c in need}
+            else:
+                n, got = f.nrows, {}
+            cols = [
+                got[s] if s is not None else [None] * n for s in srcs
+            ]
+            yield from zip(*cols)
             return
         # worker side: stdlib + pyarrow only
         import pyarrow.parquet as pq

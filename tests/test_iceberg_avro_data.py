@@ -295,13 +295,13 @@ def test_compact_migrates_avro_table_to_parquet(spark, tmp_path):
     assert sorted(got) == list(range(70)) and got[3] == "d3"
 
 
-def test_orc_data_files_refuse_as_declared_boundary(spark, tmp_path):
-    """VERDICT r10 item 5: ORC data files are a DECLARED boundary —
-    Parquet and Avro are the formats this engine reads; the refusal is
-    loud and names the boundary."""
+def test_unknown_data_format_refuses_as_declared_boundary(spark, tmp_path):
+    """Round 12 reworks the r11 ORC refusal into a read path
+    (test_iceberg_orc_data.py); the remaining boundary — any OTHER
+    data format — still refuses loudly, naming the supported set."""
     path = str(tmp_path / "t")
     create_minimal_table(spark, path, _df(spark, 10))
-    # doctor the manifest: flip every data entry's file_format to ORC
+    # doctor the manifest: flip every data entry's format to RCFile
     meta_dir = os.path.join(path, "metadata")
     manifest = next(
         os.path.join(meta_dir, f)
@@ -310,8 +310,69 @@ def test_orc_data_files_refuse_as_declared_boundary(spark, tmp_path):
     )
     schema, entries = avrocodec.read_container(manifest)
     for e in entries:
-        e["data_file"]["file_format"] = "ORC"
+        e["data_file"]["file_format"] = "RCFILE"
     os.remove(manifest)
     avrocodec.write_container(manifest, schema, entries)
-    with pytest.raises(UnsupportedIcebergFeature, match="ORC|only PARQUET"):
+    with pytest.raises(
+        UnsupportedIcebergFeature, match="RCFILE|only PARQUET"
+    ):
         IcebergTableReader(spark, path).read().collect()
+
+
+def test_avro_eq_delete_driver_decode_cap_distributes_backlog(
+    spark, tmp_path, monkeypatch
+):
+    """The per-snapshot driver-decode cap on AVRO equality-delete
+    bytes (VERDICT r11 item 2): an un-compacted CDC backlog over the
+    cap decodes DISTRIBUTED (one mapInPandas task per delete file,
+    _eq_delete_avro_scan) instead of on the driver — same answer,
+    sequence gate included, and the driver decoder is provably never
+    called; under the cap the driver path (no job) still runs."""
+    from introduction_in_big_data_spark.sources import iceberg as ice
+    from introduction_in_big_data_spark.sources.iceberg import (
+        add_equality_deletes,
+        append_data_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    create_minimal_table(spark, path, _df(spark, 40), data_format="AVRO")
+    add_equality_deletes(
+        spark, path, [(5,), (7,), (11,)], ["k"], sequence=1,
+        file_format="AVRO",
+    )
+    # re-insert k=5 at a later sequence: must survive on BOTH paths
+    append_data_snapshot(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(5, 10, 7.5, "d5b")],
+            "k long, n_chars long, score double, tag string",
+        ),
+        sequence=3,
+    )
+    expect = sorted(
+        [k for k in range(40) if k not in (5, 7, 11)] + [5]
+    )
+    # default (64 MiB) cap: driver path, deletes applied
+    got = sorted(
+        x.k for x in IcebergTableReader(spark, path).read().collect()
+    )
+    assert got == expect
+    conf = "spark.ibd.iceberg.eqDeleteAvroDriverCapBytes"
+    try:
+        spark.conf.set(conf, "16")  # far below any real container file
+        def _boom(self, *a, **k):  # driver decode must NOT run
+            raise AssertionError(
+                "driver-side eq-delete decode ran above the cap"
+            )
+
+        monkeypatch.setattr(
+            ice.IcebergTableReader, "_eq_delete_avro_rows", _boom
+        )
+        got2 = sorted(
+            x.k
+            for x in IcebergTableReader(spark, path).read().collect()
+        )
+        assert got2 == expect
+    finally:
+        spark.conf.unset(conf)

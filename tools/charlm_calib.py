@@ -61,7 +61,7 @@ def main() -> None:
             df = part if df is None else df.unionByName(part)
         df.repartition(32).write.mode("overwrite").parquet(out_dir)
 
-    def spark_engine(kernel: str):
+    def spark_engine(kernel: str, materialize=None):
         def run():
             spark.catalog.clearCache()
             textops.char_lm_scores(
@@ -70,6 +70,7 @@ def main() -> None:
                 ),
                 "doc_id",
                 "text",
+                materialize_grams=materialize,
                 gram_kernel=kernel,
             ).write.format("noop").mode("overwrite").save()
 
@@ -86,11 +87,17 @@ def main() -> None:
         con.sql(oracle).fetchall()
         con.close()
 
-    engines = {
+    all_engines = {
         "spark_arrow": spark_engine("arrow"),
         "spark_sql": spark_engine("sql"),
+        # diagnostic arm for the x20 dispatch question (VERDICT r11
+        # item 1): arrow kernel but WITH the dg localCheckpoint, so a
+        # win here vs plain arrow isolates the kernel-recompute cost
+        "spark_arrow_ckpt": spark_engine("arrow", materialize=True),
         "duckdb_cold": duck,
     }
+    sel = os.environ.get("CHARLM_ENGINES", "spark_arrow,spark_sql,duckdb_cold")
+    engines = {k: all_engines[k] for k in sel.split(",")}
     # warmup: JVM codegen + Python worker pools + parquet footers, so
     # round 1 isn't structurally slower than round 5
     for fn in engines.values():
