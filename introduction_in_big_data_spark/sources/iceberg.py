@@ -486,18 +486,27 @@ def create_minimal_table(
     (writer schema carrying the spec's `field-id` properties when
     `field_ids`) so tests and the registered query can exercise the
     Avro data-file read path (round 11); Avro staging records no
-    bounds (`bounds=True` refuses — the file-skipping tier is
-    parquet-footer-derived here and does not apply to Avro files)."""
+    bounds (`bounds=True` refuses — Avro containers carry no
+    columnar stats and the codec path is the expensive one to
+    re-scan). `data_format="ORC"` (round 12) stages ORC files whose
+    columns carry the spec's `iceberg.id` attributes; ORC staging
+    DOES support `bounds=True` — the per-file stats scan rides
+    Spark's native ORC reader, so ORC tables get the same
+    manifest-bounds file-skipping tier as parquet."""
     import uuid
 
     from ..functions import avrocodec
 
     if data_format not in ("PARQUET", "AVRO", "ORC"):
         raise ValueError(f"data_format {data_format!r}")
-    if data_format != "PARQUET" and (bounds or existing_files is not None):
+    if data_format == "AVRO" and bounds:
+        # Avro containers have no columnar stats and the codec path
+        # is the expensive one to re-scan; parquet and ORC both
+        # support bounds (one grouped JVM scan either way)
+        raise ValueError("AVRO staging records no bounds")
+    if data_format != "PARQUET" and existing_files is not None:
         raise ValueError(
-            f"{data_format} staging records no bounds and takes no "
-            "existing_files"
+            f"{data_format} staging takes no existing_files"
         )
     spark_to_ice = _SPARK_TO_ICE
     meta_dir = os.path.join(path, "metadata")
@@ -599,8 +608,16 @@ def create_minimal_table(
             aggs.append(
                 F.sum(F.isnull(name).cast("long")).alias(f"__nul__{i}")
             )
+        # one grouped JVM scan per staging either way: _metadata.
+        # file_path resolves for every file source (only row_index is
+        # parquet-specific), so ORC stats ride the native ORC reader
+        stats_src = (
+            spark.read.orc(list(data_files))
+            if data_format == "ORC"
+            else spark.read.parquet(*data_files)
+        )
         for r in (
-            spark.read.parquet(*data_files)
+            stats_src
             .groupBy(F.col("_metadata.file_path").alias("__fp"))
             .agg(*aggs)
             .collect()

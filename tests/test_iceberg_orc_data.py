@@ -220,3 +220,25 @@ def test_orc_plain_read_takes_native_jvm_branch(spark, tmp_path):
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan2
     assert sorted(x.k for x in df2.collect()) == list(range(5, 40))
+
+
+def test_orc_bounds_staging_enables_file_skipping(spark, tmp_path):
+    """ORC staging records manifest bounds (the stats scan rides
+    Spark's native ORC reader — round 12), so ORC tables get the same
+    file-skipping tier as parquet: a selective predicate read prunes
+    files whose [min, max] provably exclude it, and the answer
+    matches the unpruned read."""
+    path = str(tmp_path / "t")
+    base = spark.range(0, 9000, 1, 6).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("m")
+    ).sortWithinPartitions("k")
+    create_minimal_table(
+        spark, path, base.repartitionByRange(6, "k"),
+        data_format="ORC", bounds=True,
+    )
+    t = IcebergTableReader(spark, path)
+    got = sorted(
+        x.k for x in t.read(predicates=[("k", "<", 100)]).collect()
+    )
+    assert got == list(range(100))
+    assert t.last_scan["skipped_files"] > 0
