@@ -58,6 +58,54 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     )
 
 
+def doc_shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-grams kept IN-ROW: (doc, sh array<string>, sz) —
+    the array-form twin of `doc_shingles` (round 12, guide §2.3/§2.4).
+
+    Keeping the shingle set in its document's row makes three
+    downstream steps row-local instead of aggregates over the exploded
+    stream: per-doc set size is `size(sh)` (was a groupBy(doc) count —
+    one exchange per consumer), MinHash signatures are
+    `array_min(transform(sh, ...))` (was `min(string)` aggregates,
+    which are not hash-aggregatable and forced a SortAggregate with a
+    full sort of the shingle stream on BOTH band-join sides), and
+    candidate verification is `size(array_intersect(a, b))` (was a
+    (doc, shingle) equi-join plus a pair groupBy — two more
+    exchanges).
+
+    Returns the RAW frame: short docs carry an EMPTY array (explode
+    would drop them) — callers filter `size(sh) >= 1` themselves,
+    AFTER a materialization barrier. Filtering here is a planning
+    trap: Catalyst's project-collapse/filter-pushdown substitutes the
+    whole nested-HOF shingle expression into the filter condition (and
+    into every later use), and optimizer passes over the duplicated
+    tree cost 10-14 SECONDS of driver time per plan (measured at
+    round 12; the plain projection plans in <1s)."""
+    tokenized = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
+    )
+    return tokenized.select(
+        "doc", shingles_from_tokens(F.col("__toks"), n).alias("sh")
+    )
+
+
+def _shingle_arrays_materialized(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(doc, sh, sz) over a lazy localCheckpoint of the raw array
+    frame, empties dropped. The checkpoint is the planning barrier:
+    size()/filter are trivial attribute expressions over the stored
+    blocks, never substituted into the shingle HOF expression (see
+    doc_shingle_arrays). Blocks are GC-freed; lineage-drop trade-off
+    as documented on jaccard_pairs."""
+    raw = doc_shingle_arrays(df, id_col, text_col, n).localCheckpoint(eager=False)
+    return raw.select(
+        "doc", "sh", F.size("sh").alias("sz")
+    ).filter(F.col("sz") >= 1)
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -73,16 +121,23 @@ def jaccard_pairs(
     more than N docs — they contribute O(N²) join rows but almost no
     Jaccard signal (same trick as dropping stopwords).
     """
-    # the shingle frame feeds three plan branches (sizes, both join
-    # sides); checkpoint it so the tokenize+explode runs once, not 3x
-    # (localCheckpoint blocks are GC-freed; cache() entries would pile
-    # up in CacheManager across calls in a long session — ADVICE r2).
+    # the shingle frame feeds multiple plan branches; checkpoint it so
+    # the tokenize+gram projection runs once (localCheckpoint blocks
+    # are GC-freed; cache() entries would pile up in CacheManager
+    # across calls in a long session — ADVICE r2). Round 12: the
+    # checkpoint stores the ARRAY form (doc, sh, sz) — smaller blocks
+    # than the exploded stream, per-doc size comes along for free, and
+    # each join side re-explodes from blocks with one cheap Generate.
     # Trade-off: checkpointed blocks DROP lineage, so on a multi-
     # executor cluster an executor loss fails the job instead of
     # recomputing; a fault-tolerant deployment should swap this for
     # cache()+unpersist() or reliable checkpoint() (ADVICE r3).
-    sh = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+    sh_arr = _shingle_arrays_materialized(df, id_col, text_col, n)
     if max_shingle_freq is not None:
+        # the stop-shingle cap needs global document frequencies, so
+        # this branch works on the exploded stream and recounts sizes
+        # AFTER the filter (the denominator uses surviving shingles)
+        sh = sh_arr.select("doc", F.explode("sh").alias("shingle"))
         rare = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df_"))
@@ -90,21 +145,44 @@ def jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle", "left_semi")
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+        sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+        a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+        sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+        joined = inter.join(sa, "doc_a").join(sb, "doc_b")
+    else:
+        # round 12 (guide §2.3/§2.4): per-doc set sizes RIDE THE PAIR
+        # STREAM instead of joining back. sz is functionally dependent
+        # on doc, so grouping by (doc, sz) pairs is the same grouping —
+        # 8 extra bytes per pair row on the one unavoidable exchange
+        # buys the removal of two joins plus the two size aggregates
+        # that fed them (each a full pass + exchange over the shingle
+        # stream; Catalyst does not CSE the sa/sb branches).
+        a = sh_arr.select(
+            F.col("doc").alias("doc_a"),
+            F.col("sz").alias("sz_a"),
+            F.explode("sh").alias("shingle"),
+        )
+        b = sh_arr.select(
+            F.col("doc").alias("doc_b"),
+            F.col("sz").alias("sz_b"),
+            F.explode("sh").alias("shingle"),
+        )
+        joined = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        joined.withColumn(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
@@ -212,6 +290,30 @@ def minhash_signatures_from_shingles(
     return sh.groupBy("doc").agg(*aggs)
 
 
+def minhash_signatures_from_arrays(
+    sh_arr: DataFrame, seeds: int = MINHASH_SEEDS
+) -> DataFrame:
+    """MinHash signatures from the ARRAY-form shingle frame (round 12):
+    sig_s = array_min(transform(sh, x -> md5(s || ':' || x))) — the
+    same md5 strings and the same lexicographic min as the grouped
+    form, computed row-locally inside codegen. The grouped form's
+    min(string) aggregates are not hash-aggregatable (UnsafeRow agg
+    buffers need fixed-width mutable types), so Spark planned a
+    SortAggregate: a full sort of the exploded shingle stream on every
+    consumer. The array form needs no aggregate, no sort and no
+    exchange at all — per-doc work, embarrassingly parallel."""
+    sigs = [
+        F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda x, s=s: F.md5(F.concat(F.lit(f"{s}:"), x)),
+            )
+        ).alias(f"sig{s}")
+        for s in range(seeds)
+    ]
+    return sh_arr.select(F.col("doc"), *sigs)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, seeds: int = MINHASH_SEEDS
 ) -> DataFrame:
@@ -234,6 +336,11 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col("doc"), F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # both self-join sides consume the banded frame and Catalyst does
+    # not CSE them — without materialization every signature md5 (the
+    # dominant per-row cost) runs twice. (doc, band, key) is 3 narrow
+    # rows per doc; blocks are GC-freed (round 12, guide §2.4).
+    banded = banded.localCheckpoint(eager=False)
     x = banded.select(F.col("doc").alias("doc_a"), "band", "key")
     y = banded.select(F.col("doc").alias("doc_b"), "band", "key")
     return (
@@ -254,28 +361,34 @@ def minhash_lsh_dedup(
     bands: int = LSH_BANDS,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: signatures (linear) → band
-    candidates (near-linear) → exact Jaccard only on candidates."""
-    # five plan branches consume the shingles (signatures, sizes, both
-    # verify-join sides) — cache the explode once
-    sh = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
-    sigs = minhash_signatures_from_shingles(sh, seeds)
+    candidates (near-linear) → exact Jaccard only on candidates.
+
+    Round-12 shape (guide §2.3/§2.4): the shingle sets stay IN-ROW
+    (doc_shingle_arrays) — signatures are row-local array_min (no
+    SortAggregate, no sort, no exchange), per-doc sizes ride the
+    arrays, and the verify step attaches each candidate pair's two
+    arrays and computes |A∩B| with one array_intersect per pair
+    instead of a (doc, shingle) equi-join + pair groupBy + two size
+    joins. The candidate frame is the output of an aggregate
+    (distinct), so AQE sizes it from runtime stats and broadcasts it
+    into both attach joins when it is small — at scale they degrade to
+    shuffles of the candidate docs' arrays, the same bytes the old
+    exploded joins moved. Old plan: 9 exchanges, 2 SortAggregate
+    sorts; new plan: 3 exchanges, none."""
+    sh_arr = _shingle_arrays_materialized(df, id_col, text_col, n)
+    sigs = minhash_signatures_from_arrays(sh_arr, seeds)
     cands = lsh_candidate_pairs(sigs, bands, seeds)
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
-    # equi-join on (doc_b, shingle) so each candidate pair only pays for
-    # its matching shingles, never the sz_a × sz_b cross product
-    inter = (
-        cands.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    pa = sh_arr.select(
+        F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    pb = sh_arr.select(
+        F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cands.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn("inter", inter)
         .withColumn(
             "jaccard",
             F.round(

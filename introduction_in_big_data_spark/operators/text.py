@@ -283,6 +283,18 @@ def tfidf_top_terms(
     tf = tok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     if broadcast_df:
+        # tf feeds two consumers (the term-dictionary group-by and the
+        # scoring join) and Catalyst does not CSE them: without a
+        # barrier the whole tokenize → explode → repartition → tf
+        # aggregate pipeline runs TWICE (round 12; visible in the
+        # before-plan as two parquet scans each with its own Generate
+        # and doc Exchange). Materialize tf once (lazy localCheckpoint,
+        # blocks GC-freed). Trade-off: the LogicalRDD loses the
+        # hash(doc) partitioning, so the top-k window re-shuffles tf —
+        # one exchange of the (doc, term, tf) aggregate vs a full
+        # duplicate scan+explode of the corpus; the aggregate is the
+        # far smaller stream (distinct pairs, post-combine).
+        tf = tf.localCheckpoint(eager=False)
         counts = tf.groupBy("term").agg(
             F.count(F.lit(1)).alias("dfreq")
         )
@@ -486,6 +498,12 @@ def char_lm_scores(
     if materialize_grams:
         dg = dg.localCheckpoint(eager=False)
     counts = dg.groupBy("g").agg(F.sum("cnt").alias("c"))
+    # counts feeds TWO consumers (the broadcast scoring join and the
+    # N/V scalar gate) and Catalyst does not CSE them — without a
+    # barrier the whole dictionary group-by over dg runs twice
+    # (round 12, guide §2.4). The dictionary is bounded by |charset|³
+    # regardless of corpus size, so materializing it is always cheap.
+    counts = counts.localCheckpoint(eager=False)
     scal = counts.agg(
         F.sum("c").alias("N"), F.count(F.lit(1)).alias("V")
     )
@@ -645,18 +663,25 @@ def bpe_train(
         )
         .localCheckpoint(eager=False)
     )
+    # the symbol array is projected ONCE (t) in its own Project under
+    # the Generate: inlining split(trim(s)) into the transform lambda
+    # would re-split the string for EVERY element_at call — Catalyst
+    # does not hoist loop-invariant subexpressions out of lambda
+    # bodies, so the per-word pair explode cost O(len·symbols) splits
+    # instead of one (round 12, guide §1.2 per-task work)
     pair_expr = F.expr(
-        "CASE WHEN size(split(trim(s), '  ')) >= 2 THEN "
-        "transform(sequence(1, size(split(trim(s), '  ')) - 1), i -> struct("
-        "element_at(split(trim(s), '  '), i) AS a, "
-        "element_at(split(trim(s), '  '), i + 1) AS b)) "
+        "CASE WHEN size(t) >= 2 THEN "
+        "transform(sequence(1, size(t) - 1), i -> struct("
+        "element_at(t, i) AS a, "
+        "element_at(t, i + 1) AS b)) "
         "ELSE array() END"
     )
     merges: list[tuple] = []
     cur = words
     for r in range(1, n_merges + 1):
         pairs = (
-            cur.select(F.explode(pair_expr).alias("p"), "freq")
+            cur.select(F.split(F.trim(F.col("s")), "  ").alias("t"), "freq")
+            .select(F.explode(pair_expr).alias("p"), "freq")
             .groupBy("p.a", "p.b")
             .agg(F.sum("freq").alias("cnt"))
         )
