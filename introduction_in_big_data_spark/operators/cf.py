@@ -143,7 +143,9 @@ def user_cosine_similarities(
         .groupBy("user_a", "user_b")
         .agg(F.sum(F.col("rating_a") * F.col("rating_b")).alias("dot"))
     )
-    norms = user_norms(ratings)
+    # materialized once: na/nb are two uncommon-subexpression branches
+    # and would each re-run the user-norm aggregate (round 12)
+    norms = user_norms(ratings).localCheckpoint(eager=False)
     if broadcast_norms:
         norms = F.broadcast(norms)
     na = norms.select(F.col("user_id").alias("user_a"), F.col("norm").alias("norm_a"))
@@ -221,7 +223,12 @@ def user_cosine_similarities_pruned(
         )
         .filter(F.col("overlap") >= min_overlap)
     )
-    norms = user_norms(ratings)  # norms over the FULL ratings, like the exact path
+    # norms over the FULL ratings, like the exact path. Materialized
+    # once (lazy localCheckpoint): na and nb are two plan branches and
+    # Catalyst does not CSE them — without the barrier the user-norm
+    # aggregate (a full exchange of the ratings blocks, whose
+    # checkpoint partitioning is unknown) runs twice (round 12)
+    norms = user_norms(ratings).localCheckpoint(eager=False)
     if broadcast_norms:
         norms = F.broadcast(norms)  # see user_cosine_similarities docstring
     na = norms.select(F.col("user_id").alias("user_a"), F.col("norm").alias("norm_a"))

@@ -26,7 +26,9 @@ def stream_user_counts(spark, sf_dir):
     (Part_B.py:90-110's dict folding as stateful streaming agg,
     complete mode)."""
     s = st.events_stream(spark, sf_dir, n_files=N_FILES)
-    return st.run_to_memory(st.cumulative_counts(s, ["user_id"]), "complete")
+    return st.run_to_memory(
+        st.cumulative_counts(s, ["user_id"]), "complete", no_data_batches=False
+    )
 
 
 @register(
@@ -44,7 +46,9 @@ def stream_top5_event_types(spark, sf_dir):
     """K6 — heavy hitters at stream end (per-batch reports are
     exercised in tests/test_streaming.py via foreachBatch)."""
     s = st.events_stream(spark, sf_dir, n_files=N_FILES)
-    counts = st.run_to_memory(st.cumulative_counts(s, ["event_type"]), "complete")
+    counts = st.run_to_memory(
+        st.cumulative_counts(s, ["event_type"]), "complete", no_data_batches=False
+    )
     return counts.orderBy(F.desc("cnt"), F.asc("event_type")).limit(5)
 
 
@@ -76,6 +80,11 @@ def stream_hourly_by_type(spark, sf_dir):
         st.tumbling_counts(s, "ts", "1 hour", ["event_type"]),
         "complete",
         state_partitions=4,
+        # watermark-free complete-mode agg: the trailing no-data
+        # micro-batch re-emits the final batch's table — skipping it
+        # is free correctness-wise and ~25% of the bounded run
+        # (round 12)
+        no_data_batches=False,
     )
 
 
@@ -105,7 +114,7 @@ def stream_nation_event_revenue(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
-    return st.run_to_memory(agg, "complete")
+    return st.run_to_memory(agg, "complete", no_data_batches=False)
 
 
 @register(
@@ -118,7 +127,9 @@ def stream_distinct_users(spark, sf_dir):
     intended semantics of the reference's set-based counter
     (Part_B.py:136-157)."""
     s = st.events_stream(spark, sf_dir, n_files=N_FILES)
-    return st.run_to_memory(st.streaming_distinct_count(s, "user_id"), "complete")
+    return st.run_to_memory(
+        st.streaming_distinct_count(s, "user_id"), "complete", no_data_batches=False
+    )
 
 
 @register(
@@ -143,7 +154,7 @@ def stream_dedup_unique_users_by_type(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("unique_users"))
     )
-    return st.run_to_memory(agg, "complete")
+    return st.run_to_memory(agg, "complete", no_data_batches=False)
 
 
 @register(

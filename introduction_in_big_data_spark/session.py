@@ -55,6 +55,15 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # SPARK_GRAFT_CONF: semicolon-separated key=value pairs appended
+    # last (they win). The deployment knob the optimization guide
+    # asks for: scale-dependent settings (shuffle partitions, codec,
+    # join thresholds) stay parameterised instead of hard-coded for
+    # either local mode or a cluster size.
+    for pair in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

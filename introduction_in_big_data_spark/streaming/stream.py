@@ -166,6 +166,7 @@ def run_to_memory(
     result_stream: DataFrame,
     output_mode: str = "complete",
     state_partitions: int | None = None,
+    no_data_batches: bool | None = None,
 ) -> DataFrame:
     """Drain a (bounded) streaming result into an in-memory table with
     Trigger.AvailableNow and return it as a batch DataFrame — the
@@ -180,12 +181,27 @@ def run_to_memory(
     few dozen keys unless sized down. This is the standard streaming
     deployment knob (state shards ≈ key cardinality / target shard
     size, NOT cpu count); the conf is set only while the bounded query
-    drains, then restored."""
+    drains, then restored.
+
+    `no_data_batches=False` skips the trailing empty micro-batch the
+    engine otherwise schedules after the last data batch (round 12,
+    measured ~25% of this bounded run's wall clock). No-data batches
+    exist to let EVENT-TIME state advance — flush watermark-gated
+    windows/joins and fire timeouts — after data stops; for a
+    watermark-free query (complete/update-mode aggregation over all
+    input) the extra batch re-emits what the last data batch already
+    emitted, so skipping it cannot change the drained table. Callers
+    with watermarks or stateful timeouts MUST leave it None: their
+    final emissions happen IN the no-data batch."""
     spark = result_stream.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    _NDB = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_ndb = spark.conf.get(_NDB)
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if no_data_batches is not None:
+        spark.conf.set(_NDB, "true" if no_data_batches else "false")
     try:
         q = (
             result_stream.writeStream.outputMode(output_mode)
@@ -198,6 +214,8 @@ def run_to_memory(
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if no_data_batches is not None:
+            spark.conf.set(_NDB, prev_ndb)
     return spark.table(name)
 
 
