@@ -45,6 +45,13 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 
 def cosine(va: Column, vb: Column, na: Column, nb: Column) -> Column:
+    """Rounded cosine from pre-computed norms, via the sequential-fold
+    dot. Round 12 measured (and REJECTED) an unrolled
+    0.0 + a[1]·b[1] + ... chain here: bitwise-identical and
+    "codegen-friendly" on paper, but the 64-term expression blew past
+    the JIT/codegen method-size limits and ran ~5x SLOWER than the
+    interpreted fold on the LSH verify stage (10.9s vs 2.2s at sf0.1)
+    — see OPTIMIZATION_r12.md."""
     return F.round(dot(va, vb) / (na * nb), SIM_SCALE)
 
 

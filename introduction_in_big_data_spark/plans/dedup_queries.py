@@ -26,8 +26,16 @@ def _docs_spread(spark, sf_dir):
     """documents projected + spread: the shingle/signature/gram map
     stages are per-row expensive, and the single-row-group test file
     would otherwise run them in ONE task (functions/partitioning.py;
-    measured 3.0s->1.4s jaccard, 4.4s->1.5s substring at sf0.1)."""
-    return spread_if_narrow(t(spark, sf_dir, "documents"))
+    measured 3.0s->1.4s jaccard, 4.4s->1.5s substring at sf0.1).
+
+    multiplier=0.5 (round 12): the array-form shingle pipeline removed
+    the per-row sort-aggregate work, so at 2x (64 partitions) per-task
+    scheduling dominates what each tiny task computes — the same
+    regime char-LM hit. Measured ladder at matching probes:
+    x2 jaccard 1.83s / minhash 1.23s, x1 1.40/1.27, x0.5 1.29/1.12,
+    x0.25 1.35/1.33. At cluster scale a wide scan already plans more
+    partitions than 0.5x cores and the spread is the identity."""
+    return spread_if_narrow(t(spark, sf_dir, "documents"), multiplier=0.5)
 
 JACCARD_THRESHOLD = 0.7
 SHINGLE_N = 3
