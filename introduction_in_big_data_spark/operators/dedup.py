@@ -385,7 +385,7 @@ def minhash_lsh_dedup(
     into both attach joins when it is small — at scale they degrade to
     shuffles of the candidate docs' arrays, the same bytes the old
     exploded joins moved. Old plan: 9 exchanges, 2 SortAggregate
-    sorts; new plan: 3 exchanges, none."""
+    sorts; new plan: 4 exchanges, none (captured in plans/r12/)."""
     sh_arr = _shingle_arrays_materialized(df, id_col, text_col, n)
     sigs = minhash_signatures_from_arrays(sh_arr, seeds)
     cands = lsh_candidate_pairs(sigs, bands, seeds)
