@@ -68,21 +68,26 @@ def q5_region_revenue(spark, sf_dir):
     bench=True,
 )
 def q18_large_orders(spark, sf_dir):
-    """Q18 shape: HAVING-filtered aggregate drives a semi-join into the
-    fact/dim join. The big-order key set is tiny after the filter →
-    broadcast semi-join; the quantity re-aggregation reuses the same
-    shuffle-by-orderkey partitioning."""
+    """Q18 shape: HAVING-filtered aggregate drives the join into the
+    fact/dim join. Round 12 (guide §1.2 "don't compute things you
+    throw away"): the original semi-join-then-rejoin form evaluated
+    the lineitem quantity aggregate TWICE — once filtered for the
+    semi-join's key set, once unfiltered for the output column (no
+    CSE; two full lineitem scans in the before-plan). One INNER join
+    with the HAVING-filtered aggregate is row-identical (the filtered
+    frame is keyed by the same orderkey the semi-join tested) and
+    aggregates lineitem once; the tiny post-HAVING side broadcasts, so
+    orders still never shuffles."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer").select("c_custkey")
     qty = li.groupBy("l_orderkey").agg(
         F.sum(F.col("l_quantity").cast("long")).alias("qty")
     )
-    big = qty.filter(F.col("qty") > 150).select("l_orderkey")
+    bigq = qty.filter(F.col("qty") > 150)
     return (
-        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        o.join(bigq, o.o_orderkey == bigq.l_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(qty, o.o_orderkey == qty.l_orderkey)
         .select(
             "c_custkey",
             "o_orderkey",
