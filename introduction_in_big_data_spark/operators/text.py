@@ -222,6 +222,37 @@ def pack_token_shards(
     )
 
 
+# Corpus-size gate for tfidf_top_terms' tf barrier (r13, VERDICT r12
+# item 2): below this many input bytes the duplicate corpus scan is
+# cheaper than the checkpoint's extra planning + block write + lost
+# hash(doc) partitioning; above it the single-scan shape wins.
+# Env-parameterised so a cluster deployment can tune it without code.
+def _tfidf_tf_materialize_min_bytes() -> int:
+    import os
+
+    return int(
+        os.environ.get("SPARK_GRAFT_TFIDF_TF_MATERIALIZE_MIN_BYTES", 256 << 20)
+    )
+
+
+def _input_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of df's file-source inputs, or None when the
+    frame has no file lineage (in-memory, RDD-backed, streaming)."""
+    import os
+
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        total = 0
+        for f in files:
+            p = f.removeprefix("file:")
+            total += os.path.getsize(p)
+        return total
+    except Exception:
+        return None
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str,
@@ -229,6 +260,7 @@ def tfidf_top_terms(
     k: int = 3,
     broadcast_df: bool = True,
     doc_partitions: int | None = 16,
+    materialize_tf: bool | None = None,
 ) -> DataFrame:
     """Top-k TF-IDF terms per document — the classic corpus-analysis
     ranking (what "characterizes" each doc against the collection).
@@ -286,15 +318,26 @@ def tfidf_top_terms(
         # tf feeds two consumers (the term-dictionary group-by and the
         # scoring join) and Catalyst does not CSE them: without a
         # barrier the whole tokenize → explode → repartition → tf
-        # aggregate pipeline runs TWICE (round 12; visible in the
-        # before-plan as two parquet scans each with its own Generate
-        # and doc Exchange). Materialize tf once (lazy localCheckpoint,
-        # blocks GC-freed). Trade-off: the LogicalRDD loses the
-        # hash(doc) partitioning, so the top-k window re-shuffles tf —
-        # one exchange of the (doc, term, tf) aggregate vs a full
-        # duplicate scan+explode of the corpus; the aggregate is the
-        # far smaller stream (distinct pairs, post-combine).
-        tf = tf.localCheckpoint(eager=False)
+        # aggregate pipeline appears TWICE in the plan (round 12;
+        # visible as two parquet scans each with its own Generate and
+        # doc Exchange). Materializing tf once (lazy localCheckpoint)
+        # trades that duplicate scan for: the checkpoint's eager
+        # physical planning at build time, a block write, and the
+        # LogicalRDD losing hash(doc) partitioning so the top-k window
+        # re-shuffles tf. Below ~hundreds of MB of corpus the
+        # duplicate scan is the cheaper side (driver r12 measured the
+        # barrier 2.2x slower at sf0.1); at scale the single-scan
+        # shape wins because the corpus scan dominates everything
+        # else. `materialize_tf=None` (auto) keys the choice on the
+        # input file bytes — frames without file lineage get the
+        # barrier, the scale-safe default for opaque inputs.
+        if materialize_tf is None:
+            nbytes = _input_bytes(df)
+            materialize_tf = (
+                nbytes is None or nbytes >= _tfidf_tf_materialize_min_bytes()
+            )
+        if materialize_tf:
+            tf = tf.localCheckpoint(eager=False)
         counts = tf.groupBy("term").agg(
             F.count(F.lit(1)).alias("dfreq")
         )
