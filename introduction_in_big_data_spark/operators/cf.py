@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import barrier
+
 RATING_SCALE = 6  # decimals kept for mean ratings
 SIM_SCALE = 6  # decimals kept for cosine similarities
 PRED_SCALE = 6  # decimals kept for predicted ratings
@@ -93,7 +95,7 @@ def filter_popular_items(ratings: DataFrame, top_fraction: float) -> DataFrame:
     # both consumers read the stored blocks, and the blocks are freed by
     # ContextCleaner when the returned plan is GC'd — persist() entries
     # in CacheManager would outlive the call in long sessions (ADVICE r2)
-    counts = counts.localCheckpoint(eager=False)
+    counts = counts.transform(barrier)
     k = int(counts.count() * top_fraction)  # floor; one tiny scalar job
     popular = (
         counts.orderBy(F.desc("cnt"), F.asc("item_id")).limit(k).select("item_id")
@@ -246,7 +248,7 @@ def user_cosine_similarities_pruned(
     # dominate (it is NOT, locally or at bench scale).
     norms = user_norms(ratings)
     if materialize_norms:
-        norms = norms.localCheckpoint(eager=False)
+        norms = norms.transform(barrier)
     if broadcast_norms:
         norms = F.broadcast(norms)  # see user_cosine_similarities docstring
     na = norms.select(F.col("user_id").alias("user_a"), F.col("norm").alias("norm_a"))

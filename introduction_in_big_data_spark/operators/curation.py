@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import barrier
+
 from .dedup import doc_shingles
 
 # Redaction patterns use only syntax shared by Java regex (Spark) and
@@ -281,7 +283,7 @@ def epoch_shuffle(
         .withColumn("shard", shard.cast("int"))
         .repartitionByRange(F.col("shard"), F.col("shuffle_key"))
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(barrier, eager=True)
     )
     counts = (
         keyed.groupBy("__pid", "shard").agg(F.count(F.lit(1)).alias("__n")).collect()

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import barrier
+
 from ..functions.textfns import shingles_from_tokens, tokens
 
 MINHASH_SEEDS = 9  # signature length
@@ -100,7 +102,7 @@ def _shingle_arrays_materialized(
     blocks, never substituted into the shingle HOF expression (see
     doc_shingle_arrays). Blocks are GC-freed; lineage-drop trade-off
     as documented on jaccard_pairs."""
-    raw = doc_shingle_arrays(df, id_col, text_col, n).localCheckpoint(eager=False)
+    raw = doc_shingle_arrays(df, id_col, text_col, n).transform(barrier)
     return raw.select(
         "doc", "sh", F.size("sh").alias("sz")
     ).filter(F.col("sz") >= 1)
@@ -120,6 +122,16 @@ def jaccard_pairs(
     `max_shingle_freq` drops degenerate stop-shingles that appear in
     more than N docs — they contribute O(N²) join rows but almost no
     Jaccard signal (same trick as dropping stopwords).
+
+    Spill-safety note (ADVICE r12): the default path forces a
+    shuffled-hash self-join, which — unlike sort-merge — cannot spill
+    its build side. One degenerate hot shingle (a boilerplate n-gram
+    shared by a large fraction of the corpus) concentrates its n² pair
+    rows in a single hash partition and can OOM an executor. Corpora
+    where that is plausible should set `max_shingle_freq` (which both
+    bounds the pair blowup AND routes this function through the
+    spill-safe exploded-join branch) or use the prefix-filter variant,
+    the declared 100 TB path — it never joins hot shingles at all.
     """
     # the shingle frame feeds multiple plan branches; checkpoint it so
     # the tokenize+gram projection runs once (localCheckpoint blocks
@@ -236,7 +248,7 @@ def jaccard_pairs_prefix(
 
     # Three consumers (df-counts, prefix build, verify sets): cache the
     # exploded shingles so tokenize+explode runs once.
-    sh = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+    sh = doc_shingles(df, id_col, text_col, n).transform(barrier)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     w_rank = Window.partitionBy("doc").orderBy("df_", "shingle")
     w_doc = Window.partitionBy("doc")
@@ -351,7 +363,7 @@ def lsh_candidate_pairs(
     # not CSE them — without materialization every signature md5 (the
     # dominant per-row cost) runs twice. (doc, band, key) is 3 narrow
     # rows per doc; blocks are GC-freed (round 12, guide §2.4).
-    banded = banded.localCheckpoint(eager=False)
+    banded = banded.transform(barrier)
     x = banded.select(F.col("doc").alias("doc_a"), "band", "key")
     y = banded.select(F.col("doc").alias("doc_b"), "band", "key")
     return (
@@ -406,7 +418,12 @@ def minhash_lsh_dedup(
                 F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
+        # inter > 0 restores exact parity with the replaced
+        # (doc, shingle) inner-join verify, which never materialized
+        # zero-overlap candidate pairs (ADVICE r12): without it a
+        # threshold <= 0 would keep banding-collision pairs with
+        # jaccard 0.0 that the old form dropped before its filter.
+        .filter((F.col("inter") > 0) & (F.col("jaccard") >= threshold))
         .select("doc_a", "doc_b", "jaccard")
     )
 
@@ -455,7 +472,7 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = new_labels.transform(barrier, eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc")

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import barrier
+
 
 def pagerank(
     edges: DataFrame,
@@ -45,7 +47,7 @@ def pagerank(
     n = nodes.count()  # one scalar job; N is a plan constant after this
     outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
     # (src, dst, outdeg) is loop-invariant: materialize once
-    contrib_edges = edges.join(outdeg, src).localCheckpoint(eager=False)
+    contrib_edges = edges.join(outdeg, src).transform(barrier)
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
         contribs = (
@@ -67,7 +69,7 @@ def pagerank(
                 ).alias("rank"),
             )
             # truncate lineage: keep the plan O(1) per iteration
-            .localCheckpoint(eager=False)
+            .transform(barrier)
         )
     return ranks.select("node", F.round("rank", round_scale).alias("rank"))
 
@@ -140,7 +142,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(ou < ov, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(ou < ov, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(ou < ov, ov).otherwise(ou).alias("ord_b"),
-    ).localCheckpoint(eager=False)  # consumed by the wedge self-join
+    ).transform(barrier)  # consumed by the wedge self-join
     # (both sides) AND the closing semi-join; blocks GC-freed
     w1 = oriented.select("a", F.col("b").alias("x"), F.col("ord_b").alias("ord_x"))
     w2 = oriented.select("a", F.col("b").alias("y"), F.col("ord_b").alias("ord_y"))

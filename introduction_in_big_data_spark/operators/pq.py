@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import barrier
+
 from .similarity import dot as dot_fold
 
 SIM_SCALE = 6
@@ -60,7 +62,7 @@ def train_pq_codebooks(
             array_to_vector(
                 F.slice(F.col(vec_col).cast("array<double>"), m * d_sub + 1, d_sub)
             ).alias("features")
-        ).localCheckpoint(eager=False)
+        ).transform(barrier)
         model = KMeans(k=n_codes, seed=seed, maxIter=10).fit(sub)
         books.append(
             [

@@ -28,6 +28,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import barrier
+
 SIM_SCALE = 6
 
 
@@ -292,7 +294,7 @@ def lsh_near_dup_pairs(
     banded = (
         bander(emb, dim, n_planes, n_bands, seed)
         .select(F.col(id_col), F.explode("bands").alias("bk"))
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     a = banded.select(F.col(id_col).alias("vec_a"), "bk")
     b = banded.select(F.col(id_col).alias("vec_b"), "bk")

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import barrier
+
 from ..functions.textfns import normalize_text, token_count, tokens
 
 # Marker stopwords per language for the n-gram/stopword language-ID
@@ -337,7 +339,7 @@ def tfidf_top_terms(
                 nbytes is None or nbytes >= _tfidf_tf_materialize_min_bytes()
             )
         if materialize_tf:
-            tf = tf.localCheckpoint(eager=False)
+            tf = tf.transform(barrier)
         counts = tf.groupBy("term").agg(
             F.count(F.lit(1)).alias("dfreq")
         )
@@ -539,14 +541,14 @@ def char_lm_scores(
     if materialize_grams is None:
         materialize_grams = gram_kernel != "arrow"
     if materialize_grams:
-        dg = dg.localCheckpoint(eager=False)
+        dg = dg.transform(barrier)
     counts = dg.groupBy("g").agg(F.sum("cnt").alias("c"))
     # counts feeds TWO consumers (the broadcast scoring join and the
     # N/V scalar gate) and Catalyst does not CSE them — without a
     # barrier the whole dictionary group-by over dg runs twice
     # (round 12, guide §2.4). The dictionary is bounded by |charset|³
     # regardless of corpus size, so materializing it is always cheap.
-    counts = counts.localCheckpoint(eager=False)
+    counts = counts.transform(barrier)
     scal = counts.agg(
         F.sum("c").alias("N"), F.count(F.lit(1)).alias("V")
     )
@@ -704,7 +706,7 @@ def bpe_train(
             ).alias("s"),
             "freq",
         )
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     # the symbol array is projected ONCE (t) in its own Project under
     # the Generate: inlining split(trim(s)) into the transform lambda
@@ -742,7 +744,7 @@ def bpe_train(
                 F.lit(f" {a}{b} "),
             ).alias("s"),
             "freq",
-        ).localCheckpoint(eager=False)
+        ).transform(barrier)
     return spark.createDataFrame(
         merges, "merge_round int, merge_left string, merge_right string, pair_count long"
     )

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import barrier
+
 
 def top_k(df: DataFrame, order_by: list, k: int) -> DataFrame:
     """K1-K4 — global top-k. `order_by` are Column expressions; always
@@ -77,7 +79,7 @@ def exact_ntile(
     part = (
         df.repartitionByRange(*cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(barrier, eager=True)
     )
     sizes = {
         r["__pid"]: r["__n"]

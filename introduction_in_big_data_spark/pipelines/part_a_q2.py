@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import barrier
+
 from ..operators import cf
 from .part_a_q1 import clean_books, clean_users
 
@@ -48,7 +50,7 @@ def run_collaborative_filtering(
         .agg(F.round(F.avg("Book-Rating"), cf.RATING_SCALE).alias("rating"))
     )
     r = cf.filter_active_users(r, min_ratings)
-    r = cf.filter_popular_items(r, top_fraction).localCheckpoint(eager=False)
+    r = cf.filter_popular_items(r, top_fraction).transform(barrier)
 
     sims = cf.user_cosine_similarities(r)
     neighbors = cf.knn_neighbors(sims, k)

@@ -10,6 +10,8 @@ values (see operators/cf.py for the determinism rules).
 
 from __future__ import annotations
 
+from ..session import barrier
+
 from ..operators import cf
 from .registry import register, t
 
@@ -93,7 +95,7 @@ def _pipeline(spark, sf_dir, ckpt_filtered=True):
     # ran twice per invocation (measured ~1.3s of cf_knn_pruned's 3.1s
     # at sf0.1). Lazy localCheckpoint: the sizing job stores the blocks,
     # every later branch reads them, ContextCleaner frees them on GC.
-    ratings = cf.filter_active_users(ratings, MIN_ITEMS).localCheckpoint(eager=False)
+    ratings = cf.filter_active_users(ratings, MIN_ITEMS).transform(barrier)
     # downstream CF consumes the ratings frame from up to five plan
     # branches (similarity self-join sides, norms, neighbor ratings,
     # eval); materialize it once — it is orders of magnitude smaller
@@ -119,7 +121,7 @@ def _pipeline(spark, sf_dir, ckpt_filtered=True):
     # outliers were the extra materialization riding host-noise
     # windows). VERDICT r9 item 3.
     if ckpt_filtered:
-        filt = filt.localCheckpoint(eager=False)
+        filt = filt.transform(barrier)
     return filt
 
 
@@ -381,9 +383,7 @@ def cf_holdout_metrics(spark, sf_dir):
     )
     keyed = ratings.withColumn("__h", h)
     test = keyed.filter(F.col("__h") < "1a").drop("__h")
-    train = keyed.filter(F.col("__h") >= "1a").drop("__h").localCheckpoint(
-        eager=False
-    )
+    train = keyed.filter(F.col("__h") >= "1a").drop("__h").transform(barrier)
     sims = cf.user_cosine_similarities_pruned(train, min_overlap=MIN_OVERLAP)
     neighbors = cf.knn_neighbors(sims, K_NEIGHBORS)
     preds = cf.predict_ratings(neighbors, train)

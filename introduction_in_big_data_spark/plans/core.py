@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..session import barrier
+
 from ..operators import clean, relational, topk
 from .registry import register, t
 
@@ -345,9 +347,7 @@ def top5pct_parts(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     # lazy localCheckpoint: count() materializes it once for both
     # consumers; blocks are GC-freed, unlike CacheManager persist()
-    counts = relational.group_count(li, ["l_partkey"], out="cnt").localCheckpoint(
-        eager=False
-    )
+    counts = relational.group_count(li, ["l_partkey"], out="cnt").transform(barrier)
     k = int(counts.count() * 0.05)  # floor
     return (
         counts.orderBy(F.desc("cnt"), F.asc("l_partkey"))

@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..session import barrier
+
 from . import cdf_fixture as _cdf
 from .registry import register, t
 
@@ -176,7 +178,7 @@ def top5pct_parts_percentile(spark, sf_dir):
     counts = (
         li.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     n = counts.count()
     k = int(0.05 * (n - 1)) + 1 if n > 0 else 0
@@ -4062,7 +4064,7 @@ def incremental_mv_maintenance(spark, sf_dir):
     v0 = table.latest_version()
     view = ivm.initial_view(
         table.read(v0), ["o_orderpriority"], ["o_cents"]
-    ).localCheckpoint()  # the one-and-only base scan, frozen
+    ).transform(barrier, eager=True)  # the one-and-only base scan, frozen
     source = (
         base.filter("o_orderkey % 97 = 0")
         .select(
@@ -4120,7 +4122,7 @@ def delta_cdf_mv_maintenance(spark, sf_dir):
     reader, v0, base = _cdf.stage_cdf_dml_table(spark, sf_dir, "delta_cdf_")
     view = ivm.initial_view(
         reader.read(v0), ["o_orderpriority"], ["o_cents"]
-    ).localCheckpoint()
+    ).transform(barrier, eager=True)
     v1 = reader.latest_version()
     delta = ivm.aggregate_delta(
         reader.changes(v0, v1), ["o_orderpriority"], ["o_cents"]
@@ -4272,7 +4274,7 @@ def delta_cdc_replica_state(spark, sf_dir):
     reader, v0, base = _cdf.stage_cdf_dml_table(
         spark, sf_dir, "delta_cdc_repl_"
     )
-    replica_base = reader.read(v0).localCheckpoint()  # initial sync
+    replica_base = reader.read(v0).transform(barrier, eager=True)  # initial sync
     ch = reader.changes(v0, reader.latest_version())
     # each key's LAST image wins: order by commit version, then image
     # rank (post-images/inserts/deletes supersede the same commit's

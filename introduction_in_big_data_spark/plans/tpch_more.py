@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..session import barrier
+
 from .registry import register, t
 
 
@@ -466,7 +468,7 @@ def q11_valuable_parts(spark, sf_dir):
     part_value = (
         li.groupBy("l_partkey")
         .agg(F.round(F.sum(rev), 2).alias("value"))
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     threshold = part_value.agg(
         (1.5 * F.avg("value")).alias("threshold")
@@ -508,7 +510,7 @@ def q15_top_suppliers(spark, sf_dir):
     supp_rev = (
         li.groupBy("l_suppkey")
         .agg(F.round(F.sum(rev), 2).alias("total_revenue"))
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     max_rev = supp_rev.agg(F.max("total_revenue").alias("max_rev"))
     return (
@@ -646,7 +648,7 @@ def q20_bulk_suppliers(spark, sf_dir):
         li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
-        .localCheckpoint(eager=False)
+        .transform(barrier)
     )
     th = sp.groupBy("l_partkey").agg(
         (0.8 * F.avg("qty")).alias("qty_thresh")

@@ -55,6 +55,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import barrier
+
 
 #: the UUID segment of a v2 checkpoint file name
 _UUID_RE = re.compile(
@@ -539,7 +541,7 @@ def _with_dense_index(df: DataFrame, col_name: str, value_fn):
     part = (
         df.withColumn("__pid", F.spark_partition_id())
         .withColumn("__mid", F.monotonically_increasing_id())
-        .localCheckpoint()
+        .transform(barrier, eager=True)
     )
     sizes = {
         r["__pid"]: r["__n"]

@@ -50,6 +50,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import barrier
+
 
 class UnsupportedIcebergFeature(Exception):
     pass
@@ -4565,7 +4567,7 @@ class IcebergTableReader:
             scan = self._apply_eq_deletes_for_dml(scan, eq, meta, candidates)
         matched = scan.filter(
             skipping.residual_filter(predicates)
-        ).localCheckpoint()  # computed once: feeds positions AND images
+        ).transform(barrier, eager=True)  # computed once: feeds positions AND images
         new_by_path = {
             r["__p"]: [int(x) for x in r["pos"]]
             for r in matched.groupBy("__p")
@@ -4722,7 +4724,7 @@ class IcebergTableReader:
             scan = self._apply_eq_deletes_for_dml(scan, eq, meta, candidates)
         matched = scan.filter(
             skipping.residual_filter(predicates)
-        ).localCheckpoint()  # computed once: feeds BOTH staged files
+        ).transform(barrier, eager=True)  # computed once: feeds BOTH staged files
         # ONE projection: every RHS evaluates against the OLD row
         updated = matched.select(
             *[

@@ -77,6 +77,37 @@ def test_cf_norms_barrier_arms_row_identical(spark):
     assert b.count() > 0
 
 
+def test_barrier_modes(spark, tmp_path, monkeypatch):
+    """session.barrier is the single materialization-barrier choke
+    point (VERDICT r12 item 5): every mode must return the same rows,
+    'reliable' must demand a checkpoint dir, unknown modes must raise."""
+    import pytest
+
+    from introduction_in_big_data_spark.session import barrier
+
+    df = spark.range(8).selectExpr("id", "id * 3 AS v")
+    rows = sorted(map(tuple, df.collect()))
+
+    monkeypatch.setenv("SPARK_GRAFT_BARRIER", "none")
+    assert barrier(df) is df
+    monkeypatch.setenv("SPARK_GRAFT_BARRIER", "local")
+    assert sorted(map(tuple, barrier(df).collect())) == rows
+    monkeypatch.setenv("SPARK_GRAFT_BARRIER", "cache")
+    b = barrier(df, eager=True)
+    assert sorted(map(tuple, b.collect())) == rows
+    b.unpersist()
+    monkeypatch.setenv("SPARK_GRAFT_BARRIER", "reliable")
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR", raising=False)
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        with pytest.raises(ValueError, match="checkpoint dir"):
+            barrier(df)
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path / "ckpt"))
+    assert sorted(map(tuple, barrier(df, eager=True).collect())) == rows
+    monkeypatch.setenv("SPARK_GRAFT_BARRIER", "bogus")
+    with pytest.raises(ValueError, match="bogus"):
+        barrier(df)
+
+
 def test_cf_exact_norms_no_checkpoint_scan(spark, tmp_path):
     """The exact path's plan must not contain a checkpoint scan for the
     norms frame anymore (the revert is structural, not just timing).
