@@ -487,6 +487,7 @@ def char_lm_scores(
     text_col: str = "text",
     materialize_grams: bool | None = None,
     gram_kernel: str = "sql",
+    materialize_counts: bool = True,
 ) -> DataFrame:
     """Statistical LM quality scoring (round 3): train a character-
     trigram language model ON the corpus and score every document by
@@ -548,7 +549,11 @@ def char_lm_scores(
     # barrier the whole dictionary group-by over dg runs twice
     # (round 12, guide §2.4). The dictionary is bounded by |charset|³
     # regardless of corpus size, so materializing it is always cheap.
-    counts = counts.transform(barrier)
+    # materialize_counts=False restores the r11 duplicate-subtree form
+    # — it exists so the A/B harness can measure both arms (r13
+    # re-proof: see OPTIMIZATION_r13.md).
+    if materialize_counts:
+        counts = counts.transform(barrier)
     scal = counts.agg(
         F.sum("c").alias("N"), F.count(F.lit(1)).alias("V")
     )

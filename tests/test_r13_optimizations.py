@@ -58,6 +58,31 @@ def test_tfidf_barrier_arms_row_identical(spark):
     assert a.count() > 0
 
 
+def test_lsh_pair_dedup_forms_identical(spark):
+    """lsh_near_dup_pairs' minband candidate dedup (opt-in scale form)
+    must produce exactly the distinct-form pair set — each pair kept
+    once, at its minimum colliding band, same sims."""
+    import numpy as np
+
+    from introduction_in_big_data_spark.operators.similarity import (
+        lsh_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 8))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # near-dup twin so real pairs exist
+        rows.append((1000 + i, [float(x) for x in v + rng.normal(scale=1e-3, size=8)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = lsh_near_dup_pairs(emb, threshold=0.8, dim=8, pair_dedup="minband")
+    b = lsh_near_dup_pairs(emb, threshold=0.8, dim=8, pair_dedup="distinct")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert b.count() > 0
+
+
 RATINGS = [
     (1, 10, 4.0), (1, 11, 2.0), (1, 12, 5.0),
     (2, 10, 3.0), (2, 11, 1.0), (2, 13, 4.0),
