@@ -58,6 +58,28 @@ def test_tfidf_barrier_arms_row_identical(spark):
     assert a.count() > 0
 
 
+def test_stream_drain_cadence_free_for_complete_agg(spark, sf_dir):
+    """stream_hourly_by_type now drains uncapped (one availableNow
+    batch). The drained complete-mode table must be identical to the
+    1-file-per-trigger cadence it replaced — the aggregate is
+    order-free by construction."""
+    from introduction_in_big_data_spark.streaming import stream as st
+
+    def drain(cap):
+        s = st.events_stream(spark, sf_dir, n_files=5, max_files_per_trigger=cap)
+        return st.run_to_memory(
+            st.tumbling_counts(s, "ts", "1 hour", ["event_type"]),
+            "complete",
+            state_partitions=4,
+            no_data_batches=False,
+        )
+
+    capped, uncapped = drain(1), drain(None)
+    assert capped.exceptAll(uncapped).count() == 0
+    assert uncapped.exceptAll(capped).count() == 0
+    assert uncapped.count() > 0
+
+
 def test_lsh_pair_dedup_forms_identical(spark):
     """lsh_near_dup_pairs' minband candidate dedup (opt-in scale form)
     must produce exactly the distinct-form pair set — each pair kept
