@@ -292,18 +292,23 @@ def lsh_near_dup_pairs(
     # returned plan is GC'd, so long sessions (the external driver, full
     # sweeps) don't accumulate CacheManager entries (ADVICE r2).
     bander = with_lsh_bands_repro if repro else with_lsh_bands
-    banded = (
-        bander(emb, dim, n_planes, n_bands, seed)
-        .select(F.col(id_col), "bands", F.posexplode("bands").alias("bi", "bk"))
-        .transform(barrier)
-    )
-    a = banded.select(
-        F.col(id_col).alias("vec_a"), F.col("bands").alias("bands_a"), "bi", "bk"
-    )
-    b = banded.select(
-        F.col(id_col).alias("vec_b"), F.col("bands").alias("bands_b"), "bk"
-    )
     if pair_dedup == "minband":
+        # minband needs the full band-key arrays and the band index on
+        # the checkpointed frame; the default path deliberately does
+        # NOT carry them — the checkpoint is an RDD, so Catalyst
+        # cannot column-prune the arrays away for consumers that never
+        # read them.
+        banded = (
+            bander(emb, dim, n_planes, n_bands, seed)
+            .select(F.col(id_col), "bands", F.posexplode("bands").alias("bi", "bk"))
+            .transform(barrier)
+        )
+        a = banded.select(
+            F.col(id_col).alias("vec_a"), F.col("bands").alias("bands_a"), "bi", "bk"
+        )
+        b = banded.select(
+            F.col(id_col).alias("vec_b"), F.col("bands").alias("bands_b"), "bk"
+        )
         # r13 (guide §2.4, VERDICT r12 item 6): candidate dedup WITHOUT
         # the dropDuplicates exchange. A pair colliding in k bands
         # appears k times in the band join; instead of shuffling the
@@ -346,6 +351,13 @@ def lsh_near_dup_pairs(
             .select("vec_a", "vec_b")
         )
     else:
+        banded = (
+            bander(emb, dim, n_planes, n_bands, seed)
+            .select(F.col(id_col), F.explode("bands").alias("bk"))
+            .transform(barrier)
+        )
+        a = banded.select(F.col(id_col).alias("vec_a"), "bk")
+        b = banded.select(F.col(id_col).alias("vec_b"), "bk")
         cands = (
             a.join(b, "bk")
             .filter(F.col("vec_a") < F.col("vec_b"))
